@@ -1,0 +1,161 @@
+"""Delta-gap + varint (LEB128) posting-list codec, numpy-vectorized.
+
+Spec: BASELINE.json:6 "delta-gap + varint-compressed posting lists with
+skip/block-max metadata". A pure-Python byte loop would dominate build
+time and violate BASELINE.json:15 ("no per-row Python"); both encode and
+decode here are O(bytes) numpy array programs (SURVEY.md §4.3).
+
+Layout of one term's posting payload (``encode_postings``):
+
+    [varint gaps (n)] [varint tfs (n)] [varint doc_lens (n)]
+
+where ``gaps[0] = doc_ids[0]`` and ``gaps[i] = doc_ids[i] - doc_ids[i-1]``
+(doc_ids strictly increasing). Block metadata (every ``block_size``
+postings) carries (block_first, block_last, max_tf, max_score,
+byte_offset, n_docs); ``byte_offset`` points into the *gaps* section so a
+block-max WAND executor can skip whole blocks without decoding them
+(SURVEY.md §2.5 C3/C4). doc_lens ride along so BM25 per-doc length
+normalization needs no join at query time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# thresholds[i] = smallest value needing i+2 bytes; width = searchsorted+1
+_THRESHOLDS = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64)))
+
+
+def varint_encode(values: np.ndarray) -> np.ndarray:
+    """Encode a uint64/int64 array as concatenated LEB128 bytes (uint8)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8)
+    widths = np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64) + 1
+    starts = np.concatenate(([0], np.cumsum(widths)[:-1]))
+    out = np.zeros(int(widths.sum()), dtype=np.uint8)
+    maxw = int(widths.max())
+    for j in range(maxw):
+        mask = widths > j
+        chunk = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (widths[mask] - 1 > j).astype(np.uint8) << 7
+        out[starts[mask] + j] = chunk | cont
+    return out
+
+
+def varint_decode(buf: np.ndarray | bytes, offset: int = 0, count: int | None = None):
+    """Decode LEB128 bytes -> (uint64 array, bytes consumed).
+
+    Decodes ``count`` varints starting at ``offset`` (all if None).
+    Vectorized: per-byte contributions are shifted then summed per value
+    with ``np.add.reduceat``.
+    """
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    b = b[offset:]
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64), 0
+    ends = np.flatnonzero((b & 0x80) == 0)
+    if count is not None:
+        if count == 0:
+            return np.empty(0, dtype=np.uint64), 0
+        ends = ends[:count]
+    nbytes = int(ends[-1]) + 1
+    b = b[:nbytes]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    # position of each byte within its varint
+    pos = np.arange(nbytes, dtype=np.int64)
+    value_idx = np.searchsorted(ends, pos, side="left")
+    pos_in_value = pos - starts[value_idx]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos_in_value.astype(np.uint64)
+    )
+    vals = np.add.reduceat(contrib, starts)
+    return vals.astype(np.uint64), nbytes
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    gaps = np.empty_like(ids)
+    if ids.size:
+        gaps[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.int64))
+
+
+def bm25_term_scores(
+    tf: np.ndarray, dl: np.ndarray, idf: float, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    """Vectorized per-doc BM25 contribution of one term (float64).
+
+    Written as a single expression so the engine (here), the naive numpy
+    scorer and the WAND executor share one IEEE-754 evaluation order
+    (BASELINE.json:6 bitwise score parity).
+    """
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    *,
+    block_size: int,
+    idf: float | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    avgdl: float = 1.0,
+):
+    """Encode one term's postings -> (payload bytes, block_meta list).
+
+    ``doc_ids`` must be strictly increasing. If ``idf`` is given, block
+    ``max_score`` is the true BM25 upper bound over the block's (tf, dl)
+    pairs (global stats), else 0.0 (local pre-merge segments, finalized in
+    merge — SURVEY.md §2.5 C6).
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    n = doc_ids.size
+    gaps_b = varint_encode(delta_encode(doc_ids))
+    tfs_b = varint_encode(tfs)
+    dls_b = varint_encode(dls)
+    payload = np.concatenate([gaps_b, tfs_b, dls_b]).tobytes()
+
+    # per-block byte offsets into the gaps section: width of each varint
+    widths = np.searchsorted(
+        _THRESHOLDS, delta_encode(doc_ids).astype(np.uint64), side="right"
+    ).astype(np.int64) + 1
+    cum = np.concatenate(([0], np.cumsum(widths)))
+    meta = []
+    if idf is not None:
+        scores = bm25_term_scores(tfs, dls, idf, k1, b, avgdl)
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        meta.append(
+            {
+                "block_first": int(doc_ids[s]),
+                "block_last": int(doc_ids[e - 1]),
+                "max_tf": int(tfs[s:e].max()),
+                "max_score": float(scores[s:e].max()) if idf is not None else 0.0,
+                "byte_offset": int(cum[s]),
+                "n_docs": int(e - s),
+            }
+        )
+    return payload, meta
+
+
+def decode_postings(payload: bytes, n: int):
+    """Inverse of encode_postings -> (doc_ids, tfs, dls) int64 arrays."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    gaps, used1 = varint_decode(buf, 0, n)
+    tfs, used2 = varint_decode(buf, used1, n)
+    dls, _ = varint_decode(buf, used1 + used2, n)
+    return (
+        delta_decode(gaps),
+        tfs.astype(np.int64),
+        dls.astype(np.int64),
+    )

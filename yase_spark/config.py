@@ -1,0 +1,56 @@
+"""Pinned engine parameters (SURVEY.md §7 M0, BASELINE.md metric table).
+
+Every tunable that affects output bytes/scores lives here so that "k1/b
+parity with the reference" (BASELINE.json:6) is a one-line change if
+authoritative values ever arrive, and so the build is reproducible across
+parallelism levels (BASELINE.json:14: N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------- BM25
+K1: float = 1.2
+B: float = 0.75
+
+# idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene-style, >= 0)
+# score(d, q) = sum over unique query terms, in first-occurrence query
+# order (fixed summation order -> bitwise-reproducible float64 sums,
+# BASELINE.json:6 "bitwise-matching BM25 scores").
+
+# ------------------------------------------------------------- postings
+BLOCK_SIZE: int = 128          # postings per skip/block-max block (C4)
+TERM_BUCKETS: int = 64         # pmod(xxhash64(term), NB) layout buckets (C7)
+BUILD_GROUPS: int = 8          # checkpointable build units (S4): buckets
+                               # are built group-by-group; resume skips
+                               # completed groups via left-anti join.
+
+# ---------------------------------------------------------------- skew
+HOT_TERM_DF: int = 50_000      # df above which a term's posting build is
+                               # sharded by doc_id range (C1 salting)
+SALT_SHARDS: int = 16          # shards for hot terms
+
+# --------------------------------------------------------------- corpus
+SEED: int = 42                 # deterministic synthesizer seed (driver
+                               # convention, TESTDATA.md)
+
+# --------------------------------------------------------------- session
+DEFAULT_CPUS: int = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF_DIR: str = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Per-build knobs; defaults mirror the module constants."""
+
+    k1: float = K1
+    b: float = B
+    block_size: int = BLOCK_SIZE
+    term_buckets: int = TERM_BUCKETS
+    build_groups: int = BUILD_GROUPS
+    hot_term_df: int = HOT_TERM_DF
+    salt_shards: int = SALT_SHARDS
+    ngrams: bool = True            # identifier n-grams (T2) in the index
+    shuffle_partitions: int = field(default_factory=lambda: DEFAULT_CPUS)

@@ -1,0 +1,116 @@
+"""Code-aware tokenization (SURVEY.md §2.3 T1–T4).
+
+Spec: BASELINE.json:6 "code-aware tokenization (camelCase/snake_case
+splitting, identifier n-grams) via vectorized Arrow pandas_udf".
+
+Pinned tokenizer definition (applied identically by the index build, the
+driver-side query analyzer, the pure-Python oracle, and the DuckDB oracle
+SQL — rank identity requires analyzer parity):
+
+1. Identifier extraction: maximal runs of ``[A-Za-z0-9_]`` in the text;
+   everything else is a separator.
+2. Part splitting, in this exact order (regexes chosen to behave
+   identically under Python ``re``, pandas, and DuckDB RE2):
+     a. ``_`` -> space                      (snake_case)
+     b. ``([A-Z]+)([A-Z][a-z])`` -> ``\\1 \\2``   (acronym boundary: HTMLDoc)
+     c. ``([a-z0-9])([A-Z])``    -> ``\\1 \\2``   (camel boundary: getUser)
+3. Emitted tokens, all lowercased:
+     - every part (always);
+     - the full identifier, iff it is multi-part (contains ``_`` or a
+       camel boundary) — so ``getUserName`` yields
+       ``get user name getusername`` and a one-part token is not doubled;
+     - (T2, optional) identifier n-grams: adjacent part bigrams joined
+       with ``_`` — ``get_user``, ``user_name`` — which makes
+       ``getUserName`` and ``get_user_name`` share bigram tokens.
+
+Term frequencies are multiset counts over this stream.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+IDENT_RE = "[A-Za-z0-9_]+"
+NON_IDENT_RE = "[^A-Za-z0-9_]+"
+ACRONYM_RE = r"([A-Z]+)([A-Z][a-z])"
+CAMEL_RE = r"([a-z0-9])([A-Z])"
+# a full identifier is "multi-part" iff it matches this (an underscore
+# counts only with identifier chars on BOTH sides: "_x" / "x_" are one part)
+MULTIPART_RE = r"[A-Za-z0-9]_+[A-Za-z0-9]|[A-Z]+[A-Z][a-z]|[a-z0-9][A-Z]"
+
+_acronym = re.compile(ACRONYM_RE)
+_camel = re.compile(CAMEL_RE)
+_multipart = re.compile(MULTIPART_RE)
+_ident = re.compile(IDENT_RE)
+
+
+def split_parts(identifier: str) -> list[str]:
+    """Lowercased parts of a single identifier, in order."""
+    s = identifier.replace("_", " ")
+    s = _acronym.sub(r"\1 \2", s)
+    s = _camel.sub(r"\1 \2", s)
+    return s.lower().split()
+
+
+def tokenize_text(text: str, ngrams: bool = True) -> list[str]:
+    """Reference (pure-Python) tokenizer — the query analyzer (T4) and the
+    naive oracle both call this; the Spark path (tokenize_series) must
+    produce the identical multiset per document (tested)."""
+    out: list[str] = []
+    for ident in _ident.findall(text):
+        parts = split_parts(ident)
+        out.extend(parts)
+        if len(parts) > 1:
+            out.append(ident.lower())
+            if ngrams:
+                out.extend(
+                    parts[i] + "_" + parts[i + 1] for i in range(len(parts) - 1)
+                )
+    return out
+
+
+def analyze_query(query: str, ngrams: bool = False) -> list[str]:
+    """Query analyzer (T4): unique tokens, first-occurrence order kept —
+    the fixed BM25 summation order (BASELINE.json:6 bitwise parity)."""
+    seen: dict[str, None] = {}
+    for t in tokenize_text(query, ngrams=ngrams):
+        seen.setdefault(t)
+    return list(seen)
+
+
+def tokenize_series(texts: pd.Series, ngrams: bool = True) -> pd.Series:
+    """Vectorized tokenizer body used inside the Arrow pandas_udf (T1/T2).
+
+    Whole-Series pandas ``.str`` regex passes (no per-row Python in the
+    splitting hot path); returns a Series of token lists.
+    """
+    s = texts.fillna("")
+    # --- parts stream (always emitted)
+    parts_str = (
+        s.str.replace(NON_IDENT_RE, " ", regex=True)
+        .str.replace("_", " ", regex=False)
+        .str.replace(ACRONYM_RE, r"\1 \2", regex=True)
+        .str.replace(CAMEL_RE, r"\1 \2", regex=True)
+        .str.lower()
+    )
+    parts_lists = parts_str.str.split()
+    if not ngrams:
+        # full multi-part identifiers only
+        fulls = s.str.findall(IDENT_RE).map(
+            lambda ids: [i.lower() for i in ids if _multipart.search(i)]
+        )
+        return parts_lists.combine(fulls, lambda a, b: (a or []) + (b or []))
+
+    def _extras(ids: list[str]) -> list[str]:
+        out: list[str] = []
+        for ident in ids:
+            if _multipart.search(ident):
+                out.append(ident.lower())
+                p = split_parts(ident)
+                out.extend(p[i] + "_" + p[i + 1] for i in range(len(p) - 1))
+        return out
+
+    extras = s.str.findall(IDENT_RE).map(_extras)
+    return parts_lists.combine(extras, lambda a, b: (a or []) + (b or []))
