@@ -1,0 +1,150 @@
+"""Iceberg-shaped table catalog over a Parquet directory backend.
+
+The north_rule requires Iceberg tables (BASELINE.json:14), but no Iceberg
+runtime jar or pyiceberg exists in this sandbox (SURVEY.md §0). This class
+reproduces the Iceberg semantics the engine depends on — named tables,
+append-only snapshot commits, manifest-listed data files, partition
+layout, time-travel by snapshot id — over plain Parquet, so that on a real
+cluster every call site swaps to ``spark.read.table`` /
+``df.writeTo(...).append()`` with no logic change (the mapping is
+documented per method).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """``Catalog(root)`` ≈ an Iceberg catalog warehouse path.
+
+    Table layout on disk::
+
+        <root>/<table>/
+            data/<snapshot-uuid>/...parquet     (one dir per commit)
+            manifest-<N>.json                   (cumulative data dirs)
+            VERSION                             (current manifest N)
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._tdir(name), f"manifest-{version}.json")
+
+    def current_version(self, name: str) -> int:
+        vf = os.path.join(self._tdir(name), "VERSION")
+        if not os.path.exists(vf):
+            return 0
+        with open(vf) as f:
+            return int(f.read().strip())
+
+    def exists(self, name: str) -> bool:
+        return self.current_version(name) > 0
+
+    def _manifest(self, name: str, version: int | None = None) -> dict:
+        v = version or self.current_version(name)
+        if v == 0:
+            raise FileNotFoundError(f"table {name} does not exist in {self.root}")
+        with open(self._manifest_path(name, v)) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------ write
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        tag: dict | None = None,
+    ) -> int:
+        """Commit ``df`` as a new snapshot.
+
+        Iceberg equivalent: ``df.writeTo(f"cat.db.{name}").append()`` /
+        ``.createOrReplace()``; ``tag`` ≈ snapshot summary properties.
+        A crash between the data write and the manifest commit leaves an
+        orphan data dir that is never listed — the commit (manifest +
+        VERSION flip) is the atomicity point, which is what makes the
+        per-unit index build idempotent under resume (SURVEY.md §2.1 S4).
+        Returns the new snapshot version.
+        """
+        assert mode in ("overwrite", "append")
+        tdir = self._tdir(name)
+        os.makedirs(os.path.join(tdir, "data"), exist_ok=True)
+        snap = str(uuid.uuid4())
+        data_dir = os.path.join(tdir, "data", snap)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+
+        prev = self.current_version(name)
+        dirs = [] if (mode == "overwrite" or prev == 0) else self._manifest(name)["data_dirs"]
+        manifest = {
+            "table": name,
+            "snapshot": snap,
+            "parent_version": prev,
+            "committed_at": time.time(),
+            "operation": mode,
+            "partition_by": partition_by or [],
+            "data_dirs": dirs + [data_dir],
+            "tag": tag or {},
+        }
+        v = prev + 1
+        with open(self._manifest_path(name, v), "w") as f:
+            json.dump(manifest, f, indent=1)
+        # atomic-ish pointer flip (Iceberg: catalog swap of metadata ptr)
+        tmp = os.path.join(tdir, "VERSION.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(tdir, "VERSION"))
+        return v
+
+    # ------------------------------------------------------------- read
+    def read(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
+        """Read the current (or time-travel ``version``) snapshot.
+
+        Iceberg equivalent: ``spark.read.table(name)`` with
+        ``VERSION AS OF``. Partition columns stay usable for pruning
+        because each data dir preserves the ``partitionBy`` layout.
+        """
+        m = self._manifest(name, version)
+        if len(m["data_dirs"]) == 1:
+            return spark.read.parquet(m["data_dirs"][0])
+        # appended snapshots: one scan per commit dir, unioned — keeps
+        # Hive-style partition-column inference (and pruning) per dir
+        dfs = [spark.read.parquet(d) for d in m["data_dirs"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def committed_tags(self, name: str) -> list[dict]:
+        """Tags of every committed snapshot in the current lineage
+        (Iceberg: walk snapshot summaries). Used by resume to decide
+        which build units are already durably committed."""
+        if not self.exists(name):
+            return []
+        tags = []
+        v = self.current_version(name)
+        while v > 0:
+            m = self._manifest(name, v)
+            tags.append(m.get("tag", {}))
+            if m["operation"] == "overwrite":
+                break
+            v = m["parent_version"]
+        return tags
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._tdir(name), ignore_errors=True)

@@ -1,0 +1,83 @@
+"""Corpus ingest: dedup, sha256 invariant, tokenize, docs dimension.
+
+SURVEY.md §2.1 S1/S2, §2.2 P4, §2.3 T1–T3. The sha256 per-row invariant
+(BASELINE.json:6,15) is enforced JVM-side with ``F.sha2`` against a
+source manifest; the code-aware tokenizer runs as a vectorized Arrow
+``pandas_udf`` (BASELINE.json:6) shared verbatim with the query analyzer
+and the naive oracle (yase_spark/tokenize.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from .ids import KEY, assign_doc_ids
+from .tokenize import tokenize_series
+
+CORPUS_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def tokens_udf(ngrams: bool = True):
+    """T1+T2 as one Arrow-batched scalar pandas_udf: content -> tokens."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _tok(content: pd.Series) -> pd.Series:
+        return tokenize_series(content, ngrams=ngrams)
+
+    return _tok
+
+
+def check_sha256(corpus: DataFrame, manifest: DataFrame) -> int:
+    """Count of per-row sha256 invariant violations (must be 0).
+
+    ``manifest``: (repo, path, commit, content_sha256) from the source.
+    Join is on the natural key; a missing manifest row also counts as a
+    violation.
+    """
+    c = corpus.select(*KEY, F.sha2(F.col("content"), 256).alias("_sha"))
+    j = c.join(manifest, KEY, "left")
+    return j.filter(
+        F.col("content_sha256").isNull() | (F.col("_sha") != F.col("content_sha256"))
+    ).count()
+
+
+def ingest(corpus: DataFrame, ngrams: bool = True, sort_partitions: int | None = None):
+    """corpus -> (docs_df, tokenized_df).
+
+    ``docs_df``: doc_id, repo, path, commit, lang, doc_len, content_sha256
+    ``tokenized_df``: doc_id, doc_len, tokens (pre-explode, for reuse)
+
+    Dedup keeps the lexicographically-first row per (repo, path, commit)
+    — deterministic, unlike dropDuplicates' arbitrary pick.
+    """
+    deduped = (
+        corpus.select(*CORPUS_COLS)
+        .groupBy(*KEY)
+        .agg(F.min(F.struct("lang", "content")).alias("_row"))
+        .select(*KEY, F.col("_row.lang").alias("lang"), F.col("_row.content").alias("content"))
+    )
+    with_ids = assign_doc_ids(deduped, sort_partitions=sort_partitions)
+    tok = tokens_udf(ngrams=ngrams)
+    base = with_ids.withColumn("tokens", tok(F.col("content"))).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    # drop `content` BEFORE any shuffle: column pruning can't help once a
+    # UDF referenced it, so we project explicitly (SURVEY.md §4.1).
+    base = base.select(
+        "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+        F.size("tokens").alias("doc_len"), "tokens",
+    )
+    docs = base.drop("tokens")
+    tokenized = base.select("doc_id", "doc_len", "tokens")
+    return docs, tokenized
+
+
+def explode_terms(tokenized: DataFrame) -> DataFrame:
+    """(doc_id, doc_len, tokens) -> (doc_id, doc_len, term) rows."""
+    return tokenized.select(
+        "doc_id", "doc_len", F.explode("tokens").alias("term")
+    )

@@ -1,0 +1,225 @@
+"""Index build orchestration: staged, resumable, instrumented.
+
+SURVEY.md §3.1 pipeline + §2.1 S3/S4 + §2.4 A6. The build is split into
+checkpointable units (BASELINE.json:6 "resumable from per-partition
+checkpoints in Iceberg with lineage and metrics"):
+
+* stage ``docs``   — ingest, doc_id mint, sha256, tokenize, TF staging
+* stage ``grp-K``  — K = 0..build_groups-1: salted local-segment encode +
+  sort-merge + bucketed segment publish for the term-hash groups in K
+
+Exactly-once resume: each unit's output is committed as ONE tagged
+catalog snapshot ``{unit, fingerprint}``; on restart, units whose tag is
+already committed for the same input fingerprint are anti-joined out of
+the work set. A crash after the data write but before the manifest commit
+leaves only an unlisted orphan dir, so re-running the unit cannot
+double-publish. The ``checkpoints`` table carries lineage + metrics
+(docs/s, postings/s, bytes/partition, skew ratio) per unit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .config import IndexConfig
+from .corpus import check_sha256, explode_terms, ingest
+from .postings import build_local_segments, merge_segments, salt_postings
+from .stats import corpus_stats, term_frequencies
+
+CKPT_SCHEMA = (
+    "run_id string, unit string, status string, rows_in long, postings_out long, "
+    "bytes_out long, n_terms long, wall_ms long, skew_ratio double, "
+    "input_fingerprint string, ts double"
+)
+
+
+def corpus_fingerprint(corpus: DataFrame) -> str:
+    """Order/partitioning-invariant content fingerprint of the raw corpus:
+    row count + commutative mixes of per-row xxhash64 over the natural key
+    and the content sha. Deliberately avoids the tokenize pipeline so a
+    resumed build can decide stage reuse without re-running ingest."""
+    row = corpus.select(
+        F.xxhash64(
+            "repo", "path", "commit", F.sha2(F.col("content"), 256)
+        ).alias("h")
+    ).agg(
+        F.count("*").alias("c"),
+        F.expr("bit_xor(h)").alias("x"),
+        F.sum(F.pmod(F.col("h"), F.lit(2_147_483_647))).alias("m"),
+    ).collect()[0]
+    return f"{row['c']}-{row['x']}-{row['m']}"
+
+
+class IndexBuilder:
+    def __init__(self, spark: SparkSession, index_root: str, cfg: IndexConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or IndexConfig()
+        self.cat = Catalog(index_root)
+        self.run_id = uuid.uuid4().hex[:12]
+
+    # ------------------------------------------------------------ lineage
+    def _ckpt(self, unit: str, fp: str, **metrics) -> None:
+        row = {
+            "run_id": self.run_id,
+            "unit": unit,
+            "status": "done",
+            "rows_in": int(metrics.get("rows_in", 0)),
+            "postings_out": int(metrics.get("postings_out", 0)),
+            "bytes_out": int(metrics.get("bytes_out", 0)),
+            "n_terms": int(metrics.get("n_terms", 0)),
+            "wall_ms": int(metrics.get("wall_ms", 0)),
+            "skew_ratio": float(metrics.get("skew_ratio", 0.0)),
+            "input_fingerprint": fp,
+            "ts": time.time(),
+        }
+        df = self.spark.createDataFrame([tuple(row.values())], schema=CKPT_SCHEMA)
+        mode = "append" if self.cat.exists("checkpoints") else "overwrite"
+        self.cat.write("checkpoints", df, mode=mode, tag={"unit": unit, "fingerprint": fp})
+
+    def _done_units(self, table: str, fp: str) -> set[str]:
+        return {
+            t["unit"]
+            for t in self.cat.committed_tags(table)
+            if t.get("fingerprint") == fp and "unit" in t
+        }
+
+    # -------------------------------------------------------------- build
+    def build(self, corpus: DataFrame, manifest: DataFrame | None = None) -> dict:
+        cfg, cat, spark = self.cfg, self.cat, self.spark
+        t0 = time.time()
+
+        if manifest is not None:
+            violations = check_sha256(corpus, manifest)
+            if violations:
+                raise ValueError(
+                    f"sha256 invariant violated on {violations} rows (must be 0)"
+                )
+
+        # ---- stage: docs + TF staging ---------------------------------
+        # fingerprint needs docs; compute docs lazily but idempotently:
+        # if a docs snapshot exists, validate its fingerprint tag instead
+        # of re-ingesting.
+        docs_tags = self.cat.committed_tags("docs")
+        prior_fp = docs_tags[0].get("fingerprint") if docs_tags else None
+
+        stage_t = time.time()
+        fp = corpus_fingerprint(corpus)
+
+        if prior_fp == fp and cat.exists("postings_raw"):
+            docs = cat.read(spark, "docs")
+            stats_tags = cat.committed_tags("stats")
+            stats = (
+                json.loads(stats_tags[0]["payload"])
+                if stats_tags and "payload" in stats_tags[0]
+                else corpus_stats(docs)
+            )
+            rebuilt_docs = False
+        else:
+            docs, tokenized = ingest(corpus, ngrams=cfg.ngrams)
+            docs = docs.persist()
+            tf = term_frequencies(explode_terms(tokenized)).withColumn(
+                "grp",
+                F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int"),
+            )
+            cat.write("docs", docs, mode="overwrite", tag={"unit": "docs", "fingerprint": fp})
+            cat.write(
+                "postings_raw", tf, mode="overwrite", partition_by=["grp"],
+                tag={"unit": "postings_raw", "fingerprint": fp},
+            )
+            stats = corpus_stats(docs)
+            stats_df = spark.createDataFrame(
+                [(stats["n_docs"], stats["total_tokens"], stats["avgdl"])],
+                schema="n_docs long, total_tokens long, avgdl double",
+            )
+            cat.write(
+                "stats", stats_df, mode="overwrite",
+                tag={"unit": "stats", "fingerprint": fp, "payload": json.dumps(stats)},
+            )
+            self._ckpt(
+                "docs", fp,
+                rows_in=stats["n_docs"],
+                postings_out=0,
+                wall_ms=(time.time() - stage_t) * 1000,
+            )
+            docs.unpersist()
+            rebuilt_docs = True
+
+        # ---- stage: per-group segment build (resumable units) ---------
+        done = self._done_units("segments", fp) if not rebuilt_docs else set()
+        if rebuilt_docs and cat.exists("segments"):
+            cat.drop("segments")  # stale segments from a different corpus
+
+        raw = cat.read(spark, "postings_raw")
+        n_docs = stats["n_docs"]
+        group_metrics = []
+        for g in range(cfg.build_groups):
+            unit = f"grp-{g}"
+            if unit in done:
+                continue
+            gt = time.time()
+            raw_g = raw.filter(F.col("grp") == g).select("term", "doc_id", "tf", "dl")
+            salted = salt_postings(raw_g, n_docs, cfg)
+            local = build_local_segments(salted, partitions=cfg.shuffle_partitions)
+            segs = merge_segments(local, n_docs, stats["avgdl"], cfg).persist()
+            mode = "append" if cat.exists("segments") else "overwrite"
+            cat.write(
+                "segments", segs, mode=mode, partition_by=["bucket"],
+                tag={"unit": unit, "fingerprint": fp},
+            )
+            m = segs.agg(
+                F.sum("n").alias("postings"),
+                F.sum(F.length("payload")).alias("bytes"),
+                F.count("*").alias("n_terms"),
+            ).collect()[0]
+            by_bucket = segs.groupBy("bucket").agg(
+                F.sum(F.length("payload")).alias("b")
+            ).collect()
+            segs.unpersist()
+            sizes = [r["b"] for r in by_bucket] or [0]
+            skew = (max(sizes) / (sum(sizes) / len(sizes))) if sum(sizes) else 0.0
+            wall = (time.time() - gt) * 1000
+            gm = dict(
+                rows_in=int(m["postings"] or 0),
+                postings_out=int(m["postings"] or 0),
+                bytes_out=int(m["bytes"] or 0),
+                n_terms=int(m["n_terms"] or 0),
+                wall_ms=wall,
+                skew_ratio=skew,
+            )
+            self._ckpt(unit, fp, **gm)
+            group_metrics.append(gm)
+
+        wall_s = time.time() - t0
+        summary = {
+            "run_id": self.run_id,
+            "fingerprint": fp,
+            "n_docs": stats["n_docs"],
+            "avgdl": stats["avgdl"],
+            "total_tokens": stats["total_tokens"],
+            "wall_s": wall_s,
+            "docs_per_s": stats["n_docs"] / wall_s if wall_s else 0.0,
+            "postings": sum(m["postings_out"] for m in group_metrics),
+            "postings_per_s": (
+                sum(m["postings_out"] for m in group_metrics) / wall_s if wall_s else 0.0
+            ),
+            "groups_built": len(group_metrics),
+            "skew_ratio": max((m["skew_ratio"] for m in group_metrics), default=0.0),
+        }
+        return summary
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_root: str,
+    cfg: IndexConfig | None = None,
+    manifest: DataFrame | None = None,
+) -> dict:
+    return IndexBuilder(spark, index_root, cfg).build(corpus, manifest=manifest)

@@ -1,0 +1,44 @@
+"""SparkSession factory (SURVEY.md §7 M0).
+
+One place to pin the configs that matter at scale: AQE (runtime
+coalesce + skew-join splitting), Arrow execution for pandas UDFs, and
+shuffle partitions scaled with cores (BASELINE.json:14: partitioning
+handled explicitly; two-cluster-size protocol in BASELINE.md §2 runs this
+factory at local[8] and local[32]).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT_CPUS
+
+
+def get_spark(
+    cpus: int | None = None,
+    app: str = "yase_spark",
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    shuffle = shuffle_partitions or max(2 * cpus, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("YASE_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
