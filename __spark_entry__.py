@@ -1,38 +1,460 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the inverted index over the sf0.001
+``documents`` table (mapped to the corpus shape) and run a ranked
+block-max-WAND BM25 top-k, hydrated with doc metadata.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2. ``documents.text`` is pure lowercase words (verified),
+so the engine's code-aware tokenizer on it degenerates to the simple
+``[^a-z0-9]+`` split — which makes even the engine-internal paths
+(segment build, WAND top-k, boolean ops) expressible as DuckDB oracle
+SQL over the same parquet. Camel/snake tokenization is exercised via a
+composed identifier column built identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yase_spark.config import B, K1, IndexConfig
+from yase_spark.index import build_index
+from yase_spark.query import IndexReader
+from yase_spark.stats import salted_two_phase_count
+
+SPLIT = "[^a-z0-9]+"
+BM25_TERMS = ["table", "hash", "merge"]
+AND_TERMS = ["table", "hash"]
+OR_TERMS = ["window", "spark"]
+
+# camel/snake identifier composed from table columns (same expr in SQL)
+#   e.g. source=src3, lang=en -> "loadSrc3_en getData"
+def _camel_spark():
+    return F.concat(
+        F.lit("load"),
+        F.upper(F.substring("source", 1, 1)),
+        F.expr("substring(source, 2)"),
+        F.lit("_"),
+        F.col("lang"),
+        F.lit(" getData"),
+    )
+_CAMEL_SQL = (
+    "concat('load', upper(substring(source, 1, 1)), substring(source, 2), "
+    "'_', lang, ' getData')"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) rows under the simple lowercase split."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.lower("text"), SPLIT)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+_TOK_SQL = (
+    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+    "FROM documents"
+)
+_T_SQL = f"WITH tok AS ({_TOK_SQL}), t AS (SELECT * FROM tok WHERE term <> '')"
+
+
+# ------------------------------------------------------------ engine cache
+_CACHE: dict[str, tuple[str, IndexConfig]] = {}
+
+
+def _corpus_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.lit("docs").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    if sf_dir not in _CACHE:
+        root = tempfile.mkdtemp(prefix="yase_ix_")
+        cfg = IndexConfig(build_groups=2, shuffle_partitions=16, hot_term_df=10**9)
+        build_index(spark, _corpus_shape(spark, sf_dir), root, cfg)
+        _CACHE[sf_dir] = (root, cfg)
+    root, cfg = _CACHE[sf_dir]
+    return IndexReader(spark, root, cfg)
+
+
+def _orig_ids(rd: IndexReader, spark: SparkSession):
+    """engine doc_id -> original documents.doc_id (path is lpad(orig))."""
+    return rd.cat.read(spark, "docs").select(
+        F.col("doc_id"), F.col("path").cast("long").alias("orig_doc_id")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    rd = _reader(spark, sf_dir)
+    return rd.topk_df(" ".join(BM25_TERMS), k=10, hydrate=True)
+
+
+# ------------------------------------------------------------- queries
+def _q_tf(spark, sf_dir):
+    return _tokens(spark, sf_dir).groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def _q_df(spark, sf_dir):
+    return _q_tf(spark, sf_dir).groupBy("term").agg(F.count("*").alias("df"))
+
+
+def _q_cf(spark, sf_dir):
+    return _tokens(spark, sf_dir).groupBy("term").agg(F.count("*").alias("cf"))
+
+
+def _q_stats(spark, sf_dir):
+    dl = _tokens(spark, sf_dir).groupBy("doc_id").agg(F.count("*").alias("dl"))
+    return dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.round(F.avg("dl"), 5).alias("avgdl_r"),
+    )
+
+
+def _q_tokenize_code(spark, sf_dir):
+    from yase_spark.corpus import tokens_udf
+
+    tok = tokens_udf(ngrams=False)
+    d = _docs(spark, sf_dir).select("doc_id", _camel_spark().alias("ident"))
+    return (
+        d.select("doc_id", F.explode(tok(F.col("ident"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q_sha256(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha")
+    )
+
+
+def _q_dedup_first(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n"))
+    )
+
+
+def _q_salted_agg(spark, sf_dir):
+    return salted_two_phase_count(_docs(spark, sf_dir), "lang", shards=8)
+
+
+def _q_doc_id_mint(spark, sf_dir):
+    from yase_spark.ids import assign_doc_ids
+
+    shaped = _corpus_shape(spark, sf_dir)
+    out = assign_doc_ids(shaped, sort_partitions=8)
+    return out.select(
+        F.col("path").cast("long").alias("orig_doc_id"),
+        F.col("doc_id").alias("minted_id"),
+    )
+
+
+def _bm25_spark(spark, sf_dir):
+    t = _q_tf(spark, sf_dir).filter(F.col("term").isin(BM25_TERMS))
+    dl = _tokens(spark, sf_dir).groupBy("doc_id").agg(F.count("*").alias("dl"))
+    st = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = int(st["n"]), float(st["avgdl"])
+    dfs = t.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        t.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "contrib",
+            F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * (F.col("dl") / F.lit(avgdl)))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    return scored.select("doc_id", F.round("score", 5).alias("score_r"))
+
+
+def _q_wand_topk(spark, sf_dir):
+    rd = _reader(spark, sf_dir)
+    rows = rd.topk(" ".join(BM25_TERMS), 10)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return (
+        res.join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r"))
+    )
+
+
+def _q_bool_and(spark, sf_dir):
+    rd = _reader(spark, sf_dir)
+    ids = [int(x) for x in rd.bool_and(" ".join(AND_TERMS))]
+    res = spark.createDataFrame([(i,) for i in ids] or [], schema="doc_id long")
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(F.col("orig_doc_id").alias("doc_id"))
+
+
+def _q_bool_or(spark, sf_dir):
+    rd = _reader(spark, sf_dir)
+    ids = [int(x) for x in rd.bool_or(" ".join(OR_TERMS))]
+    res = spark.createDataFrame([(i,) for i in ids] or [], schema="doc_id long")
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(F.col("orig_doc_id").alias("doc_id"))
+
+
+def _q_segments_df(spark, sf_dir):
+    rd = _reader(spark, sf_dir)
+    segs = rd.cat.read(spark, "segments")
+    return segs.groupBy("term").agg(F.sum(F.col("n")).alias("df"))
+
+
+def _q_window_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+def _q_hydrate_join(spark, sf_dir):
+    top = (
+        _docs(spark, sf_dir)
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    return top.join(F.broadcast(_docs(spark, sf_dir)), "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _q_rel_join_agg(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_r"),
+        )
+    )
+
+
+def _q_set_intersect(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("lang") == "en").select("source")
+    b = d.filter(F.col("n_chars") > 500).select("source")
+    return a.intersect(b)
+
+
+def _q_union_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("lang") == "en").select("doc_id")
+    b = d.filter(F.col("lang") == "fr").select("doc_id")
+    return a.unionByName(b).groupBy().agg(F.count("*").alias("n"))
+
+
+def _q_tokenize_ngrams(spark, sf_dir):
+    from yase_spark.corpus import tokens_udf
+
+    tok = tokens_udf(ngrams=True)
+    d = _docs(spark, sf_dir).select("doc_id", _camel_spark().alias("ident"))
+    return (
+        d.select("doc_id", F.explode(tok(F.col("ident"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q_codec_roundtrip(spark, sf_dir):
+    import numpy as np
+
+    from yase_spark.codec import decode_postings, encode_postings
+
+    rng = np.random.default_rng(42)
+    ids = np.unique(rng.integers(1, 10**9, size=20000))
+    tfs = rng.integers(1, 64, size=ids.size)
+    dls = rng.integers(40, 4000, size=ids.size)
+    payload, meta = encode_postings(ids, tfs, dls, block_size=128, idf=1.0, avgdl=500.0)
+    d_ids, d_tfs, d_dls = decode_postings(payload, ids.size)
+    ok = bool(
+        np.array_equal(d_ids, ids)
+        and np.array_equal(d_tfs, tfs)
+        and np.array_equal(d_dls, dls)
+    )
+    return spark.createDataFrame(
+        [(ok, int(ids.size), len(payload), len(meta))],
+        schema="ok boolean, n long, bytes long, blocks long",
+    )
+
+
+def _q_checkpoints(spark, sf_dir):
+    rd = _reader(spark, sf_dir)
+    ck = rd.cat.read(spark, "checkpoints")
+    return ck.groupBy("unit").agg(
+        F.max("status").alias("status"), F.count("*").alias("n")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tf_agg": _q_tf,
+        "df_agg": _q_df,
+        "cf_agg": _q_cf,
+        "corpus_stats": _q_stats,
+        "tokenize_code": _q_tokenize_code,
+        "tokenize_ngrams": _q_tokenize_ngrams,
+        "sha256_check": _q_sha256,
+        "dedup_first": _q_dedup_first,
+        "salted_agg": _q_salted_agg,
+        "doc_id_mint": _q_doc_id_mint,
+        "bm25_topk_sql": _bm25_spark,
+        "wand_topk": _q_wand_topk,
+        "bool_and": _q_bool_and,
+        "bool_or": _q_bool_or,
+        "segments_df": _q_segments_df,
+        "window_topk": _q_window_topk,
+        "hydrate_join": _q_hydrate_join,
+        "rel_join_agg": _q_rel_join_agg,
+        "set_intersect": _q_set_intersect,
+        "union_counts": _q_union_counts,
+        "codec_roundtrip": _q_codec_roundtrip,
+        "checkpoints": _q_checkpoints,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _bm25_oracle_sql(select: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t WHERE term IN ({terms}) GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+)
+{select}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    and_a, and_b = AND_TERMS
+    or_a, or_b = OR_TERMS
+    topk_select = (
+        "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+        "ORDER BY score DESC, doc_id LIMIT 10"
+    )
+    return {
+        "tf_agg": f"{_T_SQL} SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2",
+        "df_agg": (
+            f"{_T_SQL}, tf AS (SELECT term, doc_id FROM t GROUP BY 1, 2) "
+            "SELECT term, count(*) AS df FROM tf GROUP BY 1"
+        ),
+        "cf_agg": f"{_T_SQL} SELECT term, count(*) AS cf FROM t GROUP BY 1",
+        "corpus_stats": (
+            f"{_T_SQL}, dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1) "
+            "SELECT count(*) AS n_docs, sum(dl)::BIGINT AS total_tokens, "
+            "round(avg(dl), 5) AS avgdl_r FROM dl"
+        ),
+        "tokenize_code": f"""
+WITH d AS (SELECT doc_id, {_CAMEL_SQL} AS ident FROM documents),
+parts AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(
+    regexp_replace(regexp_replace(replace(
+      regexp_replace(ident, '[^A-Za-z0-9_]+', ' ', 'g'), '_', ' '),
+      '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+      '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), ' +')) AS term
+  FROM d),
+fulls AS (
+  SELECT doc_id, lower(tok) AS term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(
+      regexp_replace(ident, '[^A-Za-z0-9_]+', ' ', 'g'), ' +')) AS tok FROM d)
+  WHERE regexp_matches(tok, '[A-Za-z0-9]_+[A-Za-z0-9]|[A-Z]+[A-Z][a-z]|[a-z0-9][A-Z]')),
+allt AS (SELECT * FROM parts WHERE term <> '' UNION ALL SELECT * FROM fulls)
+SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
+""",
+        "sha256_check": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "dedup_first": (
+            "SELECT lang, source, min(doc_id) AS first_doc, count(*) AS n "
+            "FROM documents GROUP BY 1, 2"
+        ),
+        "salted_agg": "SELECT lang, count(*) AS cnt FROM documents GROUP BY 1",
+        "doc_id_mint": (
+            "SELECT doc_id AS orig_doc_id, row_number() OVER "
+            "(ORDER BY lpad(doc_id::VARCHAR, 10, '0')) AS minted_id FROM documents"
+        ),
+        "bm25_topk_sql": _bm25_oracle_sql(topk_select),
+        "wand_topk": _bm25_oracle_sql(topk_select),
+        "bool_and": (
+            f"{_T_SQL} SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}' "
+            f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_b}'"
+        ),
+        "bool_or": (
+            f"{_T_SQL} SELECT DISTINCT doc_id FROM t WHERE term = '{or_a}' "
+            f"UNION SELECT DISTINCT doc_id FROM t WHERE term = '{or_b}'"
+        ),
+        "segments_df": (
+            f"{_T_SQL}, tf AS (SELECT term, doc_id FROM t GROUP BY 1, 2) "
+            "SELECT term, count(*) AS df FROM tf GROUP BY 1"
+        ),
+        "window_topk": (
+            "SELECT lang, doc_id, n_chars, rnk FROM ("
+            "SELECT lang, doc_id, n_chars, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk "
+            "FROM documents) WHERE rnk <= 3"
+        ),
+        "hydrate_join": (
+            "WITH top AS (SELECT doc_id FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10) "
+            "SELECT d.doc_id, d.lang, d.source, d.n_chars "
+            "FROM top JOIN documents d USING (doc_id)"
+        ),
+        "rel_join_agg": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_r "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+        ),
+        "set_intersect": (
+            "SELECT source FROM documents WHERE lang = 'en' "
+            "INTERSECT SELECT source FROM documents WHERE n_chars > 500"
+        ),
+        "union_counts": (
+            "SELECT count(*) AS n FROM (SELECT doc_id FROM documents WHERE lang = 'en' "
+            "UNION ALL SELECT doc_id FROM documents WHERE lang = 'fr')"
+        ),
+        # tokenize_ngrams, codec_roundtrip, checkpoints: rows-only
+        # (bigram SQL is intentionally omitted; codec/checkpoints are
+        # engine-internal — their real gates are in tests/)
+    }
