@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver contract): runs at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-phase sec...}, "sf": ...}
+
+Phases:
+  * index_build_docs  — full inverted-index build over the sf ``documents``
+    table (ingest -> tokenize -> TF -> salted encode -> merge -> publish)
+  * query_set         — reference-style query mix through block-max WAND
+    (p50/p95 reported in extras)
+  * index_build_synth — deterministic synthetic source-code corpus build
+    (YASE_BENCH_DOCS docs, default 20000) -> docs/s & postings/s extras
+
+Two-cluster-size scaling evidence (N vs 4N) lives in bench_scaling.py,
+which runs this workload at local[8] and local[32] in fresh processes and
+writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_synth = int(os.environ.get("YASE_BENCH_DOCS", "20000"))
+
+    from pyspark.sql import functions as F
+
+    from yase_spark.config import IndexConfig
+    from yase_spark.index import build_index
+    from yase_spark.query import IndexReader
+    from yase_spark.session import get_spark
+    from yase_spark.synth import corpus_df, reference_query_set
+
+    spark = get_spark(cpus=cpus, app="yase-bench", shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- phase 1: index build over sf documents --------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    n_docs_sf = docs.count()
+    cfg = IndexConfig(build_groups=4, shuffle_partitions=2 * cpus, hot_term_df=200_000)
+    root = tempfile.mkdtemp(prefix="yase_bench_")
+    t0 = time.perf_counter()
+    s1 = build_index(spark, corpus, root, cfg)
+    timings["index_build_docs"] = time.perf_counter() - t0
+    extras["sf_docs"] = n_docs_sf
+    extras["sf_postings"] = s1["postings"]
+
+    # ---- phase 2: query set through WAND ---------------------------
+    rd = IndexReader(spark, root, cfg)
+    sample = [
+        r["term"]
+        for r in rd.cat.read(spark, "segments")
+        .orderBy(F.desc("df"))
+        .limit(40)
+        .select("term")
+        .collect()
+    ]
+    queries = []
+    for i in range(0, len(sample) - 2, 3):
+        queries.append(
+            {"query_id": f"b{i}", "kind": "topk", "query": " ".join(sample[i : i + 3]), "k": 10}
+        )
+        queries.append(
+            {"query_id": f"a{i}", "kind": "bool_and", "query": " ".join(sample[i : i + 2])}
+        )
+    t0 = time.perf_counter()
+    lat = rd.run_query_set(queries, reps=3)
+    timings["query_set"] = time.perf_counter() - t0
+    extras["query_p50_ms"] = round(lat["p50_ms"], 3)
+    extras["query_p95_ms"] = round(lat["p95_ms"], 3)
+    extras["n_queries"] = lat["n"]
+
+    # ---- phase 3: synthetic source-code corpus build ---------------
+    synth = corpus_df(spark, n_synth, partitions=2 * cpus)
+    root2 = tempfile.mkdtemp(prefix="yase_bench_synth_")
+    cfg2 = IndexConfig(build_groups=2, shuffle_partitions=2 * cpus)
+    t0 = time.perf_counter()
+    s2 = build_index(spark, synth, root2, cfg2)
+    timings["index_build_synth"] = time.perf_counter() - t0
+    extras["synth_docs"] = n_synth
+    extras["synth_docs_per_s"] = round(n_synth / timings["index_build_synth"], 1)
+    extras["synth_postings_per_s"] = round(
+        s2["postings"] / timings["index_build_synth"], 1
+    )
+    extras["synth_skew_ratio"] = round(s2["skew_ratio"], 3)
+
+    # quick correctness pulse on the synthetic index (WAND == naive)
+    rd2 = IndexReader(spark, root2, cfg2)
+    qs = [q for q in reference_query_set() if q["kind"] == "topk"][:5]
+    for q in qs:
+        assert rd2.topk(q["query"], q["k"]) == rd2.topk(
+            q["query"], q["k"], use_wand=False
+        ), f"WAND mismatch on {q['query_id']}"
+
+    total = sum(timings.values())
+    out = {
+        "metric": "index-build + BM25 query engine wall time (build sf docs, "
+        "query set, build 20k synthetic corpus)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "extras": extras,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

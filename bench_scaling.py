@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json:14: N vs 4N executors,
+throughput scaling efficiency >= 0.8).
+
+No real cluster exists in this sandbox; per the driver instruction the
+criterion is evidenced by running the SAME job on the SAME input at two
+local parallelism levels (local[8] = N, local[32] = 4N) in fresh
+processes, reporting throughput at both plus
+``efficiency = (T_N / T_4N) / 4``. Also asserts parallelism-invariance:
+the index contents (docs table + segments signature) must be identical at
+both levels. Results are appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+WORKER = """
+import json, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from yase_spark.session import get_spark
+from yase_spark.synth import corpus_df, reference_query_set
+from yase_spark.config import IndexConfig
+from yase_spark.index import build_index
+from yase_spark.query import IndexReader
+from yase_spark.catalog import Catalog
+
+cpus = {cpus}
+n_docs = {n_docs}
+spark = get_spark(cpus=cpus, app=f"yase-scale-{{cpus}}", shuffle_partitions=2 * cpus)
+spark.sparkContext.setLogLevel("ERROR")
+corpus = corpus_df(spark, n_docs, partitions=2 * cpus)
+cfg = IndexConfig(build_groups=2, shuffle_partitions=2 * cpus)
+root = tempfile.mkdtemp(prefix=f"yase_scale_{{cpus}}_")
+t0 = time.perf_counter()
+summary = build_index(spark, corpus, root, cfg)
+wall = time.perf_counter() - t0
+
+# content signature: must be identical across parallelism levels
+cat = Catalog(root)
+seg_sig = (
+    cat.read(spark, "segments")
+    .agg(
+        F.count("*").alias("c"),
+        F.expr("bit_xor(xxhash64(term, shard, df, cf, n, sha2(payload, 256)))").alias("x"),
+    )
+    .collect()[0]
+)
+docs_sig = (
+    cat.read(spark, "docs")
+    .agg(
+        F.count("*").alias("c"),
+        F.expr("bit_xor(xxhash64(doc_id, repo, path, commit, doc_len, content_sha256))").alias("x"),
+    )
+    .collect()[0]
+)
+rd = IndexReader(spark, root, cfg)
+qs = reference_query_set()
+lat = rd.run_query_set(qs, reps=3)
+qsig = hash(str(sorted((k, str(v)) for k, v in lat["results"].items())))
+print("RESULT " + json.dumps({
+    "cpus": cpus, "wall_s": wall, "docs_per_s": n_docs / wall,
+    "postings": summary["postings"],
+    "postings_per_s": summary["postings"] / wall,
+    "skew_ratio": summary["skew_ratio"],
+    "seg_sig": [int(seg_sig["c"]), int(seg_sig["x"])],
+    "docs_sig": [int(docs_sig["c"]), int(docs_sig["x"])],
+    "query_sig": qsig,
+    "q_p50_ms": lat["p50_ms"], "q_p95_ms": lat["p95_ms"],
+}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, n_docs: int) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = WORKER.format(repo=repo, cpus=cpus, n_docs=n_docs)
+    env = dict(os.environ, PYTHONPATH=repo)
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=3600,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker cpus={cpus} failed:\n{p.stdout[-2000:]}\n{p.stderr[-4000:]}")
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("YASE_SCALE_DOCS", "50000"))
+    reps = int(os.environ.get("YASE_SCALE_REPS", "1"))
+    levels = {}
+    for cpus in (8, 32):
+        runs = [run_level(cpus, n_docs) for _ in range(reps)]
+        runs.sort(key=lambda r: r["wall_s"])
+        levels[cpus] = runs[len(runs) // 2]  # median
+        print(f"local[{cpus}]: {levels[cpus]['wall_s']:.1f}s "
+              f"({levels[cpus]['docs_per_s']:.0f} docs/s)", file=sys.stderr)
+
+    a, b = levels[8], levels[32]
+    eff = (a["wall_s"] / b["wall_s"]) / 4.0
+    invariant = (
+        a["seg_sig"] == b["seg_sig"]
+        and a["docs_sig"] == b["docs_sig"]
+        and a["query_sig"] == b["query_sig"]
+    )
+    out = {
+        "n_docs": n_docs,
+        "N": {"cpus": 8, **{k: a[k] for k in ("wall_s", "docs_per_s", "postings_per_s", "q_p95_ms")}},
+        "4N": {"cpus": 32, **{k: b[k] for k in ("wall_s", "docs_per_s", "postings_per_s", "q_p95_ms")}},
+        "scaling_efficiency": round(eff, 3),
+        "gate_0.8": eff >= 0.8,
+        "parallelism_invariant_output": invariant,
+    }
+    print(json.dumps(out, indent=1))
+
+    md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(md), exist_ok=True)
+    with open(md, "a") as f:
+        import datetime
+
+        f.write(
+            f"\n## Scaling run {datetime.datetime.now().isoformat(timespec='seconds')}\n\n"
+            f"- input: {n_docs} synthetic docs (seed=42), identical at both levels\n"
+            f"- N = local[8]:  {a['wall_s']:.1f}s build, {a['docs_per_s']:.0f} docs/s, "
+            f"{a['postings_per_s']:.0f} postings/s, query p95 {a['q_p95_ms']:.2f} ms\n"
+            f"- 4N = local[32]: {b['wall_s']:.1f}s build, {b['docs_per_s']:.0f} docs/s, "
+            f"{b['postings_per_s']:.0f} postings/s, query p95 {b['q_p95_ms']:.2f} ms\n"
+            f"- efficiency (T_N/T_4N)/4 = **{eff:.3f}** (gate >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n"
+            f"- outputs identical across levels (docs, segments, all query results): "
+            f"{'YES' if invariant else 'NO'}\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

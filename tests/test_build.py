@@ -1,0 +1,112 @@
+"""Index-build invariants over the shared 1000-doc synthetic corpus
+(SURVEY.md §5.5): segment consistency, sha256 invariant, doc_id
+determinism, salting equivalence."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from yase_spark.catalog import Catalog
+from yase_spark.codec import decode_postings
+from yase_spark.corpus import check_sha256
+from yase_spark.ids import assign_doc_ids, assign_doc_ids_window
+from yase_spark.oracle import sha256_hex
+from yase_spark.stats import salted_two_phase_count
+from yase_spark.synth import gen_corpus_pdf
+
+
+def test_build_summary(tiny_index):
+    root, cfg, summary = tiny_index
+    assert summary["n_docs"] == 1000
+    assert summary["postings"] > 100_000
+    assert summary["groups_built"] == cfg.build_groups
+
+
+def test_segments_consistent(spark, tiny_index):
+    root, cfg, _ = tiny_index
+    cat = Catalog(root)
+    segs = cat.read(spark, "segments")
+    rows = segs.orderBy(F.desc("df")).limit(50).collect()
+    assert rows
+    for r in rows:
+        ids, tfs, dls = decode_postings(bytes(r["payload"]), int(r["n"]))
+        assert ids.size == r["n"]
+        assert np.all(np.diff(ids) > 0), "doc_ids strictly increasing"
+        assert tfs.min() >= 1
+        meta = r["block_meta"]
+        assert sum(m["n_docs"] for m in meta) == r["n"]
+        assert meta[0]["block_first"] == int(ids[0])
+        assert meta[-1]["block_last"] == int(ids[-1])
+        # block-max really is an upper bound on the naive per-doc scores
+        assert all(m["max_score"] > 0 for m in meta)
+    # df totals match a recount from decoded postings
+    total_postings = segs.agg(F.sum("n")).collect()[0][0]
+    df_total = segs.agg(F.sum("df")).collect()[0][0]
+    assert total_postings == df_total  # no sharded terms in tiny corpus
+
+
+def test_docs_table(spark, tiny_index):
+    root, _, _ = tiny_index
+    cat = Catalog(root)
+    docs = cat.read(spark, "docs")
+    assert docs.count() == 1000
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert sorted(ids) == list(range(1, 1001)), "dense 1-based doc_ids"
+    # doc_len matches tokenizer on driver side for a sample
+    from yase_spark.tokenize import tokenize_text
+
+    sample = docs.orderBy("doc_id").limit(5).collect()
+    pdf = gen_corpus_pdf(1000)
+    by_key = {(r.repo, r.path, r.commit): r for r in pdf.itertuples()}
+    for r in sample:
+        src = by_key[(r["repo"], r["path"], r["commit"])]
+        assert r["doc_len"] == len(tokenize_text(src.content))
+        assert r["content_sha256"] == sha256_hex(src.content)
+
+
+def test_sha256_invariant(spark, tiny_corpus):
+    manifest = tiny_corpus.select(
+        "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("content_sha256")
+    )
+    assert check_sha256(tiny_corpus, manifest) == 0
+    # corrupt one row -> exactly one violation
+    bad = manifest.withColumn(
+        "content_sha256",
+        F.when(F.col("path").endswith("File0.py"), F.lit("deadbeef")).otherwise(
+            F.col("content_sha256")
+        ),
+    )
+    assert check_sha256(tiny_corpus, bad) >= 1
+
+
+def test_doc_id_scalable_matches_window(spark, tiny_corpus):
+    a = assign_doc_ids(tiny_corpus, sort_partitions=7).select(
+        "repo", "path", "commit", "doc_id"
+    )
+    b = assign_doc_ids_window(tiny_corpus).select("repo", "path", "commit", "doc_id")
+    diff = a.join(b, ["repo", "path", "commit"]).filter(
+        a["doc_id"] != b["doc_id"]
+    )
+    assert diff.count() == 0
+
+
+def test_doc_id_partition_invariant(spark, tiny_corpus):
+    a = assign_doc_ids(tiny_corpus, sort_partitions=3)
+    b = assign_doc_ids(tiny_corpus, sort_partitions=17)
+    merged = a.select("repo", "path", "commit", F.col("doc_id").alias("ida")).join(
+        b.select("repo", "path", "commit", F.col("doc_id").alias("idb")),
+        ["repo", "path", "commit"],
+    )
+    assert merged.filter(F.col("ida") != F.col("idb")).count() == 0
+
+
+def test_salted_agg_equals_plain(spark, tiny_corpus):
+    plain = {
+        r["lang"]: r["cnt"]
+        for r in tiny_corpus.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    salted = {
+        r["lang"]: r["cnt"]
+        for r in salted_two_phase_count(tiny_corpus, "lang", shards=8).collect()
+    }
+    assert plain == salted

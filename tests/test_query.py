@@ -1,0 +1,105 @@
+"""WAND executor correctness, Spark-free (SURVEY.md §5.4): randomized
+posting lists, WAND top-k must equal the naive full scan exactly —
+including tie-breaks and block boundaries."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from yase_spark.codec import encode_postings
+from yase_spark.query import TermPostings, bool_and, bool_or, naive_topk, wand_topk
+
+K1, B = 1.2, 0.75
+
+
+def _mk_term(rng, n_docs_universe: int, df: int, block_size: int, n_total: int, avgdl: float):
+    ids = np.sort(rng.choice(np.arange(1, n_docs_universe + 1), size=df, replace=False))
+    tfs = rng.integers(1, 12, size=df).astype(np.int64)
+    dls = (50 + (ids * 37) % 400).astype(np.int64)  # deterministic per doc
+    idf = math.log(1.0 + (n_total - df + 0.5) / (df + 0.5))
+    payload, meta = encode_postings(
+        ids, tfs, dls, block_size=block_size, idf=idf, k1=K1, b=B, avgdl=avgdl
+    )
+    return TermPostings(
+        term=f"t{df}",
+        df=df,
+        idf=idf,
+        doc_ids=ids,
+        tfs=tfs,
+        dls=dls,
+        block_last=np.array([m["block_last"] for m in meta], dtype=np.int64),
+        block_max=np.array([m["max_score"] for m in meta], dtype=np.float64),
+        block_size=block_size,
+    )
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    nt=st.integers(1, 5),
+    k=st.sampled_from([1, 3, 10, 50]),
+    block=st.sampled_from([4, 16, 128]),
+)
+@settings(max_examples=120, deadline=None)
+def test_wand_equals_naive_random(seed, nt, k, block):
+    rng = np.random.default_rng(seed)
+    universe = int(rng.integers(50, 2000))
+    avgdl = 250.0
+    terms = [
+        _mk_term(
+            rng, universe, int(rng.integers(1, max(2, universe // 2))), block,
+            universe, avgdl,
+        )
+        for _ in range(nt)
+    ]
+    a = wand_topk(terms, k, K1, B, avgdl)
+    b = naive_topk(terms, k, K1, B, avgdl)
+    assert a == b
+
+
+def test_wand_tie_break_smaller_doc_wins():
+    """Docs with byte-identical scores must rank by doc_id ASC, and WAND
+    must not prune a tied doc (the >= threshold rule)."""
+    rng = np.random.default_rng(7)
+    # identical tf and dl for all docs -> every doc has the same score
+    ids = np.arange(1, 301, dtype=np.int64)
+    tfs = np.full(300, 3, dtype=np.int64)
+    dls = np.full(300, 100, dtype=np.int64)
+    idf = math.log(1.0 + (300 - 300 + 0.5) / (300 + 0.5))
+    payload, meta = encode_postings(ids, tfs, dls, block_size=16, idf=idf, avgdl=100.0)
+    t = TermPostings(
+        term="x", df=300, idf=idf, doc_ids=ids, tfs=tfs, dls=dls,
+        block_last=np.array([m["block_last"] for m in meta]),
+        block_max=np.array([m["max_score"] for m in meta]),
+        block_size=16,
+    )
+    got = wand_topk([t], 10, K1, B, 100.0)
+    assert [d for _, d, _ in got] == list(range(1, 11))
+    assert got == naive_topk([t], 10, K1, B, 100.0)
+
+
+def test_bool_ops():
+    def mk(ids):
+        a = np.array(ids, dtype=np.int64)
+        return TermPostings(
+            term="t", df=a.size, idf=1.0, doc_ids=a,
+            tfs=np.ones(a.size, dtype=np.int64),
+            dls=np.ones(a.size, dtype=np.int64),
+            block_last=a[-1:], block_max=np.ones(1), block_size=128,
+        )
+
+    x, y = mk([1, 3, 5, 9]), mk([3, 4, 5, 10])
+    assert list(bool_and([x, y])) == [3, 5]
+    assert list(bool_or([x, y])) == [1, 3, 4, 5, 9, 10]
+    assert list(bool_and([x])) == [1, 3, 5, 9]
+    assert bool_and([]).size == 0
+    assert bool_or([]).size == 0
+
+
+def test_empty_and_k0():
+    assert wand_topk([], 10, K1, B, 100.0) == []
+    rng = np.random.default_rng(1)
+    t = _mk_term(rng, 100, 10, 8, 100, 50.0)
+    assert wand_topk([t], 0, K1, B, 50.0) == []

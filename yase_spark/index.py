@@ -91,7 +91,14 @@ class IndexBuilder:
         }
 
     # -------------------------------------------------------------- build
-    def build(self, corpus: DataFrame, manifest: DataFrame | None = None) -> dict:
+    def build(
+        self,
+        corpus: DataFrame,
+        manifest: DataFrame | None = None,
+        fail_after_units: int | None = None,
+    ) -> dict:
+        """``fail_after_units``: test-only crash injection — raise after N
+        group units have committed, to exercise checkpoint resume."""
         cfg, cat, spark = self.cfg, self.cat, self.spark
         t0 = time.time()
 
@@ -195,6 +202,8 @@ class IndexBuilder:
             )
             self._ckpt(unit, fp, **gm)
             group_metrics.append(gm)
+            if fail_after_units is not None and len(group_metrics) >= fail_after_units:
+                raise RuntimeError(f"injected crash after {fail_after_units} units")
 
         wall_s = time.time() - t0
         summary = {
@@ -221,5 +230,8 @@ def build_index(
     index_root: str,
     cfg: IndexConfig | None = None,
     manifest: DataFrame | None = None,
+    fail_after_units: int | None = None,
 ) -> dict:
-    return IndexBuilder(spark, index_root, cfg).build(corpus, manifest=manifest)
+    return IndexBuilder(spark, index_root, cfg).build(
+        corpus, manifest=manifest, fail_after_units=fail_after_units
+    )
