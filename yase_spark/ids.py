@@ -60,6 +60,9 @@ def assign_doc_ids(df: DataFrame, sort_partitions: int | None = None) -> DataFra
             yield pdf
 
     out = s.mapInPandas(zip_ids, schema=schema).drop("_pid")
+    # expose the persisted sort stage so the build can release it once
+    # downstream tables are materialized
+    out._yase_persisted_source = s
     return out
 
 
@@ -67,3 +70,70 @@ def assign_doc_ids_window(df: DataFrame) -> DataFrame:
     """Small-scale oracle: global window row_number (single partition)."""
     w = Window.orderBy(*KEY)
     return df.withColumn("doc_id", F.row_number().over(w))
+
+
+def dedup_and_assign_ids(corpus: DataFrame, sort_partitions: int | None = None) -> DataFrame:
+    """Fused dedup + deterministic doc_id mint in ONE content shuffle.
+
+    A separate ``groupBy(key)`` dedup would shuffle the full ``content``
+    column once for the dedup and again for the id sort — at 10^12-file
+    scale that doubles the dominant network cost. Instead: range-partition
+    by the natural key (equal keys land in one partition), sort within
+    partitions by (key, lang, content), drop non-first duplicate keys
+    streamingly (equal-key runs are adjacent; ties broken by the sort =
+    lexicographic min, same semantics as the groupBy-min path), then
+    two-phase zip the dense 1-based doc_id exactly like assign_doc_ids.
+    """
+    spark = corpus.sparkSession
+    n_part = sort_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s = (
+        corpus.repartitionByRange(n_part, *KEY)
+        .sortWithinPartitions(*KEY, "lang", "content")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def dedup(batches):
+        prev_key = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.drop_duplicates(subset=KEY, keep="first")
+            if prev_key is not None:
+                first = tuple(pdf.iloc[0][k] for k in KEY)
+                if first == prev_key:
+                    pdf = pdf.iloc[1:]
+            if len(pdf):
+                prev_key = tuple(pdf.iloc[-1][k] for k in KEY)
+                yield pdf
+
+    from pyspark.storagelevel import StorageLevel
+
+    s1 = s.mapInPandas(dedup, schema=s.schema).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in s1.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    boff = spark.sparkContext.broadcast(offsets)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(list(s1.schema.fields) + [StructField("doc_id", LongType())])
+
+    def zip_ids(batches):
+        seen = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            base = boff.value.get(int(pdf["_pid"].iloc[0]), 0)
+            pdf = pdf.copy()
+            pdf["doc_id"] = range(base + seen + 1, base + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    out = s1.mapInPandas(zip_ids, schema=schema).drop("_pid")
+    out._yase_persisted_source = s1
+    return out

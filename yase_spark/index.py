@@ -129,8 +129,7 @@ class IndexBuilder:
             )
             rebuilt_docs = False
         else:
-            docs, tokenized = ingest(corpus, ngrams=cfg.ngrams)
-            docs = docs.persist()
+            docs, tokenized, base = ingest(corpus, ngrams=cfg.ngrams)
             tf = term_frequencies(explode_terms(tokenized)).withColumn(
                 "grp",
                 F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int"),
@@ -139,6 +138,18 @@ class IndexBuilder:
             cat.write(
                 "postings_raw", tf, mode="overwrite", partition_by=["grp"],
                 tag={"unit": "postings_raw", "fingerprint": fp},
+            )
+            # hot-term list computed ONCE from the staged TF parquet (cheap
+            # column scan, no re-tokenize) instead of per group
+            staged_tf = cat.read(spark, "postings_raw")
+            hot_df = (
+                staged_tf.groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") > cfg.hot_term_df)
+            )
+            cat.write(
+                "hot_terms", hot_df, mode="overwrite",
+                tag={"unit": "hot_terms", "fingerprint": fp},
             )
             stats = corpus_stats(docs)
             stats_df = spark.createDataFrame(
@@ -155,7 +166,10 @@ class IndexBuilder:
                 postings_out=0,
                 wall_ms=(time.time() - stage_t) * 1000,
             )
-            docs.unpersist()
+            base.unpersist()
+            src = getattr(base, "_yase_persisted_source", None)
+            if src is not None:
+                src.unpersist()
             rebuilt_docs = True
 
         # ---- stage: per-group segment build (resumable units) ---------
@@ -164,6 +178,7 @@ class IndexBuilder:
             cat.drop("segments")  # stale segments from a different corpus
 
         raw = cat.read(spark, "postings_raw")
+        hot = cat.read(spark, "hot_terms") if cat.exists("hot_terms") else None
         n_docs = stats["n_docs"]
         group_metrics = []
         for g in range(cfg.build_groups):
@@ -172,7 +187,7 @@ class IndexBuilder:
                 continue
             gt = time.time()
             raw_g = raw.filter(F.col("grp") == g).select("term", "doc_id", "tf", "dl")
-            salted = salt_postings(raw_g, n_docs, cfg)
+            salted = salt_postings(raw_g, n_docs, cfg, hot=hot)
             local = build_local_segments(salted, partitions=cfg.shuffle_partitions)
             segs = merge_segments(local, n_docs, stats["avgdl"], cfg).persist()
             mode = "append" if cat.exists("segments") else "overwrite"
@@ -180,23 +195,21 @@ class IndexBuilder:
                 "segments", segs, mode=mode, partition_by=["bucket"],
                 tag={"unit": unit, "fingerprint": fp},
             )
-            m = segs.agg(
-                F.sum("n").alias("postings"),
-                F.sum(F.length("payload")).alias("bytes"),
-                F.count("*").alias("n_terms"),
-            ).collect()[0]
             by_bucket = segs.groupBy("bucket").agg(
-                F.sum(F.length("payload")).alias("b")
+                F.sum("n").alias("p"),
+                F.sum(F.length("payload")).alias("b"),
+                F.count("*").alias("t"),
             ).collect()
             segs.unpersist()
             sizes = [r["b"] for r in by_bucket] or [0]
             skew = (max(sizes) / (sum(sizes) / len(sizes))) if sum(sizes) else 0.0
             wall = (time.time() - gt) * 1000
+            postings = sum(r["p"] or 0 for r in by_bucket)
             gm = dict(
-                rows_in=int(m["postings"] or 0),
-                postings_out=int(m["postings"] or 0),
-                bytes_out=int(m["bytes"] or 0),
-                n_terms=int(m["n_terms"] or 0),
+                rows_in=int(postings),
+                postings_out=int(postings),
+                bytes_out=int(sum(r["b"] or 0 for r in by_bucket)),
+                n_terms=int(sum(r["t"] or 0 for r in by_bucket)),
                 wall_ms=wall,
                 skew_ratio=skew,
             )

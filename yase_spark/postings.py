@@ -57,10 +57,19 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def salt_postings(tf: DataFrame, n_docs: int, cfg: IndexConfig) -> DataFrame:
-    """C1: doc_id-range salt for hot terms (df > threshold), salt 0 else."""
-    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
-    hot = dfs.filter(F.col("df") > cfg.hot_term_df).select("term")
+def salt_postings(
+    tf: DataFrame, n_docs: int, cfg: IndexConfig, hot: DataFrame | None = None
+) -> DataFrame:
+    """C1: doc_id-range salt for hot terms (df > threshold), salt 0 else.
+
+    ``hot`` — precomputed hot-term table (one global pass at the docs
+    stage); when None it is derived from ``tf`` (costs an extra shuffle —
+    fine for ad-hoc use, avoided by the staged build)."""
+    if hot is None:
+        dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+        hot = dfs.filter(F.col("df") > cfg.hot_term_df).select("term")
+    else:
+        hot = hot.select("term")
     s = cfg.salt_shards
     return (
         tf.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), "term", "left")

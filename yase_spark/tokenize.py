@@ -80,37 +80,55 @@ def analyze_query(query: str, ngrams: bool = False) -> list[str]:
     return list(seen)
 
 
+# matches a whole identifier iff it is multi-part (anchored lookahead)
+MULTI_IDENT_RE = (
+    r"(?<![A-Za-z0-9_])(?=[A-Za-z0-9_]*(?:" + MULTIPART_RE + r"))[A-Za-z0-9_]+"
+)
+
+# zero-width equivalents of ACRONYM_RE / CAMEL_RE: same split positions,
+# but a constant replacement string keeps re.sub on its C fast path
+# (backreference templates cost a Python expand_template call per match —
+# ~1M calls per 2000 docs dominated the tokenizer profile).
+ACRONYM_SPLIT = r"(?<=[A-Z])(?=[A-Z][a-z])"
+CAMEL_SPLIT = r"(?<=[a-z0-9])(?=[A-Z])"
+
+
 def tokenize_series(texts: pd.Series, ngrams: bool = True) -> pd.Series:
     """Vectorized tokenizer body used inside the Arrow pandas_udf (T1/T2).
 
-    Whole-Series pandas ``.str`` regex passes (no per-row Python in the
-    splitting hot path); returns a Series of token lists.
+    Whole-Series pandas ``.str`` regex passes only — no per-identifier
+    Python loop (that loop dominated the profile at ~3 s / 1000 docs).
+    The bigram stream is produced by a string rewrite: parts are joined
+    with ``_`` and ``'_p(?=_)' -> '_p p'`` duplicates interior parts, so
+    ``a_b_c`` becomes ``a_b b_c``. Equivalence with ``tokenize_text`` is
+    property-tested (tests/test_tokenize.py).
     """
     s = texts.fillna("")
     # --- parts stream (always emitted)
     parts_str = (
         s.str.replace(NON_IDENT_RE, " ", regex=True)
         .str.replace("_", " ", regex=False)
-        .str.replace(ACRONYM_RE, r"\1 \2", regex=True)
-        .str.replace(CAMEL_RE, r"\1 \2", regex=True)
+        .str.replace(ACRONYM_SPLIT, " ", regex=True)
+        .str.replace(CAMEL_SPLIT, " ", regex=True)
         .str.lower()
     )
     parts_lists = parts_str.str.split()
+
+    # --- multipart identifiers, original form, space-joined stream
+    m_str = s.str.findall(MULTI_IDENT_RE).str.join(" ")
+    fulls = m_str.str.lower().str.split()
     if not ngrams:
-        # full multi-part identifiers only
-        fulls = s.str.findall(IDENT_RE).map(
-            lambda ids: [i.lower() for i in ids if _multipart.search(i)]
-        )
         return parts_lists.combine(fulls, lambda a, b: (a or []) + (b or []))
 
-    def _extras(ids: list[str]) -> list[str]:
-        out: list[str] = []
-        for ident in ids:
-            if _multipart.search(ident):
-                out.append(ident.lower())
-                p = split_parts(ident)
-                out.extend(p[i] + "_" + p[i + 1] for i in range(len(p) - 1))
-        return out
-
-    extras = s.str.findall(IDENT_RE).map(_extras)
-    return parts_lists.combine(extras, lambda a, b: (a or []) + (b or []))
+    bigrams = (
+        m_str.str.replace(ACRONYM_SPLIT, "_", regex=True)
+        .str.replace(CAMEL_SPLIT, "_", regex=True)
+        .str.lower()
+        .str.replace(r"_+", "_", regex=True)
+        .str.replace(r"(?<![a-z0-9])_+", "", regex=True)
+        .str.replace(r"_+(?![a-z0-9])", "", regex=True)
+        .str.replace(r"_([a-z0-9]+)(?=_)", r"_\1 \1", regex=True)
+        .str.split()
+    )
+    out = parts_lists.combine(fulls, lambda a, b: (a or []) + (b or []))
+    return out.combine(bigrams, lambda a, b: (a or []) + (b or []))
