@@ -207,6 +207,15 @@ def _q_wand_topk(spark, sf_dir):
     )
 
 
+def _q_topk_distributed(spark, sf_dir):
+    rd = _reader(spark, sf_dir)
+    out = rd.topk_distributed(" ".join(BM25_TERMS), 10)
+    m = _orig_ids(rd, spark)
+    return out.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r")
+    )
+
+
 def _q_bool_and(spark, sf_dir):
     rd = _reader(spark, sf_dir)
     ids = [int(x) for x in rd.bool_and(" ".join(AND_TERMS))]
@@ -336,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id_mint": _q_doc_id_mint,
         "bm25_topk_sql": _bm25_spark,
         "wand_topk": _q_wand_topk,
+        "topk_distributed": _q_topk_distributed,
         "bool_and": _q_bool_and,
         "bool_or": _q_bool_or,
         "segments_df": _q_segments_df,
@@ -417,6 +427,7 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         ),
         "bm25_topk_sql": _bm25_oracle_sql(topk_select),
         "wand_topk": _bm25_oracle_sql(topk_select),
+        "topk_distributed": _bm25_oracle_sql(topk_select),
         "bool_and": (
             f"{_T_SQL} SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}' "
             f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_b}'"

@@ -49,6 +49,19 @@ def test_stats_parity(reader, naive):
     assert _bits(reader.avgdl) == _bits(naive.avgdl)
 
 
+def test_distributed_topk_rank_parity(reader):
+    """The cluster-side serving path must agree with driver WAND on
+    doc_id ranks (scores can differ in final ulps — different sum order)."""
+    for q in ["table", "getUserName json", "value part hash"]:
+        drv = reader.topk(q, 10)
+        dist = reader.topk_distributed(q, 10).orderBy("rank").collect()
+        assert [(r["rank"], r["doc_id"]) for r in dist] == [
+            (r, d) for r, d, _ in drv
+        ]
+        for (_, _, s1), r in zip(drv, dist):
+            assert abs(s1 - r["score"]) < 1e-9
+
+
 def test_wand_equals_naive_executor(reader):
     """WAND pruning must be invisible: identical output to the unpruned
     engine executor, including ties (score DESC, doc_id ASC)."""

@@ -197,9 +197,20 @@ def merge_segments(
     k1, b, block = cfg.k1, cfg.b, cfg.block_size
     n_buckets = cfg.term_buckets
 
-    shuffled = local.repartition(
-        max(local.sparkSession.sparkContext.defaultParallelism, 8), "term"
-    ).sortWithinPartitions("term", "shard")
+    # shuffle by the layout bucket (bucket = f(term), so all runs of a
+    # term stay co-located) instead of by raw term: the downstream
+    # partitionBy("bucket") write then needs NO extra shuffle and emits
+    # one file per bucket instead of tasks×buckets small files.
+    # Spark's crc32 (java.util.zip) equals zlib.crc32 (tested), so the
+    # JVM bucket column and the query-side Python term_bucket() agree.
+    shuffled = (
+        local.withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term", "shard")
+    )
 
     def merge(batches):
         rows: list[pd.DataFrame] = []
@@ -210,7 +221,7 @@ def merge_segments(
             df_g = int(group["df_local"].sum())
             cf_g = int(group["cf_local"].sum())
             idf = math.log(1.0 + (n_docs - df_g + 0.5) / (df_g + 0.5))
-            bucket = term_bucket(term, n_buckets)
+            bucket = int(group["bucket"].iloc[0])
             out = []
             if df_g > merge_cap and len(group) > 1:
                 runs = group.itertuples()

@@ -308,8 +308,18 @@ class IndexReader:
         return [got[t] for t in qterms if got[t] is not None]
 
     # ----------------------------------------------------------- queries
-    def topk(self, query: str, k: int = 10, use_wand: bool = True):
+    WAND_MIN_POSTINGS = 200_000  # below this, vectorized full scoring wins
+
+    def topk(self, query: str, k: int = 10, use_wand: bool | None = None):
+        """Ranked top-k. ``use_wand=None`` picks the executor by cost:
+        WAND's per-pivot Python loop only pays off when pruning skips a
+        large share of a big posting universe; for small universes the
+        numpy full-scan scorer is faster. Both are exact and produce
+        bitwise-identical scores (tests/test_query.py), so the dispatch
+        is invisible in results."""
         tp = self._postings(query)
+        if use_wand is None:
+            use_wand = sum(t.doc_ids.size for t in tp) > self.WAND_MIN_POSTINGS
         fn = wand_topk if use_wand else naive_topk
         return fn(tp, k, self.cfg.k1, self.cfg.b, self.avgdl)
 
@@ -322,6 +332,66 @@ class IndexReader:
 
     def bool_or(self, query: str) -> np.ndarray:
         return bool_or(self._postings(query))
+
+    def topk_distributed(self, query: str, k: int = 10) -> DataFrame:
+        """Cluster-side ranked top-k for bulk/batch workloads: decode
+        segment payloads per bucket partition (mapInPandas, numpy), emit
+        per-term BM25 contributions, aggregate per doc JVM-side, window
+        top-k. No postings ever reach the driver — this is the serving
+        path when a query set is large or the index is too big for
+        driver-side fetch; the driver WAND path stays the bitwise-exact
+        low-latency reference (scores here sum in arbitrary order, so
+        they may differ from the oracle in final ulps; ranks agree except
+        on exact float ties, which BM25 surfaces only for identical
+        (tf, dl, df) tuples — in that case both orders are valid by the
+        scoring rule and the deterministic doc_id tie-break still
+        applies)."""
+        qterms = analyze_query(query)
+        if not qterms:
+            return self.spark.createDataFrame(
+                [], schema="rank long, doc_id long, score double"
+            )
+        buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in qterms})
+        segs = self._segments.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
+        ).select("term", "df", "n", "payload")
+        n_docs, avgdl = self.n_docs, self.avgdl
+        k1, b = self.cfg.k1, self.cfg.b
+
+        def contribs(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out_doc, out_sc = [], []
+                for r in pdf.itertuples():
+                    ids, tfs, dls = decode_postings(bytes(r.payload), int(r.n))
+                    idf = math.log(1.0 + (n_docs - int(r.df) + 0.5) / (int(r.df) + 0.5))
+                    sc = bm25_scores_np(tfs, dls, idf, k1, b, avgdl)
+                    out_doc.append(ids)
+                    out_sc.append(sc)
+                if out_doc:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(out_doc),
+                            "contrib": np.concatenate(out_sc),
+                        }
+                    )
+
+        per_doc = (
+            segs.mapInPandas(contribs, schema="doc_id long, contrib double")
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        # orderBy().limit(k) compiles to TakeOrderedAndProject — each
+        # partition keeps a local k-heap, the driver merges P·k rows; the
+        # rank window then runs on k rows only (never a global sort).
+        top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+            "rank", "doc_id", "score"
+        )
 
     def topk_df(self, query: str, k: int = 10, hydrate: bool = False) -> DataFrame:
         """Top-k as a DataFrame, optionally hydrated with doc metadata

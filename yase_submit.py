@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint (BASELINE.json:14: "run via spark-submit
+--py-files on a multi-executor cluster").
+
+Packaging: ``yase_spark/`` is a plain pure-Python package (numpy/pandas/
+pyarrow only — already on Spark workers), so cluster deployment is::
+
+    cd /root/repo && zip -r yase_spark.zip yase_spark
+    spark-submit --py-files yase_spark.zip yase_submit.py build \
+        --corpus <parquet-or-table> --index <warehouse-path> [--groups 16]
+    spark-submit --py-files yase_spark.zip yase_submit.py query \
+        --index <warehouse-path> --q "getUserName json" --k 10
+    spark-submit --py-files yase_spark.zip yase_submit.py synth \
+        --docs 50000 --out <parquet-path>
+
+On a cluster the session comes from spark-submit's own conf (master,
+executor counts); the local[-N] factory is only a sandbox fallback.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(f"yase-{args.cmd}")
+    if args.local_cpus:
+        b = b.master(f"local[{args.local_cpus}]").config(
+            "spark.sql.shuffle.partitions", str(2 * args.local_cpus)
+        )
+    return b.config("spark.sql.adaptive.enabled", "true").config(
+        "spark.sql.execution.arrow.pyspark.enabled", "true"
+    ).getOrCreate()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="yase_submit")
+    p.add_argument("cmd", choices=["build", "query", "synth", "bench"])
+    p.add_argument("--corpus", help="parquet path of the corpus table")
+    p.add_argument("--index", help="index warehouse root")
+    p.add_argument("--manifest", help="optional sha256 manifest parquet")
+    p.add_argument("--q", help="query string")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--kind", choices=["topk", "and", "or"], default="topk")
+    p.add_argument("--docs", type=int, default=50000)
+    p.add_argument("--out")
+    p.add_argument("--groups", type=int, default=None)
+    p.add_argument("--local-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from yase_spark.config import IndexConfig
+
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "synth":
+        from yase_spark.synth import corpus_df
+
+        corpus_df(spark, args.docs).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out, "docs": args.docs}))
+
+    elif args.cmd == "build":
+        from yase_spark.index import build_index
+
+        corpus = spark.read.parquet(args.corpus)
+        manifest = spark.read.parquet(args.manifest) if args.manifest else None
+        cfg = IndexConfig(build_groups=args.groups) if args.groups else IndexConfig()
+        summary = build_index(spark, corpus, args.index, cfg, manifest=manifest)
+        print(json.dumps({k: v for k, v in summary.items()}, default=float))
+
+    elif args.cmd == "query":
+        from yase_spark.query import IndexReader
+
+        rd = IndexReader(spark, args.index)
+        if args.kind == "topk":
+            out = [
+                {"rank": r, "doc_id": d, "score": s}
+                for r, d, s in rd.topk(args.q, args.k)
+            ]
+        elif args.kind == "and":
+            out = rd.bool_and(args.q).tolist()
+        else:
+            out = rd.bool_or(args.q).tolist()
+        print(json.dumps(out))
+
+    elif args.cmd == "bench":
+        import bench
+
+        bench.main()
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
