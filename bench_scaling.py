@@ -20,7 +20,7 @@ import sys
 
 WORKER = """
 import json, sys, tempfile, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, __REPO__)
 from pyspark.sql import functions as F
 from yase_spark.session import get_spark
 from yase_spark.synth import corpus_df, reference_query_set
@@ -29,17 +29,17 @@ from yase_spark.index import build_index
 from yase_spark.query import IndexReader
 from yase_spark.catalog import Catalog
 
-cpus = {cpus}
-n_docs = {n_docs}
-spark = get_spark(cpus=cpus, app=f"yase-scale-{{cpus}}", shuffle_partitions=2 * cpus)
+cpus = __CPUS__
+n_docs = __NDOCS__
+spark = get_spark(cpus=cpus, app=f"yase-scale-{cpus}", shuffle_partitions=2 * cpus)
 spark.sparkContext.setLogLevel("ERROR")
 # stage the identical corpus as parquet (untimed; deterministic seed=42,
 # so both parallelism levels index byte-identical input)
-stage = tempfile.mkdtemp(prefix=f"yase_scale_corpus_{{cpus}}_") + "/corpus"
+stage = tempfile.mkdtemp(prefix=f"yase_scale_corpus_{cpus}_") + "/corpus"
 corpus_df(spark, n_docs, partitions=64).write.mode("overwrite").parquet(stage)
 corpus = spark.read.parquet(stage)
 cfg = IndexConfig(build_groups=2, shuffle_partitions=2 * cpus)
-root = tempfile.mkdtemp(prefix=f"yase_scale_{{cpus}}_")
+root = tempfile.mkdtemp(prefix=f"yase_scale_{cpus}_")
 t0 = time.perf_counter()
 summary = build_index(spark, corpus, root, cfg)
 wall = time.perf_counter() - t0
@@ -65,7 +65,10 @@ docs_sig = (
 rd = IndexReader(spark, root, cfg)
 qs = reference_query_set()
 lat = rd.run_query_set(qs, reps=3)
-qsig = hash(str(sorted((k, str(v)) for k, v in lat["results"].items())))
+import hashlib
+qsig = hashlib.md5(
+    str(sorted((k, str(v)) for k, v in lat["results"].items())).encode()
+).hexdigest()
 print("RESULT " + json.dumps({
     "cpus": cpus, "wall_s": wall, "docs_per_s": n_docs / wall,
     "postings": summary["postings"],
@@ -82,8 +85,12 @@ spark.stop()
 
 def run_level(cpus: int, n_docs: int) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
-    code = WORKER.format(repo=repo, cpus=cpus, n_docs=n_docs)
-    env = dict(os.environ, PYTHONPATH=repo)
+    code = (
+        WORKER.replace("__REPO__", repr(repo))
+        .replace("__CPUS__", str(cpus))
+        .replace("__NDOCS__", str(n_docs))
+    )
+    env = dict(os.environ, PYTHONPATH=repo, YASE_DRIVER_MEM="48g")
     p = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env,
         timeout=3600,

@@ -10,7 +10,10 @@ from yase_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(cpus=8, app="yase-tests", shuffle_partitions=16)
+    # BASELINE.json:14: the verifier runs at N and 4N executors —
+    # YASE_TEST_CPUS=8 (default) and =32 select the level.
+    cpus = int(os.environ.get("YASE_TEST_CPUS", "8"))
+    s = get_spark(cpus=cpus, app="yase-tests", shuffle_partitions=2 * cpus)
     yield s
     s.stop()
 

@@ -251,7 +251,7 @@ class IndexReader:
                 self._segments.filter(
                     F.col("bucket").isin(buckets) & F.col("term").isin(missing)
                 )
-                .select("term", "shard", "df", "n", "payload", "block_meta")
+                .select("term", "shard", "df", "n", "payload")
                 .collect()
             )
             by_term: dict[str, list] = {}
@@ -262,33 +262,33 @@ class IndexReader:
                 if not rs:
                     self._cache[t] = None
                     continue
-                ids_l, tfs_l, dls_l, bl_l, bm_l = [], [], [], [], []
+                ids_l, tfs_l, dls_l = [], [], []
                 df_g = int(rs[0]["df"])
                 for r in rs:
                     ids, tfs, dls = decode_postings(bytes(r["payload"]), int(r["n"]))
                     ids_l.append(ids)
                     tfs_l.append(tfs)
                     dls_l.append(dls)
-                    bl_l.append(np.array([m["block_last"] for m in r["block_meta"]]))
-                    bm_l.append(np.array([m["max_score"] for m in r["block_meta"]]))
                 idf = math.log(1.0 + (self.n_docs - df_g + 0.5) / (df_g + 0.5))
                 ids = np.concatenate(ids_l)
                 tfs = np.concatenate(tfs_l)
                 dls = np.concatenate(dls_l)
-                if len(rs) > 1:
-                    # shard-split term: interior shards end with partial
-                    # blocks, so ptr//block_size indexing would misalign —
-                    # rebuild fixed-stride block meta over the concatenation.
-                    bsz = self.cfg.block_size
-                    starts = np.arange(0, ids.size, bsz)
-                    scores = bm25_scores_np(
-                        tfs, dls, idf, self.cfg.k1, self.cfg.b, self.avgdl
-                    )
-                    block_last = ids[np.minimum(starts + bsz - 1, ids.size - 1)]
-                    block_max = np.maximum.reduceat(scores, starts)
-                else:
-                    block_last = np.concatenate(bl_l).astype(np.int64)
-                    block_max = np.concatenate(bm_l).astype(np.float64)
+                # Block bounds are recomputed here (one vectorized pass over
+                # the already-decoded arrays) rather than trusted from the
+                # stored metadata: (a) shard-split terms have partial interior
+                # blocks that break fixed-stride indexing, and (b) after an
+                # incremental corpus append the stored max_score is stale
+                # under the NEW global stats (larger N -> larger idf), and a
+                # too-small upper bound would make WAND prune real hits. The
+                # stored block_meta remains the scan-time skip structure for
+                # executors that decode lazily per block.
+                bsz = self.cfg.block_size
+                starts = np.arange(0, ids.size, bsz)
+                scores = bm25_scores_np(
+                    tfs, dls, idf, self.cfg.k1, self.cfg.b, self.avgdl
+                )
+                block_last = ids[np.minimum(starts + bsz - 1, ids.size - 1)]
+                block_max = np.maximum.reduceat(scores, starts)
                 self._cache[t] = TermPostings(
                     term=t,
                     df=df_g,
