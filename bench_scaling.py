@@ -90,7 +90,9 @@ def run_level(cpus: int, n_docs: int) -> dict:
         .replace("__CPUS__", str(cpus))
         .replace("__NDOCS__", str(n_docs))
     )
-    env = dict(os.environ, PYTHONPATH=repo, YASE_DRIVER_MEM="48g")
+    # moderate heap: a huge lazily-faulted heap measurably SLOWS the
+    # 32-thread level (page-zeroing churn beats GC savings at this size)
+    env = dict(os.environ, PYTHONPATH=repo, YASE_DRIVER_MEM="12g")
     p = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env,
         timeout=3600,

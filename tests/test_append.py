@@ -1,0 +1,81 @@
+"""Incremental corpus append (SURVEY.md §2.9): append(B) onto build(A)
+must index the union — identical per-term df/cf/n and identical global
+stats as a from-scratch build over A∪B (doc_ids may differ: append ids
+extend the old range instead of re-sorting the union, which is the point
+— old ids never change)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yase_spark.catalog import Catalog
+from yase_spark.config import IndexConfig
+from yase_spark.index import IndexBuilder, build_index
+from yase_spark.query import IndexReader
+from yase_spark.synth import corpus_df
+
+
+@pytest.mark.slow
+def test_append_equivalence(spark, tmp_path):
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8)
+    all_corpus = corpus_df(spark, 800, partitions=6).persist()
+    part_a = all_corpus.limit(500).persist()
+    # the delta overlaps part_a by 100 docs -> dedup must drop them
+    part_b = all_corpus.subtract(part_a.limit(400)).persist()
+
+    full_root = str(tmp_path / "full")
+    build_index(spark, all_corpus, full_root, cfg)
+
+    inc_root = str(tmp_path / "inc")
+    build_index(spark, part_a, inc_root, cfg)
+    b = IndexBuilder(spark, inc_root, cfg)
+    summary = b.append(part_b)
+    assert summary["appended_docs"] == 300
+    assert summary["n_docs"] == 800
+
+    # identical stats
+    cat_f, cat_i = Catalog(full_root), Catalog(inc_root)
+    sf = cat_f.read(spark, "stats").collect()[0]
+    si = cat_i.read(spark, "stats").collect()[0]
+    assert (sf["n_docs"], sf["total_tokens"]) == (si["n_docs"], si["total_tokens"])
+
+    # identical per-term df/cf/n
+    def sig(root):
+        segs = Catalog(root).read(spark, "segments")
+        per_term = segs.groupBy("term").agg(
+            F.first("df").alias("df"), F.first("cf").alias("cf"), F.sum("n").alias("n")
+        )
+        return {
+            r["term"]: (r["df"], r["cf"], r["n"]) for r in per_term.collect()
+        }
+
+    assert sig(full_root) == sig(inc_root)
+
+    # queries agree modulo doc_id relabeling: compare natural keys + scores
+    rd_f = IndexReader(spark, full_root, cfg)
+    rd_i = IndexReader(spark, inc_root, cfg)
+    docs_f = {
+        r["doc_id"]: (r["repo"], r["path"], r["commit"])
+        for r in cat_f.read(spark, "docs").collect()
+    }
+    docs_i = {
+        r["doc_id"]: (r["repo"], r["path"], r["commit"])
+        for r in cat_i.read(spark, "docs").collect()
+    }
+    for q in ["getUserName json", "key row scan", "norm_grad copy table"]:
+        tf_ = [(docs_f[d], round(s, 9)) for _, d, s in rd_f.topk(q, 10)]
+        ti_ = [(docs_i[d], round(s, 9)) for _, d, s in rd_i.topk(q, 10)]
+        assert sorted(tf_) == sorted(ti_), q
+
+
+@pytest.mark.slow
+def test_append_idempotent(spark, tmp_path):
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8)
+    a = corpus_df(spark, 300, partitions=4).persist()
+    b_delta = corpus_df(spark, 400, partitions=4).subtract(a).persist()
+    root = str(tmp_path / "ix")
+    build_index(spark, a, root, cfg)
+    builder = IndexBuilder(spark, root, cfg)
+    s1 = builder.append(b_delta)
+    assert not s1["noop"] and s1["appended_docs"] == 100
+    s2 = IndexBuilder(spark, root, cfg).append(b_delta)
+    assert s2["noop"]

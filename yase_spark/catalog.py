@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -35,6 +36,11 @@ class Catalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # commit critical section (version read -> manifest write -> flip):
+        # build stages run as concurrent driver threads (Spark schedules
+        # their jobs in parallel); on a real catalog Iceberg's optimistic
+        # commit protocol plays this role.
+        self._commit_lock = threading.Lock()
 
     # ------------------------------------------------------------ paths
     def _tdir(self, name: str) -> str:
@@ -89,27 +95,31 @@ class Catalog:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
 
-        prev = self.current_version(name)
-        dirs = [] if (mode == "overwrite" or prev == 0) else self._manifest(name)["data_dirs"]
-        manifest = {
-            "table": name,
-            "snapshot": snap,
-            "parent_version": prev,
-            "committed_at": time.time(),
-            "operation": mode,
-            "partition_by": partition_by or [],
-            "data_dirs": dirs + [data_dir],
-            "tag": tag or {},
-        }
-        v = prev + 1
-        with open(self._manifest_path(name, v), "w") as f:
-            json.dump(manifest, f, indent=1)
-        # atomic-ish pointer flip (Iceberg: catalog swap of metadata ptr)
-        tmp = os.path.join(tdir, "VERSION.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(tdir, "VERSION"))
-        return v
+        with self._commit_lock:
+            prev = self.current_version(name)
+            dirs = (
+                [] if (mode == "overwrite" or prev == 0)
+                else self._manifest(name)["data_dirs"]
+            )
+            manifest = {
+                "table": name,
+                "snapshot": snap,
+                "parent_version": prev,
+                "committed_at": time.time(),
+                "operation": mode,
+                "partition_by": partition_by or [],
+                "data_dirs": dirs + [data_dir],
+                "tag": tag or {},
+            }
+            v = prev + 1
+            with open(self._manifest_path(name, v), "w") as f:
+                json.dump(manifest, f, indent=1)
+            # atomic pointer flip (Iceberg: catalog swap of metadata ptr)
+            tmp = os.path.join(tdir, f"VERSION.tmp.{snap}")
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, os.path.join(tdir, "VERSION"))
+            return v
 
     # ------------------------------------------------------------- read
     def read(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
@@ -129,6 +139,17 @@ class Catalog:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def read_tagged_commit(self, spark: SparkSession, name: str, unit: str) -> DataFrame:
+        """Read ONLY the data committed by the snapshot tagged ``unit``
+        (Iceberg: incremental read between snapshot ids)."""
+        v = self.current_version(name)
+        while v > 0:
+            m = self._manifest(name, v)
+            if m.get("tag", {}).get("unit") == unit:
+                return spark.read.parquet(m["data_dirs"][-1])
+            v = m["parent_version"]
+        raise FileNotFoundError(f"no commit tagged unit={unit} in table {name}")
 
     def committed_tags(self, name: str) -> list[dict]:
         """Tags of every committed snapshot in the current lineage

@@ -23,6 +23,10 @@ B: float = 0.75
 # ------------------------------------------------------------- postings
 BLOCK_SIZE: int = 128          # postings per skip/block-max block (C4)
 TERM_BUCKETS: int = 64         # pmod(xxhash64(term), NB) layout buckets (C7)
+PARALLEL_UNITS: int = 4        # group units built concurrently (driver
+                               # threads; Spark schedules their jobs in
+                               # parallel, so fixed per-job latency stops
+                               # serializing the build)
 BUILD_GROUPS: int = 8          # checkpointable build units (S4): buckets
                                # are built group-by-group; resume skips
                                # completed groups via left-anti join.
@@ -53,4 +57,5 @@ class IndexConfig:
     hot_term_df: int = HOT_TERM_DF
     salt_shards: int = SALT_SHARDS
     ngrams: bool = True            # identifier n-grams (T2) in the index
+    parallel_units: int = PARALLEL_UNITS
     shuffle_partitions: int = field(default_factory=lambda: DEFAULT_CPUS)

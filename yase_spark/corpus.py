@@ -45,7 +45,12 @@ def check_sha256(corpus: DataFrame, manifest: DataFrame) -> int:
     ).count()
 
 
-def ingest(corpus: DataFrame, ngrams: bool = True, sort_partitions: int | None = None):
+def ingest(
+    corpus: DataFrame,
+    ngrams: bool = True,
+    sort_partitions: int | None = None,
+    id_offset: int = 0,
+):
     """corpus -> (docs_df, tokenized_df, persisted_base).
 
     ``docs_df``: doc_id, repo, path, commit, lang, doc_len, content_sha256
@@ -61,7 +66,7 @@ def ingest(corpus: DataFrame, ngrams: bool = True, sort_partitions: int | None =
     from pyspark.storagelevel import StorageLevel
 
     with_ids = dedup_and_assign_ids(
-        corpus.select(*CORPUS_COLS), sort_partitions=sort_partitions
+        corpus.select(*CORPUS_COLS), sort_partitions=sort_partitions, id_offset=id_offset
     )
     tok = tokens_udf(ngrams=ngrams)
     base = with_ids.withColumn("tokens", tok(F.col("content"))).withColumn(

@@ -72,7 +72,9 @@ def assign_doc_ids_window(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_id", F.row_number().over(w))
 
 
-def dedup_and_assign_ids(corpus: DataFrame, sort_partitions: int | None = None) -> DataFrame:
+def dedup_and_assign_ids(
+    corpus: DataFrame, sort_partitions: int | None = None, id_offset: int = 0
+) -> DataFrame:
     """Fused dedup + deterministic doc_id mint in ONE content shuffle.
 
     A separate ``groupBy(key)`` dedup would shuffle the full ``content``
@@ -113,7 +115,7 @@ def dedup_and_assign_ids(corpus: DataFrame, sort_partitions: int | None = None) 
         r["_pid"]: r["cnt"]
         for r in s1.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = {}, id_offset
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .config import IndexConfig
-from .corpus import check_sha256, explode_terms, ingest
+from .corpus import CORPUS_COLS, check_sha256, explode_terms, ingest
+from .ids import KEY
 from .postings import build_local_segments, merge_segments, salt_postings
 from .stats import corpus_stats, term_frequencies
 
@@ -80,8 +81,9 @@ class IndexBuilder:
             "ts": time.time(),
         }
         df = self.spark.createDataFrame([tuple(row.values())], schema=CKPT_SCHEMA)
-        mode = "append" if self.cat.exists("checkpoints") else "overwrite"
-        self.cat.write("checkpoints", df, mode=mode, tag={"unit": unit, "fingerprint": fp})
+        # append creates the table when absent (decided under the commit
+        # lock — safe with concurrent group threads)
+        self.cat.write("checkpoints", df, mode="append", tag={"unit": unit, "fingerprint": fp})
 
     def _done_units(self, table: str, fp: str) -> set[str]:
         return {
@@ -134,11 +136,23 @@ class IndexBuilder:
                 "grp",
                 F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int"),
             )
-            cat.write("docs", docs, mode="overwrite", tag={"unit": "docs", "fingerprint": fp})
-            cat.write(
-                "postings_raw", tf, mode="overwrite", partition_by=["grp"],
-                tag={"unit": "postings_raw", "fingerprint": fp},
-            )
+            # materialize the persisted tokenize base ONCE (fills the
+            # cache in parallel), then run the two independent table
+            # writes as concurrent driver threads — Spark schedules both
+            # jobs' tasks together instead of back-to-back.
+            stats = corpus_stats(docs)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as ex:
+                f1 = ex.submit(
+                    cat.write, "docs", docs, "overwrite", None,
+                    {"unit": "docs", "fingerprint": fp},
+                )
+                f2 = ex.submit(
+                    cat.write, "postings_raw", tf, "overwrite", ["grp"],
+                    {"unit": "postings_raw", "fingerprint": fp},
+                )
+                f1.result(), f2.result()
             # hot-term list computed ONCE from the staged TF parquet (cheap
             # column scan, no re-tokenize) instead of per group
             staged_tf = cat.read(spark, "postings_raw")
@@ -151,7 +165,6 @@ class IndexBuilder:
                 "hot_terms", hot_df, mode="overwrite",
                 tag={"unit": "hot_terms", "fingerprint": fp},
             )
-            stats = corpus_stats(docs)
             stats_df = spark.createDataFrame(
                 [(stats["n_docs"], stats["total_tokens"], stats["avgdl"])],
                 schema="n_docs long, total_tokens long, avgdl double",
@@ -180,19 +193,16 @@ class IndexBuilder:
         raw = cat.read(spark, "postings_raw")
         hot = cat.read(spark, "hot_terms") if cat.exists("hot_terms") else None
         n_docs = stats["n_docs"]
-        group_metrics = []
-        for g in range(cfg.build_groups):
+
+        def build_group(g: int) -> dict:
             unit = f"grp-{g}"
-            if unit in done:
-                continue
             gt = time.time()
             raw_g = raw.filter(F.col("grp") == g).select("term", "doc_id", "tf", "dl")
             salted = salt_postings(raw_g, n_docs, cfg, hot=hot)
             local = build_local_segments(salted, partitions=cfg.shuffle_partitions)
             segs = merge_segments(local, n_docs, stats["avgdl"], cfg).persist()
-            mode = "append" if cat.exists("segments") else "overwrite"
             cat.write(
-                "segments", segs, mode=mode, partition_by=["bucket"],
+                "segments", segs, mode="append", partition_by=["bucket"],
                 tag={"unit": unit, "fingerprint": fp},
             )
             by_bucket = segs.groupBy("bucket").agg(
@@ -203,20 +213,35 @@ class IndexBuilder:
             segs.unpersist()
             sizes = [r["b"] for r in by_bucket] or [0]
             skew = (max(sizes) / (sum(sizes) / len(sizes))) if sum(sizes) else 0.0
-            wall = (time.time() - gt) * 1000
-            postings = sum(r["p"] or 0 for r in by_bucket)
             gm = dict(
-                rows_in=int(postings),
-                postings_out=int(postings),
+                rows_in=int(sum(r["p"] or 0 for r in by_bucket)),
+                postings_out=int(sum(r["p"] or 0 for r in by_bucket)),
                 bytes_out=int(sum(r["b"] or 0 for r in by_bucket)),
                 n_terms=int(sum(r["t"] or 0 for r in by_bucket)),
-                wall_ms=wall,
+                wall_ms=(time.time() - gt) * 1000,
                 skew_ratio=skew,
             )
             self._ckpt(unit, fp, **gm)
-            group_metrics.append(gm)
-            if fail_after_units is not None and len(group_metrics) >= fail_after_units:
-                raise RuntimeError(f"injected crash after {fail_after_units} units")
+            return gm
+
+        units = [g for g in range(cfg.build_groups) if f"grp-{g}" not in done]
+        group_metrics = []
+        if fail_after_units is not None:
+            # crash-injection path stays sequential so "N units committed"
+            # is well-defined for the resume test
+            for g in units:
+                group_metrics.append(build_group(g))
+                if len(group_metrics) >= fail_after_units:
+                    raise RuntimeError(f"injected crash after {fail_after_units} units")
+        elif units:
+            # concurrent group units: Spark interleaves their jobs' tasks,
+            # so per-job fixed latency (scheduling, commit, tiny stages)
+            # no longer serializes the build (scaling-efficiency lever)
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = max(1, min(cfg.parallel_units, len(units)))
+            with ThreadPoolExecutor(workers) as ex:
+                group_metrics = list(ex.map(build_group, units))
 
         wall_s = time.time() - t0
         summary = {
@@ -234,6 +259,127 @@ class IndexBuilder:
             "groups_built": len(group_metrics),
             "skew_ratio": max((m["skew_ratio"] for m in group_metrics), default=0.0),
         }
+        return summary
+
+
+    # ------------------------------------------------------------- append
+    def append(self, delta: DataFrame) -> dict:
+        """Incremental corpus append (SURVEY.md §2.9: "incremental
+        re-index = append new corpus snapshot + rebuild affected buckets").
+
+        Only the delta is tokenized; segments are rewritten copy-on-write
+        (Iceberg COW): terms touched by the delta are re-merged from
+        (old global row as run 0) + (delta local segments as run 1) —
+        delta doc_ids are strictly larger, so the merge stays an ordered
+        concat — and untouched rows are carried over verbatim. Their
+        stored block max_score is stale under the new global stats, which
+        is safe because the reader recomputes block bounds from decoded
+        postings at fetch time (query.py). Cost ∝ delta + touched index
+        rows, never ∝ old corpus.
+
+        Idempotent: a delta whose tagged segments snapshot already
+        committed is a no-op; a crash between the docs append and the
+        segments commit resumes by re-reading the tagged delta commits.
+        """
+        cfg, cat, spark = self.cfg, self.cat, self.spark
+        t0 = time.time()
+        if not cat.exists("segments"):
+            raise ValueError("append requires an existing index (run build first)")
+
+        fp_delta = corpus_fingerprint(delta)
+        seg_units = {t.get("unit") for t in cat.committed_tags("segments")}
+        if f"append-{fp_delta}" in seg_units:
+            return {"run_id": self.run_id, "appended_docs": 0, "noop": True}
+
+        docs_old = cat.read(spark, "docs")
+        docs_units = {t.get("unit") for t in cat.committed_tags("docs")}
+        docs_unit = f"append-docs-{fp_delta}"
+
+        if docs_unit in docs_units:
+            # crash-resume: delta docs + TF already committed
+            docs_new = cat.read_tagged_commit(spark, "docs", docs_unit)
+            tf_delta = cat.read_tagged_commit(spark, "postings_raw", docs_unit)
+            appended = docs_new.count()
+        else:
+            old_max = docs_old.agg(F.max("doc_id")).collect()[0][0] or 0
+            fresh = delta.select(*CORPUS_COLS).join(
+                docs_old.select("repo", "path", "commit"), KEY, "left_anti"
+            )
+            docs_new, tokenized, base = ingest(
+                fresh, ngrams=cfg.ngrams, id_offset=int(old_max)
+            )
+            tf_delta = term_frequencies(explode_terms(tokenized)).withColumn(
+                "grp", F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int")
+            )
+            cat.write("docs", docs_new, mode="append", tag={"unit": docs_unit})
+            cat.write(
+                "postings_raw", tf_delta, mode="append", partition_by=["grp"],
+                tag={"unit": docs_unit},
+            )
+            appended = docs_new.count()
+            base.unpersist()
+            src = getattr(base, "_yase_persisted_source", None)
+            if src is not None:
+                src.unpersist()
+            docs_new = cat.read_tagged_commit(spark, "docs", docs_unit)
+            tf_delta = cat.read_tagged_commit(spark, "postings_raw", docs_unit)
+
+        # refreshed globals over the FULL corpus
+        all_docs = cat.read(spark, "docs")
+        stats = corpus_stats(all_docs)
+        cat.write(
+            "stats",
+            spark.createDataFrame(
+                [(stats["n_docs"], stats["total_tokens"], stats["avgdl"])],
+                schema="n_docs long, total_tokens long, avgdl double",
+            ),
+            mode="overwrite",
+            tag={"unit": f"stats-{fp_delta}", "payload": json.dumps(stats)},
+        )
+        staged = cat.read(spark, "postings_raw")
+        hot_df = (
+            staged.groupBy("term").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > cfg.hot_term_df)
+        )
+        cat.write("hot_terms", hot_df, mode="overwrite", tag={"unit": f"hot-{fp_delta}"})
+        hot = cat.read(spark, "hot_terms")
+
+        segs_old = cat.read(spark, "segments")
+        affected = tf_delta.select("term").distinct()
+
+        delta_tf = tf_delta.select("term", "doc_id", "tf", "dl")
+        salted = salt_postings(delta_tf, stats["n_docs"], cfg, hot=hot)
+        local = build_local_segments(salted, partitions=cfg.shuffle_partitions)
+        local = local.withColumn("run_seq", F.lit(1))
+        old_runs = (
+            segs_old.join(F.broadcast(affected), "term", "left_semi")
+            .select(
+                "term",
+                F.col("shard").cast("int").alias("shard"),
+                F.col("n").alias("df_local"),
+                F.lit(0).cast("long").alias("cf_local"),
+                "payload",
+                F.lit(0).alias("run_seq"),
+            )
+        )
+        merged = merge_segments(
+            local.unionByName(old_runs), stats["n_docs"], stats["avgdl"], cfg
+        )
+        unaffected = segs_old.join(F.broadcast(affected), "term", "left_anti")
+        final = merged.unionByName(unaffected)
+        cat.write(
+            "segments", final, mode="overwrite", partition_by=["bucket"],
+            tag={"unit": f"append-{fp_delta}", "fingerprint": fp_delta},
+        )
+        wall = time.time() - t0
+        summary = {
+            "run_id": self.run_id,
+            "appended_docs": int(appended),
+            "n_docs": stats["n_docs"],
+            "wall_s": wall,
+            "noop": False,
+        }
+        self._ckpt(f"append-{fp_delta}", fp_delta, rows_in=appended, wall_ms=wall * 1000)
         return summary
 
 

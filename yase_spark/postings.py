@@ -203,13 +203,18 @@ def merge_segments(
     # one file per bucket instead of tasks×buckets small files.
     # Spark's crc32 (java.util.zip) equals zlib.crc32 (tested), so the
     # JVM bucket column and the query-side Python term_bucket() agree.
+    if "run_seq" not in local.columns:
+        # run_seq orders doc_id-disjoint run generations: 0 = base build;
+        # incremental appends use 1, 2, ... (their doc_ids are strictly
+        # larger, so seq order == doc order and merge stays a concat)
+        local = local.withColumn("run_seq", F.lit(0))
     shuffled = (
         local.withColumn(
             "bucket",
             F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(n_buckets)).cast("int"),
         )
         .repartition(n_buckets, "bucket")
-        .sortWithinPartitions("term", "shard")
+        .sortWithinPartitions("term", "run_seq", "shard")
     )
 
     def merge(batches):
@@ -219,20 +224,29 @@ def merge_segments(
         def flush(group: pd.DataFrame):
             term = group["term"].iloc[0]
             df_g = int(group["df_local"].sum())
-            cf_g = int(group["cf_local"].sum())
             idf = math.log(1.0 + (n_docs - df_g + 0.5) / (df_g + 0.5))
             bucket = int(group["bucket"].iloc[0])
+            # cf recomputed from decoded tfs (not summed from run rows) so
+            # merge inputs may be prior *global* segment rows (incremental
+            # append) whose stored cf is already corpus-wide.
             out = []
             if df_g > merge_cap and len(group) > 1:
-                runs = group.itertuples()
-                for r in runs:
+                cf_g = 0
+                decoded = []
+                for r in group.itertuples():
                     ids, tfs, dls = decode_postings(bytes(r.payload), int(r.df_local))
+                    cf_g += int(tfs.sum())
+                    decoded.append((int(r.shard), ids, tfs, dls))
+                # output shard = position in (run_seq, shard) order so the
+                # reader's shard-ordered concat is doc-ordered even when
+                # runs come from multiple append generations
+                for pos, (shard, ids, tfs, dls) in enumerate(decoded):
                     payload, meta = encode_postings(
                         ids, tfs, dls, block_size=block, idf=idf,
                         k1=k1, b=b, avgdl=avgdl,
                     )
                     out.append(
-                        (term, int(r.shard), df_g, cf_g, int(r.df_local), payload, meta, bucket)
+                        (term, pos, df_g, cf_g, int(ids.size), payload, meta, bucket)
                     )
             else:
                 parts = [
@@ -242,6 +256,7 @@ def merge_segments(
                 ids = np.concatenate([p[0] for p in parts])
                 tfs = np.concatenate([p[1] for p in parts])
                 dls = np.concatenate([p[2] for p in parts])
+                cf_g = int(tfs.sum())
                 payload, meta = encode_postings(
                     ids, tfs, dls, block_size=block, idf=idf, k1=k1, b=b, avgdl=avgdl
                 )
