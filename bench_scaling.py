@@ -39,6 +39,14 @@ stage = tempfile.mkdtemp(prefix=f"yase_scale_corpus_{cpus}_") + "/corpus"
 corpus_df(spark, n_docs, partitions=64).write.mode("overwrite").parquet(stage)
 corpus = spark.read.parquet(stage)
 cfg = IndexConfig(build_groups=2, shuffle_partitions=2 * cpus)
+
+# untimed warmup: a tiny build exercises every stage type once so Python
+# worker spawn/imports and JVM codegen/JIT are excluded from the timed
+# run (both levels warm identically; measured cold-start is ~45s at N=8
+# vs ~6s at 4N purely from worker startup serialization)
+warm_corpus = corpus_df(spark, 2000, partitions=2 * cpus)
+build_index(spark, warm_corpus, tempfile.mkdtemp(prefix="yase_warm_"), cfg)
+
 root = tempfile.mkdtemp(prefix=f"yase_scale_{cpus}_")
 t0 = time.perf_counter()
 summary = build_index(spark, corpus, root, cfg)
@@ -93,9 +101,13 @@ def run_level(cpus: int, n_docs: int) -> dict:
     # moderate heap: a huge lazily-faulted heap measurably SLOWS the
     # 32-thread level (page-zeroing churn beats GC savings at this size)
     env = dict(os.environ, PYTHONPATH=repo, YASE_DRIVER_MEM="12g")
+    # pin the process tree to exactly `cpus` cores: local[8] on a 32-core
+    # box would otherwise borrow idle cores for its Python UDF workers
+    # (each task = 1 JVM thread + 1 Python worker), silently inflating the
+    # small-cluster level and corrupting the N-vs-4N comparison
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
     p = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
-        timeout=3600,
+        cmd, capture_output=True, text=True, env=env, timeout=3600,
     )
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):

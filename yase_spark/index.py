@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .config import IndexConfig
-from .corpus import CORPUS_COLS, check_sha256, explode_terms, ingest
+from .corpus import CORPUS_COLS, check_sha256, ingest, term_counts
 from .ids import KEY
 from .postings import build_local_segments, merge_segments, salt_postings
 from .stats import corpus_stats, term_frequencies
@@ -39,6 +39,14 @@ CKPT_SCHEMA = (
     "bytes_out long, n_terms long, wall_ms long, skew_ratio double, "
     "input_fingerprint string, ts double"
 )
+
+
+def _tf_jvm(tokenized: DataFrame) -> DataFrame:
+    """TF via codegen explode + hash agg (map-side partial combine)."""
+    from .corpus import explode_terms
+    from .stats import term_frequencies
+
+    return term_frequencies(explode_terms(tokenized))
 
 
 def corpus_fingerprint(corpus: DataFrame) -> str:
@@ -119,7 +127,15 @@ class IndexBuilder:
         prior_fp = docs_tags[0].get("fingerprint") if docs_tags else None
 
         stage_t = time.time()
+        phase_t: dict[str, float] = {}
+
+        def _mark(name: str, t_from: float) -> float:
+            now = time.time()
+            phase_t[name] = round(now - t_from, 2)
+            return now
+
         fp = corpus_fingerprint(corpus)
+        tcur = _mark("fingerprint", stage_t)
 
         if prior_fp == fp and cat.exists("postings_raw"):
             docs = cat.read(spark, "docs")
@@ -130,17 +146,53 @@ class IndexBuilder:
                 else corpus_stats(docs)
             )
             rebuilt_docs = False
-        else:
-            docs, tokenized, base = ingest(corpus, ngrams=cfg.ngrams)
-            tf = term_frequencies(explode_terms(tokenized)).withColumn(
+        elif cfg.tokenizer == "arrow":
+            # fused docs stage: dedup+id sort is the only content shuffle;
+            # ONE Arrow pass does tokenize + per-doc term counting and its
+            # output IS the TF staging table; doc_len comes back from a
+            # column-pruned scan of that table (no token arrays are ever
+            # cached or re-transferred).
+            from .corpus import tokenize_and_count
+            from .ids import dedup_and_assign_ids
+
+            with_ids = dedup_and_assign_ids(corpus.select(*CORPUS_COLS))
+            base = with_ids  # for the shared unpersist below
+            tf = tokenize_and_count(with_ids, ngrams=cfg.ngrams).withColumn(
                 "grp",
                 F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int"),
             )
-            # materialize the persisted tokenize base ONCE (fills the
-            # cache in parallel), then run the two independent table
-            # writes as concurrent driver threads — Spark schedules both
-            # jobs' tasks together instead of back-to-back.
+            cat.write(
+                "postings_raw", tf, mode="overwrite", partition_by=["grp"],
+                tag={"unit": "postings_raw", "fingerprint": fp},
+            )
+            tcur = _mark("tokenize_count_write", tcur)
+            staged_tf = cat.read(spark, "postings_raw")
+            doc_lens = staged_tf.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
+            docs = (
+                with_ids.select(
+                    "doc_id", "repo", "path", "commit", "lang",
+                    F.sha2(F.col("content"), 256).alias("content_sha256"),
+                )
+                .join(doc_lens, "doc_id", "left")
+                .fillna(0, subset=["doc_len"])
+            )
+            cat.write("docs", docs, mode="overwrite", tag={"unit": "docs", "fingerprint": fp})
+            docs = cat.read(spark, "docs")
             stats = corpus_stats(docs)
+            tcur = _mark("docs_write", tcur)
+            rebuilt_docs = True
+        else:
+            # legacy token-array path (cfg.tokenizer == "jvm"): tokens as
+            # a cached array column, TF via codegen explode + hash agg
+            docs, tokenized, base = ingest(
+                corpus, ngrams=cfg.ngrams, tokenizer=cfg.tokenizer
+            )
+            tf = _tf_jvm(tokenized).withColumn(
+                "grp",
+                F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int"),
+            )
+            stats = corpus_stats(docs)
+            tcur = _mark("tokenize_materialize", tcur)
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(2) as ex:
@@ -153,6 +205,10 @@ class IndexBuilder:
                     {"unit": "postings_raw", "fingerprint": fp},
                 )
                 f1.result(), f2.result()
+            tcur = _mark("docs_tf_writes", tcur)
+            rebuilt_docs = True
+
+        if rebuilt_docs:
             # hot-term list computed ONCE from the staged TF parquet (cheap
             # column scan, no re-tokenize) instead of per group
             staged_tf = cat.read(spark, "postings_raw")
@@ -165,6 +221,7 @@ class IndexBuilder:
                 "hot_terms", hot_df, mode="overwrite",
                 tag={"unit": "hot_terms", "fingerprint": fp},
             )
+            tcur = _mark("hot_terms", tcur)
             stats_df = spark.createDataFrame(
                 [(stats["n_docs"], stats["total_tokens"], stats["avgdl"])],
                 schema="n_docs long, total_tokens long, avgdl double",
@@ -183,7 +240,6 @@ class IndexBuilder:
             src = getattr(base, "_yase_persisted_source", None)
             if src is not None:
                 src.unpersist()
-            rebuilt_docs = True
 
         # ---- stage: per-group segment build (resumable units) ---------
         done = self._done_units("segments", fp) if not rebuilt_docs else set()
@@ -258,6 +314,7 @@ class IndexBuilder:
             ),
             "groups_built": len(group_metrics),
             "skew_ratio": max((m["skew_ratio"] for m in group_metrics), default=0.0),
+            "phases": phase_t,
         }
         return summary
 
@@ -306,9 +363,10 @@ class IndexBuilder:
                 docs_old.select("repo", "path", "commit"), KEY, "left_anti"
             )
             docs_new, tokenized, base = ingest(
-                fresh, ngrams=cfg.ngrams, id_offset=int(old_max)
+                fresh, ngrams=cfg.ngrams, id_offset=int(old_max), tokenizer=cfg.tokenizer
             )
-            tf_delta = term_frequencies(explode_terms(tokenized)).withColumn(
+            tf_fn = _tf_jvm if cfg.tokenizer == "jvm" else term_counts
+            tf_delta = tf_fn(tokenized).withColumn(
                 "grp", F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int")
             )
             cat.write("docs", docs_new, mode="append", tag={"unit": docs_unit})

@@ -91,6 +91,80 @@ MULTI_IDENT_RE = (
 # ~1M calls per 2000 docs dominated the tokenizer profile).
 ACRONYM_SPLIT = r"(?<=[A-Z])(?=[A-Z][a-z])"
 CAMEL_SPLIT = r"(?<=[a-z0-9])(?=[A-Z])"
+# one-pass union of both boundaries: a zero-width insertion can neither
+# create nor destroy a match of the other pattern (a space/underscore
+# breaks adjacency, and acronym sites have an uppercase on the left),
+# so one combined pass == the two sequential passes.
+BOUNDARY_SPLIT = r"(?<=[A-Z])(?=[A-Z][a-z])|(?<=[a-z0-9])(?=[A-Z])"
+
+
+def tokens_column(col, ngrams: bool = True):
+    """The SAME pinned tokenizer as a pure Catalyst column expression
+    (whole-stage codegen, zero Python workers).
+
+    Two equality-tested implementations exist on purpose: this one is the
+    default build path — at 32 threads the pandas tokenizer's millions of
+    per-token Python string objects put the kernel at ~66%% sys time
+    (pymalloc arena churn), while the JVM expression scales with cores.
+    ``tokenize_series`` (Arrow pandas_udf) remains the spec-surface UDF
+    path (BASELINE.json:6) and the property-tested reference.
+
+    Java regex supports the fixed-width lookbehind/lookahead boundary
+    patterns used here; the classes are ASCII so Java/Python/RE2 agree.
+    """
+    from pyspark.sql import functions as F
+
+    # parts stream
+    parts = F.split(
+        F.lower(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(col, NON_IDENT_RE, " "), "_", " "
+                ),
+                BOUNDARY_SPLIT,
+                " ",
+            )
+        ),
+        " +",
+    )
+    parts = F.filter(parts, lambda x: x != "")
+
+    # multipart identifiers, original form
+    idents = F.filter(
+        F.split(F.regexp_replace(col, NON_IDENT_RE, " "), " +"),
+        lambda x: x.rlike(MULTIPART_RE),
+    )
+    fulls = F.transform(idents, lambda x: F.lower(x))
+    if not ngrams:
+        return F.concat(parts, fulls)
+
+    # normalized underscore-joined form per multipart identifier:
+    #   boundary -> '_', collapse runs, strip edge underscores, lower
+    norm = F.transform(
+        idents,
+        lambda x: F.lower(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(x, BOUNDARY_SPLIT, "_"), "_+", "_"
+                ),
+                "^_+|_+$",
+                "",
+            )
+        ),
+    )
+    # adjacent-part bigrams per identifier (multipart => >= 2 parts, so
+    # the sequence upper bound is always >= 0)
+    part_arrays = F.transform(norm, lambda s: F.split(s, "_"))
+    bigrams = F.flatten(
+        F.transform(
+            part_arrays,
+            lambda p: F.transform(
+                F.sequence(F.lit(0), F.size(p) - F.lit(2)),
+                lambda i: F.concat(F.get(p, i), F.lit("_"), F.get(p, i + 1)),
+            ),
+        )
+    )
+    return F.concat(parts, fulls, bigrams)
 
 
 def tokenize_series(texts: pd.Series, ngrams: bool = True) -> pd.Series:
@@ -108,8 +182,7 @@ def tokenize_series(texts: pd.Series, ngrams: bool = True) -> pd.Series:
     parts_str = (
         s.str.replace(NON_IDENT_RE, " ", regex=True)
         .str.replace("_", " ", regex=False)
-        .str.replace(ACRONYM_SPLIT, " ", regex=True)
-        .str.replace(CAMEL_SPLIT, " ", regex=True)
+        .str.replace(BOUNDARY_SPLIT, " ", regex=True)
         .str.lower()
     )
     parts_lists = parts_str.str.split()
@@ -121,8 +194,7 @@ def tokenize_series(texts: pd.Series, ngrams: bool = True) -> pd.Series:
         return parts_lists.combine(fulls, lambda a, b: (a or []) + (b or []))
 
     bigrams = (
-        m_str.str.replace(ACRONYM_SPLIT, "_", regex=True)
-        .str.replace(CAMEL_SPLIT, "_", regex=True)
+        m_str.str.replace(BOUNDARY_SPLIT, "_", regex=True)
         .str.lower()
         .str.replace(r"_+", "_", regex=True)
         .str.replace(r"(?<![a-z0-9])_+", "", regex=True)
