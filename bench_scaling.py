@@ -19,8 +19,12 @@ import subprocess
 import sys
 
 WORKER = """
-import json, sys, tempfile, time
+import json, os, sys, tempfile, time
 sys.path.insert(0, __REPO__)
+# tmpfs roots: removes disk write-back noise from the measurement (the
+# build writes ~GBs of staging+segments; /tmp flushing dominated run-to-
+# run variance). Falls back to /tmp when shm is absent.
+_BENCH_TMP = "/dev/shm" if os.path.isdir("/dev/shm") else None
 from pyspark.sql import functions as F
 from yase_spark.session import get_spark
 from yase_spark.synth import corpus_df, reference_query_set
@@ -31,12 +35,9 @@ from yase_spark.catalog import Catalog
 
 cpus = __CPUS__
 n_docs = __NDOCS__
+stage = __STAGE__  # corpus parquet staged ONCE by the parent (byte-identical input)
 spark = get_spark(cpus=cpus, app=f"yase-scale-{cpus}", shuffle_partitions=2 * cpus)
 spark.sparkContext.setLogLevel("ERROR")
-# stage the identical corpus as parquet (untimed; deterministic seed=42,
-# so both parallelism levels index byte-identical input)
-stage = tempfile.mkdtemp(prefix=f"yase_scale_corpus_{cpus}_") + "/corpus"
-corpus_df(spark, n_docs, partitions=64).write.mode("overwrite").parquet(stage)
 corpus = spark.read.parquet(stage)
 cfg = IndexConfig(build_groups=2, shuffle_partitions=2 * cpus)
 
@@ -45,9 +46,9 @@ cfg = IndexConfig(build_groups=2, shuffle_partitions=2 * cpus)
 # run (both levels warm identically; measured cold-start is ~45s at N=8
 # vs ~6s at 4N purely from worker startup serialization)
 warm_corpus = corpus_df(spark, 2000, partitions=2 * cpus)
-build_index(spark, warm_corpus, tempfile.mkdtemp(prefix="yase_warm_"), cfg)
+build_index(spark, warm_corpus, tempfile.mkdtemp(prefix="yase_warm_", dir=_BENCH_TMP), cfg)
 
-root = tempfile.mkdtemp(prefix=f"yase_scale_{cpus}_")
+root = tempfile.mkdtemp(prefix=f"yase_scale_{cpus}_", dir=_BENCH_TMP)
 t0 = time.perf_counter()
 summary = build_index(spark, corpus, root, cfg)
 wall = time.perf_counter() - t0
@@ -91,16 +92,44 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, n_docs: int) -> dict:
+def stage_corpus(n_docs: int) -> str:
+    """Generate + write the benchmark corpus once, unpinned (untimed)."""
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    stage = tempfile.mkdtemp(prefix="yase_scale_corpus_", dir=base) + "/corpus"
+    code = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from yase_spark.session import get_spark
+from yase_spark.synth import corpus_df
+spark = get_spark(cpus=32, app="yase-stage", shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+corpus_df(spark, {n_docs}, partitions=64).write.mode("overwrite").parquet({stage!r})
+spark.stop()
+"""
+    env = dict(os.environ, PYTHONPATH=repo)
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, env=env, timeout=3600)
+    if p.returncode != 0:
+        raise RuntimeError(f"staging failed: {p.stderr[-2000:]}")
+    return stage
+
+
+def run_level(cpus: int, n_docs: int, stage: str) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     code = (
         WORKER.replace("__REPO__", repr(repo))
         .replace("__CPUS__", str(cpus))
         .replace("__NDOCS__", str(n_docs))
+        .replace("__STAGE__", repr(stage))
     )
     # moderate heap: a huge lazily-faulted heap measurably SLOWS the
     # 32-thread level (page-zeroing churn beats GC savings at this size)
     env = dict(os.environ, PYTHONPATH=repo, YASE_DRIVER_MEM="12g")
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/yase_spark_local", exist_ok=True)
+        env["SPARK_LOCAL_DIRS"] = "/dev/shm/yase_spark_local"
     # pin the process tree to exactly `cpus` cores: local[8] on a 32-core
     # box would otherwise borrow idle cores for its Python UDF workers
     # (each task = 1 JVM thread + 1 Python worker), silently inflating the
@@ -116,11 +145,13 @@ def run_level(cpus: int, n_docs: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(os.environ.get("YASE_SCALE_DOCS", "50000"))
+    n_docs = int(os.environ.get("YASE_SCALE_DOCS", "400000"))
     reps = int(os.environ.get("YASE_SCALE_REPS", "1"))
+    stage = stage_corpus(n_docs)
+    print(f"staged {n_docs} docs at {stage}", file=sys.stderr)
     levels = {}
     for cpus in (8, 32):
-        runs = [run_level(cpus, n_docs) for _ in range(reps)]
+        runs = [run_level(cpus, n_docs, stage) for _ in range(reps)]
         runs.sort(key=lambda r: r["wall_s"])
         levels[cpus] = runs[len(runs) // 2]  # median
         print(f"local[{cpus}]: {levels[cpus]['wall_s']:.1f}s "
@@ -162,4 +193,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        import glob
+        import shutil
+
+        for d in glob.glob("/dev/shm/yase_*"):
+            shutil.rmtree(d, ignore_errors=True)

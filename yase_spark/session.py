@@ -34,7 +34,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.driver.memory", os.environ.get("YASE_DRIVER_MEM", "8g"))
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # CPU-heavy scans (sha256, tokenize, sort) need many more input
+        # splits than IO-bound ones: at 128m a ~300MB corpus collapses to
+        # ~3 scan tasks and serializes the whole ingest regardless of
+        # cores. 8m is right for this engine's per-row work; on a 100TB
+        # deployment this knob trades task count vs per-task overhead and
+        # is the first thing to retune (DESIGN.md §1).
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("YASE_SPLIT_BYTES", "8m"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")
