@@ -28,10 +28,10 @@ def test_segment_fetch_pushdown_and_pruning(spark, tiny_index):
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
 
 
-def test_postings_raw_group_pruning(spark, tiny_index):
+def test_local_segments_group_pruning(spark, tiny_index):
     root, cfg, _ = tiny_index
-    raw = Catalog(root).read(spark, "postings_raw")
-    q = raw.filter(F.col("grp") == 1)
+    staged = Catalog(root).read(spark, "local_segments")
+    q = staged.filter(F.col("grp") == 1)
     plan = _plan(q)
     assert "PartitionFilters" in plan and "grp" in plan.split("PartitionFilters")[1][:200]
 

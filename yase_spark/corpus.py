@@ -50,7 +50,7 @@ def ingest(
     ngrams: bool = True,
     sort_partitions: int | None = None,
     id_offset: int = 0,
-    tokenizer: str = "jvm",
+    tokenizer: str = "arrow",
 ):
     """corpus -> (docs_df, tokenized_df, persisted_base).
 

@@ -138,4 +138,5 @@ def dedup_and_assign_ids(
 
     out = s1.mapInPandas(zip_ids, schema=schema).drop("_pid")
     out._yase_persisted_source = s1
+    out._yase_total_rows = acc - id_offset  # deduped row count, free here
     return out

@@ -127,6 +127,13 @@ class IndexBuilder:
         prior_fp = docs_tags[0].get("fingerprint") if docs_tags else None
 
         stage_t = time.time()
+        # fat content rows -> small Arrow batches for the tokenize pass
+        # (set explicitly: the postings-stage setting below persists on
+        # the session across builds)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("YASE_ARROW_BATCH", "512"),
+        )
         phase_t: dict[str, float] = {}
 
         def _mark(name: str, t_from: float) -> float:
@@ -137,7 +144,7 @@ class IndexBuilder:
         fp = corpus_fingerprint(corpus)
         tcur = _mark("fingerprint", stage_t)
 
-        if prior_fp == fp and cat.exists("postings_raw"):
+        if prior_fp == fp and cat.exists("local_segments"):
             docs = cat.read(spark, "docs")
             stats_tags = cat.committed_tags("stats")
             stats = (
@@ -146,28 +153,46 @@ class IndexBuilder:
                 else corpus_stats(docs)
             )
             rebuilt_docs = False
-        elif cfg.tokenizer == "arrow":
-            # fused docs stage: dedup+id sort is the only content shuffle;
-            # ONE Arrow pass does tokenize + per-doc term counting and its
-            # output IS the TF staging table; doc_len comes back from a
-            # column-pruned scan of that table (no token arrays are ever
-            # cached or re-transferred).
-            from .corpus import tokenize_and_count
+        else:
+            # fused docs stage. The TF data makes exactly ONE round trip:
+            #   tokenize+count (Arrow pass, per-doc, no shuffle)
+            #   -> persist -> range-salted (term,salt) shuffle + sort
+            #   -> local-segment encode (Arrow pass)
+            #   -> staged as compressed segments partitioned by grp
+            # Staging encoded segments instead of raw TF rows cuts the
+            # staged bytes ~10x and removes a full shuffle+rescan of the
+            # TF table from the group units (measured: the raw-TF shuffle
+            # + Arrow transfer was 80% of the old group-stage cost).
+            from pyspark.storagelevel import StorageLevel
+
+            from .corpus import tokenize_and_count, tokens_udf
             from .ids import dedup_and_assign_ids
+            from .postings import range_salt
 
             with_ids = dedup_and_assign_ids(corpus.select(*CORPUS_COLS))
             base = with_ids  # for the shared unpersist below
-            tf = tokenize_and_count(with_ids, ngrams=cfg.ngrams).withColumn(
-                "grp",
-                F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int"),
+            if cfg.tokenizer == "arrow":
+                tf = tokenize_and_count(with_ids, ngrams=cfg.ngrams)
+            else:
+                tokenized = with_ids.withColumn(
+                    "tokens", tokens_udf(ngrams=cfg.ngrams)(F.col("content"))
+                ).select("doc_id", F.size("tokens").alias("doc_len"), "tokens")
+                tf = _tf_jvm(tokenized)
+            tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+            n_total = int(getattr(with_ids, "_yase_total_rows", 0))
+            salted = range_salt(tf, n_total, cfg)
+            local = build_local_segments(
+                salted, partitions=cfg.shuffle_partitions
+            ).withColumn(
+                "grp", F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int")
             )
             cat.write(
-                "postings_raw", tf, mode="overwrite", partition_by=["grp"],
-                tag={"unit": "postings_raw", "fingerprint": fp},
+                "local_segments", local, mode="overwrite", partition_by=["grp"],
+                tag={"unit": "local_segments", "fingerprint": fp},
             )
-            tcur = _mark("tokenize_count_write", tcur)
-            staged_tf = cat.read(spark, "postings_raw")
-            doc_lens = staged_tf.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
+            tcur = _mark("tokenize_encode_write", tcur)
+
+            doc_lens = tf.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
             docs = (
                 with_ids.select(
                     "doc_id", "repo", "path", "commit", "lang",
@@ -179,49 +204,11 @@ class IndexBuilder:
             cat.write("docs", docs, mode="overwrite", tag={"unit": "docs", "fingerprint": fp})
             docs = cat.read(spark, "docs")
             stats = corpus_stats(docs)
+            tf.unpersist()
             tcur = _mark("docs_write", tcur)
-            rebuilt_docs = True
-        else:
-            # legacy token-array path (cfg.tokenizer == "jvm"): tokens as
-            # a cached array column, TF via codegen explode + hash agg
-            docs, tokenized, base = ingest(
-                corpus, ngrams=cfg.ngrams, tokenizer=cfg.tokenizer
-            )
-            tf = _tf_jvm(tokenized).withColumn(
-                "grp",
-                F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int"),
-            )
-            stats = corpus_stats(docs)
-            tcur = _mark("tokenize_materialize", tcur)
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(2) as ex:
-                f1 = ex.submit(
-                    cat.write, "docs", docs, "overwrite", None,
-                    {"unit": "docs", "fingerprint": fp},
-                )
-                f2 = ex.submit(
-                    cat.write, "postings_raw", tf, "overwrite", ["grp"],
-                    {"unit": "postings_raw", "fingerprint": fp},
-                )
-                f1.result(), f2.result()
-            tcur = _mark("docs_tf_writes", tcur)
             rebuilt_docs = True
 
         if rebuilt_docs:
-            # hot-term list computed ONCE from the staged TF parquet (cheap
-            # column scan, no re-tokenize) instead of per group
-            staged_tf = cat.read(spark, "postings_raw")
-            hot_df = (
-                staged_tf.groupBy("term")
-                .agg(F.count("*").alias("df"))
-                .filter(F.col("df") > cfg.hot_term_df)
-            )
-            cat.write(
-                "hot_terms", hot_df, mode="overwrite",
-                tag={"unit": "hot_terms", "fingerprint": fp},
-            )
-            tcur = _mark("hot_terms", tcur)
             stats_df = spark.createDataFrame(
                 [(stats["n_docs"], stats["total_tokens"], stats["avgdl"])],
                 schema="n_docs long, total_tokens long, avgdl double",
@@ -246,16 +233,22 @@ class IndexBuilder:
         if rebuilt_docs and cat.exists("segments"):
             cat.drop("segments")  # stale segments from a different corpus
 
-        raw = cat.read(spark, "postings_raw")
-        hot = cat.read(spark, "hot_terms") if cat.exists("hot_terms") else None
+        staged_local = cat.read(spark, "local_segments")
         n_docs = stats["n_docs"]
+
+        # per-stage Arrow batch sizing (runtime conf, read per action):
+        # the tokenize pass wants small batches (fat content rows — large
+        # transient arrays per batch), the merge pass wants large ones
+        # (thin rows — per-batch Python call overhead would dominate)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("YASE_ARROW_BATCH_POSTINGS", "16384"),
+        )
 
         def build_group(g: int) -> dict:
             unit = f"grp-{g}"
             gt = time.time()
-            raw_g = raw.filter(F.col("grp") == g).select("term", "doc_id", "tf", "dl")
-            salted = salt_postings(raw_g, n_docs, cfg, hot=hot)
-            local = build_local_segments(salted, partitions=cfg.shuffle_partitions)
+            local = staged_local.filter(F.col("grp") == g).drop("grp")
             segs = merge_segments(local, n_docs, stats["avgdl"], cfg).persist()
             cat.write(
                 "segments", segs, mode="append", partition_by=["bucket"],
@@ -353,9 +346,9 @@ class IndexBuilder:
         docs_unit = f"append-docs-{fp_delta}"
 
         if docs_unit in docs_units:
-            # crash-resume: delta docs + TF already committed
+            # crash-resume: delta docs + local segments already committed
             docs_new = cat.read_tagged_commit(spark, "docs", docs_unit)
-            tf_delta = cat.read_tagged_commit(spark, "postings_raw", docs_unit)
+            delta_local = cat.read_tagged_commit(spark, "local_segments", docs_unit)
             appended = docs_new.count()
         else:
             old_max = docs_old.agg(F.max("doc_id")).collect()[0][0] or 0
@@ -366,21 +359,27 @@ class IndexBuilder:
                 fresh, ngrams=cfg.ngrams, id_offset=int(old_max), tokenizer=cfg.tokenizer
             )
             tf_fn = _tf_jvm if cfg.tokenizer == "jvm" else term_counts
-            tf_delta = tf_fn(tokenized).withColumn(
+            tf_delta = tf_fn(tokenized)
+            appended = docs_new.count()
+            n_new = int(old_max) + int(appended)
+            from .postings import range_salt
+
+            delta_local = build_local_segments(
+                range_salt(tf_delta, n_new, cfg), partitions=cfg.shuffle_partitions
+            ).withColumn(
                 "grp", F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int")
             )
             cat.write("docs", docs_new, mode="append", tag={"unit": docs_unit})
             cat.write(
-                "postings_raw", tf_delta, mode="append", partition_by=["grp"],
+                "local_segments", delta_local, mode="append", partition_by=["grp"],
                 tag={"unit": docs_unit},
             )
-            appended = docs_new.count()
             base.unpersist()
             src = getattr(base, "_yase_persisted_source", None)
             if src is not None:
                 src.unpersist()
             docs_new = cat.read_tagged_commit(spark, "docs", docs_unit)
-            tf_delta = cat.read_tagged_commit(spark, "postings_raw", docs_unit)
+            delta_local = cat.read_tagged_commit(spark, "local_segments", docs_unit)
 
         # refreshed globals over the FULL corpus
         all_docs = cat.read(spark, "docs")
@@ -394,21 +393,11 @@ class IndexBuilder:
             mode="overwrite",
             tag={"unit": f"stats-{fp_delta}", "payload": json.dumps(stats)},
         )
-        staged = cat.read(spark, "postings_raw")
-        hot_df = (
-            staged.groupBy("term").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > cfg.hot_term_df)
-        )
-        cat.write("hot_terms", hot_df, mode="overwrite", tag={"unit": f"hot-{fp_delta}"})
-        hot = cat.read(spark, "hot_terms")
 
         segs_old = cat.read(spark, "segments")
-        affected = tf_delta.select("term").distinct()
+        affected = delta_local.select("term").distinct()
 
-        delta_tf = tf_delta.select("term", "doc_id", "tf", "dl")
-        salted = salt_postings(delta_tf, stats["n_docs"], cfg, hot=hot)
-        local = build_local_segments(salted, partitions=cfg.shuffle_partitions)
-        local = local.withColumn("run_seq", F.lit(1))
+        local = delta_local.drop("grp").withColumn("run_seq", F.lit(1))
         old_runs = (
             segs_old.join(F.broadcast(affected), "term", "left_semi")
             .select(

@@ -57,6 +57,23 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+def range_salt(tf: DataFrame, n_docs: int, cfg: IndexConfig) -> DataFrame:
+    """C1 (uniform): shard EVERY term's postings by doc_id range —
+    ``salt = floor(doc_id * S / (n_docs + 1))``, S scaled so no encode
+    group exceeds ~5M postings even for a term present in every document.
+
+    Uniform range-salting needs no df statistics on the critical path
+    (the df-threshold variant below required an extra full aggregation
+    before the encode shuffle), bounds every group unconditionally, and
+    keeps shard runs doc-ordered and disjoint so the merge is a concat.
+    This is the same document-partitioning argument real distributed
+    indexes use."""
+    s = max(cfg.salt_shards, -(-n_docs // 5_000_000))
+    return tf.withColumn(
+        "salt", F.floor(F.col("doc_id") * s / F.lit(n_docs + 1)).cast("int")
+    )
+
+
 def salt_postings(
     tf: DataFrame, n_docs: int, cfg: IndexConfig, hot: DataFrame | None = None
 ) -> DataFrame:

@@ -308,7 +308,11 @@ class IndexReader:
         return [got[t] for t in qterms if got[t] is not None]
 
     # ----------------------------------------------------------- queries
-    WAND_MIN_POSTINGS = 200_000  # below this, vectorized full scoring wins
+    # Below this candidate-postings count the numpy full-scan scorer beats
+    # the per-pivot Python loop of the WAND executor (measured: ~2 ms vs
+    # ~500 ms at 10^5 postings); WAND's pruning pays once lists are large
+    # enough that even one vectorized pass over them dominates.
+    WAND_MIN_POSTINGS = 5_000_000
 
     def topk(self, query: str, k: int = 10, use_wand: bool | None = None):
         """Ranked top-k. ``use_wand=None`` picks the executor by cost:
