@@ -132,6 +132,111 @@ def tokenize_and_count(base: DataFrame, ngrams: bool = True) -> DataFrame:
     )
 
 
+# reserved pseudo-term whose "postings" carry per-doc token counts
+# (doc_len), like Lucene's norms; cannot collide with real tokens
+# (tokenizer output matches [a-z0-9_]+ only)
+DOCLEN_TERM = "\x00doclen"
+
+
+def tokenize_count_encode(base: DataFrame, ngrams: bool = True) -> DataFrame:
+    """Fully fused map-side indexing (T1+T2+A1+C2+C3 in ONE Arrow pass):
+    (doc_id, content) -> encoded local segments, one run per term per
+    input partition.
+
+    This is the classic map-side partial index: input partitions are
+    doc_id-contiguous (the id mint range-sorts), so the partition id IS
+    the doc-range shard — no shuffle of TF rows ever happens; the only
+    shuffled bytes after tokenization are varint-compressed segment runs
+    (~10x smaller). Memory is bounded by one input split's term counts
+    (sized via spark.sql.files.maxPartitionBytes). doc_len is emitted as
+    the DOCLEN_TERM pseudo posting list and decoded by the docs stage.
+    """
+    import itertools
+
+    import numpy as np
+
+    from .postings import _encode_groups
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            toks = tokenize_series(pdf["content"], ngrams=ngrams)
+            lens = np.array([len(x) for x in toks], dtype=np.int64)
+            doc_ids_b = pdf["doc_id"].to_numpy()
+            total = int(lens.sum())
+            if total:
+                flat = np.fromiter(
+                    itertools.chain.from_iterable(toks), dtype=object, count=total
+                )
+                codes, uniq = pd.factorize(flat)
+                doc_pos = np.repeat(np.arange(len(pdf)), lens)
+                key = doc_pos.astype(np.int64) * len(uniq) + codes
+                uk, first_idx, counts = np.unique(
+                    key, return_index=True, return_counts=True
+                )
+                sel = doc_pos[first_idx]
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            "term": np.asarray(uniq, dtype=object)[
+                                (uk % len(uniq)).astype(np.int64)
+                            ],
+                            "doc_id": doc_ids_b[sel],
+                            "tf": counts.astype(np.int64),
+                            "dl": lens[sel],
+                        }
+                    )
+                )
+            # doc_len pseudo postings (tf=1, dl=token count; includes
+            # empty docs so every doc has a doc_len)
+            chunks.append(
+                pd.DataFrame(
+                    {
+                        "term": np.full(len(pdf), DOCLEN_TERM, dtype=object),
+                        "doc_id": doc_ids_b,
+                        "tf": np.ones(len(pdf), dtype=np.int64),
+                        "dl": lens,
+                    }
+                )
+            )
+        if not chunks:
+            return
+        big = pd.concat(chunks, ignore_index=True)
+        codes, _ = pd.factorize(big["term"].to_numpy())
+        order = np.lexsort((big["doc_id"].to_numpy(), codes))
+        big = big.iloc[order].reset_index(drop=True)
+        big["salt"] = np.int32(pid)
+        yield _encode_groups(big)
+
+    from .postings import LOCAL_SCHEMA
+
+    return base.select("doc_id", "content").mapInPandas(run, schema=LOCAL_SCHEMA)
+
+
+def decode_doclens(staged_local: DataFrame) -> DataFrame:
+    """DOCLEN_TERM pseudo-segment rows -> (doc_id, doc_len). The filter
+    prunes to the pseudo-term's grp partition + pushes the term predicate
+    to the parquet scan."""
+    from .codec import decode_postings
+
+    def dec(batches):
+        for pdf in batches:
+            for r in pdf.itertuples():
+                ids, _tfs, dls = decode_postings(bytes(r.payload), int(r.df_local))
+                yield pd.DataFrame({"doc_id": ids, "doc_len": dls})
+
+    return (
+        staged_local.filter(F.col("term") == DOCLEN_TERM)
+        .select("df_local", "payload")
+        .mapInPandas(dec, schema="doc_id long, doc_len long")
+    )
+
+
 def explode_terms(tokenized: DataFrame) -> DataFrame:
     """(doc_id, doc_len, tokens) -> (doc_id, doc_len, term) rows."""
     return tokenized.select(

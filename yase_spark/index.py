@@ -154,36 +154,19 @@ class IndexBuilder:
             )
             rebuilt_docs = False
         else:
-            # fused docs stage. The TF data makes exactly ONE round trip:
-            #   tokenize+count (Arrow pass, per-doc, no shuffle)
-            #   -> persist -> range-salted (term,salt) shuffle + sort
-            #   -> local-segment encode (Arrow pass)
-            #   -> staged as compressed segments partitioned by grp
-            # Staging encoded segments instead of raw TF rows cuts the
-            # staged bytes ~10x and removes a full shuffle+rescan of the
-            # TF table from the group units (measured: the raw-TF shuffle
-            # + Arrow transfer was 80% of the old group-stage cost).
-            from pyspark.storagelevel import StorageLevel
-
-            from .corpus import tokenize_and_count, tokens_udf
+            # fully fused docs stage (map-side partial indexing): ONE
+            # Arrow pass does tokenize + per-doc term counting + local
+            # segment encode per input partition — input partitions are
+            # doc_id-contiguous, so the partition IS the doc-range shard
+            # and NO TF row is ever shuffled; only compressed segment
+            # runs move. doc_len travels as the DOCLEN_TERM pseudo
+            # posting list.
+            from .corpus import DOCLEN_TERM, decode_doclens, tokenize_count_encode
             from .ids import dedup_and_assign_ids
-            from .postings import range_salt
 
             with_ids = dedup_and_assign_ids(corpus.select(*CORPUS_COLS))
             base = with_ids  # for the shared unpersist below
-            if cfg.tokenizer == "arrow":
-                tf = tokenize_and_count(with_ids, ngrams=cfg.ngrams)
-            else:
-                tokenized = with_ids.withColumn(
-                    "tokens", tokens_udf(ngrams=cfg.ngrams)(F.col("content"))
-                ).select("doc_id", F.size("tokens").alias("doc_len"), "tokens")
-                tf = _tf_jvm(tokenized)
-            tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-            n_total = int(getattr(with_ids, "_yase_total_rows", 0))
-            salted = range_salt(tf, n_total, cfg)
-            local = build_local_segments(
-                salted, partitions=cfg.shuffle_partitions
-            ).withColumn(
+            local = tokenize_count_encode(with_ids, ngrams=cfg.ngrams).withColumn(
                 "grp", F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int")
             )
             cat.write(
@@ -192,7 +175,8 @@ class IndexBuilder:
             )
             tcur = _mark("tokenize_encode_write", tcur)
 
-            doc_lens = tf.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
+            staged = cat.read(spark, "local_segments")
+            doc_lens = decode_doclens(staged)
             docs = (
                 with_ids.select(
                     "doc_id", "repo", "path", "commit", "lang",
@@ -204,7 +188,6 @@ class IndexBuilder:
             cat.write("docs", docs, mode="overwrite", tag={"unit": "docs", "fingerprint": fp})
             docs = cat.read(spark, "docs")
             stats = corpus_stats(docs)
-            tf.unpersist()
             tcur = _mark("docs_write", tcur)
             rebuilt_docs = True
 
@@ -245,10 +228,14 @@ class IndexBuilder:
             os.environ.get("YASE_ARROW_BATCH_POSTINGS", "16384"),
         )
 
+        from .corpus import DOCLEN_TERM
+
         def build_group(g: int) -> dict:
             unit = f"grp-{g}"
             gt = time.time()
-            local = staged_local.filter(F.col("grp") == g).drop("grp")
+            local = staged_local.filter(
+                (F.col("grp") == g) & (F.col("term") != DOCLEN_TERM)
+            ).drop("grp")
             segs = merge_segments(local, n_docs, stats["avgdl"], cfg).persist()
             cat.write(
                 "segments", segs, mode="append", partition_by=["bucket"],
