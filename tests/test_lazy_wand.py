@@ -1,0 +1,107 @@
+"""Lazy block decode + executor-side WAND (VERDICT round 1 items 2/3):
+
+* ``topk_lazy`` must return rank- and bitwise-score-identical results to
+  both driver executors while decoding STRICTLY FEWER blocks than exist
+  (the stored skip structure must actually skip);
+* the ``topk`` driver/distributed dispatch must trigger on the
+  dictionary-only df estimate and agree with the driver results;
+* ``topk_set_distributed`` (executor-side WAND per query) must be
+  bitwise-identical to the driver path;
+* after an incremental append the stored block bounds are stale — the
+  idf-rescale must keep lazy results identical to the full-decode path.
+"""
+
+import pytest
+
+from yase_spark.config import IndexConfig
+from yase_spark.index import IndexBuilder, build_index
+from yase_spark.query import IndexReader
+from yase_spark.synth import corpus_df, reference_query_set
+
+
+@pytest.fixture(scope="module")
+def small_block_index(spark, tiny_corpus, tmp_path_factory):
+    """block_size=16 so the 1000-doc corpus has enough blocks per common
+    term for pruning to be observable."""
+    root = str(tmp_path_factory.mktemp("lazyidx"))
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=16, block_size=16)
+    build_index(spark, tiny_corpus, root, cfg)
+    return root
+
+
+def _topk_queries():
+    return [q for q in reference_query_set() if q["kind"] == "topk"]
+
+
+def test_lazy_equals_eager_and_skips_blocks(spark, small_block_index):
+    rd = IndexReader(spark, small_block_index)
+    decoded = total = 0
+    for q in _topk_queries():
+        k = q.get("k", 10)
+        eager = rd.topk(q["query"], k, use_wand=True)
+        naive = rd.topk(q["query"], k, use_wand=False)
+        lazy, stats = rd.topk_lazy(q["query"], k, return_stats=True)
+        assert eager == naive, q["query"]
+        assert lazy == eager, q["query"]  # bitwise: same floats, same ranks
+        decoded += stats["blocks_decoded"]
+        total += stats["blocks_total"]
+    assert total > 0
+    assert decoded < total, (
+        f"lazy WAND decoded every block ({decoded}/{total}) — the skip "
+        "structure is write-only"
+    )
+
+
+def test_driver_distributed_dispatch(spark, small_block_index):
+    rd = IndexReader(spark, small_block_index)
+    q = "json getPage"
+    want = rd.topk(q, 10)
+
+    rd2 = IndexReader(spark, small_block_index)
+    rd2.driver_fetch_max_postings = 1  # force the cluster-side path
+    got = rd2.topk(q, 10)
+    assert not rd2._cache, "dispatch must not have fetched payloads driver-side"
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert abs(a - b) < 1e-9  # distributed sum order may differ in ulps
+
+
+def test_topk_set_distributed_bitwise(spark, small_block_index):
+    rd = IndexReader(spark, small_block_index)
+    qs = _topk_queries()
+    got = {
+        qid: sorted(rows, key=lambda r: r[0])
+        for qid, rows in _group(rd.topk_set_distributed(qs).collect())
+    }
+    for q in qs:
+        want = rd.topk(q["query"], q.get("k", 10))
+        have = got.get(q["query_id"], [])
+        assert [tuple(r) for r in have] == [tuple(w) for w in want], q["query"]
+
+
+def _group(rows):
+    by = {}
+    for r in rows:
+        by.setdefault(r["query_id"], []).append(
+            (int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+        )
+    return by.items()
+
+
+def test_lazy_after_append_rescales_bounds(spark, tmp_path):
+    corpus = corpus_df(spark, 400, partitions=4)
+    delta = corpus_df(spark, 520, partitions=4).join(
+        corpus.select("repo", "path", "commit"), ["repo", "path", "commit"], "left_anti"
+    )
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, block_size=16)
+    b = IndexBuilder(spark, root, cfg)
+    b.build(corpus)
+    b.append(delta)
+
+    rd = IndexReader(spark, root)
+    for q in _topk_queries()[:8]:
+        k = q.get("k", 10)
+        eager = rd.topk(q["query"], k, use_wand=True)
+        lazy = rd.topk_lazy(q["query"], k)
+        assert lazy == eager, q["query"]

@@ -169,3 +169,21 @@ class Catalog:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)
+
+    # ------------------------------------------------------- properties
+    # Iceberg equivalent: table/catalog properties (ALTER TABLE ... SET
+    # TBLPROPERTIES). Used to pin the build's IndexConfig so readers
+    # cannot silently query with mismatched term_buckets/k1/b.
+    def set_properties(self, props: dict) -> None:
+        path = os.path.join(self.root, "properties.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(props, f, indent=1)
+        os.replace(tmp, path)
+
+    def get_properties(self) -> dict | None:
+        path = os.path.join(self.root, "properties.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)

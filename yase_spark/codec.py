@@ -125,11 +125,20 @@ def encode_postings(
     dls_b = varint_encode(dls)
     payload = np.concatenate([gaps_b, tfs_b, dls_b]).tobytes()
 
-    # per-block byte offsets into the gaps section: width of each varint
-    widths = np.searchsorted(
-        _THRESHOLDS, delta_encode(doc_ids).astype(np.uint64), side="right"
-    ).astype(np.int64) + 1
-    cum = np.concatenate(([0], np.cumsum(widths)))
+    def _cum_widths(vals: np.ndarray) -> np.ndarray:
+        w = np.searchsorted(
+            _THRESHOLDS, vals.astype(np.uint64), side="right"
+        ).astype(np.int64) + 1
+        return np.concatenate(([0], np.cumsum(w)))
+
+    # per-block byte offsets: ``byte_offset`` into the gaps section (== the
+    # payload, gaps come first); ``tf_off``/``dl_off`` are ABSOLUTE payload
+    # offsets so a block-max WAND executor can decode ONLY surviving
+    # blocks — all three sections — without touching the rest (lazy block
+    # decode, SURVEY.md §2.6 Q6).
+    cum = _cum_widths(delta_encode(doc_ids))
+    cum_t = _cum_widths(tfs) + gaps_b.size
+    cum_d = _cum_widths(dls) + gaps_b.size + tfs_b.size
     meta = []
     if idf is not None:
         scores = bm25_term_scores(tfs, dls, idf, k1, b, avgdl)
@@ -142,10 +151,32 @@ def encode_postings(
                 "max_tf": int(tfs[s:e].max()),
                 "max_score": float(scores[s:e].max()) if idf is not None else 0.0,
                 "byte_offset": int(cum[s]),
+                "tf_off": int(cum_t[s]),
+                "dl_off": int(cum_d[s]),
                 "n_docs": int(e - s),
             }
         )
     return payload, meta
+
+
+def decode_block(payload: bytes, meta: dict, prev_last: int):
+    """Decode ONE block of a posting payload using its skip metadata —
+    the lazy path of the block-max WAND executor: skipped blocks never
+    touch these bytes.
+
+    ``prev_last``: doc_id of the last posting of the PREVIOUS block in the
+    same payload (0 for the first block) — the delta chain is continuous
+    across blocks within one payload, so the stored ``block_last`` of the
+    previous block re-anchors it without decoding anything earlier.
+    Returns (doc_ids, tfs, dls) int64 arrays of ``meta['n_docs']`` items.
+    """
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    n = int(meta["n_docs"])
+    gaps, _ = varint_decode(buf, int(meta["byte_offset"]), n)
+    tfs, _ = varint_decode(buf, int(meta["tf_off"]), n)
+    dls, _ = varint_decode(buf, int(meta["dl_off"]), n)
+    ids = np.cumsum(gaps.astype(np.int64)) + int(prev_last)
+    return ids, tfs.astype(np.int64), dls.astype(np.int64)
 
 
 def decode_postings(payload: bytes, n: int):

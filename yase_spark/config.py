@@ -65,3 +65,13 @@ class IndexConfig:
                                    # — equality-tested impls of ONE spec
     parallel_units: int = PARALLEL_UNITS
     shuffle_partitions: int = field(default_factory=lambda: DEFAULT_CPUS)
+
+    # fields that change the index bytes or query results: a reader using
+    # different values than the build silently returns wrong results
+    # (e.g. term_buckets mismatch -> bucket-pruned fetch misses terms), so
+    # the build persists them as catalog properties and the reader
+    # validates / adopts them (ADVICE round 1).
+    SEMANTIC_FIELDS = ("k1", "b", "block_size", "term_buckets", "ngrams")
+
+    def semantic_dict(self) -> dict:
+        return {f: getattr(self, f) for f in self.SEMANTIC_FIELDS}

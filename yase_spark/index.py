@@ -93,6 +93,17 @@ class IndexBuilder:
         # lock — safe with concurrent group threads)
         self.cat.write("checkpoints", df, mode="append", tag={"unit": unit, "fingerprint": fp})
 
+    def _commit_stats(self, stats: dict, fp_delta: str) -> None:
+        self.cat.write(
+            "stats",
+            self.spark.createDataFrame(
+                [(stats["n_docs"], stats["total_tokens"], stats["avgdl"])],
+                schema="n_docs long, total_tokens long, avgdl double",
+            ),
+            mode="overwrite",
+            tag={"unit": f"stats-{fp_delta}", "payload": json.dumps(stats)},
+        )
+
     def _done_units(self, table: str, fp: str) -> set[str]:
         return {
             t["unit"]
@@ -111,6 +122,26 @@ class IndexBuilder:
         group units have committed, to exercise checkpoint resume."""
         cfg, cat, spark = self.cfg, self.cat, self.spark
         t0 = time.time()
+
+        # pin the build's result-affecting parameters as catalog
+        # properties (Iceberg: table properties) so readers can't
+        # silently query with a mismatched term_buckets/k1/b/block_size
+        from dataclasses import asdict
+
+        prior = cat.get_properties()
+        if prior and prior.get("index_config"):
+            mism = {
+                f: (prior["index_config"].get(f), getattr(cfg, f))
+                for f in IndexConfig.SEMANTIC_FIELDS
+                if prior["index_config"].get(f) != getattr(cfg, f)
+            }
+            if mism and cat.exists("segments"):
+                raise ValueError(
+                    f"index at {cat.root} was built with different semantic "
+                    f"config {mism} (persisted vs requested); use a fresh "
+                    "index_root or the persisted config"
+                )
+        cat.set_properties({"index_config": asdict(cfg)})
 
         if manifest is not None:
             violations = check_sha256(corpus, manifest)
@@ -191,7 +222,12 @@ class IndexBuilder:
             tcur = _mark("docs_write", tcur)
             rebuilt_docs = True
 
-        if rebuilt_docs:
+        # stats is (re-)committed when docs were rebuilt OR when a prior
+        # run crashed between the docs commit and the stats commit: the
+        # resume branch is taken forever after (prior_fp == fp), so gating
+        # this write on rebuilt_docs alone would leave the index
+        # permanently unreadable (IndexReader requires the stats table).
+        if rebuilt_docs or not cat.exists("stats"):
             stats_df = spark.createDataFrame(
                 [(stats["n_docs"], stats["total_tokens"], stats["avgdl"])],
                 schema="n_docs long, total_tokens long, avgdl double",
@@ -200,6 +236,7 @@ class IndexBuilder:
                 "stats", stats_df, mode="overwrite",
                 tag={"unit": "stats", "fingerprint": fp, "payload": json.dumps(stats)},
             )
+        if rebuilt_docs:
             self._ckpt(
                 "docs", fp,
                 rows_in=stats["n_docs"],
@@ -326,6 +363,11 @@ class IndexBuilder:
         fp_delta = corpus_fingerprint(delta)
         seg_units = {t.get("unit") for t in cat.committed_tags("segments")}
         if f"append-{fp_delta}" in seg_units:
+            # heal a crash between the segments overwrite and the stats
+            # commit: segments are the new generation but stats are stale
+            stats_units = {t.get("unit") for t in cat.committed_tags("stats")}
+            if f"stats-{fp_delta}" not in stats_units:
+                self._commit_stats(corpus_stats(cat.read(spark, "docs")), fp_delta)
             return {"run_id": self.run_id, "appended_docs": 0, "noop": True}
 
         docs_old = cat.read(spark, "docs")
@@ -368,18 +410,12 @@ class IndexBuilder:
             docs_new = cat.read_tagged_commit(spark, "docs", docs_unit)
             delta_local = cat.read_tagged_commit(spark, "local_segments", docs_unit)
 
-        # refreshed globals over the FULL corpus
+        # refreshed globals over the FULL corpus (committed AFTER the
+        # segments overwrite below — a crash in between leaves old
+        # segments + old stats, which is the consistent pre-append state;
+        # the noop path above heals the reverse window)
         all_docs = cat.read(spark, "docs")
         stats = corpus_stats(all_docs)
-        cat.write(
-            "stats",
-            spark.createDataFrame(
-                [(stats["n_docs"], stats["total_tokens"], stats["avgdl"])],
-                schema="n_docs long, total_tokens long, avgdl double",
-            ),
-            mode="overwrite",
-            tag={"unit": f"stats-{fp_delta}", "payload": json.dumps(stats)},
-        )
 
         segs_old = cat.read(spark, "segments")
         affected = delta_local.select("term").distinct()
@@ -405,6 +441,7 @@ class IndexBuilder:
             "segments", final, mode="overwrite", partition_by=["bucket"],
             tag={"unit": f"append-{fp_delta}", "fingerprint": fp_delta},
         )
+        self._commit_stats(stats, fp_delta)
         wall = time.time() - t0
         summary = {
             "run_id": self.run_id,

@@ -180,6 +180,208 @@ def wand_topk(
     return [(r + 1, -nd, s) for r, (s, nd) in enumerate(ranked)]
 
 
+INF_DOC = 1 << 62
+
+
+class LazyTermPostings:
+    """Block-lazy cursor over one term's postings, built from segment
+    rows WITHOUT decoding payloads (SURVEY.md §2.6 Q6, VERDICT round 1
+    item 2: the stored ``block_meta.byte_offset``/``tf_off``/``dl_off``
+    let the executor decode only the blocks the WAND pointer actually
+    lands on; skipped blocks never touch their bytes).
+
+    ``rows``: (payload, block_meta, idf_stored) per shard row in shard
+    order (shard runs are doc-range-disjoint and doc-ordered, so their
+    block lists concatenate into one term-wide block sequence; the delta
+    chain resets at each row's first block — ``chain_prev`` handles it).
+
+    Stored block max_scores were computed with the encode-time idf; after
+    an incremental append the global idf changes. max_score is linear in
+    idf, so the bound is rescaled by idf_now/idf_stored (nudged one ulp
+    up to absorb float rounding — a loose bound is safe, a tight-by-1ulp
+    bound could prune a tied candidate).
+    """
+
+    __slots__ = (
+        "term", "df", "idf", "block_first", "block_last", "block_max",
+        "block_n", "b_gap", "b_tf", "b_dl", "pay_idx", "chain_prev",
+        "payloads", "nb", "bi", "p", "ids", "tfs", "dls",
+        "blocks_decoded", "max_score",
+    )
+
+    def __init__(self, term: str, df: int, idf_now: float, rows: list):
+        self.term = term
+        self.df = df
+        self.idf = idf_now
+        first, last, mx, nn, bg, bt, bd, pi, cp = [], [], [], [], [], [], [], [], []
+        self.payloads = []
+        for payload, metas, idf_stored in rows:
+            ratio = 1.0 if idf_stored == idf_now else idf_now / idf_stored
+            self.payloads.append(payload)
+            prev = 0
+            for m in metas:
+                first.append(m["block_first"])
+                last.append(m["block_last"])
+                s = m["max_score"] * ratio
+                mx.append(s if ratio == 1.0 else np.nextafter(s * (1.0 + 1e-12), np.inf))
+                nn.append(m["n_docs"])
+                bg.append(m["byte_offset"])
+                bt.append(m["tf_off"])
+                bd.append(m["dl_off"])
+                pi.append(len(self.payloads) - 1)
+                cp.append(prev)
+                prev = m["block_last"]
+        self.block_first = np.asarray(first, dtype=np.int64)
+        self.block_last = np.asarray(last, dtype=np.int64)
+        self.block_max = np.asarray(mx, dtype=np.float64)
+        self.block_n = np.asarray(nn, dtype=np.int64)
+        self.b_gap = np.asarray(bg, dtype=np.int64)
+        self.b_tf = np.asarray(bt, dtype=np.int64)
+        self.b_dl = np.asarray(bd, dtype=np.int64)
+        self.pay_idx = np.asarray(pi, dtype=np.int64)
+        self.chain_prev = np.asarray(cp, dtype=np.int64)
+        self.nb = self.block_last.size
+        self.max_score = float(self.block_max.max()) if self.nb else 0.0
+        self.blocks_decoded = 0
+        self.bi = -1
+        self.p = 0
+        self.ids = self.tfs = self.dls = None
+        if self.nb:
+            self._load(0)
+
+    # ------------------------------------------------------------ blocks
+    def _load(self, bi: int) -> None:
+        from .codec import varint_decode
+
+        buf = np.frombuffer(self.payloads[self.pay_idx[bi]], dtype=np.uint8)
+        n = int(self.block_n[bi])
+        gaps, _ = varint_decode(buf, int(self.b_gap[bi]), n)
+        tfs, _ = varint_decode(buf, int(self.b_tf[bi]), n)
+        dls, _ = varint_decode(buf, int(self.b_dl[bi]), n)
+        self.ids = np.cumsum(gaps.astype(np.int64)) + int(self.chain_prev[bi])
+        self.tfs = tfs.astype(np.int64)
+        self.dls = dls.astype(np.int64)
+        self.bi = bi
+        self.p = 0
+        self.blocks_decoded += 1
+
+    # ------------------------------------------------------------ cursor
+    def cur_doc(self) -> int:
+        return INF_DOC if self.bi >= self.nb else int(self.ids[self.p])
+
+    def cur_tf_dl(self):
+        return float(self.tfs[self.p]), float(self.dls[self.p])
+
+    def block_max_cur(self) -> float:
+        return float(self.block_max[self.bi])
+
+    def block_last_cur(self) -> int:
+        return int(self.block_last[self.bi])
+
+    def seek(self, target: int) -> None:
+        """First posting >= target; skipped blocks are never decoded."""
+        if self.bi >= self.nb or self.cur_doc() >= target:
+            return
+        if target > int(self.block_last[self.bi]):
+            nbi = int(np.searchsorted(self.block_last, target, side="left"))
+            if nbi >= self.nb:
+                self.bi = self.nb  # exhausted
+                return
+            self._load(nbi)
+            self.p = int(np.searchsorted(self.ids, target, side="left"))
+        else:
+            self.p += int(np.searchsorted(self.ids[self.p:], target, side="left"))
+
+    def advance(self) -> None:
+        self.p += 1
+        if self.p >= self.ids.size:
+            if self.bi + 1 < self.nb:
+                self._load(self.bi + 1)
+            else:
+                self.bi = self.nb
+
+
+def wand_topk_lazy(
+    cursors: list[LazyTermPostings],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> list[tuple[int, int, float]]:
+    """Block-Max WAND over LAZY cursors -> [(rank, doc_id, score)].
+
+    Same decision structure (and bitwise-identical full-evaluation
+    scoring) as ``wand_topk``; the difference is that posting blocks are
+    decoded on demand, so blocks skipped by the block-max bound never
+    cost decode work or memory. ``cursors`` in analyzer (query) order.
+    """
+    cursors = [c for c in cursors if c.nb]
+    if not cursors or k <= 0:
+        return []
+    nt = len(cursors)
+    heap: list[tuple[float, int]] = []
+    order = list(range(nt))
+    while True:
+        order.sort(key=lambda i: cursors[i].cur_doc())
+        if cursors[order[0]].cur_doc() >= INF_DOC:
+            break
+        threshold = heap[0][0] if len(heap) >= k else -math.inf
+        acc = 0.0
+        pivot = -1
+        for j, i in enumerate(order):
+            if cursors[i].cur_doc() >= INF_DOC:
+                break
+            acc += cursors[i].max_score
+            if acc >= threshold:
+                pivot = j
+                break
+        if pivot < 0:
+            break
+        pivot_doc = cursors[order[pivot]].cur_doc()
+        if pivot_doc >= INF_DOC:
+            break
+
+        if cursors[order[0]].cur_doc() == pivot_doc:
+            bm = 0.0
+            contributors = []
+            for i in order:
+                if cursors[i].cur_doc() > pivot_doc:
+                    break
+                contributors.append(i)
+                bm += cursors[i].block_max_cur()
+            if bm >= threshold:
+                score = 0.0
+                for i in range(nt):
+                    c = cursors[i]
+                    c.seek(pivot_doc)
+                    if c.cur_doc() == pivot_doc:
+                        tf, dl = c.cur_tf_dl()
+                        score += _score_one(tf, dl, c.idf, k1, b, avgdl)
+                item = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                for i in range(nt):
+                    if cursors[i].cur_doc() == pivot_doc:
+                        cursors[i].advance()
+            else:
+                nxt = min(
+                    cursors[i].block_last_cur() for i in contributors
+                ) + 1
+                if len(contributors) < nt:
+                    nxt = min(nxt, cursors[order[len(contributors)]].cur_doc())
+                nxt = max(nxt, pivot_doc + 1)
+                for i in contributors:
+                    cursors[i].seek(nxt)
+        else:
+            for j in range(pivot):
+                cursors[order[j]].seek(pivot_doc)
+
+    ranked = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(r + 1, -nd, s) for r, (s, nd) in enumerate(ranked)]
+
+
 def naive_topk(
     terms: list[TermPostings], k: int, k1: float, b: float, avgdl: float
 ) -> list[tuple[int, int, float]]:
@@ -234,13 +436,42 @@ class IndexReader:
 
     def __init__(self, spark: SparkSession, index_root: str, cfg: IndexConfig | None = None):
         self.spark = spark
-        self.cfg = cfg or IndexConfig()
         self.cat = Catalog(index_root)
+        # adopt the build's persisted config (catalog properties): a reader
+        # with a different term_buckets computes wrong bucket pruning and
+        # silently misses terms; k1/b/block_size mismatches silently change
+        # scores. Caller-supplied cfg is validated against it.
+        props = self.cat.get_properties() or {}
+        persisted = props.get("index_config")
+        if persisted is not None:
+            if cfg is not None:
+                mism = {
+                    f: (persisted.get(f), getattr(cfg, f))
+                    for f in IndexConfig.SEMANTIC_FIELDS
+                    if persisted.get(f) != getattr(cfg, f)
+                }
+                if mism:
+                    raise ValueError(
+                        f"reader config mismatches the build's persisted "
+                        f"config on {mism} (persisted vs requested)"
+                    )
+            known = {k: v for k, v in persisted.items() if k in IndexConfig.__dataclass_fields__}
+            self.cfg = IndexConfig(**known)
+        else:
+            self.cfg = cfg or IndexConfig()
         srow = self.cat.read(spark, "stats").collect()[0]
         self.n_docs = int(srow["n_docs"])
         self.avgdl = (srow["total_tokens"] / srow["n_docs"]) if srow["n_docs"] else 0.0
         self._segments = self.cat.read(spark, "segments")
         self._cache: dict[str, TermPostings | None] = {}
+        self._row_cache: dict[str, list | None] = {}   # term -> shard rows
+        self._df_cache: dict[str, int] = {}            # term -> global df
+        # above this many total postings across the query's terms, topk()
+        # dispatches to the cluster-side path instead of materializing
+        # posting payloads on the driver (VERDICT round 1 item 3) — df is
+        # known from a dictionary-only columnar read before any payload
+        # bytes move.
+        self.driver_fetch_max_postings = 20_000_000
 
     # ------------------------------------------------------------- fetch
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | None]:
@@ -302,6 +533,92 @@ class IndexReader:
                 )
         return {t: self._cache[t] for t in dict.fromkeys(terms)}
 
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Dictionary-only lookup: global df per term from a bucket-pruned
+        columnar read of (term, df) — parquet never materializes the
+        payload column, so this is safe at any index size and is what the
+        driver/distributed dispatch decision is based on."""
+        missing = [t for t in dict.fromkeys(terms) if t not in self._df_cache]
+        if missing:
+            buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in missing})
+            rows = (
+                self._segments.filter(
+                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+                )
+                .groupBy("term")
+                .agg(F.max("df").alias("df"))
+                .collect()
+            )
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = got.get(t, 0)
+        return {t: self._df_cache[t] for t in dict.fromkeys(terms)}
+
+    def fetch_term_rows(self, terms: list[str]) -> dict[str, list | None]:
+        """Q1 lazy variant: fetch segment rows (payload + block skip
+        metadata) WITHOUT decoding postings; decode happens block-by-block
+        inside the WAND executor only for surviving blocks."""
+        missing = [t for t in dict.fromkeys(terms) if t not in self._row_cache]
+        if missing:
+            buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in missing})
+            rows = (
+                self._segments.filter(
+                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+                )
+                .select("term", "shard", "df", "n", "payload", "block_meta", "idf")
+                .collect()
+            )
+            by_term: dict[str, list] = {}
+            for r in rows:
+                by_term.setdefault(r["term"], []).append(r)
+            for t in missing:
+                rs = sorted(by_term.get(t, []), key=lambda r: r["shard"])
+                self._row_cache[t] = rs or None
+                if rs:
+                    self._df_cache[t] = int(rs[0]["df"])
+        return {t: self._row_cache[t] for t in dict.fromkeys(terms)}
+
+    def _lazy_cursors(self, query: str) -> list[LazyTermPostings]:
+        qterms = analyze_query(query)
+        got = self.fetch_term_rows(qterms)
+        out = []
+        for t in qterms:
+            rs = got.get(t)
+            if not rs:
+                continue
+            df_g = int(rs[0]["df"])
+            idf_now = math.log(1.0 + (self.n_docs - df_g + 0.5) / (df_g + 0.5))
+            out.append(
+                LazyTermPostings(
+                    t, df_g, idf_now,
+                    [
+                        (
+                            bytes(r["payload"]),
+                            [m.asDict() for m in r["block_meta"]],
+                            float(r["idf"]),
+                        )
+                        for r in rs
+                    ],
+                )
+            )
+        return out
+
+    def topk_lazy(self, query: str, k: int = 10, return_stats: bool = False):
+        """Ranked top-k via block-lazy WAND: only surviving blocks are
+        decoded (the cold-query path — no full-payload decode, and after
+        the row fetch no further Spark jobs). Results are identical to
+        ``topk``; with ``return_stats`` also returns
+        {'blocks_decoded', 'blocks_total'}."""
+        cursors = self._lazy_cursors(query)
+        res = wand_topk_lazy(cursors, k, self.cfg.k1, self.cfg.b, self.avgdl)
+        if return_stats:
+            stats = {
+                "blocks_decoded": sum(c.blocks_decoded for c in cursors),
+                "blocks_total": int(sum(c.nb for c in cursors)),
+            }
+            return res, stats
+        return res
+
     def _postings(self, query: str) -> list[TermPostings]:
         qterms = analyze_query(query)
         got = self.fetch_terms(qterms)
@@ -320,7 +637,20 @@ class IndexReader:
         large share of a big posting universe; for small universes the
         numpy full-scan scorer is faster. Both are exact and produce
         bitwise-identical scores (tests/test_query.py), so the dispatch
-        is invisible in results."""
+        is invisible in results.
+
+        When the query's total postings (known from a dictionary-only df
+        lookup BEFORE any payload moves) exceed
+        ``driver_fetch_max_postings``, the query is served cluster-side
+        (``topk_distributed``) instead of materializing payloads on the
+        driver — a df~10^11 term must never be driver-fetched."""
+        qterms = analyze_query(query)
+        uncached = [t for t in qterms if t not in self._cache]
+        if uncached:
+            dfs = self.term_dfs(uncached)
+            if sum(dfs.values()) > self.driver_fetch_max_postings:
+                rows = self.topk_distributed(query, k).collect()
+                return [(int(r["rank"]), int(r["doc_id"]), float(r["score"])) for r in rows]
         tp = self._postings(query)
         if use_wand is None:
             use_wand = sum(t.doc_ids.size for t in tp) > self.WAND_MIN_POSTINGS
@@ -395,6 +725,70 @@ class IndexReader:
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
             "rank", "doc_id", "score"
+        )
+
+    def topk_set_distributed(self, queries: list[dict]) -> DataFrame:
+        """Executor-side block-max WAND for BATCH workloads (the scale
+        path when the query set is large): queries are analyzed
+        driver-side (tiny), the (query_id, pos, term, k) pairs are
+        broadcast-joined against the bucket-pruned segments scan, each
+        query's term rows shuffle to ONE task, and the exact lazy-WAND
+        kernel runs per query inside ``applyInPandas`` — only surviving
+        blocks are decoded, no posting bytes ever reach the driver, and
+        parallelism scales with the number of queries.
+
+        Scores are bitwise-identical to the driver ``topk`` path (same
+        ``_score_one`` expression summed in analyzer order). Queries with
+        no term hits simply emit no rows. Returns a DataFrame
+        (query_id string, rank long, doc_id long, score double).
+        """
+        pairs = []
+        for q in queries:
+            for pos, t in enumerate(analyze_query(q["query"])):
+                pairs.append((q["query_id"], pos, t, int(q.get("k", 10))))
+        if not pairs:
+            return self.spark.createDataFrame(
+                [], schema="query_id string, rank long, doc_id long, score double"
+            )
+        pdf = self.spark.createDataFrame(
+            pairs, schema="query_id string, pos int, term string, k int"
+        )
+        terms = sorted({p[2] for p in pairs})
+        buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in terms})
+        segs = self._segments.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        ).select("term", "shard", "df", "payload", "block_meta", "idf")
+        joined = segs.join(F.broadcast(pdf), "term")
+        n_docs, avgdl = self.n_docs, self.avgdl
+        k1, b = self.cfg.k1, self.cfg.b
+
+        def run_one(key, group: "pd.DataFrame"):
+            import pandas as pd
+
+            group = group.sort_values(["pos", "shard"])
+            k = int(group["k"].iloc[0])
+            cursors = []
+            for pos in group["pos"].unique():
+                rs = group[group["pos"] == pos]
+                df_g = int(rs["df"].iloc[0])
+                idf_now = math.log(1.0 + (n_docs - df_g + 0.5) / (df_g + 0.5))
+                cursors.append(
+                    LazyTermPostings(
+                        str(rs["term"].iloc[0]), df_g, idf_now,
+                        [
+                            (bytes(r.payload), list(r.block_meta), float(r.idf))
+                            for r in rs.itertuples()
+                        ],
+                    )
+                )
+            res = wand_topk_lazy(cursors, k, k1, b, avgdl)
+            return pd.DataFrame(
+                [(key[0], r, d, s) for r, d, s in res],
+                columns=["query_id", "rank", "doc_id", "score"],
+            )
+
+        return joined.groupBy("query_id").applyInPandas(
+            run_one, schema="query_id string, rank long, doc_id long, score double"
         )
 
     def topk_df(self, query: str, k: int = 10, hydrate: bool = False) -> DataFrame:
