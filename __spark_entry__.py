@@ -331,6 +331,68 @@ def _q_checkpoints(spark, sf_dir):
     )
 
 
+# ------------------------------------------- LLM-pipeline operators (r2)
+def _q_near_dup_exact(spark, sf_dir):
+    from yase_spark.neardup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.1)
+
+
+def _q_near_dup_lsh(spark, sf_dir):
+    from yase_spark.neardup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=3, threshold=0.1)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from yase_spark.neardup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_ann_topk(spark, sf_dir):
+    from yase_spark.similarity import cosine_topk
+
+    return cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), n_queries=8, k=10
+    )
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    # bucketed/probed variant — approximate by design, so rows-only for
+    # the driver; recall>=0.9 vs the exact path is gated in
+    # tests/test_pipeline_ops.py
+    from yase_spark.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), n_queries=8, k=10
+    )
+
+
+def _q_token_stats(spark, sf_dir):
+    from yase_spark.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from yase_spark.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from yase_spark.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from yase_spark.textstats import doc_fingerprints
+
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_agg": _q_tf,
@@ -356,6 +418,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_counts": _q_union_counts,
         "codec_roundtrip": _q_codec_roundtrip,
         "checkpoints": _q_checkpoints,
+        # LLM-pipeline operators (round 2): dedup family, similarity
+        # search, text analysis — see yase_spark/{neardup,similarity,
+        # textstats}.py
+        "near_dup_exact": _q_near_dup_exact,
+        "near_dup_lsh": _q_near_dup_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "token_stats": _q_token_stats,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality,
+        "doc_fingerprint": _q_fingerprint,
     }
 
 
@@ -377,6 +451,84 @@ sc AS (
 )
 {select}
 """
+
+
+# ------------------- LLM-pipeline oracle SQL (validated vs Spark at
+# sf0.001/sf0.01; hashing parity via the md5-hex-prefix 60-bit cast,
+# which evaluates identically in Spark and DuckDB)
+_NEAR_DUP_SQL = """
+WITH words AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') w FROM documents),
+sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i.i+1], w[i.i+2], w[i.i+3]) s
+       FROM words CROSS JOIN LATERAL (SELECT unnest(range(0, greatest(len(w)-2, 0))) i) i),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i FROM sh a JOIN sh b USING (s)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, i*1.0/(sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i*1.0/(sa.n + sb.n - i) >= 0.1
+"""
+
+_SIMHASH_SQL = """
+WITH words AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') w FROM documents),
+tok AS (SELECT doc_id, t, count(*) tf, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) h
+        FROM (SELECT doc_id, unnest(w) t FROM words) GROUP BY doc_id, t),
+bits AS (SELECT doc_id, j.j, sum(tf * (((h >> (j.j)::INT) & 1) * 2 - 1)) s
+         FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) j) j GROUP BY 1, 2),
+sims AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << (j)::INT) ELSE 0::BIGINT END)::BIGINT simhash
+         FROM bits GROUP BY doc_id)
+SELECT a.doc_id doc_a, b.doc_id doc_b, bit_count(xor(a.simhash, b.simhash)) hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 8),
+sc AS (SELECT q.query_id, e.vec_id,
+              round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) sim_r
+       FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+SELECT query_id, vec_id, sim_r, rank FROM (
+  SELECT query_id, vec_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, vec_id) rank
+  FROM sc)
+WHERE rank <= 10
+"""
+
+
+def _sw_sql() -> tuple[str, str]:
+    from yase_spark.textstats import STOPWORDS
+
+    def lst(lang):
+        return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' lang, "
+        f"len(list_filter(w, t -> t in ({lst(lang)}))) hits FROM w"
+        for lang in sorted(STOPWORDS)
+    )
+    lang_sql = f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') w FROM documents),
+sc AS ({unions})
+SELECT doc_id, lang AS pred_lang, hits FROM (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) rn FROM sc)
+WHERE rn = 1
+"""
+    en = lst("en")
+    quality_sql = f"""
+WITH b AS (SELECT doc_id, n_chars, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') w,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) alnum FROM documents)
+SELECT doc_id, len(w) n_words,
+  round(list_sum(list_transform(w, t -> length(t))) * 1.0 / nullif(len(w), 0), 6) mean_word_len,
+  round(alnum * 1.0 / nullif(n_chars, 0), 6) alnum_ratio,
+  round(len(list_filter(w, t -> t in ({en}))) * 1.0 / nullif(len(w), 0), 6) stop_ratio,
+  round(least(len(w) / 100.0, 1.0) * 0.4 + round(alnum * 1.0 / nullif(n_chars, 0), 6) * 0.4
+        + (1.0 - round(len(list_filter(w, t -> t in ({en}))) * 1.0 / nullif(len(w), 0), 6)) * 0.2, 6) quality_r
+FROM b
+"""
+    return lang_sql, quality_sql
+
+
+_LANG_ID_SQL, _QUALITY_SQL = _sw_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -465,7 +617,71 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "SELECT count(*) AS n FROM (SELECT doc_id FROM documents WHERE lang = 'en' "
             "UNION ALL SELECT doc_id FROM documents WHERE lang = 'fr')"
         ),
-        # tokenize_ngrams, codec_roundtrip, checkpoints: rows-only
-        # (bigram SQL is intentionally omitted; codec/checkpoints are
-        # engine-internal — their real gates are in tests/)
+        # identifier n-grams: parts + multipart fulls + adjacent-part
+        # bigrams. RE2 (DuckDB) has no lookahead, so the interior-part
+        # duplication uses the '_p_' -> '_p p_' rewrite applied 3x
+        # (handles up to ~2^3 parts; the composed idents have <= 3).
+        "tokenize_ngrams": f"""
+WITH d AS (SELECT doc_id, {_CAMEL_SQL} AS ident FROM documents),
+parts AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(
+    regexp_replace(regexp_replace(replace(
+      regexp_replace(ident, '[^A-Za-z0-9_]+', ' ', 'g'), '_', ' '),
+      '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+      '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), ' +')) AS term
+  FROM d),
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(
+      regexp_replace(ident, '[^A-Za-z0-9_]+', ' ', 'g'), ' +')) AS tok FROM d)
+  WHERE regexp_matches(tok, '[A-Za-z0-9]_+[A-Za-z0-9]|[A-Z]+[A-Z][a-z]|[a-z0-9][A-Z]')),
+norms AS (
+  SELECT doc_id, lower(tok) AS term,
+    regexp_replace(regexp_replace(lower(
+      regexp_replace(regexp_replace(tok,
+        '([A-Z]+)([A-Z][a-z])', '\\1_\\2', 'g'),
+        '([a-z0-9])([A-Z])', '\\1_\\2', 'g')),
+      '_+', '_', 'g'), '^_+|_+$', '', 'g') AS norm
+  FROM toks),
+bigr AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+    regexp_replace(regexp_replace(regexp_replace(norm,
+      '_([a-z0-9]+)_', '_\\1 \\1_', 'g'),
+      '_([a-z0-9]+)_', '_\\1 \\1_', 'g'),
+      '_([a-z0-9]+)_', '_\\1 \\1_', 'g'), ' ')) AS term
+  FROM norms),
+allt AS (
+  SELECT doc_id, term FROM parts WHERE term <> ''
+  UNION ALL SELECT doc_id, term FROM norms
+  UNION ALL SELECT doc_id, term FROM bigr)
+SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
+""",
+        # LLM-pipeline operators -------------------------------------
+        "near_dup_exact": _NEAR_DUP_SQL,
+        # LSH banding with 128 rows-per-band=1 bands + exact verify:
+        # same exact-Jaccard oracle (a miss needs all 128 independent
+        # minhashes to collide-free — P < 2e-6 at j >= 0.1)
+        "near_dup_lsh": _NEAR_DUP_SQL,
+        "simhash_pairs": _SIMHASH_SQL,
+        "ann_topk": _ANN_SQL,
+        "token_stats": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[^ ]+')) AS n_ws, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe, "
+            "len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS n_distinct "
+            "FROM documents"
+        ),
+        "lang_id": _LANG_ID_SQL,
+        "quality_scores": _QUALITY_SQL,
+        "doc_fingerprint": (
+            "WITH tok AS (SELECT doc_id, "
+            "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) h "
+            "FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) t "
+            "FROM documents)) "
+            "SELECT doc_id, min(h) AS fp_min, bit_xor(h) AS fp_xor "
+            "FROM tok GROUP BY doc_id"
+        ),
+        # ann_lsh_topk: rows-only (approximate by design; recall gated
+        # in tests/test_pipeline_ops.py). codec_roundtrip, checkpoints:
+        # rows-only (engine-internal — real gates are in tests/).
     }

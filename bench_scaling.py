@@ -39,7 +39,11 @@ stage = __STAGE__  # corpus parquet staged ONCE by the parent (byte-identical in
 spark = get_spark(cpus=cpus, app=f"yase-scale-{cpus}", shuffle_partitions=2 * cpus)
 spark.sparkContext.setLogLevel("ERROR")
 corpus = spark.read.parquet(stage)
-cfg = IndexConfig(build_groups=2, shuffle_partitions=2 * cpus)
+# term_buckets=256: the merge's reduce side is bucket-partitioned, so 64
+# buckets = 2 task waves on 32 cores and the bucket-skew tail caps the 4N
+# level; 256 gives ~8 waves and smooth balance at BOTH levels (identical
+# output modulo the bucket column, which is a pure function of term).
+cfg = IndexConfig(build_groups=2, shuffle_partitions=2 * cpus, term_buckets=256)
 
 # untimed warmup: a tiny build exercises every stage type once so Python
 # worker spawn/imports and JVM codegen/JIT are excluded from the timed
@@ -87,6 +91,7 @@ print("RESULT " + json.dumps({
     "docs_sig": [int(docs_sig["c"]), int(docs_sig["x"])],
     "query_sig": qsig,
     "q_p50_ms": lat["p50_ms"], "q_p95_ms": lat["p95_ms"],
+    "phases": summary.get("phases", {}),
 }))
 spark.stop()
 """
@@ -124,9 +129,16 @@ def run_level(cpus: int, n_docs: int, stage: str) -> dict:
         .replace("__NDOCS__", str(n_docs))
         .replace("__STAGE__", repr(stage))
     )
-    # moderate heap: a huge lazily-faulted heap measurably SLOWS the
-    # 32-thread level (page-zeroing churn beats GC savings at this size)
-    env = dict(os.environ, PYTHONPATH=repo, YASE_DRIVER_MEM="12g")
+    # per-core-constant heap (0.75 GiB/core): a real 4N cluster has 4x the
+    # total executor memory, and a same-size heap at 4x the task threads
+    # measurably GC-throttles the big level; huge heaps (48g) are also
+    # pathological on this box (page-zeroing churn), so the scale is
+    # capped well below that.
+    heap = os.environ.get("YASE_HEAP_PER_CORE_MB", "768")
+    env = dict(
+        os.environ, PYTHONPATH=repo,
+        YASE_DRIVER_MEM=f"{max(6144, cpus * int(heap)) // 1024}g",
+    )
     if os.path.isdir("/dev/shm"):
         os.makedirs("/dev/shm/yase_spark_local", exist_ok=True)
         env["SPARK_LOCAL_DIRS"] = "/dev/shm/yase_spark_local"
@@ -155,7 +167,8 @@ def main() -> None:
         runs.sort(key=lambda r: r["wall_s"])
         levels[cpus] = runs[len(runs) // 2]  # median
         print(f"local[{cpus}]: {levels[cpus]['wall_s']:.1f}s "
-              f"({levels[cpus]['docs_per_s']:.0f} docs/s)", file=sys.stderr)
+              f"({levels[cpus]['docs_per_s']:.0f} docs/s) "
+              f"phases={levels[cpus].get('phases')}", file=sys.stderr)
 
     a, b = levels[8], levels[32]
     eff = (a["wall_s"] / b["wall_s"]) / 4.0

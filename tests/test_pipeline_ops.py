@@ -1,0 +1,103 @@
+"""LLM-pipeline operators (round 2): near-dup family, similarity
+search, text analysis. The exact operators are oracle-gated by the
+driver (tests/test_entry.py runs the same contract); here we gate the
+parts an SQL oracle can't: LSH recall, banding exactness, and the
+approximate ANN's recall@k vs the exact path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_minhash_lsh_recall_is_total(spark, docs):
+    """With 128 rows-per-band=1 bands, LSH candidates must cover every
+    true pair at j >= 0.1 on this corpus (P(miss) < 2e-6 per pair)."""
+    from yase_spark.neardup import jaccard_pairs, minhash_lsh_pairs
+
+    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert exact, "fixture should contain near-dup pairs"
+    assert lsh == exact, f"LSH missed {exact - lsh} / extra {lsh - exact}"
+
+
+def test_simhash_banding_is_exact(spark, docs):
+    """4-band pigeonhole must find exactly the hamming<=3 pairs that a
+    brute-force comparison over all simhashes finds."""
+    from yase_spark.neardup import simhash_docs, simhash_pairs
+
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+    ids = sorted(sims)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    banded = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs).collect()}
+    assert banded == brute
+
+
+def test_ann_lsh_recall(spark, emb):
+    """Bucketed ANN must reach recall@10 >= 0.9 vs the exact top-k at
+    this SF with the default multi-table parameters."""
+    from yase_spark.similarity import cosine_topk, lsh_ann_topk
+
+    exact = cosine_topk(emb).collect()
+    approx = lsh_ann_topk(emb).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(want[q] & got.get(q, set())) / len(want[q]) for q in want
+    ]
+    recall = sum(recalls) / len(recalls)
+    assert recall >= 0.9, f"recall@10 = {recall:.3f} (per-query {recalls})"
+
+
+def test_ann_candidates_are_pruned(spark, emb):
+    """The bucketed variant must actually score fewer candidates than
+    brute force (the scale story: buckets prune the join)."""
+    from yase_spark.similarity import lsh_buckets
+
+    n = emb.count()
+    n_queries = 8
+    b = lsh_buckets(emb)
+    q = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    cand = (
+        b.select("vec_id", "table", "bucket")
+        .join(q, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+        .count()
+    )
+    assert cand < 0.8 * n_queries * n, (
+        f"scoring {cand} of {n_queries * n} pairs — no pruning"
+    )
+
+
+def test_quality_and_langid_shapes(spark, docs):
+    from yase_spark.textstats import lang_id, quality_scores, token_stats
+
+    n = docs.count()
+    assert lang_id(docs).count() == n
+    assert quality_scores(docs).count() == n
+    ts = token_stats(docs)
+    assert ts.count() == n
+    row = ts.agg(F.min("n_bpe"), F.min("n_ws")).collect()[0]
+    assert row[0] >= 0 and row[1] >= 0

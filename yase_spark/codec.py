@@ -52,25 +52,40 @@ def varint_decode(buf: np.ndarray | bytes, offset: int = 0, count: int | None = 
     """
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     b = b[offset:]
+    if count is not None:
+        if count == 0:
+            return np.empty(0, dtype=np.uint64), 0
+        # bounded scan: LEB128(uint64) is <= 10 bytes/value, so the lazy
+        # block decoder (count = block postings) never touches bytes past
+        # its own block region — O(block), not O(payload)
+        b = b[: count * 10]
     if b.size == 0:
         return np.empty(0, dtype=np.uint64), 0
     ends = np.flatnonzero((b & 0x80) == 0)
     if count is not None:
-        if count == 0:
-            return np.empty(0, dtype=np.uint64), 0
         ends = ends[:count]
     nbytes = int(ends[-1]) + 1
-    b = b[:nbytes]
-    starts = np.concatenate(([0], ends[:-1] + 1))
-    # position of each byte within its varint
-    pos = np.arange(nbytes, dtype=np.int64)
-    value_idx = np.searchsorted(ends, pos, side="left")
-    pos_in_value = pos - starts[value_idx]
-    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
-        np.uint64(7) * pos_in_value.astype(np.uint64)
-    )
-    vals = np.add.reduceat(contrib, starts)
-    return vals.astype(np.uint64), nbytes
+    if nbytes == ends.size:  # all single-byte varints (common for tfs)
+        return b[:nbytes].astype(np.uint64), nbytes
+    starts = np.empty(ends.size, dtype=np.int64)
+    starts[0] = 0
+    np.add(ends[:-1], 1, out=starts[1:])
+    # width-stratified decode: level j gathers the (j+1)-th byte of every
+    # value that HAS one — O(sum of widths) gathers on value-sized
+    # arrays, no per-byte index/shift arrays (those dominated the old
+    # profile at ~4x the cost)
+    low = b & np.uint8(0x7F)
+    vals = low[starts].astype(np.uint64)
+    rem = ends - starts  # width-1 per value
+    maxw = int(rem.max())
+    idx = starts
+    sel = None
+    for j in range(1, maxw + 1):
+        m = rem >= j
+        sel = np.flatnonzero(m) if sel is None else sel[rem[sel] >= j]
+        idx = starts[sel] + j
+        vals[sel] |= low[idx].astype(np.uint64) << np.uint64(7 * j)
+    return vals, nbytes
 
 
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:

@@ -65,6 +65,14 @@ class IndexConfig:
                                    # — equality-tested impls of ONE spec
     parallel_units: int = PARALLEL_UNITS
     shuffle_partitions: int = field(default_factory=lambda: DEFAULT_CPUS)
+    # target raw-content bytes per sort partition in the ingest shuffle.
+    # DATA-derived (never core-derived): the partition count fixes
+    # runs-per-term in the merge, so it must be identical across cluster
+    # sizes for strong scaling. 4 MiB suits per-row-CPU-heavy local runs
+    # (>=2.5 task waves on 32 cores at the bench sizes — wave-tail
+    # balance); a 100 TB deployment raises it (e.g. 256-512 MiB) to
+    # bound task count.
+    sort_partition_bytes: int = 4 << 20
 
     # fields that change the index bytes or query results: a reader using
     # different values than the build silently returns wrong results

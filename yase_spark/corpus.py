@@ -138,10 +138,12 @@ def tokenize_and_count(base: DataFrame, ngrams: bool = True) -> DataFrame:
 DOCLEN_TERM = "\x00doclen"
 
 
-def tokenize_count_encode(base: DataFrame, ngrams: bool = True) -> DataFrame:
-    """Fully fused map-side indexing (T1+T2+A1+C2+C3 in ONE Arrow pass):
-    (doc_id, content) -> encoded local segments, one run per term per
-    input partition.
+def tokenize_count_encode(
+    base: DataFrame, ngrams: bool = True, offsets=None
+) -> DataFrame:
+    """Fully fused map-side indexing (doc_id zip + T1+T2+A1+C2+C3 in ONE
+    Arrow pass): sorted/deduped corpus partitions -> encoded local
+    segments, one run per term per input partition.
 
     This is the classic map-side partial index: input partitions are
     doc_id-contiguous (the id mint range-sorts), so the partition id IS
@@ -150,72 +152,120 @@ def tokenize_count_encode(base: DataFrame, ngrams: bool = True) -> DataFrame:
     (~10x smaller). Memory is bounded by one input split's term counts
     (sized via spark.sql.files.maxPartitionBytes). doc_len is emitted as
     the DOCLEN_TERM pseudo posting list and decoded by the docs stage.
+
+    ``offsets``: broadcast {_pid -> doc_id base} from
+    :func:`yase_spark.ids.dedup_sorted` — when given, ``base`` must carry
+    (_pid, content) and doc_ids are zipped INSIDE this kernel (saves a
+    dedicated pass that would move the content column through Arrow one
+    more round trip); when None, ``base`` must carry (doc_id, content).
+
+    Arrow end-to-end (``mapInArrow``): content arrives as Arrow string
+    buffers and is tokenized/counted by RE2 + dictionary-encode C++
+    kernels (yase_spark.tokenize.tokenize_count_arrow) — per-token
+    Python ``str`` objects never exist, which is what capped the 32-way
+    scaling of the pandas path (allocator/cache churn).
     """
-    import itertools
-
     import numpy as np
+    import pyarrow as pa
 
-    from .postings import _encode_groups
+    from .postings import encode_runs_coded
+    from .tokenize import tokenize_count_arrow
 
     def run(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        chunks = []
-        for pdf in batches:
-            if pdf.empty:
+        term_chunks, doc_chunks, tf_chunks, dl_chunks = [], [], [], []
+        dl_docs, dl_lens = [], []
+        zbase = None
+        seen = 0
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            toks = tokenize_series(pdf["content"], ngrams=ngrams)
-            lens = np.array([len(x) for x in toks], dtype=np.int64)
-            doc_ids_b = pdf["doc_id"].to_numpy()
-            total = int(lens.sum())
-            if total:
-                flat = np.fromiter(
-                    itertools.chain.from_iterable(toks), dtype=object, count=total
+            if offsets is not None:
+                if zbase is None:
+                    # shard id = the sort-stage partition id (_pid), the
+                    # same key the doc_id offsets are built on — the merge
+                    # relies on shard order == doc-range order
+                    pid = int(rb.column(0)[0].as_py())
+                    zbase = offsets.value.get(pid, 0)
+                doc_ids_b = np.arange(
+                    zbase + seen + 1, zbase + seen + 1 + n, dtype=np.int64
                 )
-                codes, uniq = pd.factorize(flat)
-                doc_pos = np.repeat(np.arange(len(pdf)), lens)
-                key = doc_pos.astype(np.int64) * len(uniq) + codes
-                uk, first_idx, counts = np.unique(
-                    key, return_index=True, return_counts=True
-                )
-                sel = doc_pos[first_idx]
-                chunks.append(
-                    pd.DataFrame(
-                        {
-                            "term": np.asarray(uniq, dtype=object)[
-                                (uk % len(uniq)).astype(np.int64)
-                            ],
-                            "doc_id": doc_ids_b[sel],
-                            "tf": counts.astype(np.int64),
-                            "dl": lens[sel],
-                        }
-                    )
-                )
-            # doc_len pseudo postings (tf=1, dl=token count; includes
-            # empty docs so every doc has a doc_len)
-            chunks.append(
-                pd.DataFrame(
-                    {
-                        "term": np.full(len(pdf), DOCLEN_TERM, dtype=object),
-                        "doc_id": doc_ids_b,
-                        "tf": np.ones(len(pdf), dtype=np.int64),
-                        "dl": lens,
-                    }
-                )
+                seen += n
+            else:
+                doc_ids_b = rb.column(0).to_numpy().astype(np.int64)
+            di, codes, tfs, dic, dlens = tokenize_count_arrow(
+                rb.column(1), ngrams=ngrams
             )
-        if not chunks:
+            if codes.size:
+                term_chunks.append(dic.take(pa.array(codes)))
+                doc_chunks.append(doc_ids_b[di])
+                tf_chunks.append(tfs)
+                dl_chunks.append(dlens[di])
+            dl_docs.append(doc_ids_b)
+            dl_lens.append(dlens)
+        if not dl_docs:
             return
-        big = pd.concat(chunks, ignore_index=True)
-        codes, _ = pd.factorize(big["term"].to_numpy())
-        order = np.lexsort((big["doc_id"].to_numpy(), codes))
-        big = big.iloc[order].reset_index(drop=True)
-        big["salt"] = np.int32(pid)
-        yield _encode_groups(big)
+        if term_chunks:
+            denc = pa.chunked_array(term_chunks).combine_chunks().dictionary_encode()
+            codes = denc.indices.to_numpy().astype(np.int64)
+            dic = denc.dictionary
+        else:
+            codes = np.empty(0, dtype=np.int64)
+            dic = pa.array([], type=pa.string())
+        k = len(dic)
+        # doc_len pseudo postings ride as one more code (tf=1, dl=token
+        # count; includes empty docs so every doc has a doc_len)
+        all_docs = np.concatenate(dl_docs)
+        all_lens = np.concatenate(dl_lens)
+        codes_full = np.concatenate([codes, np.full(all_docs.size, k, dtype=np.int64)])
+        docs_full = np.concatenate(
+            [np.concatenate(doc_chunks) if doc_chunks else np.empty(0, np.int64), all_docs]
+        )
+        tfs_full = np.concatenate(
+            [np.concatenate(tf_chunks) if tf_chunks else np.empty(0, np.int64),
+             np.ones(all_docs.size, dtype=np.int64)]
+        )
+        dls_full = np.concatenate(
+            [np.concatenate(dl_chunks) if dl_chunks else np.empty(0, np.int64), all_lens]
+        )
+        dic_full = pa.concat_arrays([dic, pa.array([DOCLEN_TERM], type=dic.type)])
+        order = np.lexsort((docs_full, codes_full))
+        yield encode_runs_coded(
+            codes_full[order], docs_full[order], tfs_full[order], dls_full[order],
+            dic_full, pid,
+        )
 
     from .postings import LOCAL_SCHEMA
 
-    return base.select("doc_id", "content").mapInPandas(run, schema=LOCAL_SCHEMA)
+    cols = ("_pid", "content") if offsets is not None else ("doc_id", "content")
+    return base.select(*cols).mapInArrow(run, schema=LOCAL_SCHEMA)
+
+
+def docs_projection(s1: DataFrame, offsets) -> DataFrame:
+    """Docs dimension from the sorted/deduped corpus: zip doc_ids over the
+    SKINNY columns only — content_sha256 was computed in the dedup kernel,
+    so the content column never crosses Arrow here (it is projected away
+    JVM-side before the Python worker)."""
+
+    def zip_meta(batches):
+        seen = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            base = offsets.value.get(int(pdf["_pid"].iloc[0]), 0)
+            pdf = pdf.copy()
+            pdf["doc_id"] = range(base + seen + 1, base + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield pdf[["doc_id", "repo", "path", "commit", "lang", "content_sha256"]]
+
+    return s1.select("_pid", "repo", "path", "commit", "lang", "content_sha256").mapInPandas(
+        zip_meta,
+        schema="doc_id long, repo string, path string, commit string, "
+        "lang string, content_sha256 string",
+    )
 
 
 def decode_doclens(staged_local: DataFrame) -> DataFrame:

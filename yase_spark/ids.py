@@ -72,10 +72,17 @@ def assign_doc_ids_window(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_id", F.row_number().over(w))
 
 
-def dedup_and_assign_ids(
+def dedup_sorted(
     corpus: DataFrame, sort_partitions: int | None = None, id_offset: int = 0
-) -> DataFrame:
-    """Fused dedup + deterministic doc_id mint in ONE content shuffle.
+):
+    """Fused dedup + the two-phase id-mint PREP in ONE content shuffle:
+    returns ``(s1, offsets_broadcast, total_rows)`` where ``s1`` is the
+    persisted, range-sorted, deduplicated corpus (plus ``_pid`` and a
+    ``content_sha256`` column computed while content is already in the
+    Python worker) and ``offsets`` maps _pid -> doc_id base. Downstream
+    kernels (tokenize+encode, docs projection) zip doc_ids themselves —
+    fusing the zip avoids a dedicated mapInPandas pass that would move
+    the full content column through Arrow one extra round trip.
 
     A separate ``groupBy(key)`` dedup would shuffle the full ``content``
     column once for the dedup and again for the id sort — at 10^12-file
@@ -83,9 +90,16 @@ def dedup_and_assign_ids(
     by the natural key (equal keys land in one partition), sort within
     partitions by (key, lang, content), drop non-first duplicate keys
     streamingly (equal-key runs are adjacent; ties broken by the sort =
-    lexicographic min, same semantics as the groupBy-min path), then
-    two-phase zip the dense 1-based doc_id exactly like assign_doc_ids.
+    lexicographic min, same semantics as the groupBy-min path).
+
+    ``sort_partitions`` should be DATA-size-derived (build passes
+    bytes/sort_partition_bytes), never core-count-derived: the partition
+    count determines runs-per-term in the merge, so tying it to cluster
+    size makes a bigger cluster do more merge work (the round-1 N->4N
+    scaling inversion).
     """
+    import hashlib
+
     spark = corpus.sparkSession
     n_part = sort_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     s = (
@@ -93,24 +107,61 @@ def dedup_and_assign_ids(
         .sortWithinPartitions(*KEY, "lang", "content")
         .withColumn("_pid", F.spark_partition_id())
     )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(s.schema.fields) + [StructField("content_sha256", StringType())]
+    )
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = [f.name for f in s.schema.fields]
+    ki = [names.index(k) for k in KEY]
+    ci = names.index("content")
 
     def dedup(batches):
+        # Arrow end-to-end: rows arrive sorted by KEY; equal-key runs are
+        # adjacent, so dedup is a vectorized neighbor comparison, and
+        # sha256 reads the utf-8 bytes straight out of the Arrow string
+        # buffer — the content column never becomes Python objects.
         prev_key = None
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            pdf = pdf.drop_duplicates(subset=KEY, keep="first")
-            if prev_key is not None:
-                first = tuple(pdf.iloc[0][k] for k in KEY)
-                if first == prev_key:
-                    pdf = pdf.iloc[1:]
-            if len(pdf):
-                prev_key = tuple(pdf.iloc[-1][k] for k in KEY)
-                yield pdf
+            keep = np.ones(n, dtype=bool)
+            if n > 1:
+                dup = None
+                for i in ki:
+                    col = rb.column(i)
+                    eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+                    dup = eq if dup is None else pc.and_(dup, eq)
+                keep[1:] = ~dup.to_numpy(zero_copy_only=False)
+            first = tuple(rb.column(i)[0].as_py() for i in ki)
+            if prev_key is not None and first == prev_key:
+                keep[0] = False
+            prev_key = tuple(rb.column(i)[n - 1].as_py() for i in ki)
+            if not keep.any():
+                continue
+            out = rb.filter(pa.array(keep)) if not keep.all() else rb
+            content = out.column(ci)
+            odt = np.int64 if pa.types.is_large_string(content.type) else np.int32
+            offs = np.frombuffer(content.buffers()[1], dtype=odt)
+            offs = offs[content.offset : content.offset + out.num_rows + 1]
+            mv = memoryview(content.buffers()[2])
+            shas = [
+                hashlib.sha256(mv[offs[i] : offs[i + 1]]).hexdigest()
+                for i in range(out.num_rows)
+            ]
+            yield out.append_column(
+                pa.field("content_sha256", pa.string()), pa.array(shas, type=pa.string())
+            )
 
     from pyspark.storagelevel import StorageLevel
 
-    s1 = s.mapInPandas(dedup, schema=s.schema).persist(StorageLevel.MEMORY_AND_DISK)
+    s1 = s.mapInArrow(dedup, schema=out_schema).persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         r["_pid"]: r["cnt"]
         for r in s1.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -120,6 +171,17 @@ def dedup_and_assign_ids(
         offsets[pid] = acc
         acc += counts[pid]
     boff = spark.sparkContext.broadcast(offsets)
+    return s1, boff, acc - id_offset
+
+
+def dedup_and_assign_ids(
+    corpus: DataFrame, sort_partitions: int | None = None, id_offset: int = 0
+) -> DataFrame:
+    """Back-compat wrapper over :func:`dedup_sorted`: one more Arrow pass
+    zips the dense 1-based doc_id (exactly like assign_doc_ids). The
+    staged build uses dedup_sorted + fused kernels instead."""
+    s1, boff, total = dedup_sorted(corpus, sort_partitions, id_offset)
+    spark = corpus.sparkSession
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -136,7 +198,7 @@ def dedup_and_assign_ids(
             seen += len(pdf)
             yield pdf
 
-    out = s1.mapInPandas(zip_ids, schema=schema).drop("_pid")
+    out = s1.mapInPandas(zip_ids, schema=schema).drop("_pid", "content_sha256")
     out._yase_persisted_source = s1
-    out._yase_total_rows = acc - id_offset  # deduped row count, free here
+    out._yase_total_rows = total  # deduped row count, free here
     return out

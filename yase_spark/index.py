@@ -49,21 +49,31 @@ def _tf_jvm(tokenized: DataFrame) -> DataFrame:
     return term_frequencies(explode_terms(tokenized))
 
 
-def corpus_fingerprint(corpus: DataFrame) -> str:
+def corpus_fingerprint(corpus: DataFrame, with_bytes: bool = False):
     """Order/partitioning-invariant content fingerprint of the raw corpus:
     row count + commutative mixes of per-row xxhash64 over the natural key
     and the content sha. Deliberately avoids the tokenize pipeline so a
-    resumed build can decide stage reuse without re-running ingest."""
+    resumed build can decide stage reuse without re-running ingest.
+
+    ``with_bytes=True`` additionally returns total content bytes (same
+    scan, one extra agg column) — the build derives its sort partition
+    count from DATA SIZE, never from core count, so a bigger cluster does
+    identical work on identical input (strong-scaling invariant)."""
     row = corpus.select(
         F.xxhash64(
             "repo", "path", "commit", F.sha2(F.col("content"), 256)
-        ).alias("h")
+        ).alias("h"),
+        F.octet_length("content").alias("b"),
     ).agg(
         F.count("*").alias("c"),
         F.expr("bit_xor(h)").alias("x"),
         F.sum(F.pmod(F.col("h"), F.lit(2_147_483_647))).alias("m"),
+        F.sum("b").alias("bytes"),
     ).collect()[0]
-    return f"{row['c']}-{row['x']}-{row['m']}"
+    fp = f"{row['c']}-{row['x']}-{row['m']}"
+    if with_bytes:
+        return fp, int(row["bytes"] or 0)
+    return fp
 
 
 class IndexBuilder:
@@ -88,18 +98,22 @@ class IndexBuilder:
             "input_fingerprint": fp,
             "ts": time.time(),
         }
-        df = self.spark.createDataFrame([tuple(row.values())], schema=CKPT_SCHEMA)
-        # append creates the table when absent (decided under the commit
-        # lock — safe with concurrent group threads)
-        self.cat.write("checkpoints", df, mode="append", tag={"unit": unit, "fingerprint": fp})
+        # driver-side metadata commit (pyarrow, no Spark job — ~0.4 s of
+        # fixed per-unit latency otherwise); append creates the table
+        # when absent (decided under the commit lock — safe with
+        # concurrent group threads)
+        self.cat.write_local(
+            "checkpoints", [row], mode="append", tag={"unit": unit, "fingerprint": fp}
+        )
 
     def _commit_stats(self, stats: dict, fp_delta: str) -> None:
-        self.cat.write(
+        self.cat.write_local(
             "stats",
-            self.spark.createDataFrame(
-                [(stats["n_docs"], stats["total_tokens"], stats["avgdl"])],
-                schema="n_docs long, total_tokens long, avgdl double",
-            ),
+            [{
+                "n_docs": int(stats["n_docs"]),
+                "total_tokens": int(stats["total_tokens"]),
+                "avgdl": float(stats["avgdl"]),
+            }],
             mode="overwrite",
             tag={"unit": f"stats-{fp_delta}", "payload": json.dumps(stats)},
         )
@@ -172,7 +186,7 @@ class IndexBuilder:
             phase_t[name] = round(now - t_from, 2)
             return now
 
-        fp = corpus_fingerprint(corpus)
+        fp, content_bytes = corpus_fingerprint(corpus, with_bytes=True)
         tcur = _mark("fingerprint", stage_t)
 
         if prior_fp == fp and cat.exists("local_segments"):
@@ -186,18 +200,30 @@ class IndexBuilder:
             rebuilt_docs = False
         else:
             # fully fused docs stage (map-side partial indexing): ONE
-            # Arrow pass does tokenize + per-doc term counting + local
-            # segment encode per input partition — input partitions are
-            # doc_id-contiguous, so the partition IS the doc-range shard
-            # and NO TF row is ever shuffled; only compressed segment
-            # runs move. doc_len travels as the DOCLEN_TERM pseudo
-            # posting list.
-            from .corpus import DOCLEN_TERM, decode_doclens, tokenize_count_encode
-            from .ids import dedup_and_assign_ids
+            # Arrow pass does doc_id zip + tokenize + per-doc term
+            # counting + local segment encode per input partition — input
+            # partitions are doc_id-contiguous, so the partition IS the
+            # doc-range shard and NO TF row is ever shuffled; only
+            # compressed segment runs move. doc_len travels as the
+            # DOCLEN_TERM pseudo posting list. sha256 is computed in the
+            # dedup kernel, so the docs projection below never moves
+            # content through Arrow again.
+            from .corpus import DOCLEN_TERM, decode_doclens, docs_projection, tokenize_count_encode
+            from .ids import dedup_sorted
 
-            with_ids = dedup_and_assign_ids(corpus.select(*CORPUS_COLS))
-            base = with_ids  # for the shared unpersist below
-            local = tokenize_count_encode(with_ids, ngrams=cfg.ngrams).withColumn(
+            # sort partition count from data size (content bytes measured
+            # by the fingerprint scan), NOT core count: partitions define
+            # runs-per-term in the merge, so a core-derived count makes a
+            # 4N cluster do 4x the merge work (round-1 scaling inversion)
+            n_part = max(16, min(4096, -(-content_bytes // cfg.sort_partition_bytes)))
+            s1, offsets, _ = dedup_sorted(
+                corpus.select(*CORPUS_COLS), sort_partitions=n_part
+            )
+            tcur = _mark("dedup_sha_persist", tcur)
+            base = s1  # for the shared unpersist below
+            local = tokenize_count_encode(
+                s1, ngrams=cfg.ngrams, offsets=offsets
+            ).withColumn(
                 "grp", F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int")
             )
             cat.write(
@@ -207,19 +233,46 @@ class IndexBuilder:
             tcur = _mark("tokenize_encode_write", tcur)
 
             staged = cat.read(spark, "local_segments")
-            doc_lens = decode_doclens(staged)
-            docs = (
-                with_ids.select(
-                    "doc_id", "repo", "path", "commit", "lang",
-                    F.sha2(F.col("content"), 256).alias("content_sha256"),
+            # partition-prune the doclen decode to the pseudo-term's grp
+            # dir (term-only predicates don't prune the grp layout)
+            g_doclen = spark.range(1).select(
+                F.pmod(F.xxhash64(F.lit(DOCLEN_TERM)), F.lit(cfg.build_groups))
+                .cast("int").alias("g")
+            ).collect()[0]["g"]
+            doc_lens = decode_doclens(staged.filter(F.col("grp") == g_doclen)).persist()
+            # global stats straight from the doclen pseudo-postings (every
+            # doc has one, including empty docs) — the docs-table WRITE is
+            # then off the critical path and runs concurrently with the
+            # merge groups below
+            srow = doc_lens.agg(
+                F.count("*").alias("c"), F.sum("doc_len").alias("s")
+            ).collect()[0]
+            stats = {
+                "n_docs": int(srow["c"]),
+                "total_tokens": int(srow["s"] or 0),
+                "avgdl": (
+                    float(srow["s"] or 0) / int(srow["c"]) if srow["c"] else 0.0
+                ),
+            }
+            tcur = _mark("doclen_stats", tcur)
+
+            def docs_stage() -> None:
+                dt0 = time.time()
+                docs = (
+                    docs_projection(s1, offsets)
+                    .join(doc_lens, "doc_id", "left")
+                    .fillna(0, subset=["doc_len"])
                 )
-                .join(doc_lens, "doc_id", "left")
-                .fillna(0, subset=["doc_len"])
-            )
-            cat.write("docs", docs, mode="overwrite", tag={"unit": "docs", "fingerprint": fp})
-            docs = cat.read(spark, "docs")
-            stats = corpus_stats(docs)
-            tcur = _mark("docs_write", tcur)
+                cat.write(
+                    "docs", docs, mode="overwrite",
+                    tag={"unit": "docs", "fingerprint": fp},
+                )
+                self._ckpt(
+                    "docs", fp, rows_in=stats["n_docs"], postings_out=0,
+                    wall_ms=(time.time() - dt0) * 1000,
+                )
+                phase_t["docs_write"] = round(time.time() - dt0, 2)
+
             rebuilt_docs = True
 
         # stats is (re-)committed when docs were rebuilt OR when a prior
@@ -228,26 +281,16 @@ class IndexBuilder:
         # this write on rebuilt_docs alone would leave the index
         # permanently unreadable (IndexReader requires the stats table).
         if rebuilt_docs or not cat.exists("stats"):
-            stats_df = spark.createDataFrame(
-                [(stats["n_docs"], stats["total_tokens"], stats["avgdl"])],
-                schema="n_docs long, total_tokens long, avgdl double",
-            )
-            cat.write(
-                "stats", stats_df, mode="overwrite",
+            cat.write_local(
+                "stats",
+                [{
+                    "n_docs": int(stats["n_docs"]),
+                    "total_tokens": int(stats["total_tokens"]),
+                    "avgdl": float(stats["avgdl"]),
+                }],
+                mode="overwrite",
                 tag={"unit": "stats", "fingerprint": fp, "payload": json.dumps(stats)},
             )
-        if rebuilt_docs:
-            self._ckpt(
-                "docs", fp,
-                rows_in=stats["n_docs"],
-                postings_out=0,
-                wall_ms=(time.time() - stage_t) * 1000,
-            )
-            base.unpersist()
-            src = getattr(base, "_yase_persisted_source", None)
-            if src is not None:
-                src.unpersist()
-
         # ---- stage: per-group segment build (resumable units) ---------
         done = self._done_units("segments", fp) if not rebuilt_docs else set()
         if rebuilt_docs and cat.exists("segments"):
@@ -273,24 +316,34 @@ class IndexBuilder:
             local = staged_local.filter(
                 (F.col("grp") == g) & (F.col("term") != DOCLEN_TERM)
             ).drop("grp")
-            segs = merge_segments(local, n_docs, stats["avgdl"], cfg).persist()
-            cat.write(
+            segs = merge_segments(local, n_docs, stats["avgdl"], cfg)
+            # totals ride along with the write action (Observation —
+            # accumulator-backed, zero extra pass); per-bucket skew comes
+            # from the committed data files' sizes (no aggregation job).
+            # Round 1 persisted the segments and ran a second groupBy
+            # pass per unit purely for lineage metrics — measured as pure
+            # scaling-efficiency drain.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"grp-{g}-metrics")
+            segs = segs.observe(
+                obs,
+                F.sum("n").alias("p"),
+                F.sum(F.octet_length("payload")).alias("b"),
+                F.count("*").alias("t"),
+            )
+            ver = cat.write(
                 "segments", segs, mode="append", partition_by=["bucket"],
                 tag={"unit": unit, "fingerprint": fp},
             )
-            by_bucket = segs.groupBy("bucket").agg(
-                F.sum("n").alias("p"),
-                F.sum(F.length("payload")).alias("b"),
-                F.count("*").alias("t"),
-            ).collect()
-            segs.unpersist()
-            sizes = [r["b"] for r in by_bucket] or [0]
+            got = obs.get
+            sizes = list(cat.data_dir_sizes("segments", ver).values()) or [0]
             skew = (max(sizes) / (sum(sizes) / len(sizes))) if sum(sizes) else 0.0
             gm = dict(
-                rows_in=int(sum(r["p"] or 0 for r in by_bucket)),
-                postings_out=int(sum(r["p"] or 0 for r in by_bucket)),
-                bytes_out=int(sum(r["b"] or 0 for r in by_bucket)),
-                n_terms=int(sum(r["t"] or 0 for r in by_bucket)),
+                rows_in=int(got["p"] or 0),
+                postings_out=int(got["p"] or 0),
+                bytes_out=int(got["b"] or 0),
+                n_terms=int(got["t"] or 0),
                 wall_ms=(time.time() - gt) * 1000,
                 skew_ratio=skew,
             )
@@ -298,24 +351,39 @@ class IndexBuilder:
             return gm
 
         units = [g for g in range(cfg.build_groups) if f"grp-{g}" not in done]
+        groups_t0 = time.time()
         group_metrics = []
         if fail_after_units is not None:
             # crash-injection path stays sequential so "N units committed"
             # is well-defined for the resume test
+            if rebuilt_docs:
+                docs_stage()
             for g in units:
                 group_metrics.append(build_group(g))
                 if len(group_metrics) >= fail_after_units:
                     raise RuntimeError(f"injected crash after {fail_after_units} units")
-        elif units:
-            # concurrent group units: Spark interleaves their jobs' tasks,
-            # so per-job fixed latency (scheduling, commit, tiny stages)
-            # no longer serializes the build (scaling-efficiency lever)
+        elif units or rebuilt_docs:
+            # concurrent group units (+ the docs-table write, which only
+            # the doclen decode gated — stats came from the pseudo-term
+            # directly): Spark interleaves their jobs' tasks, so per-job
+            # fixed latency (scheduling, commit, tiny stages) no longer
+            # serializes the build (scaling-efficiency lever)
             from concurrent.futures import ThreadPoolExecutor
 
-            workers = max(1, min(cfg.parallel_units, len(units)))
+            workers = max(1, min(cfg.parallel_units, len(units))) + int(rebuilt_docs)
             with ThreadPoolExecutor(workers) as ex:
+                docs_future = ex.submit(docs_stage) if rebuilt_docs else None
                 group_metrics = list(ex.map(build_group, units))
+                if docs_future is not None:
+                    docs_future.result()
+        if rebuilt_docs:
+            doc_lens.unpersist()
+            base.unpersist()
+            src = getattr(base, "_yase_persisted_source", None)
+            if src is not None:
+                src.unpersist()
 
+        phase_t["groups_total"] = round(time.time() - groups_t0, 2)
         wall_s = time.time() - t0
         summary = {
             "run_id": self.run_id,

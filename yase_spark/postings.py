@@ -170,6 +170,62 @@ def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def encode_runs_coded(
+    codes: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    dictionary,
+    salt: int,
+):
+    """Array-based variant of :func:`_encode_groups` for the Arrow-native
+    docs stage: rows are (term-code, doc_id, tf, dl) sorted by
+    (code, doc_id); term STRINGS are materialized only once per run (from
+    the Arrow dictionary), never per posting. Returns a pyarrow
+    RecordBatch in LOCAL_SCHEMA layout."""
+    import pyarrow as pa
+
+    n = doc_ids.size
+    if n == 0:
+        return pa.record_batch(
+            {
+                "term": pa.array([], type=pa.string()),
+                "shard": pa.array([], type=pa.int32()),
+                "df_local": pa.array([], type=pa.int64()),
+                "cf_local": pa.array([], type=pa.int64()),
+                "payload": pa.array([], type=pa.binary()),
+            }
+        )
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.concatenate([starts[1:], [n]])
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = doc_ids[0]
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[starts] = doc_ids[starts]
+
+    g_b, g_off = _section(gaps)
+    t_b, t_off = _section(tfs)
+    d_b, d_off = _section(dls)
+    payloads = [
+        g_b[g_off[s]:g_off[e]] + t_b[t_off[s]:t_off[e]] + d_b[d_off[s]:d_off[e]]
+        for s, e in zip(starts, ends)
+    ]
+    cf = np.add.reduceat(tfs, starts)
+    return pa.record_batch(
+        {
+            "term": dictionary.take(pa.array(codes[starts])),
+            "shard": pa.array(np.full(starts.size, salt, dtype=np.int32)),
+            "df_local": pa.array((ends - starts).astype(np.int64)),
+            "cf_local": pa.array(cf.astype(np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
 def build_local_segments(salted: DataFrame, partitions: int) -> DataFrame:
     """C1+C2+C3: shuffle by (term, salt), sort within partition, encode.
 

@@ -1,0 +1,126 @@
+"""Similarity search over the ``embeddings`` table (LLM-pipeline
+operators: exact cosine top-k, LSH-bucketed approximate variant).
+
+Spark-first: the exact path is a broadcast nested-loop join with the
+cosine computed by JVM higher-order functions (zip_with + aggregate —
+no Python in the hot loop); ranking is a per-query window over the
+broadcast-joined scores. The approximate path buckets vectors by
+random-hyperplane sign bits (one Arrow-batched numpy projection pass),
+then only scores candidates sharing a probed bucket — the 100 TB path,
+where the bucket column becomes the partition/pruning key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# dot/norms as JVM higher-order functions, all-double (matches the
+# DuckDB oracle's list_cosine_similarity on ::DOUBLE[] inputs)
+_COS_SQL = (
+    "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0D, (acc, v) -> acc + v) / "
+    "(sqrt(aggregate(qe, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))) * "
+    "sqrt(aggregate(embedding, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))))"
+)
+
+
+def _ranked(joined: DataFrame, k: int) -> DataFrame:
+    # rank on the 6-dp-rounded similarity (absorbs cross-engine ulp
+    # differences in the float fold), tie-broken by vec_id
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_r"), F.asc("vec_id")
+    )
+    return (
+        joined.withColumn("sim_r", F.round(F.expr(_COS_SQL), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim_r")
+    )
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
+    """EXACT brute-force cosine top-k: the first ``n_queries`` vectors
+    query the full table (self excluded). Output
+    (query_id, rank, vec_id, sim_r)."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    joined = emb.select("vec_id", "embedding").join(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return _ranked(joined, k)
+
+
+def lsh_buckets(
+    emb: DataFrame, planes: int = 4, tables: int = 16, seed: int = 42
+) -> DataFrame:
+    """(vec_id, table, bucket, embedding): random-hyperplane sign-bit
+    bucket per vector per hash table — ONE Arrow-batched numpy matmul
+    pass emits all L tables (multi-table LSH: recall compounds as
+    1-(1-s^p)^L while candidates stay ~L * N / 2^p for random pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        P = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy())
+            if P is None:
+                rng = np.random.default_rng(seed)
+                P = rng.standard_normal((tables * planes, E.shape[1]))
+            bits = (E @ P.T) > 0  # (n, tables*planes)
+            n = len(pdf)
+            weights = (1 << np.arange(planes)).astype(np.int64)
+            buckets = (
+                bits.reshape(n, tables, planes) * weights[None, None, :]
+            ).sum(axis=2).astype(np.int32)
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
+                    "table": np.tile(np.arange(tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                    "embedding": np.repeat(pdf["embedding"].to_numpy(), tables),
+                }
+            )
+            yield out
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, table int, bucket int, embedding array<float>"
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    planes: int = 4,
+    tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score ONLY vectors that collide with
+    the query in at least one of the L hash tables. Same output schema
+    as :func:`cosine_topk`; recall@k >= 0.9 is gated in
+    tests/test_pipeline_ops.py at the sandbox SF."""
+    b = lsh_buckets(emb, planes, tables, seed)
+    q = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        b.select("vec_id", "table", "bucket")
+        .join(F.broadcast(q.select("query_id", "table", "bucket")), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()  # a pair may collide in several tables
+    )
+    qe = q.select("query_id", "qe").dropDuplicates(["query_id"])
+    joined = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qe), "query_id")
+    )
+    return _ranked(joined, k)

@@ -1,0 +1,133 @@
+"""Text-analysis operators over the ``documents`` table (LLM-pipeline:
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting).
+
+All four are pure relational column programs (whole-stage codegen, no
+Python workers) whose expressions have exact DuckDB equivalents — the
+oracle recomputes them from the raw parquet. At 100 TB each is a single
+scan + narrow projection; none shuffles more than its grouped output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[A-Za-z0-9_]+"
+# BPE-ish pre-tokenizer: letter runs | digit singles | one non-space symbol
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic —
+# deterministic and SQL-expressible (the fixture text is synthetic word
+# soup, so the *operator* is what's exercised, not linguistic accuracy)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "value", "row", "data"],
+    "es": ["el", "la", "de", "los", "en", "y", "que", "por"],
+    "fr": ["le", "la", "les", "des", "et", "en", "que", "pour"],
+    "de": ["der", "die", "das", "und", "in", "von", "mit", "zu"],
+}
+
+
+def _in_list(col: str, words: list[str]) -> str:
+    lit = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({col}, t -> t in ({lit})))"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts: whitespace tokens + BPE-ish regex tokens +
+    distinct words (doc_id, n_ws, n_bpe, n_distinct)."""
+    return docs.select(
+        "doc_id",
+        F.expr("size(regexp_extract_all(text, '[^ ]+', 0))").alias("n_ws"),
+        F.expr(f"size(regexp_extract_all(text, '{BPE_RE}', 0))").alias("n_bpe"),
+        F.expr(
+            f"size(array_distinct(regexp_extract_all(text, '{WORD_RE}', 0)))"
+        ).alias("n_distinct"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID: per-language hit counts over the word
+    stream, argmax with deterministic tie-break (count DESC, lang ASC).
+    Output (doc_id, pred_lang, hits)."""
+    w = docs.select(
+        "doc_id", F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)").alias("w")
+    )
+    scored = w.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lang).alias("lang"),
+                        F.expr(_in_list("w", words)).alias("hits"),
+                    )
+                    for lang, words in sorted(STOPWORDS.items())
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.lang", "s.hits")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "hits")
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score:
+    (doc_id, n_words, mean_word_len, alnum_ratio, stop_ratio, quality_r).
+    All ratios are single-division doubles (cross-engine bit-stable),
+    composite rounded to 6 dp."""
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)").alias("w"),
+            F.expr("length(regexp_replace(text, '[^A-Za-z0-9]', ''))").alias("alnum"),
+        )
+        .select(
+            "doc_id",
+            F.size("w").alias("n_words"),
+            # nullif guards: x/0 semantics differ across engines (Inf vs
+            # NULL); NULL-on-empty is identical in Spark and DuckDB
+            F.round(
+                F.expr(
+                    "aggregate(w, 0L, (a, t) -> a + length(t)) * 1.0 / nullif(size(w), 0)"
+                ),
+                6,
+            ).alias("mean_word_len"),
+            F.round(F.expr("alnum * 1.0 / nullif(n_chars, 0)"), 6).alias("alnum_ratio"),
+            F.round(
+                F.expr(f"size(filter(w, t -> t in ({en}))) * 1.0 / nullif(size(w), 0)"),
+                6,
+            ).alias("stop_ratio"),
+        )
+        .withColumn(
+            "quality_r",
+            F.round(
+                F.least(F.col("n_words") / 100.0, F.lit(1.0)) * 0.4
+                + F.col("alnum_ratio") * 0.4
+                + (1.0 - F.col("stop_ratio")) * 0.2,
+                6,
+            ),
+        )
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Order-invariant 60-bit content fingerprints from the md5-based
+    word hash (cross-engine expression): min-hash + xor-mix
+    (doc_id, fp_min, fp_xor)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(f"regexp_extract_all(text, '{WORD_RE}', 0)")).alias("t")
+    ).withColumn(
+        "h", F.expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)")
+    )
+    return tok.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"), F.expr("bit_xor(h)").alias("fp_xor")
+    )
