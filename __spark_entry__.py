@@ -518,11 +518,11 @@ WHERE rn = 1
 WITH b AS (SELECT doc_id, n_chars, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') w,
              length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) alnum FROM documents)
 SELECT doc_id, len(w) n_words,
-  round(list_sum(list_transform(w, t -> length(t))) * 1.0 / nullif(len(w), 0), 6) mean_word_len,
-  round(alnum * 1.0 / nullif(n_chars, 0), 6) alnum_ratio,
-  round(len(list_filter(w, t -> t in ({en}))) * 1.0 / nullif(len(w), 0), 6) stop_ratio,
-  round(least(len(w) / 100.0, 1.0) * 0.4 + round(alnum * 1.0 / nullif(n_chars, 0), 6) * 0.4
-        + (1.0 - round(len(list_filter(w, t -> t in ({en}))) * 1.0 / nullif(len(w), 0), 6)) * 0.2, 6) quality_r
+  coalesce(round(list_sum(list_transform(w, t -> length(t))) * 1.0 / nullif(len(w), 0), 6), 0.0) mean_word_len,
+  coalesce(round(alnum * 1.0 / nullif(n_chars, 0), 6), 0.0) alnum_ratio,
+  coalesce(round(len(list_filter(w, t -> t in ({en}))) * 1.0 / nullif(len(w), 0), 6), 0.0) stop_ratio,
+  round(least(len(w) / 100.0, 1.0) * 0.4 + coalesce(round(alnum * 1.0 / nullif(n_chars, 0), 6), 0.0) * 0.4
+        + (1.0 - coalesce(round(len(list_filter(w, t -> t in ({en}))) * 1.0 / nullif(len(w), 0), 6), 0.0)) * 0.2, 6) quality_r
 FROM b
 """
     return lang_sql, quality_sql

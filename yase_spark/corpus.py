@@ -88,124 +88,126 @@ def ingest(
     return docs, tokenized, base
 
 
-def tokenize_and_count(base: DataFrame, ngrams: bool = True) -> DataFrame:
-    """Fused T1+T2+A1: (doc_id, content) -> (term, doc_id, tf, dl) in ONE
-    Arrow pass — tokenization and per-doc term counting happen in the same
-    Python worker invocation, so token strings are never transferred back
-    to the JVM or cached (halves the Python/Arrow traffic of the docs
-    stage; term counting needs no shuffle because a document lives whole
-    in one row)."""
-    import itertools
-
-    import numpy as np
-
-    def run(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            toks = tokenize_series(pdf["content"], ngrams=ngrams)
-            lens = np.array([len(x) for x in toks], dtype=np.int64)
-            total = int(lens.sum())
-            if total == 0:
-                continue
-            flat = np.fromiter(
-                itertools.chain.from_iterable(toks), dtype=object, count=total
-            )
-            codes, uniq = pd.factorize(flat)
-            doc_pos = np.repeat(np.arange(len(pdf)), lens)
-            key = doc_pos.astype(np.int64) * len(uniq) + codes
-            uk, first_idx, counts = np.unique(key, return_index=True, return_counts=True)
-            sel = doc_pos[first_idx]
-            yield pd.DataFrame(
-                {
-                    "term": np.asarray(uniq, dtype=object)[
-                        (uk % len(uniq)).astype(np.int64)
-                    ],
-                    "doc_id": pdf["doc_id"].to_numpy()[sel],
-                    "tf": counts.astype(np.int64),
-                    "dl": lens[sel],
-                }
-            )
-
-    return base.select("doc_id", "content").mapInPandas(
-        run, schema="term string, doc_id long, tf long, dl long"
-    )
-
-
 # reserved pseudo-term whose "postings" carry per-doc token counts
 # (doc_len), like Lucene's norms; cannot collide with real tokens
 # (tokenizer output matches [a-z0-9_]+ only)
 DOCLEN_TERM = "\x00doclen"
+# reserved pseudo-term whose payload carries Arrow-IPC-serialized doc
+# metadata chunks (repo, path, commit, lang, content_sha256) — the docs
+# dimension rides inside the local-segments channel so the single fused
+# kernel is the ONLY pass over content after the ingest shuffle
+DOCMETA_TERM = "\x00docmeta"
+
+_DOCMETA_FIELDS = ["repo", "path", "commit", "lang", "content_sha256"]
 
 
-def tokenize_count_encode(
-    base: DataFrame, ngrams: bool = True, offsets=None
-) -> DataFrame:
-    """Fully fused map-side indexing (doc_id zip + T1+T2+A1+C2+C3 in ONE
-    Arrow pass): sorted/deduped corpus partitions -> encoded local
-    segments, one run per term per input partition.
+def fused_local_segments(sorted_corpus: DataFrame, ngrams: bool = True) -> DataFrame:
+    """THE single content pass of the build: the range-shuffled, sorted
+    corpus partitions stream through ONE mapInArrow kernel that
 
-    This is the classic map-side partial index: input partitions are
-    doc_id-contiguous (the id mint range-sorts), so the partition id IS
-    the doc-range shard — no shuffle of TF rows ever happens; the only
-    shuffled bytes after tokenization are varint-compressed segment runs
-    (~10x smaller). Memory is bounded by one input split's term counts
-    (sized via spark.sql.files.maxPartitionBytes). doc_len is emitted as
-    the DOCLEN_TERM pseudo posting list and decoded by the docs stage.
+    1. deduplicates adjacent equal-key runs (equal keys are co-located
+       by the range partitioner and adjacent after the sort),
+    2. computes content_sha256 straight from the Arrow string buffer,
+    3. tokenizes + counts via the RE2/dictionary C++ kernels,
+    4. encodes local segment runs with LOCAL (per-partition, 1-based)
+       doc ids — re-based to global ids by the merge via the per-shard
+       doc-count offsets, which are themselves derived from the emitted
+       DOCLEN runs (no driver barrier between shuffle and kernel),
+    5. emits the docs dimension as DOCMETA pseudo-rows (Arrow IPC bytes
+       in the payload column, cf_local = chunk sequence).
 
-    ``offsets``: broadcast {_pid -> doc_id base} from
-    :func:`yase_spark.ids.dedup_sorted` — when given, ``base`` must carry
-    (_pid, content) and doc_ids are zipped INSIDE this kernel (saves a
-    dedicated pass that would move the content column through Arrow one
-    more round trip); when None, ``base`` must carry (doc_id, content).
+    Compared to the round-2 two-pass layout (dedup+persist, then
+    tokenize), this removes the MEMORY_AND_DISK persist of the full
+    content, one JVM->Python->JVM content round trip, and the
+    counts-collect barrier — the content column exists exactly twice on
+    the wire: source scan -> shuffle, shuffle -> this kernel.
 
-    Arrow end-to-end (``mapInArrow``): content arrives as Arrow string
-    buffers and is tokenized/counted by RE2 + dictionary-encode C++
-    kernels (yase_spark.tokenize.tokenize_count_arrow) — per-token
-    Python ``str`` objects never exist, which is what capped the 32-way
-    scaling of the pandas path (allocator/cache churn).
+    Input must have columns (repo, path, commit, lang, content), already
+    ``repartitionByRange(n, KEY).sortWithinPartitions(KEY, 'lang',
+    'content')``.
     """
+    import hashlib
+
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from .postings import encode_runs_coded
+    from .postings import LOCAL_SCHEMA, encode_runs_coded
     from .tokenize import tokenize_count_arrow
+
+    names = ["repo", "path", "commit", "lang", "content"]
+    ki = [0, 1, 2]
+    ci = 4
 
     def run(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        prev_key = None
+        seen = 0
+        chunk_seq = 0
         term_chunks, doc_chunks, tf_chunks, dl_chunks = [], [], [], []
         dl_docs, dl_lens = [], []
-        zbase = None
-        seen = 0
+        meta_rows = []
+
+        meta_schema = pa.schema([(f, pa.string()) for f in _DOCMETA_FIELDS])
+
         for rb in batches:
             n = rb.num_rows
             if n == 0:
                 continue
-            if offsets is not None:
-                if zbase is None:
-                    # shard id = the sort-stage partition id (_pid), the
-                    # same key the doc_id offsets are built on — the merge
-                    # relies on shard order == doc-range order
-                    pid = int(rb.column(0)[0].as_py())
-                    zbase = offsets.value.get(pid, 0)
-                doc_ids_b = np.arange(
-                    zbase + seen + 1, zbase + seen + 1 + n, dtype=np.int64
-                )
-                seen += n
-            else:
-                doc_ids_b = rb.column(0).to_numpy().astype(np.int64)
-            di, codes, tfs, dic, dlens = tokenize_count_arrow(
-                rb.column(1), ngrams=ngrams
+            keep = np.ones(n, dtype=bool)
+            if n > 1:
+                dup = None
+                for i in ki:
+                    col = rb.column(i)
+                    eq = pc.equal(col.slice(1), col.slice(0, n - 1))
+                    dup = eq if dup is None else pc.and_(dup, eq)
+                keep[1:] = ~dup.to_numpy(zero_copy_only=False)
+            first = tuple(rb.column(i)[0].as_py() for i in ki)
+            if prev_key is not None and first == prev_key:
+                keep[0] = False
+            prev_key = tuple(rb.column(i)[n - 1].as_py() for i in ki)
+            if not keep.any():
+                continue
+            out = rb.filter(pa.array(keep)) if not keep.all() else rb
+            m = out.num_rows
+            local_ids = np.arange(seen + 1, seen + 1 + m, dtype=np.int64)
+            seen += m
+
+            # sha256 from the utf-8 bytes in the Arrow buffer
+            content = out.column(ci)
+            odt = np.int64 if pa.types.is_large_string(content.type) else np.int32
+            offs = np.frombuffer(content.buffers()[1], dtype=odt)
+            offs = offs[content.offset : content.offset + m + 1]
+            mv = memoryview(content.buffers()[2])
+            shas = [
+                hashlib.sha256(mv[offs[i] : offs[i + 1]]).hexdigest()
+                for i in range(m)
+            ]
+
+            # doc metadata chunk -> Arrow IPC bytes (one pseudo-row)
+            meta_rb = pa.record_batch(
+                [out.column(0), out.column(1), out.column(2), out.column(3),
+                 pa.array(shas, type=pa.string())],
+                schema=meta_schema,
             )
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, meta_schema) as w:
+                w.write_batch(meta_rb)
+            meta_rows.append((m, chunk_seq, sink.getvalue().to_pybytes()))
+            chunk_seq += 1
+
+            # tokenize + count (C++), pairs with LOCAL doc ids
+            di, codes, tfs, dic, dlens = tokenize_count_arrow(content, ngrams=ngrams)
             if codes.size:
                 term_chunks.append(dic.take(pa.array(codes)))
-                doc_chunks.append(doc_ids_b[di])
+                doc_chunks.append(local_ids[di])
                 tf_chunks.append(tfs)
                 dl_chunks.append(dlens[di])
-            dl_docs.append(doc_ids_b)
+            dl_docs.append(local_ids)
             dl_lens.append(dlens)
+
         if not dl_docs:
             return
         if term_chunks:
@@ -216,8 +218,6 @@ def tokenize_count_encode(
             codes = np.empty(0, dtype=np.int64)
             dic = pa.array([], type=pa.string())
         k = len(dic)
-        # doc_len pseudo postings ride as one more code (tf=1, dl=token
-        # count; includes empty docs so every doc has a doc_len)
         all_docs = np.concatenate(dl_docs)
         all_lens = np.concatenate(dl_lens)
         codes_full = np.concatenate([codes, np.full(all_docs.size, k, dtype=np.int64)])
@@ -237,52 +237,97 @@ def tokenize_count_encode(
             codes_full[order], docs_full[order], tfs_full[order], dls_full[order],
             dic_full, pid,
         )
+        yield pa.record_batch(
+            {
+                "term": pa.array([DOCMETA_TERM] * len(meta_rows), type=pa.string()),
+                "shard": pa.array(
+                    np.full(len(meta_rows), pid, dtype=np.int32)
+                ),
+                "df_local": pa.array([r[0] for r in meta_rows], type=pa.int64()),
+                "cf_local": pa.array([r[1] for r in meta_rows], type=pa.int64()),
+                "payload": pa.array([r[2] for r in meta_rows], type=pa.binary()),
+            }
+        )
 
-    from .postings import LOCAL_SCHEMA
-
-    cols = ("_pid", "content") if offsets is not None else ("doc_id", "content")
-    return base.select(*cols).mapInArrow(run, schema=LOCAL_SCHEMA)
+    return sorted_corpus.select(*names).mapInArrow(run, schema=LOCAL_SCHEMA)
 
 
-def docs_projection(s1: DataFrame, offsets) -> DataFrame:
-    """Docs dimension from the sorted/deduped corpus: zip doc_ids over the
-    SKINNY columns only — content_sha256 was computed in the dedup kernel,
-    so the content column never crosses Arrow here (it is projected away
-    JVM-side before the Python worker)."""
+def shard_offsets_from_doclens(staged_doclen_rows) -> dict:
+    """{shard -> global doc_id base} from the DOCLEN runs' df_local
+    (= deduped docs per shard). One tiny collect over pruned rows."""
+    rows = sorted(
+        (int(r["shard"]), int(r["df_local"])) for r in staged_doclen_rows
+    )
+    offsets, acc = {}, 0
+    for shard, cnt in rows:
+        offsets[shard] = acc
+        acc += cnt
+    return offsets, acc
 
-    def zip_meta(batches):
-        seen = 0
+
+def docs_from_meta(staged: DataFrame, offsets: dict) -> DataFrame:
+    """Decode DOCMETA pseudo-rows -> the docs dimension with GLOBAL
+    doc_ids. The per-chunk doc_id base is resolved driver-side from the
+    (tiny) chunk index first, so decoding makes no assumptions about
+    which Spark partition a chunk lands in."""
+    import numpy as np
+    import pyarrow as pa
+
+    meta = staged.filter(F.col("term") == DOCMETA_TERM).select(
+        "shard", "df_local", "cf_local", "payload"
+    )
+    idx = sorted(
+        (int(r["shard"]), int(r["cf_local"]), int(r["df_local"]))
+        for r in meta.select("shard", "cf_local", "df_local").collect()
+    )
+    chunk_base = {}
+    run = {}
+    for shard, cf, n in idx:
+        chunk_base[(shard, cf)] = offsets.get(shard, 0) + run.get(shard, 0)
+        run[shard] = run.get(shard, 0) + n
+    bo = staged.sparkSession.sparkContext.broadcast(chunk_base)
+
+    def dec(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            base = offsets.value.get(int(pdf["_pid"].iloc[0]), 0)
-            pdf = pdf.copy()
-            pdf["doc_id"] = range(base + seen + 1, base + seen + 1 + len(pdf))
-            seen += len(pdf)
-            yield pdf[["doc_id", "repo", "path", "commit", "lang", "content_sha256"]]
+            for r in pdf.itertuples():
+                base = bo.value[(int(r.shard), int(r.cf_local))]
+                rdr = pa.ipc.open_stream(pa.BufferReader(bytes(r.payload)))
+                tbl = rdr.read_all().to_pandas()
+                tbl.insert(
+                    0, "doc_id",
+                    np.arange(base + 1, base + 1 + len(tbl), dtype=np.int64),
+                )
+                yield tbl
 
-    return s1.select("_pid", "repo", "path", "commit", "lang", "content_sha256").mapInPandas(
-        zip_meta,
+    return meta.mapInPandas(
+        dec,
         schema="doc_id long, repo string, path string, commit string, "
         "lang string, content_sha256 string",
     )
 
 
-def decode_doclens(staged_local: DataFrame) -> DataFrame:
+def decode_doclens(staged_local: DataFrame, offsets: dict | None = None) -> DataFrame:
     """DOCLEN_TERM pseudo-segment rows -> (doc_id, doc_len). The filter
     prunes to the pseudo-term's grp partition + pushes the term predicate
-    to the parquet scan."""
+    to the parquet scan. ``offsets``: per-shard doc_id bases when the
+    runs were encoded with LOCAL ids (fused single-pass build)."""
     from .codec import decode_postings
+
+    spark = staged_local.sparkSession
+    bo = spark.sparkContext.broadcast(offsets or {})
 
     def dec(batches):
         for pdf in batches:
             for r in pdf.itertuples():
                 ids, _tfs, dls = decode_postings(bytes(r.payload), int(r.df_local))
-                yield pd.DataFrame({"doc_id": ids, "doc_len": dls})
+                base = bo.value.get(int(r.shard), 0)
+                yield pd.DataFrame({"doc_id": ids + base, "doc_len": dls})
 
     return (
         staged_local.filter(F.col("term") == DOCLEN_TERM)
-        .select("df_local", "payload")
+        .select("shard", "df_local", "payload")
         .mapInPandas(dec, schema="doc_id long, doc_len long")
     )
 

@@ -199,31 +199,34 @@ class IndexBuilder:
             )
             rebuilt_docs = False
         else:
-            # fully fused docs stage (map-side partial indexing): ONE
-            # Arrow pass does doc_id zip + tokenize + per-doc term
-            # counting + local segment encode per input partition — input
-            # partitions are doc_id-contiguous, so the partition IS the
-            # doc-range shard and NO TF row is ever shuffled; only
-            # compressed segment runs move. doc_len travels as the
-            # DOCLEN_TERM pseudo posting list. sha256 is computed in the
-            # dedup kernel, so the docs projection below never moves
-            # content through Arrow again.
-            from .corpus import DOCLEN_TERM, decode_doclens, docs_projection, tokenize_count_encode
-            from .ids import dedup_sorted
+            # SINGLE content pass after the ingest shuffle: the fused
+            # kernel deduplicates, hashes, tokenizes, counts, and encodes
+            # local segment runs with per-shard LOCAL doc ids (re-based
+            # to global during the merge via the doclen-derived offsets);
+            # doc metadata rides as DOCMETA pseudo-rows. There is no
+            # content persist, no separate dedup or id-zip pass, and no
+            # driver barrier between the shuffle and the kernel.
+            from .corpus import (
+                DOCLEN_TERM,
+                DOCMETA_TERM,
+                decode_doclens,
+                docs_from_meta,
+                fused_local_segments,
+                shard_offsets_from_doclens,
+            )
+            from .ids import KEY as _KEY
 
             # sort partition count from data size (content bytes measured
             # by the fingerprint scan), NOT core count: partitions define
             # runs-per-term in the merge, so a core-derived count makes a
             # 4N cluster do 4x the merge work (round-1 scaling inversion)
             n_part = max(16, min(4096, -(-content_bytes // cfg.sort_partition_bytes)))
-            s1, offsets, _ = dedup_sorted(
-                corpus.select(*CORPUS_COLS), sort_partitions=n_part
+            shuffled = (
+                corpus.select(*CORPUS_COLS)
+                .repartitionByRange(n_part, *_KEY)
+                .sortWithinPartitions(*_KEY, "lang", "content")
             )
-            tcur = _mark("dedup_sha_persist", tcur)
-            base = s1  # for the shared unpersist below
-            local = tokenize_count_encode(
-                s1, ngrams=cfg.ngrams, offsets=offsets
-            ).withColumn(
+            local = fused_local_segments(shuffled, ngrams=cfg.ngrams).withColumn(
                 "grp", F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int")
             )
             cat.write(
@@ -233,25 +236,32 @@ class IndexBuilder:
             tcur = _mark("tokenize_encode_write", tcur)
 
             staged = cat.read(spark, "local_segments")
-            # partition-prune the doclen decode to the pseudo-term's grp
-            # dir (term-only predicates don't prune the grp layout)
-            g_doclen = spark.range(1).select(
-                F.pmod(F.xxhash64(F.lit(DOCLEN_TERM)), F.lit(cfg.build_groups))
-                .cast("int").alias("g")
-            ).collect()[0]["g"]
-            doc_lens = decode_doclens(staged.filter(F.col("grp") == g_doclen)).persist()
-            # global stats straight from the doclen pseudo-postings (every
-            # doc has one, including empty docs) — the docs-table WRITE is
-            # then off the critical path and runs concurrently with the
-            # merge groups below
-            srow = doc_lens.agg(
-                F.count("*").alias("c"), F.sum("doc_len").alias("s")
-            ).collect()[0]
+            # partition-prune the pseudo-term reads to their grp dirs
+            # (term-only predicates don't prune the grp layout)
+            g_doclen, g_docmeta = (
+                spark.range(1).select(
+                    F.pmod(F.xxhash64(F.lit(DOCLEN_TERM)), F.lit(cfg.build_groups))
+                    .cast("int").alias("a"),
+                    F.pmod(F.xxhash64(F.lit(DOCMETA_TERM)), F.lit(cfg.build_groups))
+                    .cast("int").alias("b"),
+                ).collect()[0]
+            )
+            # per-shard doc-count offsets: one tiny collect over the
+            # pruned doclen dictionary rows (no payload decode)
+            offsets, n_total = shard_offsets_from_doclens(
+                staged.filter(
+                    (F.col("grp") == g_doclen) & (F.col("term") == DOCLEN_TERM)
+                ).select("shard", "df_local").collect()
+            )
+            doc_lens = decode_doclens(
+                staged.filter(F.col("grp") == g_doclen), offsets
+            ).persist()
+            srow = doc_lens.agg(F.sum("doc_len").alias("s")).collect()[0]
             stats = {
-                "n_docs": int(srow["c"]),
+                "n_docs": n_total,
                 "total_tokens": int(srow["s"] or 0),
                 "avgdl": (
-                    float(srow["s"] or 0) / int(srow["c"]) if srow["c"] else 0.0
+                    float(srow["s"] or 0) / n_total if n_total else 0.0
                 ),
             }
             tcur = _mark("doclen_stats", tcur)
@@ -259,7 +269,7 @@ class IndexBuilder:
             def docs_stage() -> None:
                 dt0 = time.time()
                 docs = (
-                    docs_projection(s1, offsets)
+                    docs_from_meta(staged.filter(F.col("grp") == g_docmeta), offsets)
                     .join(doc_lens, "doc_id", "left")
                     .fillna(0, subset=["doc_len"])
                 )
@@ -308,15 +318,29 @@ class IndexBuilder:
             os.environ.get("YASE_ARROW_BATCH_POSTINGS", "16384"),
         )
 
-        from .corpus import DOCLEN_TERM
+        from .corpus import DOCLEN_TERM, DOCMETA_TERM, shard_offsets_from_doclens
+
+        if rebuilt_docs:
+            merge_offsets = offsets
+        else:
+            # resume: the committed local runs carry LOCAL ids; recompute
+            # the per-shard bases from the doclen dictionary rows
+            merge_offsets, _ = shard_offsets_from_doclens(
+                staged_local.filter(F.col("term") == DOCLEN_TERM)
+                .select("shard", "df_local").collect()
+            )
 
         def build_group(g: int) -> dict:
             unit = f"grp-{g}"
             gt = time.time()
             local = staged_local.filter(
-                (F.col("grp") == g) & (F.col("term") != DOCLEN_TERM)
+                (F.col("grp") == g)
+                & (F.col("term") != DOCLEN_TERM)
+                & (F.col("term") != DOCMETA_TERM)
             ).drop("grp")
-            segs = merge_segments(local, n_docs, stats["avgdl"], cfg)
+            segs = merge_segments(
+                local, n_docs, stats["avgdl"], cfg, shard_offsets=merge_offsets
+            )
             # totals ride along with the write action (Observation —
             # accumulator-backed, zero extra pass); per-bucket skew comes
             # from the committed data files' sizes (no aggregation job).
@@ -378,10 +402,6 @@ class IndexBuilder:
                     docs_future.result()
         if rebuilt_docs:
             doc_lens.unpersist()
-            base.unpersist()
-            src = getattr(base, "_yase_persisted_source", None)
-            if src is not None:
-                src.unpersist()
 
         phase_t["groups_total"] = round(time.time() - groups_t0, 2)
         wall_s = time.time() - t0

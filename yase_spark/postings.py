@@ -270,6 +270,7 @@ def _merge_runs_fused(
     k1: float,
     b: float,
     block: int,
+    shard_offsets: dict | None = None,
 ) -> pd.DataFrame:
     """Batch-vectorized sort-merge of encoded runs: ALL runs of ALL terms
     in ``head`` are decoded with ONE varint pass over the concatenated
@@ -318,6 +319,16 @@ def _merge_runs_fused(
     base = np.zeros(R, dtype=np.int64)
     base[1:] = C[run_starts[1:] - 1]
     ids = C - base[run_of_p]
+    if shard_offsets is not None:
+        # fused single-pass build: runs carry LOCAL (per-shard 1-based)
+        # ids; re-base to global here — rebasing compressed runs instead
+        # of materialized rows is what lets the build skip the dedicated
+        # id-zip pass over content entirely
+        sb = np.fromiter(
+            (shard_offsets.get(int(s), 0) for s in head["shard"]),
+            dtype=np.int64, count=R,
+        )
+        ids = ids + sb[run_of_p]
 
     # ---- regroup by term ------------------------------------------------
     tchange = np.concatenate(([True], terms[1:] != terms[:-1]))
@@ -411,6 +422,7 @@ def merge_segments(
     avgdl: float,
     cfg: IndexConfig,
     merge_cap: int = MERGE_CAP,
+    shard_offsets: dict | None = None,
 ) -> DataFrame:
     """Sort-merge local segments into global segments with finalized
     block-max metadata (true global upper bounds: idf from global df).
@@ -460,6 +472,8 @@ def merge_segments(
             cf_g = 0
             for r in group.itertuples():
                 ids, tfs, dls = decode_postings(bytes(r.payload), int(r.df_local))
+                if shard_offsets is not None:
+                    ids = ids + shard_offsets.get(int(r.shard), 0)
                 cf_g += int(tfs.sum())
                 decoded.append((ids, tfs, dls))
             out = []
@@ -504,7 +518,9 @@ def merge_segments(
                 head = head.iloc[~cap_term[term_of_run]]
             if len(head):
                 parts.append(
-                    _merge_runs_fused(head, n_docs, avgdl, k1, b, block)
+                    _merge_runs_fused(
+                        head, n_docs, avgdl, k1, b, block, shard_offsets
+                    )
                 )
             if parts:
                 yield pd.concat(parts, ignore_index=True)

@@ -93,18 +93,19 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.size("w").alias("n_words"),
-            # nullif guards: x/0 semantics differ across engines (Inf vs
-            # NULL); NULL-on-empty is identical in Spark and DuckDB
-            F.round(
-                F.expr(
-                    "aggregate(w, 0L, (a, t) -> a + length(t)) * 1.0 / nullif(size(w), 0)"
-                ),
-                6,
+            # nullif guards division semantics (x/0 differs across
+            # engines: Inf vs NULL), then coalesce pins empty docs to 0.0
+            # so the output column is NULL-free in both engines
+            F.expr(
+                "coalesce(round(aggregate(w, 0L, (a, t) -> a + length(t)) * 1.0D "
+                "/ nullif(size(w), 0), 6), 0D)"
             ).alias("mean_word_len"),
-            F.round(F.expr("alnum * 1.0 / nullif(n_chars, 0)"), 6).alias("alnum_ratio"),
-            F.round(
-                F.expr(f"size(filter(w, t -> t in ({en}))) * 1.0 / nullif(size(w), 0)"),
-                6,
+            F.expr(
+                "coalesce(round(alnum * 1.0D / nullif(n_chars, 0), 6), 0D)"
+            ).alias("alnum_ratio"),
+            F.expr(
+                f"coalesce(round(size(filter(w, t -> t in ({en}))) * 1.0D "
+                "/ nullif(size(w), 0), 6), 0D)"
             ).alias("stop_ratio"),
         )
         .withColumn(
