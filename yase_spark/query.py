@@ -472,6 +472,10 @@ class IndexReader:
         # known from a dictionary-only columnar read before any payload
         # bytes move.
         self.driver_fetch_max_postings = 20_000_000
+        # cold queries above this many postings skip the full decode and
+        # use the block-lazy WAND (below it, one vectorized full-scan
+        # pass over small lists is cheaper than cursor bookkeeping)
+        self.lazy_min_postings = 500_000
 
     # ------------------------------------------------------------- fetch
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | None]:
@@ -643,14 +647,22 @@ class IndexReader:
         lookup BEFORE any payload moves) exceed
         ``driver_fetch_max_postings``, the query is served cluster-side
         (``topk_distributed``) instead of materializing payloads on the
-        driver — a df~10^11 term must never be driver-fetched."""
+        driver — a df~10^11 term must never be driver-fetched. Between
+        ``lazy_min_postings`` and that cap, a COLD query uses the
+        block-lazy WAND (``topk_lazy``): payload rows are fetched but
+        only surviving blocks are decoded, which is what bounds cold
+        p95 on big lists. All three paths return identical results
+        (tests/test_lazy_wand.py)."""
         qterms = analyze_query(query)
         uncached = [t for t in qterms if t not in self._cache]
         if uncached:
             dfs = self.term_dfs(uncached)
-            if sum(dfs.values()) > self.driver_fetch_max_postings:
+            total = sum(dfs.values())
+            if total > self.driver_fetch_max_postings:
                 rows = self.topk_distributed(query, k).collect()
                 return [(int(r["rank"]), int(r["doc_id"]), float(r["score"])) for r in rows]
+            if total > self.lazy_min_postings:
+                return self.topk_lazy(query, k)
         tp = self._postings(query)
         if use_wand is None:
             use_wand = sum(t.doc_ids.size for t in tp) > self.WAND_MIN_POSTINGS
