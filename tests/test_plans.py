@@ -68,3 +68,45 @@ def test_tf_path_partial_agg_and_arrow(spark, tiny_corpus):
     assert "ArrowEvalPython" in plan, "tokenizer not Arrow-vectorized"
     assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in plan"
     base.unpersist()
+
+
+# ---------------------------------------------- round-2 pipeline operators
+def test_ann_topk_broadcasts_queries(spark):
+    """The exact ANN path must broadcast the tiny query side (never
+    shuffle the full embeddings table for 8 query vectors)."""
+    from yase_spark.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(cosine_topk(emb))
+    assert "Broadcast" in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan, "no row-at-a-time Python in ANN"
+
+
+def test_textstats_are_pure_jvm(spark):
+    """Text-analysis operators must compile to pure JVM plans: zero
+    Python eval nodes of any kind (the whole point of the relational
+    formulation)."""
+    from yase_spark.textstats import doc_fingerprints, lang_id, quality_scores, token_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op in (token_stats, lang_id, quality_scores, doc_fingerprints):
+        plan = _plan(op(docs))
+        assert "EvalPython" not in plan, f"{op.__name__} uses Python workers:\n{plan[:800]}"
+
+
+def test_neardup_exact_is_jvm_and_simhash_codegen(spark):
+    """Exact Jaccard and simhash must stay JVM-side (shingle join +
+    hash-agg, whole-stage codegen); only the MinHash signature fold is
+    an Arrow kernel."""
+    from yase_spark.neardup import jaccard_pairs, minhash_lsh_pairs, simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op in (jaccard_pairs, simhash_pairs):
+        plan = _plan(op(docs))
+        assert "EvalPython" not in plan, f"{op.__name__}:\n{plan[:800]}"
+        # (AQE prints isFinalPlan=false before execution, so codegen spans
+        # aren't visible here; the hash-agg shape is)
+        assert "HashAggregate" in plan
+    lsh = _plan(minhash_lsh_pairs(docs))
+    assert "ArrowEvalPython" in lsh or "MapInPandas" in lsh
+    assert "BatchEvalPython" not in lsh
