@@ -39,7 +39,14 @@ def _spark(args):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="yase_submit")
-    p.add_argument("cmd", choices=["build", "query", "synth", "bench"])
+    p.add_argument(
+        "cmd", choices=["build", "query", "synth", "bench", "neardup", "ann"]
+    )
+    p.add_argument(
+        "--method", choices=["exact", "lsh", "simhash"], default="lsh",
+        help="neardup/ann variant",
+    )
+    p.add_argument("--threshold", type=float, default=0.1)
     p.add_argument("--corpus", help="parquet path of the corpus table")
     p.add_argument("--index", help="index warehouse root")
     p.add_argument("--manifest", help="optional sha256 manifest parquet")
@@ -86,6 +93,34 @@ def main(argv=None) -> int:
         else:
             out = rd.bool_or(args.q).tolist()
         print(json.dumps(out))
+
+    elif args.cmd == "neardup":
+        from yase_spark.neardup import jaccard_pairs, minhash_lsh_pairs, simhash_pairs
+
+        docs = spark.read.parquet(args.corpus)
+        if args.method == "exact":
+            out = jaccard_pairs(docs, threshold=args.threshold)
+        elif args.method == "lsh":
+            out = minhash_lsh_pairs(docs, threshold=args.threshold)
+        else:
+            out = simhash_pairs(docs)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"written": args.out, "pairs": out.count()}))
+        else:
+            print(json.dumps([r.asDict() for r in out.limit(100).collect()]))
+
+    elif args.cmd == "ann":
+        from yase_spark.similarity import cosine_topk, lsh_ann_topk
+
+        emb = spark.read.parquet(args.corpus)
+        fn = lsh_ann_topk if args.method == "lsh" else cosine_topk
+        out = fn(emb, k=args.k)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"written": args.out, "rows": out.count()}))
+        else:
+            print(json.dumps([r.asDict() for r in out.limit(100).collect()]))
 
     elif args.cmd == "bench":
         import bench
