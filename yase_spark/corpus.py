@@ -98,6 +98,9 @@ DOCLEN_TERM = "\x00doclen"
 # kernel is the ONLY pass over content after the ingest shuffle
 DOCMETA_TERM = "\x00docmeta"
 
+# doc_len rides inside the metadata chunk too: the docs table then needs
+# NO join against the decoded doclen postings (at 10^12 rows that join
+# was a full-table shuffle purely to attach one int)
 _DOCMETA_FIELDS = ["repo", "path", "commit", "lang", "content_sha256"]
 
 
@@ -150,7 +153,9 @@ def fused_local_segments(sorted_corpus: DataFrame, ngrams: bool = True) -> DataF
         dl_docs, dl_lens = [], []
         meta_rows = []
 
-        meta_schema = pa.schema([(f, pa.string()) for f in _DOCMETA_FIELDS])
+        meta_schema = pa.schema(
+            [(f, pa.string()) for f in _DOCMETA_FIELDS] + [("doc_len", pa.int64())]
+        )
 
         for rb in batches:
             n = rb.num_rows
@@ -186,10 +191,14 @@ def fused_local_segments(sorted_corpus: DataFrame, ngrams: bool = True) -> DataF
                 for i in range(m)
             ]
 
-            # doc metadata chunk -> Arrow IPC bytes (one pseudo-row)
+            # tokenize + count (C++), pairs with LOCAL doc ids
+            di, codes, tfs, dic, dlens = tokenize_count_arrow(content, ngrams=ngrams)
+
+            # doc metadata chunk -> Arrow IPC bytes (one pseudo-row);
+            # doc_len included so the docs table needs no join
             meta_rb = pa.record_batch(
                 [out.column(0), out.column(1), out.column(2), out.column(3),
-                 pa.array(shas, type=pa.string())],
+                 pa.array(shas, type=pa.string()), pa.array(dlens, type=pa.int64())],
                 schema=meta_schema,
             )
             sink = pa.BufferOutputStream()
@@ -197,9 +206,6 @@ def fused_local_segments(sorted_corpus: DataFrame, ngrams: bool = True) -> DataF
                 w.write_batch(meta_rb)
             meta_rows.append((m, chunk_seq, sink.getvalue().to_pybytes()))
             chunk_seq += 1
-
-            # tokenize + count (C++), pairs with LOCAL doc ids
-            di, codes, tfs, dic, dlens = tokenize_count_arrow(content, ngrams=ngrams)
             if codes.size:
                 term_chunks.append(dic.take(pa.array(codes)))
                 doc_chunks.append(local_ids[di])
@@ -304,7 +310,7 @@ def docs_from_meta(staged: DataFrame, offsets: dict) -> DataFrame:
     return meta.mapInPandas(
         dec,
         schema="doc_id long, repo string, path string, commit string, "
-        "lang string, content_sha256 string",
+        "lang string, content_sha256 string, doc_len long",
     )
 
 

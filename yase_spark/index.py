@@ -253,10 +253,9 @@ class IndexBuilder:
                     (F.col("grp") == g_doclen) & (F.col("term") == DOCLEN_TERM)
                 ).select("shard", "df_local").collect()
             )
-            doc_lens = decode_doclens(
+            srow = decode_doclens(
                 staged.filter(F.col("grp") == g_doclen), offsets
-            ).persist()
-            srow = doc_lens.agg(F.sum("doc_len").alias("s")).collect()[0]
+            ).agg(F.sum("doc_len").alias("s")).collect()[0]
             stats = {
                 "n_docs": n_total,
                 "total_tokens": int(srow["s"] or 0),
@@ -267,11 +266,10 @@ class IndexBuilder:
             tcur = _mark("doclen_stats", tcur)
 
             def docs_stage() -> None:
+                # no join: doc_len rides inside the DOCMETA chunks
                 dt0 = time.time()
-                docs = (
-                    docs_from_meta(staged.filter(F.col("grp") == g_docmeta), offsets)
-                    .join(doc_lens, "doc_id", "left")
-                    .fillna(0, subset=["doc_len"])
+                docs = docs_from_meta(
+                    staged.filter(F.col("grp") == g_docmeta), offsets
                 )
                 cat.write(
                     "docs", docs, mode="overwrite",
@@ -400,9 +398,6 @@ class IndexBuilder:
                 group_metrics = list(ex.map(build_group, units))
                 if docs_future is not None:
                     docs_future.result()
-        if rebuilt_docs:
-            doc_lens.unpersist()
-
         phase_t["groups_total"] = round(time.time() - groups_t0, 2)
         wall_s = time.time() - t0
         summary = {
