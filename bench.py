@@ -89,6 +89,19 @@ def main() -> None:
     extras["query_p95_ms"] = round(lat["p95_ms"], 3)
     extras["n_queries"] = lat["n"]
 
+    # cold-cache latency (block-lazy WAND path; payload fetch dominates)
+    cold = []
+    for q in [x for x in queries if x["kind"] == "topk"][:8]:
+        rd._cache.clear()
+        rd._row_cache.clear()
+        rd._df_cache.clear()
+        t0 = time.perf_counter()
+        rd.topk_lazy(q["query"], q.get("k", 10))
+        cold.append(time.perf_counter() - t0)
+    cold.sort()
+    extras["cold_p50_ms"] = round(1000 * cold[len(cold) // 2], 1)
+    extras["cold_p95_ms"] = round(1000 * cold[min(len(cold) - 1, int(len(cold) * 0.95))], 1)
+
     # ---- phase 3: synthetic source-code corpus build ---------------
     # stage the corpus as parquet first (untimed): the metric is INDEX
     # BUILD throughput over a stored table, not generator speed
