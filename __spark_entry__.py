@@ -369,6 +369,14 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_cosine_dup_pairs(spark, sf_dir):
+    from yase_spark.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.45
+    )
+
+
 def _q_token_stats(spark, sf_dir):
     from yase_spark.textstats import token_stats
 
@@ -425,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_lsh": _q_near_dup_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
@@ -664,6 +673,15 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         "near_dup_lsh": _NEAR_DUP_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "ann_topk": _ANN_SQL,
+        # embedding-cosine near-dup pairs: LSH candidates (64 tables) +
+        # exact verify vs the brute-force all-pairs oracle
+        "cosine_dup_pairs": (
+            "WITH p AS (SELECT a.vec_id vec_a, b.vec_id vec_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]), 6) sim_r "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "SELECT vec_a, vec_b, sim_r FROM p WHERE sim_r >= 0.45"
+        ),
         "token_stats": (
             "SELECT doc_id, "
             "len(regexp_extract_all(text, '[^ ]+')) AS n_ws, "

@@ -101,3 +101,32 @@ def test_quality_and_langid_shapes(spark, docs):
     assert ts.count() == n
     row = ts.agg(F.min("n_bpe"), F.min("n_ws")).collect()[0]
     assert row[0] >= 0 and row[1] >= 0
+
+
+def test_cosine_dup_pairs_total_recall(spark, emb):
+    """LSH-candidate + exact-verify must equal the brute-force cosine
+    pairs at the pinned threshold (64 tables make misses negligible even
+    at this fixture's hard low-similarity threshold)."""
+    from yase_spark.similarity import cosine_dup_pairs, cosine_topk
+
+    got = {(r["vec_a"], r["vec_b"]) for r in cosine_dup_pairs(emb).collect()}
+    # brute force via a crossJoin in Spark (sandbox-size only)
+    from pyspark.sql import functions as F
+
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding"))
+    cos = (
+        "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)), "
+        "0D, (acc, v) -> acc + v) / "
+        "(sqrt(aggregate(qe, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))) * "
+        "sqrt(aggregate(embedding, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double))))"
+    )
+    want = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b).where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("s", F.round(F.expr(cos), 6))
+        .filter(F.col("s") >= 0.45)
+        .collect()
+    }
+    assert want, "fixture should yield at least one pair at 0.45"
+    assert got == want, f"missing {want - got} / extra {got - want}"

@@ -92,6 +92,43 @@ def lsh_buckets(
     )
 
 
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    planes: int = 4,
+    tables: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-family variant of
+    similarity search): candidate pairs collide in >= 1 of L hash tables,
+    then every candidate's exact cosine is computed and thresholded —
+    precision is exact, and the table count is sized so recall misses are
+    negligible at the pinned threshold (P(miss) = (1-p^4)^64 where p is
+    the sign-agreement rate; at real dup thresholds >= 0.9 far fewer
+    tables suffice — the fixture's vectors are random, so the pinned
+    threshold sits at the hard end of the spectrum).
+    Output (vec_a, vec_b, sim_r) with vec_a < vec_b."""
+    b = lsh_buckets(emb, planes, tables, seed)
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["table", "bucket"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim_r", F.round(F.expr(_COS_SQL), 6))
+        .filter(F.col("sim_r") >= threshold)
+        .select("vec_a", "vec_b", "sim_r")
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     n_queries: int = 8,
