@@ -103,3 +103,20 @@ def test_empty_and_k0():
     rng = np.random.default_rng(1)
     t = _mk_term(rng, 100, 10, 8, 100, 50.0)
     assert wand_topk([t], 0, K1, B, 50.0) == []
+
+
+def test_dense_topk_bitwise_equals_naive(spark, tiny_index):
+    """The dense-accumulator scorer must be bitwise-identical to the
+    positional naive scorer (same contribution expression, same per-doc
+    term-order summation) on every reference query."""
+    from yase_spark.query import IndexReader, dense_topk, naive_topk
+    from yase_spark.synth import reference_query_set
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    for q in [x for x in reference_query_set() if x["kind"] == "topk"]:
+        tp = rd._postings(q["query"])
+        k = q.get("k", 10)
+        a = naive_topk(tp, k, cfg.k1, cfg.b, rd.avgdl)
+        b = dense_topk(tp, k, cfg.k1, cfg.b, rd.avgdl, rd.n_docs)
+        assert a == b, q["query"]
