@@ -1,0 +1,69 @@
+"""Structured-Streaming ingest: a corpus directory as a stream, indexed
+incrementally (SURVEY.md §2.9 note: the SPEC's build is resumable batch;
+this wraps the same engine for stream-shaped sources per the pipeline
+brief — "readStream -> transformations -> writeStream").
+
+Design: ``spark.readStream`` over the corpus directory feeds
+``foreachBatch``; each micro-batch goes through :meth:`IndexBuilder.append`
+(copy-on-write segment re-merge, delta-sized cost). Exactly-once falls out
+of composing two idempotencies:
+
+* Spark's streaming checkpoint guarantees each source file is delivered
+  in exactly one micro-batch (at-least-once across restarts);
+* ``append`` is a no-op for a delta whose fingerprint is already
+  committed (and left-anti-joins already-indexed natural keys), so a
+  replayed batch cannot double-index.
+
+At scale this is the standard lakehouse pattern: the stream only ever
+touches delta-sized state; the heavy global state (segments) is updated
+via the engine's own COW merge, never via streaming state stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .config import IndexConfig
+from .index import IndexBuilder
+
+
+def stream_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    cfg: IndexConfig | None = None,
+):
+    """Start (and in availableNow mode: run to completion) a streaming
+    index over parquet files arriving in ``input_dir``. Returns the
+    StreamingQuery; callers use ``.awaitTermination()`` — the
+    availableNow trigger makes it double as a batch catch-up run.
+    """
+    cfg = cfg or IndexConfig()
+
+    schema = (
+        "repo string, path string, commit string, lang string, content string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def ingest(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = IndexBuilder(spark, index_root, cfg)
+        # first micro-batch bootstraps the index (full build); later
+        # ones append. Both are idempotent per input fingerprint (build
+        # resumes committed units, append no-ops on a committed delta),
+        # so a replayed micro-batch — restart between the sink commit
+        # and the checkpoint advance — cannot double-index:
+        # exactly-once end to end
+        if not b.cat.exists("segments"):
+            b.build(batch_df)
+        else:
+            b.append(batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
