@@ -377,6 +377,24 @@ def _q_cosine_dup_pairs(spark, sf_dir):
     )
 
 
+def _q_event_windows(spark, sf_dir):
+    from yase_spark.events import event_windows
+
+    return event_windows(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_sessionize(spark, sf_dir):
+    from yase_spark.events import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_props_extract(spark, sf_dir):
+    from yase_spark.events import props_extract
+
+    return props_extract(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_token_stats(spark, sf_dir):
     from yase_spark.textstats import token_stats
 
@@ -434,6 +452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
+        "event_windows": _q_event_windows,
+        "sessionize": _q_sessionize,
+        "props_extract": _q_props_extract,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
@@ -681,6 +702,26 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "b.embedding::DOUBLE[]), 6) sim_r "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
             "SELECT vec_a, vec_b, sim_r FROM p WHERE sim_r >= 0.45"
+        ),
+        "event_windows": (
+            "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+            "event_type, count(*) AS n, round(sum(value), 6) AS sum_value_r "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) session_seq FROM g)
+SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY 1, 2
+""",
+        "props_extract": (
+            "SELECT event_id, (props->>'$.k')::BIGINT AS k FROM events"
         ),
         "token_stats": (
             "SELECT doc_id, "
