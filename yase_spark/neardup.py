@@ -189,9 +189,11 @@ H60_SQL = "cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
 def simhash_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): tf-weighted 60-bit simhash over words.
 
-    Pure relational form (explode x 60 bit positions -> hash-agg): stays
-    in whole-stage codegen and is oracle-expressible. At extreme scale
-    the 60x row blowup would move into an Arrow kernel instead."""
+    One hash-aggregation with 60 sum expressions (one per bit counter)
+    instead of a 60x bit-position row explode: each input row folds into
+    the per-doc partial aggregate map-side, so shuffle volume is one row
+    per doc regardless of bit width — the explode variant shuffled 60
+    rows per (doc, term). Same results; stays in whole-stage codegen."""
     tok = (
         doc_words(docs)
         .select("doc_id", F.explode("w").alias("t"))
@@ -199,22 +201,17 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.expr(H60_SQL.format(col="t")))
     )
-    bits = (
-        tok.select(
-            "doc_id",
-            F.explode(F.expr("sequence(0, 59)")).alias("j"),
-            F.expr("tf * (((h >> j) & 1) * 2 - 1)").alias("c"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("c").alias("s"))
-        .withColumn(
-            "bit",
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
+    counters = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"tf * (((h >> {j}) & 1) * 2 - 1)")).alias(f"s{j}")
+            for j in range(60)
+        ]
     )
-    return bits.groupBy("doc_id").agg(F.sum("bit").alias("simhash"))
+    bit_terms = " + ".join(
+        f"(case when s{j} > 0 then shiftleft(cast(1 as bigint), {j}) else 0L end)"
+        for j in range(60)
+    )
+    return counters.select("doc_id", F.expr(bit_terms).alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

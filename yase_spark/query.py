@@ -524,16 +524,25 @@ class IndexReader:
         missing = [t for t in dict.fromkeys(terms) if t not in self._cache]
         if missing:
             buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in missing})
-            rows = (
+            # Arrow-native collect: payload bytes cross the JVM->Python
+            # boundary as Arrow IPC batches instead of Py4J row pickling —
+            # the measured cold-fetch bottleneck at 1.6M docs was this
+            # transfer (~30 MB/s pickled), not decode.
+            tbl = (
                 self._segments.filter(
                     F.col("bucket").isin(buckets) & F.col("term").isin(missing)
                 )
                 .select("term", "shard", "df", "n", "payload")
-                .collect()
+                .toArrow()
             )
+            cols = {name: tbl.column(name).to_pylist() for name in ("term", "shard", "df", "n")}
+            payloads = tbl.column("payload")
             by_term: dict[str, list] = {}
-            for r in rows:
-                by_term.setdefault(r["term"], []).append(r)
+            for i in range(tbl.num_rows):
+                by_term.setdefault(cols["term"][i], []).append(
+                    {"shard": cols["shard"][i], "df": cols["df"][i],
+                     "n": cols["n"][i], "payload": payloads[i]}
+                )
             for t in missing:
                 rs = sorted(by_term.get(t, []), key=lambda r: r["shard"])
                 if not rs:
@@ -542,7 +551,7 @@ class IndexReader:
                 ids_l, tfs_l, dls_l = [], [], []
                 df_g = int(rs[0]["df"])
                 for r in rs:
-                    ids, tfs, dls = decode_postings(bytes(r["payload"]), int(r["n"]))
+                    ids, tfs, dls = decode_postings(r["payload"].as_py(), int(r["n"]))
                     ids_l.append(ids)
                     tfs_l.append(tfs)
                     dls_l.append(dls)
@@ -607,16 +616,27 @@ class IndexReader:
         missing = [t for t in dict.fromkeys(terms) if t not in self._row_cache]
         if missing:
             buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in missing})
-            rows = (
+            # Arrow-native collect (see fetch_terms) — payload and the
+            # list<struct> block_meta both ride Arrow IPC, not Py4J rows.
+            tbl = (
                 self._segments.filter(
                     F.col("bucket").isin(buckets) & F.col("term").isin(missing)
                 )
                 .select("term", "shard", "df", "n", "payload", "block_meta", "idf")
-                .collect()
+                .toArrow()
             )
+            cols = {
+                name: tbl.column(name).to_pylist()
+                for name in ("term", "shard", "df", "n", "block_meta", "idf")
+            }
+            payloads = tbl.column("payload")
             by_term: dict[str, list] = {}
-            for r in rows:
-                by_term.setdefault(r["term"], []).append(r)
+            for i in range(tbl.num_rows):
+                by_term.setdefault(cols["term"][i], []).append(
+                    {"shard": cols["shard"][i], "df": cols["df"][i], "n": cols["n"][i],
+                     "payload": payloads[i], "block_meta": cols["block_meta"][i],
+                     "idf": cols["idf"][i]}
+                )
             for t in missing:
                 rs = sorted(by_term.get(t, []), key=lambda r: r["shard"])
                 self._row_cache[t] = rs or None
@@ -638,11 +658,7 @@ class IndexReader:
                 LazyTermPostings(
                     t, df_g, idf_now,
                     [
-                        (
-                            bytes(r["payload"]),
-                            [m.asDict() for m in r["block_meta"]],
-                            float(r["idf"]),
-                        )
+                        (r["payload"].as_py(), r["block_meta"], float(r["idf"]))
                         for r in rs
                     ],
                 )
