@@ -29,24 +29,16 @@ from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .config import IndexConfig
-from .corpus import CORPUS_COLS, check_sha256, ingest, term_counts
+from .corpus import CORPUS_COLS, check_sha256
 from .ids import KEY
-from .postings import build_local_segments, merge_segments, salt_postings
-from .stats import corpus_stats, term_frequencies
+from .postings import merge_segments
+from .stats import corpus_stats
 
 CKPT_SCHEMA = (
     "run_id string, unit string, status string, rows_in long, postings_out long, "
     "bytes_out long, n_terms long, wall_ms long, skew_ratio double, "
     "input_fingerprint string, ts double"
 )
-
-
-def _tf_jvm(tokenized: DataFrame) -> DataFrame:
-    """TF via codegen explode + hash agg (map-side partial combine)."""
-    from .corpus import explode_terms
-    from .stats import term_frequencies
-
-    return term_frequencies(explode_terms(tokenized))
 
 
 def corpus_fingerprint(corpus: DataFrame, with_bytes: bool = False):
@@ -443,7 +435,7 @@ class IndexBuilder:
         if not cat.exists("segments"):
             raise ValueError("append requires an existing index (run build first)")
 
-        fp_delta = corpus_fingerprint(delta)
+        fp_delta, delta_bytes = corpus_fingerprint(delta, with_bytes=True)
         seg_units = {t.get("unit") for t in cat.committed_tags("segments")}
         if f"append-{fp_delta}" in seg_units:
             # heal a crash between the segments overwrite and the stats
@@ -457,41 +449,64 @@ class IndexBuilder:
         docs_units = {t.get("unit") for t in cat.committed_tags("docs")}
         docs_unit = f"append-docs-{fp_delta}"
 
+        from .corpus import (
+            DOCLEN_TERM,
+            DOCMETA_TERM,
+            docs_from_meta,
+            fused_local_segments,
+            shard_offsets_from_doclens,
+        )
+        from .ids import KEY as _KEY
+
         if docs_unit in docs_units:
-            # crash-resume: delta docs + local segments already committed
+            # crash-resume: delta docs + local segments already committed.
+            # The pre-delta id base is recoverable from the tagged docs
+            # commit itself (delta ids are contiguous above it).
             docs_new = cat.read_tagged_commit(spark, "docs", docs_unit)
-            delta_local = cat.read_tagged_commit(spark, "local_segments", docs_unit)
-            appended = docs_new.count()
+            staged_delta = cat.read_tagged_commit(spark, "local_segments", docs_unit)
+            offsets_local, appended = shard_offsets_from_doclens(
+                staged_delta.filter(F.col("term") == DOCLEN_TERM)
+                .select("shard", "df_local").collect()
+            )
+            min_new = docs_new.agg(F.min("doc_id")).collect()[0][0]
+            old_max = int(min_new) - 1 if min_new is not None else 0
         else:
-            old_max = docs_old.agg(F.max("doc_id")).collect()[0][0] or 0
+            old_max = int(docs_old.agg(F.max("doc_id")).collect()[0][0] or 0)
             fresh = delta.select(*CORPUS_COLS).join(
                 docs_old.select("repo", "path", "commit"), KEY, "left_anti"
             )
-            docs_new, tokenized, base = ingest(
-                fresh, ngrams=cfg.ngrams, id_offset=int(old_max), tokenizer=cfg.tokenizer
+            # same single-content-pass kernel as build(): range shuffle ->
+            # fused dedup+sha+tokenize+encode with LOCAL per-shard ids;
+            # docs dimension rides as DOCMETA pseudo-rows. Delta runs are
+            # rebased above old_max during the merge below.
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("YASE_ARROW_BATCH", "512"),
             )
-            tf_fn = _tf_jvm if cfg.tokenizer == "jvm" else term_counts
-            tf_delta = tf_fn(tokenized)
-            appended = docs_new.count()
-            n_new = int(old_max) + int(appended)
-            from .postings import range_salt
-
-            delta_local = build_local_segments(
-                range_salt(tf_delta, n_new, cfg), partitions=cfg.shuffle_partitions
-            ).withColumn(
+            n_part = max(
+                4, min(4096, -(-int(delta_bytes) // cfg.sort_partition_bytes))
+            )
+            shuffled = (
+                fresh.repartitionByRange(n_part, *_KEY)
+                .sortWithinPartitions(*_KEY, "lang", "content")
+            )
+            delta_local = fused_local_segments(shuffled, ngrams=cfg.ngrams).withColumn(
                 "grp", F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int")
             )
-            cat.write("docs", docs_new, mode="append", tag={"unit": docs_unit})
             cat.write(
                 "local_segments", delta_local, mode="append", partition_by=["grp"],
                 tag={"unit": docs_unit},
             )
-            base.unpersist()
-            src = getattr(base, "_yase_persisted_source", None)
-            if src is not None:
-                src.unpersist()
+            staged_delta = cat.read_tagged_commit(spark, "local_segments", docs_unit)
+            offsets_local, appended = shard_offsets_from_doclens(
+                staged_delta.filter(F.col("term") == DOCLEN_TERM)
+                .select("shard", "df_local").collect()
+            )
+            docs_new = docs_from_meta(
+                staged_delta, {s: o + old_max for s, o in offsets_local.items()}
+            )
+            cat.write("docs", docs_new, mode="append", tag={"unit": docs_unit})
             docs_new = cat.read_tagged_commit(spark, "docs", docs_unit)
-            delta_local = cat.read_tagged_commit(spark, "local_segments", docs_unit)
 
         # refreshed globals over the FULL corpus (committed AFTER the
         # segments overwrite below — a crash in between leaves old
@@ -501,9 +516,15 @@ class IndexBuilder:
         stats = corpus_stats(all_docs)
 
         segs_old = cat.read(spark, "segments")
-        affected = delta_local.select("term").distinct()
+        delta_runs = (
+            staged_delta.filter(
+                (F.col("term") != DOCLEN_TERM) & (F.col("term") != DOCMETA_TERM)
+            )
+            .drop("grp")
+            .withColumn("run_seq", F.lit(1))
+        )
+        affected = delta_runs.select("term").distinct()
 
-        local = delta_local.drop("grp").withColumn("run_seq", F.lit(1))
         old_runs = (
             segs_old.join(F.broadcast(affected), "term", "left_semi")
             .select(
@@ -515,8 +536,15 @@ class IndexBuilder:
                 F.lit(0).alias("run_seq"),
             )
         )
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("YASE_ARROW_BATCH_POSTINGS", "16384"),
+        )
+        # only generation-1 (delta) runs carry LOCAL ids; generation-0
+        # rows are already global, so the keyed offsets leave them alone
         merged = merge_segments(
-            local.unionByName(old_runs), stats["n_docs"], stats["avgdl"], cfg
+            delta_runs.unionByName(old_runs), stats["n_docs"], stats["avgdl"], cfg,
+            shard_offsets={(1, s): o + old_max for s, o in offsets_local.items()},
         )
         unaffected = segs_old.join(F.broadcast(affected), "term", "left_anti")
         final = merged.unionByName(unaffected)

@@ -63,50 +63,6 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def range_salt(tf: DataFrame, n_docs: int, cfg: IndexConfig) -> DataFrame:
-    """C1 (uniform): shard EVERY term's postings by doc_id range —
-    ``salt = floor(doc_id * S / (n_docs + 1))``, S scaled so no encode
-    group exceeds ~5M postings even for a term present in every document.
-
-    Uniform range-salting needs no df statistics on the critical path
-    (the df-threshold variant below required an extra full aggregation
-    before the encode shuffle), bounds every group unconditionally, and
-    keeps shard runs doc-ordered and disjoint so the merge is a concat.
-    This is the same document-partitioning argument real distributed
-    indexes use."""
-    s = max(cfg.salt_shards, -(-n_docs // 5_000_000))
-    return tf.withColumn(
-        "salt", F.floor(F.col("doc_id") * s / F.lit(n_docs + 1)).cast("int")
-    )
-
-
-def salt_postings(
-    tf: DataFrame, n_docs: int, cfg: IndexConfig, hot: DataFrame | None = None
-) -> DataFrame:
-    """C1: doc_id-range salt for hot terms (df > threshold), salt 0 else.
-
-    ``hot`` — precomputed hot-term table (one global pass at the docs
-    stage); when None it is derived from ``tf`` (costs an extra shuffle —
-    fine for ad-hoc use, avoided by the staged build)."""
-    if hot is None:
-        dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
-        hot = dfs.filter(F.col("df") > cfg.hot_term_df).select("term")
-    else:
-        hot = hot.select("term")
-    s = cfg.salt_shards
-    return (
-        tf.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), "term", "left")
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("_hot").isNotNull(),
-                F.floor(F.col("doc_id") * s / F.lit(n_docs + 1)).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_hot")
-    )
-
-
 # ------------------------------------------------------------- encode C2/C3
 def _section(vals: np.ndarray):
     """varint-encode an int array -> (bytes, per-value byte offsets
@@ -122,54 +78,6 @@ def _section(vals: np.ndarray):
     return enc.tobytes(), offs
 
 
-def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized local-segment encode of a sorted (term, salt, doc_id)
-    frame: ONE varint pass over all groups, then per-group byte slicing."""
-    if pdf.empty:
-        return pd.DataFrame(
-            {c: pd.Series(dtype=t) for c, t in zip(
-                ["term", "shard", "df_local", "cf_local", "payload"],
-                [object, "int32", "int64", "int64", object],
-            )}
-        )
-    terms = pdf["term"].to_numpy()
-    salts = pdf["salt"].to_numpy()
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
-    n = ids.size
-
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-    starts = np.flatnonzero(change)
-    ends = np.concatenate([starts[1:], [n]])
-
-    gaps = np.empty(n, dtype=np.int64)
-    gaps[0] = ids[0]
-    gaps[1:] = ids[1:] - ids[:-1]
-    gaps[starts] = ids[starts]  # reset delta chain at group starts
-
-    g_b, g_off = _section(gaps)
-    t_b, t_off = _section(tfs)
-    d_b, d_off = _section(dls)
-
-    payloads = [
-        g_b[g_off[s] : g_off[e]] + t_b[t_off[s] : t_off[e]] + d_b[d_off[s] : d_off[e]]
-        for s, e in zip(starts, ends)
-    ]
-    cf = np.add.reduceat(tfs, starts)
-    return pd.DataFrame(
-        {
-            "term": terms[starts],
-            "shard": salts[starts].astype("int32"),
-            "df_local": (ends - starts).astype("int64"),
-            "cf_local": cf.astype("int64"),
-            "payload": payloads,
-        }
-    )
-
-
 def encode_runs_coded(
     codes: np.ndarray,
     doc_ids: np.ndarray,
@@ -178,7 +86,8 @@ def encode_runs_coded(
     dictionary,
     salt: int,
 ):
-    """Array-based variant of :func:`_encode_groups` for the Arrow-native
+    """Vectorized local-segment encode (ONE varint pass over all groups,
+    then per-group byte slicing) for the Arrow-native
     docs stage: rows are (term-code, doc_id, tf, dl) sorted by
     (code, doc_id); term STRINGS are materialized only once per run (from
     the Arrow dictionary), never per posting. Returns a pyarrow
@@ -226,43 +135,6 @@ def encode_runs_coded(
     )
 
 
-def build_local_segments(salted: DataFrame, partitions: int) -> DataFrame:
-    """C1+C2+C3: shuffle by (term, salt), sort within partition, encode.
-
-    Batches inside one partition are stitched so a group spanning Arrow
-    batch boundaries is encoded once.
-    """
-    shuffled = salted.repartition(partitions, "term", "salt").sortWithinPartitions(
-        "term", "salt", "doc_id"
-    )
-
-    def encode(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if pdf.empty:
-                continue
-            # hold back the trailing group — it may continue in the next
-            # Arrow batch of this partition (input is sorted, so the tail
-            # group's rows are contiguous at the end)
-            tail_n = int(
-                (
-                    (pdf["term"] == pdf["term"].iloc[-1])
-                    & (pdf["salt"] == pdf["salt"].iloc[-1])
-                ).sum()
-            )
-            head, carry = pdf.iloc[: len(pdf) - tail_n], pdf.iloc[len(pdf) - tail_n :]
-            if len(head):
-                yield _encode_groups(head)
-        if carry is not None and len(carry):
-            yield _encode_groups(carry)
-
-    return shuffled.mapInPandas(encode, schema=LOCAL_SCHEMA)
-
-
-# ------------------------------------------------------------- merge C5/C6
 def _merge_runs_fused(
     head: pd.DataFrame,
     n_docs: int,
@@ -325,7 +197,10 @@ def _merge_runs_fused(
         # of materialized rows is what lets the build skip the dedicated
         # id-zip pass over content entirely
         sb = np.fromiter(
-            (shard_offsets.get(int(s), 0) for s in head["shard"]),
+            (
+                shard_offsets.get((int(q), int(s)), 0)
+                for q, s in zip(head["run_seq"], head["shard"])
+            ),
             dtype=np.int64, count=R,
         )
         ids = ids + sb[run_of_p]
@@ -434,6 +309,13 @@ def merge_segments(
     k1, b, block = cfg.k1, cfg.b, cfg.block_size
     n_buckets = cfg.term_buckets
 
+    # offsets may be {shard: base} (base build: every run is generation
+    # 0) or {(run_seq, shard): base} (incremental append: only the delta
+    # generation's runs carry LOCAL ids — prior global rows, run_seq 0,
+    # must NOT be rebased). Normalize to the keyed form.
+    if shard_offsets and not isinstance(next(iter(shard_offsets)), tuple):
+        shard_offsets = {(0, s): v for s, v in shard_offsets.items()}
+
     # shuffle by the layout bucket (bucket = f(term), so all runs of a
     # term stay co-located) instead of by raw term: the downstream
     # partitionBy("bucket") write then needs NO extra shuffle and emits
@@ -473,7 +355,7 @@ def merge_segments(
             for r in group.itertuples():
                 ids, tfs, dls = decode_postings(bytes(r.payload), int(r.df_local))
                 if shard_offsets is not None:
-                    ids = ids + shard_offsets.get(int(r.shard), 0)
+                    ids = ids + shard_offsets.get((int(r.run_seq), int(r.shard)), 0)
                 cf_g += int(tfs.sum())
                 decoded.append((ids, tfs, dls))
             out = []

@@ -689,9 +689,14 @@ class IndexReader:
     # ----------------------------------------------------------- queries
     # Below this candidate-postings count the numpy full-scan scorer beats
     # the per-pivot Python loop of the WAND executor (measured: ~2 ms vs
-    # ~500 ms at 10^5 postings); WAND's pruning pays once lists are large
-    # enough that even one vectorized pass over them dominates.
-    WAND_MIN_POSTINGS = 5_000_000
+    # ~500 ms at 10^5 postings; a 7M-posting 5-common-term query is ~2 s
+    # via the eager-WAND loop vs ~100 ms via the dense scatter-add).
+    # Queries above ``driver_fetch_max_postings`` never reach the warm
+    # driver path at all (cluster dispatch), so the dense/naive scorer is
+    # the universal WARM executor; block-max WAND serves the cold lane
+    # (``topk_lazy``, where skipped blocks save fetch+decode, not just
+    # score work) and the executor-side kernels.
+    WAND_MIN_POSTINGS = 20_000_000
     # below this corpus size the full-scan scorer uses a dense doc_id-
     # indexed accumulator (O(n_docs) memory, ~8 B/doc driver-side) —
     # an np.unique over multi-million-posting unions was the measured
