@@ -514,10 +514,6 @@ class IndexReader:
         # known from a dictionary-only columnar read before any payload
         # bytes move.
         self.driver_fetch_max_postings = 20_000_000
-        # cold queries above this many postings skip the full decode and
-        # use the block-lazy WAND (below it, one vectorized full-scan
-        # pass over small lists is cheaper than cursor bookkeeping)
-        self.lazy_min_postings = 500_000
 
     # ------------------------------------------------------------- fetch
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | None]:
@@ -715,12 +711,16 @@ class IndexReader:
         lookup BEFORE any payload moves) exceed
         ``driver_fetch_max_postings``, the query is served cluster-side
         (``topk_distributed``) instead of materializing payloads on the
-        driver — a df~10^11 term must never be driver-fetched. Between
-        ``lazy_min_postings`` and that cap, a COLD query uses the
-        block-lazy WAND (``topk_lazy``): payload rows are fetched but
-        only surviving blocks are decoded, which is what bounds cold
-        p95 on big lists. All three paths return identical results
-        (tests/test_lazy_wand.py)."""
+        driver — a df~10^11 term must never be driver-fetched. Below
+        that cap the cold path fetches + fully decodes (vectorized) and
+        scores through the dense accumulator: the measured 1.6M-doc
+        breakdown of a 12M-posting query is collect 2.1 s / decode+dense
+        ~0.3 s / lazy-WAND cursor loop 3.4 s — once the payload bytes
+        have crossed the socket, the vectorized full decode beats lazy
+        per-block decode at every driver-served size (the block skip
+        structure earns its keep executor-side and in ``topk_lazy``,
+        where CPU, not transfer, is the budget). Both paths return
+        identical results (tests/test_lazy_wand.py)."""
         qterms = analyze_query(query)
         uncached = [t for t in qterms if t not in self._cache]
         if uncached:
@@ -729,8 +729,6 @@ class IndexReader:
             if total > self.driver_fetch_max_postings:
                 rows = self.topk_distributed(query, k).collect()
                 return [(int(r["rank"]), int(r["doc_id"]), float(r["score"])) for r in rows]
-            if total > self.lazy_min_postings:
-                return self.topk_lazy(query, k)
         tp = self._postings(query)
         if use_wand is None:
             use_wand = sum(t.doc_ids.size for t in tp) > self.WAND_MIN_POSTINGS
