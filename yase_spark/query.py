@@ -514,6 +514,13 @@ class IndexReader:
         # known from a dictionary-only columnar read before any payload
         # bytes move.
         self.driver_fetch_max_postings = 20_000_000
+        # total_tokens bounds total postings (a posting is a distinct
+        # (term, doc) pair, every token contributes to exactly one); when
+        # the WHOLE index fits under the driver-fetch cap, the per-query
+        # dictionary df pre-check can never trigger a dispatch and is
+        # skipped — cold queries on small/medium indexes cost ONE Spark
+        # job (the payload fetch) instead of two.
+        self._total_postings_upper = int(srow["total_tokens"])
 
     # ------------------------------------------------------------- fetch
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | None]:
@@ -723,7 +730,7 @@ class IndexReader:
         identical results (tests/test_lazy_wand.py)."""
         qterms = analyze_query(query)
         uncached = [t for t in qterms if t not in self._cache]
-        if uncached:
+        if uncached and self._total_postings_upper > self.driver_fetch_max_postings:
             dfs = self.term_dfs(uncached)
             total = sum(dfs.values())
             if total > self.driver_fetch_max_postings:

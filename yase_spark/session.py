@@ -46,7 +46,15 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("YASE_ARROW_BATCH", "512"),
         )
-        .config("spark.driver.memory", os.environ.get("YASE_DRIVER_MEM", "8g"))
+        # per-core heap, matching the scaling harness: a flat heap
+        # starves local[32] (measured 3x build slowdown at 1.6M docs
+        # under a fixed 8g) while an oversized one hits the 48g
+        # page-zeroing pathology (BENCH/README.md). In local mode the
+        # driver JVM hosts every executor thread, so size by cores.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("YASE_DRIVER_MEM", f"{max(8, (3 * cpus) // 4)}g"),
+        )
         # committer v2: task commits rename straight into the output dir,
         # so the job-commit step stops being a driver-serial walk over
         # every written file (hundreds of partitionBy files per stage —
