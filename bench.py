@@ -136,7 +136,12 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     t0 = time.perf_counter()
-    extras["near_dup_pairs"] = minhash_lsh_pairs(docs).count()
+    # the near-dup regime LSH exists for: threshold 0.5, (b=64, r=2)
+    # banding -> candidates collapse to near-true pairs (P(miss) ~ 1e-8
+    # at j = 0.5); the oracle entry runs the total-recall r=1 variant
+    extras["near_dup_pairs"] = minhash_lsh_pairs(
+        docs, threshold=0.5, rows_per_band=2
+    ).count()
     extras["simhash_pairs"] = simhash_pairs(docs).count()
     extras["ann_rows"] = lsh_ann_topk(emb).count()
     extras["text_rows"] = (

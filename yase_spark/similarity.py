@@ -55,10 +55,14 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
 def lsh_buckets(
     emb: DataFrame, planes: int = 4, tables: int = 16, seed: int = 42
 ) -> DataFrame:
-    """(vec_id, table, bucket, embedding): random-hyperplane sign-bit
-    bucket per vector per hash table — ONE Arrow-batched numpy matmul
-    pass emits all L tables (multi-table LSH: recall compounds as
-    1-(1-s^p)^L while candidates stay ~L * N / 2^p for random pairs)."""
+    """(vec_id, table, bucket): random-hyperplane sign-bit bucket per
+    vector per hash table — ONE Arrow-batched numpy matmul pass emits
+    all L tables (multi-table LSH: recall compounds as 1-(1-s^p)^L
+    while candidates stay ~L * N / 2^p for random pairs). Embeddings
+    deliberately do NOT ride along: duplicating the vector per table
+    multiplied the kernel output (and any downstream shuffle) by L —
+    consumers re-join the single-copy ``emb`` table when they need the
+    vectors."""
     import numpy as np
     import pandas as pd
 
@@ -82,13 +86,12 @@ def lsh_buckets(
                     "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
                     "table": np.tile(np.arange(tables, dtype=np.int32), n),
                     "bucket": buckets.reshape(-1),
-                    "embedding": np.repeat(pdf["embedding"].to_numpy(), tables),
                 }
             )
             yield out
 
     return emb.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id long, table int, bucket int, embedding array<float>"
+        assign, schema="vec_id long, table int, bucket int"
     )
 
 
@@ -108,14 +111,14 @@ def cosine_dup_pairs(
     tables suffice — the fixture's vectors are random, so the pinned
     threshold sits at the hard end of the spectrum).
     Output (vec_a, vec_b, sim_r) with vec_a < vec_b."""
+    from .neardup import _bucket_pairs
+
     b = lsh_buckets(emb, planes, tables, seed)
+    # groupBy + in-bucket expansion, not a self-join: the bucket kernel
+    # subtree is computed ONCE and shuffled once (see neardup._bucket_pairs)
     cand = (
-        b.alias("x")
-        .join(b.alias("y"), ["table", "bucket"])
-        .where(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
-        )
+        _bucket_pairs(b, ["table", "bucket"], "vec_id")
+        .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"))
         .distinct()
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
@@ -142,20 +145,22 @@ def lsh_ann_topk(
     as :func:`cosine_topk`; recall@k >= 0.9 is gated in
     tests/test_pipeline_ops.py at the sandbox SF."""
     b = lsh_buckets(emb, planes, tables, seed)
-    q = b.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        "table",
-        "bucket",
-    )
+    # bucket ONLY the query vectors for the probe side (bucket
+    # assignment is per-vector with a pinned seed, so this equals
+    # filtering the full bucket table) — the full kernel subtree is
+    # evaluated once, not once per join side
+    q = lsh_buckets(
+        emb.filter(F.col("vec_id") < n_queries), planes, tables, seed
+    ).select(F.col("vec_id").alias("query_id"), "table", "bucket")
     cand = (
-        b.select("vec_id", "table", "bucket")
-        .join(F.broadcast(q.select("query_id", "table", "bucket")), ["table", "bucket"])
+        b.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
         .distinct()  # a pair may collide in several tables
     )
-    qe = q.select("query_id", "qe").dropDuplicates(["query_id"])
+    qe = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
     joined = (
         cand.join(emb.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(qe), "query_id")
