@@ -46,15 +46,13 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("YASE_ARROW_BATCH", "512"),
         )
-        # per-core heap, matching the scaling harness: a flat heap
-        # starves local[32] (measured 3x build slowdown at 1.6M docs
-        # under a fixed 8g) while an oversized one hits the 48g
-        # page-zeroing pathology (BENCH/README.md). In local mode the
-        # driver JVM hosts every executor thread, so size by cores.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("YASE_DRIVER_MEM", f"{max(8, (3 * cpus) // 4)}g"),
-        )
+        # 8g measured FASTER than per-core sizing on this box (1.6M-doc
+        # build at local[32]: 254 s @ 8g vs 383 s @ 24g, tokenize stage
+        # 102 s vs 250 s) — large heaps hit the same first-touch
+        # page-zeroing pathology BENCH/README.md records for 48g. Real
+        # clusters size executor memory per node; override with
+        # YASE_DRIVER_MEM when a workload actually spills.
+        .config("spark.driver.memory", os.environ.get("YASE_DRIVER_MEM", "8g"))
         # committer v2: task commits rename straight into the output dir,
         # so the job-commit step stops being a driver-serial walk over
         # every written file (hundreds of partitionBy files per stage —
