@@ -92,6 +92,11 @@ def test_textstats_are_pure_jvm(spark):
     for op in (token_stats, lang_id, quality_scores, doc_fingerprints):
         plan = _plan(op(docs))
         assert "EvalPython" not in plan, f"{op.__name__} uses Python workers:\n{plan[:800]}"
+    # lang_id's per-row argmax is a greatest() expression, not an
+    # explode + window — the plan must contain NO shuffle at all
+    assert "Exchange" not in _plan(lang_id(docs)), (
+        "lang_id must be map-only:\n" + _plan(lang_id(docs))[:800]
+    )
 
 
 def test_neardup_exact_is_jvm_and_simhash_codegen(spark):

@@ -49,31 +49,34 @@ def token_stats(docs: DataFrame) -> DataFrame:
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-vote language ID: per-language hit counts over the word
     stream, argmax with deterministic tie-break (count DESC, lang ASC).
-    Output (doc_id, pred_lang, hits)."""
+    Output (doc_id, pred_lang, hits).
+
+    The argmax is per-row, so it's computed as `greatest` over
+    (hits, -lang_index) structs — a pure map-side expression. The
+    previous explode + row_number window shuffled the whole doc stream
+    just to pick each row's max; this stays in one WholeStageCodegen
+    span with no exchange (gated in tests/test_plans.py)."""
+    langs = sorted(STOPWORDS.items())
     w = docs.select(
         "doc_id", F.expr(f"regexp_extract_all(lower(text), '{WORD_RE}', 0)").alias("w")
     )
-    scored = w.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(lang).alias("lang"),
-                        F.expr(_in_list("w", words)).alias("hits"),
-                    )
-                    for lang, words in sorted(STOPWORDS.items())
-                ]
+    # struct comparison is field-order lexicographic: hits first (count
+    # DESC), then -index (equal hits -> larger -index = smaller index =
+    # lang ASC, matching the window tie-break this replaces)
+    best = F.greatest(
+        *[
+            F.struct(
+                F.expr(_in_list("w", words)).alias("hits"),
+                F.lit(-i).alias("nidx"),
             )
-        ).alias("s"),
-    ).select("doc_id", "s.lang", "s.hits")
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
-    return (
-        scored.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"), "hits")
+            for i, (lang, words) in enumerate(langs)
+        ]
+    )
+    name_arr = F.array(*[F.lit(lang) for lang, _ in langs])
+    return w.withColumn("b", best).select(
+        "doc_id",
+        F.element_at(name_arr, -F.col("b.nidx") + 1).alias("pred_lang"),
+        F.col("b.hits").alias("hits"),
     )
 
 
