@@ -377,6 +377,29 @@ def _q_cosine_dup_pairs(spark, sf_dir):
     )
 
 
+def _q_media_features(spark, sf_dir):
+    # multimodal plumbing end-to-end: embeddings -> typed binary media
+    # table (float32 payloads) -> decode + per-item features. The oracle
+    # computes the SAME statistics straight from the float arrays (the
+    # payload is bytes-for-bytes the embedding), proving the pack ->
+    # decode -> feature path loses nothing; 6-dp rounding absorbs
+    # summation-order float differences (numpy pairwise vs DuckDB
+    # sequential).
+    from pyspark.sql import functions as F
+
+    from yase_spark.multimodal import media_features, synthesize_media
+
+    media = synthesize_media(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return media_features(media).select(
+        "item_id",
+        "modality",
+        "n_values",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("std", 6).alias("std_r"),
+        F.round("l2", 6).alias("l2_r"),
+    )
+
+
 def _q_event_windows(spark, sf_dir):
     from yase_spark.events import event_windows
 
@@ -460,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
         "doc_fingerprint": _q_fingerprint,
+        "media_features": _q_media_features,
     }
 
 
@@ -740,6 +764,34 @@ FROM s GROUP BY 1, 2
             "SELECT doc_id, min(h) AS fp_min, bit_xor(h) AS fp_xor "
             "FROM tok GROUP BY doc_id"
         ),
+        # the payload of the synthetic media table is bytes-for-bytes
+        # the embedding's float32 planes, so the oracle computes the
+        # same statistics straight from the arrays — the Spark side
+        # must pack -> decode -> feature-extract losslessly to match.
+        # std via the same two-pass form numpy uses (mean of squared
+        # deviations, population).
+        "media_features": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         label,
+         len(embedding) AS n
+  FROM embeddings
+), m AS (
+  SELECT vec_id, label, n, v,
+         list_aggregate(v, 'avg') AS mu
+  FROM e
+)
+SELECT vec_id AS item_id,
+       CASE WHEN label = 0 THEN 'image'
+            WHEN label = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       n AS n_values,
+       round(mu, 6) AS mean_r,
+       round(sqrt(list_aggregate(list_transform(v, x -> (x - mu) * (x - mu)), 'avg')), 6) AS std_r,
+       round(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6) AS l2_r
+FROM m
+""",
         # ann_lsh_topk: rows-only (approximate by design; recall gated
         # in tests/test_pipeline_ops.py). codec_roundtrip, checkpoints:
         # rows-only (engine-internal — real gates are in tests/).
