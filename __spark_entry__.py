@@ -92,6 +92,28 @@ def _reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     return IndexReader(spark, root, cfg)
 
 
+def _appended_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index built on HALF the corpus (even original doc ids), then the
+    odd half ingested through ``IndexBuilder.append`` — the
+    copy-on-write incremental path (delta runs carry local per-shard
+    ids, rebased during the affected-term re-merge). The oracle
+    compares per-term df against FULL-corpus SQL, so the merged
+    segments must be indistinguishable from a one-shot build."""
+    key = ("append", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.index import IndexBuilder
+
+        root = tempfile.mkdtemp(prefix="yase_ixa_")
+        cfg = IndexConfig(build_groups=2, shuffle_partitions=16, hot_term_df=10**9)
+        corpus = _corpus_shape(spark, sf_dir)
+        even = F.pmod(F.col("path").cast("long"), F.lit(2)) == 0
+        build_index(spark, corpus.filter(even), root, cfg)
+        IndexBuilder(spark, root, cfg).append(corpus.filter(~even))
+        _CACHE[key] = (root, cfg)
+    root, cfg = _CACHE[key]
+    return IndexReader(spark, root, cfg)
+
+
 def _orig_ids(rd: IndexReader, spark: SparkSession):
     """engine doc_id -> original documents.doc_id (path is lpad(orig))."""
     return rd.cat.read(spark, "docs").select(
@@ -377,6 +399,15 @@ def _q_cosine_dup_pairs(spark, sf_dir):
     )
 
 
+def _q_append_df_agg(spark, sf_dir):
+    # incremental-ingest correctness under the oracle: per-term df of
+    # the build(half) + append(half) index vs full-corpus SQL — any
+    # id-rebase or re-merge defect in the append path breaks the hash
+    rd = _appended_reader(spark, sf_dir)
+    segs = rd.cat.read(spark, "segments")
+    return segs.groupBy("term").agg(F.sum(F.col("n")).alias("df"))
+
+
 def _q_media_features(spark, sf_dir):
     # multimodal plumbing end-to-end: embeddings -> typed binary media
     # table (float32 payloads) -> decode + per-item features. The oracle
@@ -484,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "doc_fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
+        "append_df_agg": _q_append_df_agg,
     }
 
 
@@ -763,6 +795,14 @@ FROM s GROUP BY 1, 2
             "FROM documents)) "
             "SELECT doc_id, min(h) AS fp_min, bit_xor(h) AS fp_xor "
             "FROM tok GROUP BY doc_id"
+        ),
+        # append_df_agg: identical SQL to segments_df on purpose — the
+        # Spark side is a DIFFERENT index (built half, appended half),
+        # and matching the one-shot oracle is the incremental-ingest
+        # correctness statement.
+        "append_df_agg": (
+            f"{_T_SQL}, tf AS (SELECT term, doc_id FROM t GROUP BY 1, 2) "
+            "SELECT term, count(*) AS df FROM tf GROUP BY 1"
         ),
         # the payload of the synthetic media table is bytes-for-bytes
         # the embedding's float32 planes, so the oracle computes the
