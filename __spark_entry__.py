@@ -114,6 +114,34 @@ def _appended_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     return IndexReader(spark, root, cfg)
 
 
+def _streamed_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index produced by the Structured-Streaming ingest: the corpus
+    arrives as two parquet files, maxFilesPerTrigger=1 forces two
+    micro-batches (bootstrap build, then append), availableNow drains
+    the backlog. The oracle compares per-term df against full-corpus
+    SQL — exactly-once ingest must produce a one-shot-equivalent
+    index."""
+    key = ("stream", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.streaming import stream_index
+
+        base = tempfile.mkdtemp(prefix="yase_stream_")
+        in_dir = f"{base}/in"
+        cfg = IndexConfig(build_groups=2, shuffle_partitions=16, hot_term_df=10**9)
+        corpus = _corpus_shape(spark, sf_dir)
+        even = F.pmod(F.col("path").cast("long"), F.lit(2)) == 0
+        corpus.filter(even).coalesce(1).write.mode("append").parquet(in_dir)
+        corpus.filter(~even).coalesce(1).write.mode("append").parquet(in_dir)
+        q = stream_index(
+            spark, in_dir, f"{base}/idx", f"{base}/ckpt", cfg,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        _CACHE[key] = (f"{base}/idx", cfg)
+    root, cfg = _CACHE[key]
+    return IndexReader(spark, root, cfg)
+
+
 def _orig_ids(rd: IndexReader, spark: SparkSession):
     """engine doc_id -> original documents.doc_id (path is lpad(orig))."""
     return rd.cat.read(spark, "docs").select(
@@ -408,6 +436,15 @@ def _q_append_df_agg(spark, sf_dir):
     return segs.groupBy("term").agg(F.sum(F.col("n")).alias("df"))
 
 
+def _q_stream_df_agg(spark, sf_dir):
+    # Structured-Streaming ingest correctness under the oracle: per-term
+    # df of the streamed (build + append micro-batches) index vs
+    # full-corpus SQL
+    rd = _streamed_reader(spark, sf_dir)
+    segs = rd.cat.read(spark, "segments")
+    return segs.groupBy("term").agg(F.sum(F.col("n")).alias("df"))
+
+
 def _q_media_features(spark, sf_dir):
     # multimodal plumbing end-to-end: embeddings -> typed binary media
     # table (float32 payloads) -> decode + per-item features. The oracle
@@ -516,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
         "append_df_agg": _q_append_df_agg,
+        "stream_df_agg": _q_stream_df_agg,
     }
 
 
@@ -801,6 +839,12 @@ FROM s GROUP BY 1, 2
         # and matching the one-shot oracle is the incremental-ingest
         # correctness statement.
         "append_df_agg": (
+            f"{_T_SQL}, tf AS (SELECT term, doc_id FROM t GROUP BY 1, 2) "
+            "SELECT term, count(*) AS df FROM tf GROUP BY 1"
+        ),
+        # stream_df_agg: same one-shot oracle, Spark side is the
+        # exactly-once Structured-Streaming ingest (2 micro-batches)
+        "stream_df_agg": (
             f"{_T_SQL}, tf AS (SELECT term, doc_id FROM t GROUP BY 1, 2) "
             "SELECT term, count(*) AS df FROM tf GROUP BY 1"
         ),

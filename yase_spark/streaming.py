@@ -33,18 +33,27 @@ def stream_index(
     index_root: str,
     checkpoint_dir: str,
     cfg: IndexConfig | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start (and in availableNow mode: run to completion) a streaming
     index over parquet files arriving in ``input_dir``. Returns the
     StreamingQuery; callers use ``.awaitTermination()`` — the
     availableNow trigger makes it double as a batch catch-up run.
+
+    ``max_files_per_trigger`` bounds micro-batch size (availableNow
+    respects it, so a backlog drains in multiple delta-sized appends
+    instead of one giant batch — the knob that keeps per-batch COW
+    merge cost flat at scale).
     """
     cfg = cfg or IndexConfig()
 
     schema = (
         "repo string, path string, commit string, lang string, content string"
     )
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
 
     def ingest(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
