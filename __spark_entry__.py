@@ -274,6 +274,18 @@ def _q_bool_and(spark, sf_dir):
     return res.join(m, "doc_id").select(F.col("orig_doc_id").alias("doc_id"))
 
 
+def _q_bool_and_distributed(spark, sf_dir):
+    # executor-side boolean AND (DataFrame lane — the only shape a
+    # corpus-sized conjunction result can legally take at 10^12 docs)
+    rd = _reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.bool_and_df(" ".join(AND_TERMS))
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
 def _q_bool_or(spark, sf_dir):
     rd = _reader(spark, sf_dir)
     ids = [int(x) for x in rd.bool_or(" ".join(OR_TERMS))]
@@ -554,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "append_df_agg": _q_append_df_agg,
         "stream_df_agg": _q_stream_df_agg,
+        "bool_and_distributed": _q_bool_and_distributed,
     }
 
 
@@ -711,6 +724,12 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         "bool_or": (
             f"{_T_SQL} SELECT DISTINCT doc_id FROM t WHERE term = '{or_a}' "
             f"UNION SELECT DISTINCT doc_id FROM t WHERE term = '{or_b}'"
+        ),
+        # same oracle as bool_and — the Spark side is the executor-side
+        # DataFrame lane (bool_and_df) instead of the driver ndarray path
+        "bool_and_distributed": (
+            f"{_T_SQL} SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}' "
+            f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_b}'"
         ),
         "segments_df": (
             f"{_T_SQL}, tf AS (SELECT term, doc_id FROM t GROUP BY 1, 2) "

@@ -79,6 +79,31 @@ def test_topk_set_distributed_bitwise(spark, small_block_index):
         assert [tuple(r) for r in have] == [tuple(w) for w in want], q["query"]
 
 
+def test_bool_distributed_equals_driver(spark, small_block_index):
+    """bool_and_df / bool_or_df (executor-side decode, DataFrame
+    results) must equal the driver ndarray path — including under
+    forced cluster dispatch of the ndarray API, which must not fetch
+    payloads driver-side."""
+    rd = IndexReader(spark, small_block_index)
+    queries = ["json getPage", "sync_list json", "getUserName parse"]
+    for q in queries:
+        want_and = [int(x) for x in rd.bool_and(q)]
+        want_or = [int(x) for x in rd.bool_or(q)]
+        got_and = sorted(r["doc_id"] for r in rd.bool_and_df(q).collect())
+        got_or = sorted(r["doc_id"] for r in rd.bool_or_df(q).collect())
+        assert got_and == want_and, q
+        assert got_or == want_or, q
+
+    rd2 = IndexReader(spark, small_block_index)
+    rd2._total_postings_upper = 10**12  # defeat the whole-index skip
+    rd2.driver_fetch_max_postings = 1   # force the cluster-side path
+    for q in queries:
+        rd_ref = IndexReader(spark, small_block_index)
+        assert [int(x) for x in rd2.bool_and(q)] == [int(x) for x in rd_ref.bool_and(q)], q
+        assert [int(x) for x in rd2.bool_or(q)] == [int(x) for x in rd_ref.bool_or(q)], q
+    assert not rd2._cache, "dispatch must not have fetched payloads driver-side"
+
+
 def _group(rows):
     by = {}
     for r in rows:

@@ -745,14 +745,80 @@ class IndexReader:
             return dense_topk(tp, k, self.cfg.k1, self.cfg.b, self.avgdl, self.n_docs)
         return naive_topk(tp, k, self.cfg.k1, self.cfg.b, self.avgdl)
 
+    def _term_docs_df(self, qterms: list[str]) -> DataFrame:
+        """(doc_id, term) rows decoded executor-side from the
+        bucket-pruned segments scan — the boolean-query analogue of
+        ``topk_distributed``'s contribution kernel. No posting bytes
+        reach the driver."""
+        buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in qterms})
+        segs = self._segments.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
+        ).select("term", "n", "payload")
+
+        def docs_of(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                frames = []
+                for r in pdf.itertuples():
+                    ids, _, _ = decode_postings(bytes(r.payload), int(r.n))
+                    frames.append(pd.DataFrame({"doc_id": ids, "term": r.term}))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        return segs.mapInPandas(docs_of, schema="doc_id long, term string")
+
+    def bool_and_df(self, query: str) -> DataFrame:
+        """Cluster-side boolean AND -> DataFrame(doc_id). The result of
+        a conjunction over common terms can itself be corpus-sized, so
+        the scale-correct return type is a DataFrame (write it, join
+        it, count it — don't collect it). A term absent from the index
+        yields an empty result (no doc can reach the full distinct-term
+        count)."""
+        qterms = list(dict.fromkeys(analyze_query(query)))
+        if not qterms:
+            return self.spark.createDataFrame([], schema="doc_id long")
+        return (
+            self._term_docs_df(qterms)
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(qterms))
+            .select("doc_id")
+        )
+
+    def bool_or_df(self, query: str) -> DataFrame:
+        """Cluster-side boolean OR -> DataFrame(doc_id), distinct."""
+        qterms = list(dict.fromkeys(analyze_query(query)))
+        if not qterms:
+            return self.spark.createDataFrame([], schema="doc_id long")
+        return self._term_docs_df(qterms).select("doc_id").distinct()
+
     def bool_and(self, query: str) -> np.ndarray:
+        """Driver boolean AND (sorted doc_id array). Dispatches to the
+        cluster kernel when the dictionary-estimated postings exceed
+        the driver-fetch cap — same guard as ``topk`` (the ndarray
+        return still materializes the RESULT driver-side; use
+        ``bool_and_df`` when the result itself may be corpus-sized)."""
+        qterms = analyze_query(query)
+        if self._total_postings_upper > self.driver_fetch_max_postings:
+            dfs = self.term_dfs(qterms)
+            if sum(dfs.values()) > self.driver_fetch_max_postings:
+                rows = self.bool_and_df(query).collect()
+                return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
         tp = self._postings(query)
-        qn = len(analyze_query(query))
+        qn = len(qterms)
         if len(tp) < qn:  # a query term absent from the index -> empty AND
             return np.empty(0, dtype=np.int64)
         return bool_and(tp)
 
     def bool_or(self, query: str) -> np.ndarray:
+        """Driver boolean OR (sorted doc_id array); same cluster
+        dispatch guard as ``bool_and``."""
+        if self._total_postings_upper > self.driver_fetch_max_postings:
+            dfs = self.term_dfs(analyze_query(query))
+            if sum(dfs.values()) > self.driver_fetch_max_postings:
+                rows = self.bool_or_df(query).collect()
+                return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
         return bool_or(self._postings(query))
 
     def topk_distributed(self, query: str, k: int = 10) -> DataFrame:
