@@ -523,20 +523,42 @@ class IndexReader:
         self._total_postings_upper = int(srow["total_tokens"])
 
     # ------------------------------------------------------------- fetch
+    def _collect_segments(self, missing: list[str], columns: list[str]):
+        """Bucket-pruned columnar fetch of segment rows for ``missing``
+        terms as ONE pyarrow table. Arrow-native collect: payload bytes
+        cross the JVM->Python boundary as Arrow IPC batches instead of
+        Py4J row pickling (the measured cold-fetch bottleneck at 1.6M
+        docs was that transfer, ~30 MB/s pickled). A multi-term fetch
+        runs as per-term CONCURRENT Spark jobs from driver threads —
+        the Arrow socket stream of a single collect is serial, so cold
+        wall time drops toward the slowest term's transfer instead of
+        the sum (socket reads release the GIL; Spark supports
+        concurrent actions per session)."""
+        import pyarrow as pa
+
+        def one(ts: list[str]):
+            bs = sorted({term_bucket(t, self.cfg.term_buckets) for t in ts})
+            return (
+                self._segments.filter(
+                    F.col("bucket").isin(bs) & F.col("term").isin(ts)
+                )
+                .select(*columns)
+                .toArrow()
+            )
+
+        if len(missing) <= 1:
+            return one(missing)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(missing))) as ex:
+            tables = list(ex.map(lambda t: one([t]), missing))
+        return pa.concat_tables(tables)
+
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | None]:
         missing = [t for t in dict.fromkeys(terms) if t not in self._cache]
         if missing:
-            buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in missing})
-            # Arrow-native collect: payload bytes cross the JVM->Python
-            # boundary as Arrow IPC batches instead of Py4J row pickling —
-            # the measured cold-fetch bottleneck at 1.6M docs was this
-            # transfer (~30 MB/s pickled), not decode.
-            tbl = (
-                self._segments.filter(
-                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
-                )
-                .select("term", "shard", "df", "n", "payload")
-                .toArrow()
+            tbl = self._collect_segments(
+                missing, ["term", "shard", "df", "n", "payload"]
             )
             cols = {name: tbl.column(name).to_pylist() for name in ("term", "shard", "df", "n")}
             payloads = tbl.column("payload")
@@ -618,15 +640,10 @@ class IndexReader:
         inside the WAND executor only for surviving blocks."""
         missing = [t for t in dict.fromkeys(terms) if t not in self._row_cache]
         if missing:
-            buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in missing})
-            # Arrow-native collect (see fetch_terms) — payload and the
-            # list<struct> block_meta both ride Arrow IPC, not Py4J rows.
-            tbl = (
-                self._segments.filter(
-                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
-                )
-                .select("term", "shard", "df", "n", "payload", "block_meta", "idf")
-                .toArrow()
+            # concurrent Arrow-native collect (see _collect_segments) —
+            # payload and the list<struct> block_meta ride Arrow IPC.
+            tbl = self._collect_segments(
+                missing, ["term", "shard", "df", "n", "payload", "block_meta", "idf"]
             )
             cols = {
                 name: tbl.column(name).to_pylist()
