@@ -546,7 +546,12 @@ class IndexReader:
                 .toArrow()
             )
 
-        if len(missing) <= 1:
+        # concurrency only pays when per-term payloads dwarf per-job
+        # setup (~30-60 ms each): on a small index a 40-term prefetch
+        # as 40 jobs is SLOWER than one batched scan (measured 0.4 s ->
+        # 1.2 s on the sf0.1 warm prefetch), while at 1.6M docs the
+        # split is a 1.5-2.6x win. Gate on corpus size.
+        if len(missing) <= 1 or self.n_docs < 200_000:
             return one(missing)
         from concurrent.futures import ThreadPoolExecutor
 
