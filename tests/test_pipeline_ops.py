@@ -130,3 +130,42 @@ def test_cosine_dup_pairs_total_recall(spark, emb):
     }
     assert want, "fixture should yield at least one pair at 0.45"
     assert got == want, f"missing {want - got} / extra {got - want}"
+
+
+def test_bucket_pairs_matches_combinations(spark):
+    """_bucket_pairs (the shared LSH candidate core) must emit exactly
+    the a<b combinations of each bucket, drop singletons, and drop
+    buckets above max_bucket."""
+    import itertools
+
+    from yase_spark.neardup import _bucket_pairs
+
+    rows = []
+    buckets = {
+        (0, 1): [5, 3, 9],          # 3 pairs
+        (0, 2): [7],                # singleton -> none
+        (1, 1): [2, 8],             # 1 pair
+        (1, 3): [10, 11, 12, 13],   # 6 pairs, dropped when max_bucket=3
+    }
+    for (b, v), members in buckets.items():
+        rows += [(b, v, m) for m in members]
+    df = spark.createDataFrame(rows, schema="b int, v int, id long")
+
+    def expect(cap):
+        out = set()
+        for members in buckets.values():
+            if len(members) < 2 or len(members) > cap:
+                continue
+            out |= set(itertools.combinations(sorted(members), 2))
+        return out
+
+    got = {
+        (r["a"], r["b"])
+        for r in _bucket_pairs(df, ["b", "v"], "id").collect()
+    }
+    assert got == expect(10_000)
+    got_capped = {
+        (r["a"], r["b"])
+        for r in _bucket_pairs(df, ["b", "v"], "id", max_bucket=3).collect()
+    }
+    assert got_capped == expect(3)
