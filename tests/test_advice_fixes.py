@@ -82,3 +82,55 @@ def test_append_noop_heals_stale_stats(spark, tmp_path):
     assert s2["noop"], "idempotent re-append is a no-op"
     healed = cat.read(spark, "stats").collect()[0]
     assert healed["n_docs"] == 260, "no-op path healed the stale stats"
+
+
+def test_lazy_bounds_survive_avgdl_raising_append(spark, tmp_path):
+    """ADVICE round 2 (high): the stored block max_score was computed with
+    encode-time avgdl; an append that RAISES global avgdl raises every
+    BM25 score (dl/avgdl shrinks), so rescaling the bound by idf alone
+    under-estimates true block maxima and lets WAND prune true top-k
+    docs. The bound must also scale by max(1, avgdl_now/avgdl_stored)."""
+    import numpy as np
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    short = [
+        ("r", f"{i:04d}", "c", "python", "needle " * (1 + i % 7) + "pad")
+        for i in range(600)
+    ]
+    longd = [
+        ("r", f"9{i:04d}", "c", "python",
+         " ".join(f"w{j} filler{j}" for j in range(200)))
+        for i in range(120)
+    ]
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        build_groups=2, shuffle_partitions=8, block_size=16, ngrams=False
+    )
+    b = IndexBuilder(spark, root, cfg)
+    b.build(spark.createDataFrame(short, schema=schema))
+    b.append(spark.createDataFrame(longd, schema=schema))
+
+    rd = IndexReader(spark, root)
+    # avgdl must actually have jumped, else the test proves nothing
+    assert rd.avgdl > 50, rd.avgdl
+
+    # bound-validity gate: every lazy block bound must dominate the true
+    # per-block maximum contribution recomputed under the NEW stats
+    tp = rd.fetch_terms(["needle"])["needle"]
+    from yase_spark.query import bm25_scores_np
+
+    true_scores = bm25_scores_np(
+        tp.tfs, tp.dls, tp.idf, rd.cfg.k1, rd.cfg.b, rd.avgdl
+    )
+    cur = rd._lazy_cursors("needle")[0]
+    pos = 0
+    for bi in range(cur.nb):
+        n = int(cur.block_n[bi])
+        assert cur.block_max[bi] >= true_scores[pos:pos + n].max() - 1e-12, (
+            f"block {bi} bound under-estimates after avgdl append"
+        )
+        pos += n
+
+    # end-to-end: lazy (pruned) results bitwise-match the full decode
+    for k in (1, 5, 20):
+        assert rd.topk_lazy("needle", k) == rd.topk("needle", k, use_wand=False)

@@ -79,3 +79,73 @@ def test_append_idempotent(spark, tmp_path):
     assert not s1["noop"] and s1["appended_docs"] == 100
     s2 = IndexBuilder(spark, root, cfg).append(b_delta)
     assert s2["noop"]
+
+
+def test_append_bucket_cow_preserves_unaffected_files(spark, tmp_path):
+    """VERDICT round 2 item 2: append must be bucket-level copy-on-write —
+    buckets containing no delta term keep their previously committed
+    parquet FILES (byte-identical paths), and the rewrite cost is
+    ∝ delta + affected buckets, never ∝ the whole index."""
+    import os
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    base = [
+        ("r", f"{i:04d}", "c", "python", f"alpha{i % 37} beta{i % 11} gamma")
+        for i in range(400)
+    ]
+    # delta reuses a SINGLE term so few buckets are affected
+    delta = [("r", f"9{i:03d}", "c", "python", "gamma") for i in range(20)]
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, term_buckets=32,
+                      ngrams=False)
+    b = IndexBuilder(spark, root, cfg)
+    b.build(spark.createDataFrame(base, schema=schema))
+    cat = Catalog(root)
+
+    def files_by_bucket():
+        out = {}
+        for r in (
+            cat.read(spark, "segments")
+            .select("bucket", F.input_file_name().alias("f"))
+            .distinct().collect()
+        ):
+            out.setdefault(int(r["bucket"]), set()).add(r["f"])
+        return out
+
+    before = files_by_bucket()
+    s = b.append(spark.createDataFrame(delta, schema=schema))
+    assert s["appended_docs"] == 20
+    after = files_by_bucket()
+
+    from yase_spark.postings import term_bucket
+    gb = term_bucket("gamma", cfg.term_buckets)
+    changed = {bk for bk in after if after[bk] != before.get(bk)}
+    assert gb in changed
+    untouched = set(before) - changed
+    assert untouched, "no bucket was carried forward — COW is not bucket-level"
+    for bk in untouched:
+        assert after[bk] == before[bk], f"bucket {bk} files changed paths"
+
+    # cost class: the new commit dir holds ONLY the affected buckets
+    m = cat._manifest("segments")
+    new_dir = cat._entry_path(m["data_dirs"][-1])
+    new_parts = {d for d in os.listdir(new_dir) if d.startswith("bucket=")}
+    assert new_parts == {f"bucket={bk}" for bk in changed}
+
+    # correctness: merged index equals a one-shot build over the union
+    full_root = str(tmp_path / "full")
+    build_index(
+        spark,
+        spark.createDataFrame(base + delta, schema=schema),
+        full_root, cfg,
+    )
+    segs_i = {
+        (r["term"], r["df"], r["cf"])
+        for r in cat.read(spark, "segments").select("term", "df", "cf").collect()
+    }
+    segs_f = {
+        (r["term"], r["df"], r["cf"])
+        for r in Catalog(full_root).read(spark, "segments")
+        .select("term", "df", "cf").collect()
+    }
+    assert segs_i == segs_f

@@ -58,3 +58,57 @@ def test_stream_ingest_equals_batch_build(spark, tmp_path):
     q = stream_index(spark, inbox, stream_root, ckpt, cfg)
     q.awaitTermination()
     assert IndexReader(spark, stream_root).n_docs == 600
+
+
+@pytest.mark.slow
+def test_bootstrap_crash_then_replay_recovers(spark, tmp_path):
+    """ADVICE round 2 (medium) + VERDICT item 7: a bootstrap build that
+    crashes after >=1 group-unit commit leaves segments EXISTING but
+    incomplete. The replayed micro-batch (restart between sink commit
+    and checkpoint advance re-delivers the same files) must finish the
+    build — NOT take the append path, which would silently lose the
+    uncommitted groups' terms forever."""
+    from yase_spark.catalog import Catalog
+    from yase_spark.index import IndexBuilder
+
+    cfg = IndexConfig(build_groups=4, shuffle_partitions=8)
+    full = corpus_df(spark, 300, partitions=4).persist()
+
+    root = str(tmp_path / "idx")
+    b = IndexBuilder(spark, root, cfg)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        b.build(full, fail_after_units=2)
+    cat = Catalog(root)
+    assert cat.exists("segments"), "crash left a partial segments table"
+    assert "build_complete_fp" not in (cat.get_properties() or {})
+
+    # the streaming ingest's replayed batch must route to build-resume
+    inbox = str(tmp_path / "inbox")
+    full.coalesce(1).write.mode("overwrite").parquet(inbox)
+    q = stream_index(spark, inbox, root, str(tmp_path / "ckpt"), cfg)
+    q.awaitTermination()
+
+    batch_root = str(tmp_path / "batch")
+    build_index(spark, full, batch_root, cfg)
+    rs, rb = IndexReader(spark, root), IndexReader(spark, batch_root)
+    assert rs.n_docs == rb.n_docs == 300
+    # every term present with the full df — nothing was lost
+    segs_s = {
+        (r["term"], r["df"])
+        for r in rs.cat.read(spark, "segments").select("term", "df").collect()
+    }
+    segs_b = {
+        (r["term"], r["df"])
+        for r in rb.cat.read(spark, "segments").select("term", "df").collect()
+    }
+    assert segs_s == segs_b
+
+    # a second replay of the SAME batch (sink committed, checkpoint not
+    # advanced) is a pure no-op: same segments version, same results
+    v_before = rs.cat.current_version("segments")
+    b2 = IndexBuilder(spark, root, cfg)
+    corpus = spark.read.parquet(inbox)
+    props = b2.cat.get_properties() or {}
+    assert "build_complete_fp" in props
+    b2.append(corpus)  # what the replayed foreachBatch would now run
+    assert Catalog(root).current_version("segments") == v_before

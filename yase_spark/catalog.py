@@ -66,6 +66,19 @@ class Catalog:
         with open(self._manifest_path(name, v)) as f:
             return json.load(f)
 
+    # data_dirs entries are plain path strings, or — after a
+    # partition-replacing commit — {"path": str, "exclude": {col: [v,..]}}
+    # (Iceberg: a REPLACE snapshot's deleted data files; here whole
+    # partition dirs are superseded, so the exclusion is expressible as a
+    # partition predicate and read-time pruning makes it zero-IO).
+    @staticmethod
+    def _entry_path(entry) -> str:
+        return entry if isinstance(entry, str) else entry["path"]
+
+    @staticmethod
+    def _entry_exclude(entry) -> dict:
+        return {} if isinstance(entry, str) else (entry.get("exclude") or {})
+
     # ------------------------------------------------------------ write
     def write(
         self,
@@ -74,6 +87,7 @@ class Catalog:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         tag: dict | None = None,
+        replace_partitions: dict | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot.
 
@@ -83,9 +97,18 @@ class Catalog:
         orphan data dir that is never listed — the commit (manifest +
         VERSION flip) is the atomicity point, which is what makes the
         per-unit index build idempotent under resume (SURVEY.md §2.1 S4).
-        Returns the new snapshot version.
+
+        ``replace_partitions={"bucket": [3, 7]}`` commits a
+        partition-level copy-on-write (Iceberg: dynamic partition
+        overwrite / REPLACE of the affected data files): the new data dir
+        carries ONLY the listed partition values, prior data dirs stay
+        listed with those values excluded (read-time partition pruning
+        makes the exclusion zero-IO), and every other partition's
+        committed files are carried forward untouched — cost ∝ replaced
+        partitions, never ∝ table. Returns the new snapshot version.
         """
         assert mode in ("overwrite", "append")
+        assert not (replace_partitions and mode == "overwrite")
         tdir = self._tdir(name)
         os.makedirs(os.path.join(tdir, "data"), exist_ok=True)
         snap = str(uuid.uuid4())
@@ -101,12 +124,20 @@ class Catalog:
                 [] if (mode == "overwrite" or prev == 0)
                 else self._manifest(name)["data_dirs"]
             )
+            if replace_partitions and prev > 0:
+                new_dirs = []
+                for e in dirs:
+                    ex = dict(self._entry_exclude(e))
+                    for col, vals in replace_partitions.items():
+                        ex[col] = sorted(set(ex.get(col, [])) | set(vals))
+                    new_dirs.append({"path": self._entry_path(e), "exclude": ex})
+                dirs = new_dirs
             manifest = {
                 "table": name,
                 "snapshot": snap,
                 "parent_version": prev,
                 "committed_at": time.time(),
-                "operation": mode,
+                "operation": "replace" if replace_partitions else mode,
                 "partition_by": partition_by or [],
                 "data_dirs": dirs + [data_dir],
                 "tag": tag or {},
@@ -177,7 +208,7 @@ class Catalog:
         instead of a dedicated aggregation pass."""
         m = self._manifest(name, version)
         out: dict[str, int] = {}
-        root = m["data_dirs"][-1]
+        root = self._entry_path(m["data_dirs"][-1])
         for entry in os.scandir(root):
             if entry.is_dir():
                 total = 0
@@ -195,12 +226,38 @@ class Catalog:
         ``VERSION AS OF``. Partition columns stay usable for pruning
         because each data dir preserves the ``partitionBy`` layout.
         """
+        from pyspark.sql import functions as F
+
         m = self._manifest(name, version)
-        if len(m["data_dirs"]) == 1:
-            return spark.read.parquet(m["data_dirs"][0])
+        entries = m["data_dirs"]
+        if len(entries) == 1 and not self._entry_exclude(entries[0]):
+            return spark.read.parquet(self._entry_path(entries[0]))
         # appended snapshots: one scan per commit dir, unioned — keeps
-        # Hive-style partition-column inference (and pruning) per dir
-        dfs = [spark.read.parquet(d) for d in m["data_dirs"]]
+        # Hive-style partition-column inference (and pruning) per dir.
+        # Partition-replaced values are filtered out of superseded dirs;
+        # the filter is on the partition column, so Spark prunes those
+        # subdirs at planning time (zero data IO). A dir whose listed
+        # partitions are ALL excluded is skipped entirely (no scan node).
+        dfs = []
+        for e in entries:
+            path, ex = self._entry_path(e), self._entry_exclude(e)
+            if ex:
+                try:
+                    live = [
+                        d.name for d in os.scandir(path)
+                        if d.is_dir() and "=" in d.name
+                    ]
+                except FileNotFoundError:
+                    live = []
+                excluded = {
+                    f"{col}={v}" for col, vals in ex.items() for v in vals
+                }
+                if live and all(p in excluded for p in live):
+                    continue
+            df = spark.read.parquet(path)
+            for col, vals in ex.items():
+                df = df.filter(~F.col(col).isin(vals))
+            dfs.append(df)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -213,7 +270,7 @@ class Catalog:
         while v > 0:
             m = self._manifest(name, v)
             if m.get("tag", {}).get("unit") == unit:
-                return spark.read.parquet(m["data_dirs"][-1])
+                return spark.read.parquet(self._entry_path(m["data_dirs"][-1]))
             v = m["parent_version"]
         raise FileNotFoundError(f"no commit tagged unit={unit} in table {name}")
 

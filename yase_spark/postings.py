@@ -45,13 +45,19 @@ SEGMENT_SCHEMA = (
     "term string, shard int, df long, cf long, n long, payload binary, "
     "block_meta array<struct<block_first:long, block_last:long, max_tf:int, "
     "max_score:double, byte_offset:long, tf_off:long, dl_off:long, n_docs:int>>, "
-    "idf double, bucket int"
+    "idf double, avgdl double, bucket int"
 )
-# ``idf`` is the encode-time idf the block max_scores were computed with.
-# max_score is linear in idf, so after an incremental append changes the
-# global n_docs, a reader/executor rescales the stored bound by
-# idf_now/idf_stored instead of re-deriving bounds from a full decode —
-# that keeps the lazy block-skip structure valid across appends.
+# ``idf``/``avgdl`` are the encode-time global stats the block max_scores
+# were computed with. After an incremental append changes n_docs/avgdl, a
+# reader/executor rescales the stored bound instead of re-deriving bounds
+# from a full decode: max_score is linear in idf, and the BM25 tf-factor
+# ratio under an avgdl change is bounded by max(1, avgdl_now/avgdl_stored)
+# (the denominator term k1*b*dl/avgdl shrinks at most proportionally, the
+# rest of the denominator is avgdl-free) — so
+#   bound_now <= stored * (idf_now/idf_stored) * max(1, avgdl_now/avgdl_stored)
+# keeps the lazy block-skip structure VALID (never under-estimating)
+# across appends (ADVICE round 2: rescaling by idf alone under-estimated
+# after an avgdl-raising append and pruned true top-k docs).
 
 MERGE_CAP = 50_000_000  # postings above which a term stays shard-split
 
@@ -286,6 +292,7 @@ def _merge_runs_fused(
             "payload": payloads,
             "block_meta": [metas[cum_bc[t]:cum_bc[t + 1]] for t in range(T)],
             "idf": idf_t,
+            "avgdl": np.full(T, avgdl, dtype=np.float64),
             "bucket": buckets[tstart_run],
         }
     )
@@ -368,13 +375,14 @@ def merge_segments(
                     k1=k1, b=b, avgdl=avgdl,
                 )
                 out.append(
-                    (term, pos, df_g, cf_g, int(ids.size), payload, meta, idf, bucket)
+                    (term, pos, df_g, cf_g, int(ids.size), payload, meta, idf,
+                     avgdl, bucket)
                 )
             return pd.DataFrame(
                 out,
                 columns=[
                     "term", "shard", "df", "cf", "n", "payload", "block_meta",
-                    "idf", "bucket",
+                    "idf", "avgdl", "bucket",
                 ],
             )
 

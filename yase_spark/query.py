@@ -190,16 +190,23 @@ class LazyTermPostings:
     let the executor decode only the blocks the WAND pointer actually
     lands on; skipped blocks never touch their bytes).
 
-    ``rows``: (payload, block_meta, idf_stored) per shard row in shard
-    order (shard runs are doc-range-disjoint and doc-ordered, so their
-    block lists concatenate into one term-wide block sequence; the delta
-    chain resets at each row's first block — ``chain_prev`` handles it).
+    ``rows``: (payload, block_meta, idf_stored, avgdl_stored) per shard
+    row in shard order (shard runs are doc-range-disjoint and
+    doc-ordered, so their block lists concatenate into one term-wide
+    block sequence; the delta chain resets at each row's first block —
+    ``chain_prev`` handles it).
 
-    Stored block max_scores were computed with the encode-time idf; after
-    an incremental append the global idf changes. max_score is linear in
-    idf, so the bound is rescaled by idf_now/idf_stored (nudged one ulp
-    up to absorb float rounding — a loose bound is safe, a tight-by-1ulp
-    bound could prune a tied candidate).
+    Stored block max_scores were computed with the encode-time global
+    stats (idf, avgdl); after an incremental append both change.
+    max_score is linear in idf, and under an avgdl change the per-doc
+    BM25 tf-factor grows by at most avgdl_now/avgdl_stored (the
+    avgdl-bearing denominator term shrinks at most proportionally; the
+    avgdl-free denominator part only dampens the effect), so the stored
+    bound is rescaled by
+    (idf_now/idf_stored) * max(1, avgdl_now/avgdl_stored), nudged one
+    ulp up to absorb float rounding — a loose bound is safe, a
+    tight-by-1ulp (or avgdl-ignoring: ADVICE round 2, high) bound could
+    prune a true top-k doc.
     """
 
     __slots__ = (
@@ -209,14 +216,23 @@ class LazyTermPostings:
         "blocks_decoded", "max_score",
     )
 
-    def __init__(self, term: str, df: int, idf_now: float, rows: list):
+    def __init__(
+        self, term: str, df: int, idf_now: float, rows: list,
+        avgdl_now: float | None = None,
+    ):
         self.term = term
         self.df = df
         self.idf = idf_now
         first, last, mx, nn, bg, bt, bd, pi, cp = [], [], [], [], [], [], [], [], []
         self.payloads = []
-        for payload, metas, idf_stored in rows:
+        for payload, metas, idf_stored, avgdl_stored in rows:
             ratio = 1.0 if idf_stored == idf_now else idf_now / idf_stored
+            if (
+                avgdl_now is not None
+                and avgdl_stored > 0.0
+                and avgdl_now > avgdl_stored
+            ):
+                ratio *= avgdl_now / avgdl_stored
             self.payloads.append(payload)
             prev = 0
             for m in metas:
@@ -648,11 +664,12 @@ class IndexReader:
             # concurrent Arrow-native collect (see _collect_segments) —
             # payload and the list<struct> block_meta ride Arrow IPC.
             tbl = self._collect_segments(
-                missing, ["term", "shard", "df", "n", "payload", "block_meta", "idf"]
+                missing,
+                ["term", "shard", "df", "n", "payload", "block_meta", "idf", "avgdl"],
             )
             cols = {
                 name: tbl.column(name).to_pylist()
-                for name in ("term", "shard", "df", "n", "block_meta", "idf")
+                for name in ("term", "shard", "df", "n", "block_meta", "idf", "avgdl")
             }
             payloads = tbl.column("payload")
             by_term: dict[str, list] = {}
@@ -660,7 +677,7 @@ class IndexReader:
                 by_term.setdefault(cols["term"][i], []).append(
                     {"shard": cols["shard"][i], "df": cols["df"][i], "n": cols["n"][i],
                      "payload": payloads[i], "block_meta": cols["block_meta"][i],
-                     "idf": cols["idf"][i]}
+                     "idf": cols["idf"][i], "avgdl": cols["avgdl"][i]}
                 )
             for t in missing:
                 rs = sorted(by_term.get(t, []), key=lambda r: r["shard"])
@@ -683,9 +700,11 @@ class IndexReader:
                 LazyTermPostings(
                     t, df_g, idf_now,
                     [
-                        (r["payload"].as_py(), r["block_meta"], float(r["idf"]))
+                        (r["payload"].as_py(), r["block_meta"], float(r["idf"]),
+                         float(r["avgdl"]))
                         for r in rs
                     ],
+                    avgdl_now=self.avgdl,
                 )
             )
         return out
@@ -933,7 +952,7 @@ class IndexReader:
         buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in terms})
         segs = self._segments.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-        ).select("term", "shard", "df", "payload", "block_meta", "idf")
+        ).select("term", "shard", "df", "payload", "block_meta", "idf", "avgdl")
         joined = segs.join(F.broadcast(pdf), "term")
         n_docs, avgdl = self.n_docs, self.avgdl
         k1, b = self.cfg.k1, self.cfg.b
@@ -952,9 +971,11 @@ class IndexReader:
                     LazyTermPostings(
                         str(rs["term"].iloc[0]), df_g, idf_now,
                         [
-                            (bytes(r.payload), list(r.block_meta), float(r.idf))
+                            (bytes(r.payload), list(r.block_meta), float(r.idf),
+                             float(r.avgdl))
                             for r in rs.itertuples()
                         ],
+                        avgdl_now=avgdl,
                     )
                 )
             res = wand_topk_lazy(cursors, k, k1, b, avgdl)

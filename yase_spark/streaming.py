@@ -64,8 +64,18 @@ def stream_index(
         # resumes committed units, append no-ops on a committed delta),
         # so a replayed micro-batch — restart between the sink commit
         # and the checkpoint advance — cannot double-index:
-        # exactly-once end to end
-        if not b.cat.exists("segments"):
+        # exactly-once end to end.
+        #
+        # The bootstrap/append gate is the BUILD-COMPLETION marker, not
+        # table existence (ADVICE round 2): if the bootstrap build
+        # crashed after >=1 group-unit commit, segments exists but is
+        # missing whole term groups; the append path's left-anti docs
+        # join would find nothing to redo and those terms would be lost
+        # permanently. While the marker is absent, the replayed batch
+        # calls build() again and its unit-level resume finishes the
+        # remaining groups.
+        props = b.cat.get_properties() or {}
+        if "build_complete_fp" not in props:
             b.build(batch_df)
         else:
             b.append(batch_df)
