@@ -169,3 +169,66 @@ def test_bucket_pairs_matches_combinations(spark):
         for r in _bucket_pairs(df, ["b", "v"], "id", max_bucket=3).collect()
     }
     assert got_capped == expect(3)
+
+
+def test_bucket_pairs_chunked_is_exact_over_cap(spark):
+    """over_cap="chunk" (the SimHash exactness path) must emit the FULL
+    a<b combination set of buckets larger than max_bucket — distributed
+    across chunk-pair rows, never silently dropped."""
+    import itertools
+
+    from yase_spark.neardup import _bucket_pairs
+
+    buckets = {
+        (0, 1): list(range(100, 120)),   # 20 members > cap=6 -> chunked
+        (0, 2): [1, 2, 3],               # small -> triangle path
+        (1, 1): [7],                     # singleton -> none
+        (1, 2): list(range(200, 207)),   # 7 members > cap=6 -> chunked
+    }
+    rows = [(b, v, m) for (b, v), ms in buckets.items() for m in ms]
+    df = spark.createDataFrame(rows, schema="b int, v int, id long")
+
+    want = set()
+    for ms in buckets.values():
+        if len(ms) >= 2:
+            want |= set(itertools.combinations(sorted(ms), 2))
+    got = {
+        (r["a"], r["b"])
+        for r in _bucket_pairs(df, ["b", "v"], "id", max_bucket=6,
+                               over_cap="chunk").collect()
+    }
+    assert got == want, f"missing {want - got} / extra {got - want}"
+
+
+def test_simhash_exact_with_degenerate_band_buckets(spark):
+    """End-to-end exactness under band-bucket overflow: many docs share
+    a band value; with a tiny cap the chunked path must still find all
+    hamming<=3 pairs (brute-force oracle)."""
+    from unittest import mock
+
+    from yase_spark import neardup
+
+    docs = spark.createDataFrame(
+        [(i, "common words everywhere " + ("alpha" if i % 2 else "beta")
+          + f" x{i % 5}")
+         for i in range(40)],
+        schema="doc_id long, text string",
+    )
+    sims = {r["doc_id"]: r["simhash"]
+            for r in neardup.simhash_docs(docs).collect()}
+    want = {
+        (a, b)
+        for a in sims for b in sims if a < b
+        and bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    orig = neardup._bucket_pairs
+
+    def capped(rows, cols, payload, max_bucket=10_000, over_cap="drop"):
+        return orig(rows, cols, payload, max_bucket=4, over_cap=over_cap)
+
+    with mock.patch.object(neardup, "_bucket_pairs", side_effect=capped):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in neardup.simhash_pairs(docs).collect()
+        }
+    assert got == want, f"missing {want - got} / extra {got - want}"

@@ -89,6 +89,7 @@ def _bucket_pairs(
     bucket_cols: list[str],
     payload: str,
     max_bucket: int = 10_000,
+    over_cap: str = "drop",
 ) -> DataFrame:
     """All ordered (a, b) pairs co-bucketed by ``bucket_cols``:
     groupBy + in-bucket expansion instead of a self-join, so the
@@ -97,33 +98,85 @@ def _bucket_pairs(
     self-join did (LSH's contract); `sort_array` orders each bucket so
     a < b by construction. Returns (a, b) structs of the payload column.
 
-    ``max_bucket`` drops degenerate buckets (a 100k-member bucket means
-    5e9 pairs inside ONE task — certain OOM at 10^12-doc scale, and a
-    self-join co-partitions the same key into one task anyway, so no
-    formulation survives it). Standard LSH practice: members of an
-    over-full bucket that are true near-dups collide in their OTHER
-    bands with overwhelming probability, so recall impact is
-    negligible; sandbox-scale buckets are orders of magnitude below
-    the cap, so oracle comparisons are unaffected. (The filter runs
-    after collect_list — the collected array itself is linear, ~8 B a
-    member, and the two worst degenerate producers are already
-    excluded upstream: empty docs emit no signatures, and exact dedup
-    precedes near-dup in a real pipeline.)"""
-    return (
+    Buckets larger than ``max_bucket`` are handled per ``over_cap``
+    (a 100k-member bucket means 5e9 pairs inside ONE task — certain OOM
+    at 10^12-doc scale, and a self-join co-partitions the same key into
+    one task anyway, so no formulation survives keeping it whole):
+
+    * ``"drop"`` (default — the MinHash-LSH setting): skip the bucket.
+      Standard LSH practice: members of an over-full bucket that are
+      true near-dups collide in their OTHER bands with overwhelming
+      probability, so recall impact is negligible.
+    * ``"chunk"`` (the SimHash setting, whose 4-band pigeonhole is an
+      EXACTNESS contract — ADVICE round 2: silently dropping a bucket
+      broke it): split the sorted bucket into fixed-size chunks, emit
+      one row per (chunk_i <= chunk_j) pair carrying only those two
+      slices, redistribute the rows across tasks, THEN expand pairs —
+      the full quadratic pair set is produced, but no task ever holds
+      more than one chunk-pair's ~2·C members and the bucket's O(M²)
+      work is spread over (M/C)² tasks instead of one.
+
+    (The size filter runs after collect_list — the collected array
+    itself is linear, ~8-16 B a member, and the two worst degenerate
+    producers are already excluded upstream: empty docs emit no
+    signatures, and exact dedup precedes near-dup in a real pipeline.)"""
+    assert over_cap in ("drop", "chunk")
+    agg = (
         rows.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(payload)).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= F.lit(max_bucket)))
+        .filter(F.size("ds") >= 2)
+    )
+    tri = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x as a, y as b))))"
+    )
+    small = (
+        agg.filter(F.size("ds") <= F.lit(max_bucket))
+        .select(F.explode(F.expr(tri)).alias("p"))
+        .select("p.a", "p.b")
+    )
+    if over_cap == "drop":
+        return small
+    # chunked expansion of over-full buckets. C is sized so a chunk-pair
+    # row stays task-cheap (C² <= ~4.2M pairs) while shuffle volume is
+    # 2·M²/C members per degenerate bucket; chunks come pre-sorted from
+    # sort_array, so for ci < cj every xs element < every ys element and
+    # a < b needs no filter.
+    C = min(max_bucket, 2048)
+    chunked = (
+        agg.filter(F.size("ds") > F.lit(max_bucket))
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds)), "
-                    "y -> struct(x as a, y as b))))"
+                    f"flatten(transform(sequence(0, int(ceil(size(ds) / {C}.0)) - 1), "
+                    f"i -> transform(sequence(i, int(ceil(size(ds) / {C}.0)) - 1), "
+                    f"j -> struct(slice(ds, i * {C} + 1, {C}) as xs, "
+                    f"slice(ds, j * {C} + 1, {C}) as ys, i = j as same))))"
                 )
-            ).alias("p")
+            ).alias("cp")
         )
-        .select("p.a", "p.b")
+        .repartition(
+            int(rows.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
     )
+    big = chunked.select(
+        F.explode(
+            F.when(
+                F.col("cp.same"),
+                F.expr(
+                    "flatten(transform(cp.xs, (x, i) -> "
+                    "transform(slice(cp.xs, i + 2, size(cp.xs)), "
+                    "y -> struct(x as a, y as b))))"
+                ),
+            ).otherwise(
+                F.expr(
+                    "flatten(transform(cp.xs, x -> "
+                    "transform(cp.ys, y -> struct(x as a, y as b))))"
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return small.unionByName(big)
 
 
 def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFrame:
@@ -305,7 +358,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs with simhash hamming distance <= max_hamming, found via
     4-band pigeonhole (15-bit bands of the 60-bit hash): any pair within
     hamming 3 agrees exactly on >= 1 band, so banding is EXACT here, not
-    probabilistic. Output (doc_a, doc_b, hamming)."""
+    probabilistic — including over-full band buckets, which are chunk-
+    expanded rather than dropped (``over_cap="chunk"``; ADVICE round 2:
+    the drop cap silently broke the exactness contract on corpora with
+    heavy band collisions). Output (doc_a, doc_b, hamming)."""
     assert max_hamming <= 3, "4-band pigeonhole is exact only for hamming <= 3"
     sims = simhash_docs(docs)
     bands = (
@@ -316,7 +372,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .withColumn("band_val", F.expr("(ds.simhash >> (b * 15)) & 32767"))
     )
     cand = (
-        _bucket_pairs(bands, ["b", "band_val"], "ds")
+        _bucket_pairs(bands, ["b", "band_val"], "ds", over_cap="chunk")
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
