@@ -257,6 +257,22 @@ def _q_wand_topk(spark, sf_dir):
     )
 
 
+def _q_topk_sharded(spark, sf_dir):
+    # the pruned+sharded cluster lane (round-3): per-doc-range lazy WAND
+    # with local k-heaps, driver merges <= R*k rows; forced multi-range
+    # even at oracle scale so the sliced path itself is what's verified
+    rd = _reader(spark, sf_dir)
+    rows = rd.topk_sharded(" ".join(BM25_TERMS), 10, n_ranges=6)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return (
+        res.join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r"))
+    )
+
+
 def _q_topk_distributed(spark, sf_dir):
     rd = _reader(spark, sf_dir)
     out = rd.topk_distributed(" ".join(BM25_TERMS), 10)
@@ -537,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_sql": _bm25_spark,
         "wand_topk": _q_wand_topk,
         "topk_distributed": _q_topk_distributed,
+        "topk_sharded": _q_topk_sharded,
         "bool_and": _q_bool_and,
         "bool_or": _q_bool_or,
         "segments_df": _q_segments_df,
@@ -717,6 +734,7 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         "bm25_topk_sql": _bm25_oracle_sql(topk_select),
         "wand_topk": _bm25_oracle_sql(topk_select),
         "topk_distributed": _bm25_oracle_sql(topk_select),
+        "topk_sharded": _bm25_oracle_sql(topk_select),
         "bool_and": (
             f"{_T_SQL} SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}' "
             f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_b}'"

@@ -61,3 +61,45 @@ def test_varint_decode_offset_count():
 def test_delta_empty():
     assert delta_encode(np.array([], dtype=np.int64)).size == 0
     assert delta_decode(np.array([], dtype=np.int64)).size == 0
+
+
+def test_slice_blocks_self_contained():
+    """slice_blocks must produce a payload+meta decodable standalone for
+    ANY selected subset — including discontiguous runs, where the first
+    gap of each run is rewritten against the new predecessor."""
+    import itertools
+
+    import numpy as np
+
+    from yase_spark.codec import decode_block, encode_postings, slice_blocks
+
+    rng = np.random.default_rng(7)
+    ids = np.cumsum(rng.integers(1, 900, size=70)).astype(np.int64)
+    tfs = rng.integers(1, 300, size=70).astype(np.int64)
+    dls = rng.integers(1, 5000, size=70).astype(np.int64)
+    payload, metas = encode_postings(
+        ids, tfs, dls, block_size=8, idf=1.3, k1=1.2, b=0.75, avgdl=11.0
+    )
+
+    def decode_all(pl, ms):
+        out_i, out_t, out_d = [], [], []
+        prev = 0
+        for m in ms:
+            i, t, d = decode_block(pl, m, prev)
+            prev = m["block_last"]
+            out_i.append(i); out_t.append(t); out_d.append(d)
+        return (np.concatenate(out_i), np.concatenate(out_t),
+                np.concatenate(out_d))
+
+    B = len(metas)
+    sels = [list(range(B)), [0], [B - 1], [2, 3, 4], [0, 2, 5, 8], [1, 7]]
+    sels += [sorted(s) for s in itertools.combinations(range(B), 3)][::7]
+    for sel in sels:
+        pl2, ms2 = slice_blocks(payload, metas, sel)
+        got_i, got_t, got_d = decode_all(pl2, ms2)
+        idx = np.concatenate(
+            [np.arange(m["n_docs"]) + 8 * b for b, m in zip(sel, ms2)]
+        )
+        assert np.array_equal(got_i, ids[idx]), sel
+        assert np.array_equal(got_t, tfs[idx]), sel
+        assert np.array_equal(got_d, dls[idx]), sel

@@ -130,3 +130,76 @@ def test_lazy_after_append_rescales_bounds(spark, tmp_path):
         eager = rd.topk(q["query"], k, use_wand=True)
         lazy = rd.topk_lazy(q["query"], k)
         assert lazy == eager, q["query"]
+
+
+def test_topk_sharded_exact_pruned_multitask(spark, small_block_index):
+    """VERDICT round 2 item 1: the over-cap lane must both PRUNE and
+    SHARD one query. Gates: (a) results bitwise-identical to the driver
+    executors, (b) >1 range task serves a single query, (c) blocks
+    decoded cluster-side < blocks shipped (block-max pruning is live
+    in the executor, not just the driver)."""
+    rd = IndexReader(spark, small_block_index)
+    dec = tot = 0
+    multi = 0
+    for q in _topk_queries():
+        k = q.get("k", 10)
+        want = rd.topk(q["query"], k, use_wand=False)
+        got, stats = rd.topk_sharded(q["query"], k, n_ranges=6, return_stats=True)
+        assert got == want, q["query"]  # bitwise: same floats, same ranks
+        multi = max(multi, stats["n_ranges"])
+        dec += stats["blocks_decoded"]
+        tot += stats["blocks_total"]
+    assert multi > 1, "sharded executor never used more than one range task"
+    assert tot > 0 and dec < tot, (
+        f"executor-side WAND decoded every shipped block ({dec}/{tot})"
+    )
+
+
+def test_topk_sharded_survives_append(spark, tmp_path):
+    """Sharded executor on an appended index: stored bounds are stale
+    (idf AND avgdl changed); the slice-and-rescale path must still be
+    exact vs the full-decode driver scorer."""
+    schema = "repo string, path string, commit string, lang string, content string"
+    short = [
+        ("r", f"{i:04d}", "c", "python", "needle " * (1 + i % 7) + "pad hay")
+        for i in range(600)
+    ]
+    longd = [
+        ("r", f"9{i:04d}", "c", "python",
+         " ".join(f"w{j} hay" for j in range(150)))
+        for i in range(120)
+    ]
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, block_size=16,
+                      ngrams=False)
+    b = IndexBuilder(spark, root, cfg)
+    b.build(spark.createDataFrame(short, schema=schema))
+    b.append(spark.createDataFrame(longd, schema=schema))
+    rd = IndexReader(spark, root)
+    for q in ("needle", "hay", "needle hay", "needle pad hay"):
+        for k in (1, 5, 10):
+            assert rd.topk_sharded(q, k, n_ranges=5) == rd.topk(
+                q, k, use_wand=False
+            ), (q, k)
+
+
+def test_topk_overcap_dispatch_hits_sharded(spark, small_block_index):
+    """topk()'s over-cap dispatch must route to the sharded lane and
+    agree with the driver result."""
+    rd = IndexReader(spark, small_block_index)
+    q = "json getPage sync"
+    want = rd.topk(q, 10)
+    rd2 = IndexReader(spark, small_block_index)
+    rd2.driver_fetch_max_postings = 10
+    rd2._total_postings_upper = 10**9
+    called = {}
+    orig = rd2.topk_sharded
+
+    def spy(query, k=10, **kw):
+        called["yes"] = True
+        return orig(query, k, **kw)
+
+    rd2.topk_sharded = spy
+    got = rd2.topk(q, 10)
+    assert called.get("yes"), "over-cap dispatch did not use topk_sharded"
+    assert got == want

@@ -194,6 +194,94 @@ def decode_block(payload: bytes, meta: dict, prev_last: int):
     return ids, tfs.astype(np.int64), dls.astype(np.int64)
 
 
+def varint_one(v: int) -> bytes:
+    """LEB128 of a single non-negative int (used only at slice
+    boundaries — once per selected block run, never per posting)."""
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def slice_blocks(payload: bytes, metas: list, sel) -> tuple[bytes, list[dict]]:
+    """Extract the selected blocks of one segment row into a
+    SELF-CONTAINED (payload, block_meta) pair without decoding any
+    posting — pure byte surgery on the stored section extents
+    (SURVEY.md §2.5 C4: ``byte_offset``/``tf_off``/``dl_off`` bound each
+    block's bytes in all three sections).
+
+    The delta chain is continuous across blocks within a payload, so a
+    selected block whose ORIGINAL predecessor is not the PREVIOUS
+    selected block must have its first gap rewritten: the stored
+    ``block_first`` (absolute) minus the new predecessor's
+    ``block_last`` — one single-varint rewrite per discontinuity, which
+    is what keeps the slice O(selected bytes).
+
+    ``metas``: the row's block_meta dicts in order; ``sel``: sorted
+    selected block indices. Returns (new_payload, new_metas) decodable
+    by ``decode_block``/``LazyTermPostings`` exactly as a stored row.
+    """
+    B = len(metas)
+    g_end = int(metas[0]["tf_off"])
+    t_end = int(metas[0]["dl_off"])
+    offs = [int(m["byte_offset"]) for m in metas] + [g_end]
+    toffs = [int(m["tf_off"]) for m in metas] + [t_end]
+    doffs = [int(m["dl_off"]) for m in metas] + [len(payload)]
+    mv = memoryview(payload)
+    gap_parts, tf_parts, dl_parts = [], [], []
+    g_lens, t_lens, d_lens = [], [], []
+    prev_last = 0
+    for b in sel:
+        b = int(b)
+        gb = bytes(mv[offs[b]:offs[b + 1]])
+        orig_prev = int(metas[b - 1]["block_last"]) if b > 0 else 0
+        if prev_last != orig_prev:
+            j = 0
+            while gb[j] & 0x80:
+                j += 1
+            gb = varint_one(int(metas[b]["block_first"]) - prev_last) + gb[j + 1:]
+        tb = mv[toffs[b]:toffs[b + 1]]
+        db = mv[doffs[b]:doffs[b + 1]]
+        gap_parts.append(gb)
+        tf_parts.append(tb)
+        dl_parts.append(db)
+        g_lens.append(len(gb))
+        t_lens.append(len(tb))
+        d_lens.append(len(db))
+        prev_last = int(metas[b]["block_last"])
+    G, T = sum(g_lens), sum(t_lens)
+    new_payload = b"".join(
+        [bytes(x) for x in gap_parts]
+        + [bytes(x) for x in tf_parts]
+        + [bytes(x) for x in dl_parts]
+    )
+    new_metas = []
+    go = to = do = 0
+    for i, b in enumerate(sel):
+        m = metas[int(b)]
+        new_metas.append(
+            {
+                "block_first": int(m["block_first"]),
+                "block_last": int(m["block_last"]),
+                "max_tf": int(m["max_tf"]),
+                "max_score": float(m["max_score"]),
+                "byte_offset": go,
+                "tf_off": G + to,
+                "dl_off": G + T + do,
+                "n_docs": int(m["n_docs"]),
+            }
+        )
+        go += g_lens[i]
+        to += t_lens[i]
+        do += d_lens[i]
+    return new_payload, new_metas
+
+
 def decode_postings(payload: bytes, n: int):
     """Inverse of encode_postings -> (doc_ids, tfs, dls) int64 arrays."""
     buf = np.frombuffer(payload, dtype=np.uint8)
