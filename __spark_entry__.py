@@ -416,6 +416,15 @@ def _q_near_dup_exact(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.1)
 
 
+def _q_dup_groups(spark, sf_dir):
+    # pair emission -> duplicate GROUPS: connected components over the
+    # exact near-dup pairs, keep-lowest policy (round-3)
+    from yase_spark.neardup import dup_groups, jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dup_groups(docs.select("doc_id"), jaccard_pairs(docs, k=3, threshold=0.1))
+
+
 def _q_near_dup_lsh(spark, sf_dir):
     from yase_spark.neardup import minhash_lsh_pairs
 
@@ -568,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # search, text analysis — see yase_spark/{neardup,similarity,
         # textstats}.py
         "near_dup_exact": _q_near_dup_exact,
+        "dup_groups": _q_dup_groups,
         "near_dup_lsh": _q_near_dup_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
@@ -620,6 +630,22 @@ inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i FROM sh a JOIN sh b 
 SELECT doc_a, doc_b, i*1.0/(sa.n + sb.n - i) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i*1.0/(sa.n + sb.n - i) >= 0.1
+"""
+
+# transitive closure over the exact near-dup pairs: min reachable doc_id
+# = cluster id; the recursive CTE is oracle-only (the engine uses
+# distributed label propagation — a recursive closure materializes
+# sum(component size^2) rows, fine at sf0.01, absurd at 10^12 docs)
+_DUP_GROUPS_SQL = f"""
+WITH RECURSIVE nd AS ({_NEAR_DUP_SQL}),
+edges AS (SELECT doc_a a, doc_b b FROM nd UNION SELECT doc_b, doc_a FROM nd),
+reach(d, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.d, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT d AS doc_id, min(r) AS cluster_id, (d = min(r)) AS keep
+FROM reach GROUP BY d
 """
 
 _SIMHASH_SQL = """
@@ -819,6 +845,7 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
 """,
         # LLM-pipeline operators -------------------------------------
         "near_dup_exact": _NEAR_DUP_SQL,
+        "dup_groups": _DUP_GROUPS_SQL,
         # LSH banding with 128 rows-per-band=1 bands + exact verify:
         # same exact-Jaccard oracle (a miss needs all 128 independent
         # minhashes to collide-free — P < 2e-6 at j >= 0.1)

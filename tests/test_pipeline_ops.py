@@ -232,3 +232,45 @@ def test_simhash_exact_with_degenerate_band_buckets(spark):
             for r in neardup.simhash_pairs(docs).collect()
         }
     assert got == want, f"missing {want - got} / extra {got - want}"
+
+
+def test_dup_groups_components_and_keep_policy(spark):
+    """dup_groups must compute exact connected components (chains force
+    multiple propagation rounds), label each with its min doc_id, mark
+    only that doc keep=true, and keep singletons as their own cluster."""
+    from yase_spark.neardup import dup_groups
+
+    pair_list = [
+        (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),   # chain -> cluster 2
+        (10, 11), (12, 11),                        # -> cluster 10
+        (20, 21),                                  # -> cluster 20
+        (31, 30), (32, 30), (33, 31),              # star -> cluster 30
+    ]
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 41)], schema="doc_id long"
+    )
+    pairs = spark.createDataFrame(pair_list, schema="doc_a long, doc_b long")
+
+    # union-find oracle (test-side only)
+    parent = {i: i for i in range(1, 41)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in parent}
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dup_groups(docs, pairs).collect()
+    }
+    assert set(got) == set(want)
+    for d, (c, keep) in got.items():
+        assert c == want[d], (d, c, want[d])
+        assert keep == (d == c)

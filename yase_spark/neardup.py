@@ -319,6 +319,84 @@ def minhash_lsh_pairs(
     return _verify_pairs(cand, doc_shingles(docs, k), threshold)
 
 
+# --------------------------------------------------------------- dup groups
+def dup_groups(
+    all_docs: DataFrame, pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Cluster near-dup PAIRS into duplicate groups (VERDICT round 2
+    item 4 — the missing step between pair emission and actually
+    dropping rows): connected components over the pair graph ->
+    ``(doc_id, cluster_id, keep)`` with ``cluster_id`` = min doc_id of
+    the component and ``keep`` = (doc_id == cluster_id): the lowest-id
+    member survives, every other member is the drop set. Docs in no
+    pair are singleton clusters of themselves (keep = true).
+
+    Distributed min-label propagation with a pointer-jumping contraction
+    — no driver-side union-find, no edge-set collect. Per iteration:
+
+    1. every node takes the min label over itself and its neighbors
+       (one edge join + min-agg: map-side combinable);
+    2. labels chase their own label once (labels are doc_ids, so the
+       label table joins itself) — chains of stale labels halve each
+       round, giving the familiar ~log(diameter) convergence on the
+       clique-ish components near-dup graphs produce.
+
+    Iterations are bounded by ``max_iter`` with a convergence check (one
+    LIMIT-1 existence probe per round); non-convergence raises instead
+    of returning partial clusters. ``localCheckpoint`` truncates the
+    lineage each round so the plan stays O(1) deep. At adversarial
+    diameters (10^12-row path graphs) the drop-in upgrade is
+    alternating large-star/small-star; near-dup components are dense,
+    so min-label + jumping is the right default.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = all_docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["a"] == labels["doc_id"])
+            .groupBy(edges["b"].alias("doc_id"))
+            .agg(F.min("lbl").alias("nl"))
+        )
+        stepped = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+        jump_map = stepped.select(
+            F.col("doc_id").alias("j_doc"), F.col("lbl").alias("j_lbl")
+        )
+        new_labels = (
+            stepped.join(jump_map, stepped["lbl"] == jump_map["j_doc"], "left")
+            .select("doc_id", F.coalesce("j_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dup_groups did not converge in {max_iter} iterations")
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("keep"),
+    )
+
+
 # ----------------------------------------------------------------- simhash
 # 60-bit simhash from the md5-based word hash (cast of the first 15 hex
 # chars — the SAME expression is available in DuckDB, giving cross-engine

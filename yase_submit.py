@@ -56,6 +56,10 @@ def main(argv=None) -> int:
     p.add_argument("--docs", type=int, default=50000)
     p.add_argument("--out")
     p.add_argument("--groups", type=int, default=None)
+    p.add_argument(
+        "--cluster", action="store_true",
+        help="neardup: emit (doc_id, cluster_id, keep) dup groups instead of pairs",
+    )
     p.add_argument("--local-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -95,7 +99,12 @@ def main(argv=None) -> int:
         print(json.dumps(out))
 
     elif args.cmd == "neardup":
-        from yase_spark.neardup import jaccard_pairs, minhash_lsh_pairs, simhash_pairs
+        from yase_spark.neardup import (
+            dup_groups,
+            jaccard_pairs,
+            minhash_lsh_pairs,
+            simhash_pairs,
+        )
 
         docs = spark.read.parquet(args.corpus)
         if args.method == "exact":
@@ -104,6 +113,12 @@ def main(argv=None) -> int:
             out = minhash_lsh_pairs(docs, threshold=args.threshold)
         else:
             out = simhash_pairs(docs)
+        if args.cluster:
+            # pairs -> duplicate groups with the keep-lowest policy
+            out = dup_groups(
+                docs.select("doc_id"),
+                out.select("doc_a", "doc_b"),
+            )
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"written": args.out, "pairs": out.count()}))
