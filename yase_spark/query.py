@@ -778,6 +778,200 @@ class IndexReader:
             return res, stats
         return res
 
+    def topk_block_selected(self, query: str, k: int = 10, return_stats: bool = False):
+        """Cold-path exact top-k with BLOCK-SELECTED (byte-range) fetch
+        (VERDICT round 2 item 3 / ROUND_NOTES open item 2): the measured
+        cold bottleneck at 1.6M docs was payload TRANSFER, so this lane
+        moves only the bytes of blocks that can matter.
+
+        Hop 1 reads dictionary + block metadata ONLY (parquet column
+        pruning keeps payload bytes unread). Driver-side, from stored
+        per-block max_scores it derives:
+
+        * θ0 — a certified LOWER bound on the k-th best total score:
+          within one term, distinct blocks hold distinct docs, and the
+          doc achieving a block's encode-time max has, under current
+          stats, a score >= stored·(idf_now/idf_stored)·min(1,
+          avgdl_now/avgdl_stored) (the tf-factor shrinks at most
+          proportionally to an avgdl DROP — mirror of the upper-bound
+          argument). So for any term with >= k blocks, the k-th largest
+          such per-block lower bound is achieved by >= k distinct docs;
+          θ0 = max over terms.
+        * an interval sweep of per-doc-range UPPER bounds (sum of each
+          term's covering-block upper bound); a block is fetched iff
+          some doc interval it covers has UB >= θ0.
+
+        Exactness: any doc with true score >= θ0 lies in a surviving
+        interval, so ALL its blocks (every term) are fetched and it is
+        scored fully; an unfetched doc has true score < θ0 <= S_k and
+        cannot enter the top-k (a partially-scored doc's computed score
+        only underestimates an already-losing score). Scores of the
+        returned docs are computed by the same lazy-WAND kernel —
+        bitwise-identical to every other exact lane.
+
+        Hop 2 slices exactly the selected blocks executor-side
+        (codec.slice_blocks — byte surgery, no decode) and collects the
+        slices; at 10^11-posting terms the moved bytes are ∝ surviving
+        blocks, not ∝ posting lists. Results are NOT cached (slices are
+        partial; the warm cache stays full-fidelity)."""
+        from .codec import slice_blocks
+
+        qterms = list(dict.fromkeys(analyze_query(query)))
+        empty_stats = {"blocks_selected": 0, "blocks_total": 0}
+        if not qterms or k <= 0:
+            return ([], empty_stats) if return_stats else []
+
+        # ---- hop 1: metadata only ---------------------------------------
+        tbl = self._collect_segments(
+            qterms, ["term", "shard", "df", "n", "block_meta", "idf", "avgdl"]
+        )
+        cols = {
+            n: tbl.column(n).to_pylist()
+            for n in ("term", "shard", "df", "block_meta", "idf", "avgdl")
+        }
+        rows_by_term: dict[str, list] = {}
+        for i in range(tbl.num_rows):
+            rows_by_term.setdefault(cols["term"][i], []).append(
+                {"shard": int(cols["shard"][i]), "df": int(cols["df"][i]),
+                 "metas": cols["block_meta"][i], "idf": float(cols["idf"][i]),
+                 "avgdl": float(cols["avgdl"][i])}
+            )
+        terms = [t for t in qterms if rows_by_term.get(t)]
+        if not terms:
+            return ([], empty_stats) if return_stats else []
+        for t in terms:
+            rows_by_term[t].sort(key=lambda r: r["shard"])
+
+        info: dict[str, dict] = {}
+        blocks_total = 0
+        for t in terms:
+            rs = rows_by_term[t]
+            df_g = rs[0]["df"]
+            idf_now = math.log(1.0 + (self.n_docs - df_g + 0.5) / (df_g + 0.5))
+            firsts, lasts, ubs, lbs, row_of, idx_in_row = [], [], [], [], [], []
+            for ri, r in enumerate(rs):
+                ir = idf_now / r["idf"] if r["idf"] else 1.0
+                ar = (self.avgdl / r["avgdl"]) if r["avgdl"] > 0.0 else 1.0
+                up = ir * max(1.0, ar)
+                dn = ir * min(1.0, ar)
+                for bi, m in enumerate(r["metas"]):
+                    firsts.append(m["block_first"])
+                    lasts.append(m["block_last"])
+                    s = m["max_score"]
+                    ubs.append(np.nextafter(s * up * (1.0 + 1e-12), np.inf))
+                    lbs.append(np.nextafter(s * dn * (1.0 - 1e-12), -np.inf))
+                    row_of.append(ri)
+                    idx_in_row.append(bi)
+            info[t] = {
+                "df": df_g, "idf_now": idf_now, "rows": rs,
+                "first": np.asarray(firsts, dtype=np.int64),
+                "last": np.asarray(lasts, dtype=np.int64),
+                "ub": np.asarray(ubs), "lb": np.asarray(lbs),
+                "row_of": np.asarray(row_of), "idx": np.asarray(idx_in_row),
+            }
+            blocks_total += len(firsts)
+
+        theta = -math.inf
+        for t in terms:
+            lb = info[t]["lb"]
+            if lb.size >= k:
+                theta = max(theta, float(np.partition(lb, lb.size - k)[lb.size - k]))
+
+        # ---- interval sweep over merged block boundaries ----------------
+        pts = np.unique(np.concatenate(
+            [info[t]["first"] for t in terms] + [info[t]["last"] + 1 for t in terms]
+        ))
+        diff = np.zeros(pts.size + 1)
+        for t in terms:
+            lo = np.searchsorted(pts, info[t]["first"], side="right") - 1
+            hi = np.searchsorted(pts, info[t]["last"], side="right") - 1
+            np.add.at(diff, lo, info[t]["ub"])
+            np.add.at(diff, hi + 1, -info[t]["ub"])
+            info[t]["lo_seg"], info[t]["hi_seg"] = lo, hi
+        ub_seg = np.cumsum(diff[:-1])
+        surviving = ub_seg >= theta
+        surv_pref = np.concatenate(([0], np.cumsum(surviving)))
+
+        sel_map: dict[tuple[str, int], np.ndarray] = {}
+        blocks_selected = 0
+        for t in terms:
+            inf_t = info[t]
+            need = (surv_pref[inf_t["hi_seg"] + 1] - surv_pref[inf_t["lo_seg"]]) > 0
+            blocks_selected += int(need.sum())
+            for ri, r in enumerate(inf_t["rows"]):
+                sel = inf_t["idx"][(inf_t["row_of"] == ri) & need]
+                if sel.size:
+                    sel_map[(t, r["shard"])] = np.sort(sel)
+
+        # ---- hop 2: slice-fetch ONLY the selected blocks ----------------
+        fetch_terms = sorted({t for (t, _s) in sel_map})
+        meta_t = (
+            "array<struct<block_first:long,block_last:long,max_tf:int,"
+            "max_score:double,byte_offset:long,tf_off:long,dl_off:long,"
+            "n_docs:int>>"
+        )
+
+        def slice_sel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = {"term": [], "shard": [], "payload": [], "block_meta": []}
+                for r in pdf.itertuples():
+                    sel = sel_map.get((r.term, int(r.shard)))
+                    if sel is None:
+                        continue
+                    pl, ms = slice_blocks(bytes(r.payload), list(r.block_meta), sel)
+                    out["term"].append(r.term)
+                    out["shard"].append(int(r.shard))
+                    out["payload"].append(pl)
+                    out["block_meta"].append(ms)
+                if out["term"]:
+                    yield pd.DataFrame(out)
+
+        res: list[tuple[int, int, float]] = []
+        if fetch_terms:
+            buckets = sorted(
+                {term_bucket(t, self.cfg.term_buckets) for t in fetch_terms}
+            )
+            segs = self._segments.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(fetch_terms)
+            ).select("term", "shard", "payload", "block_meta")
+            got = segs.mapInPandas(
+                slice_sel, schema=f"term string, shard int, payload binary, block_meta {meta_t}"
+            ).toArrow()
+            g = {n: got.column(n).to_pylist() for n in ("term", "shard", "block_meta")}
+            pays = got.column("payload")
+            sub_rows: dict[str, list] = {}
+            for i in range(got.num_rows):
+                sub_rows.setdefault(g["term"][i], []).append(
+                    (int(g["shard"][i]), pays[i].as_py(), g["block_meta"][i])
+                )
+            cursors = []
+            for t in terms:
+                rs = sub_rows.get(t)
+                if not rs:
+                    continue
+                rs.sort(key=lambda x: x[0])
+                stored = {r["shard"]: (r["idf"], r["avgdl"]) for r in info[t]["rows"]}
+                cursors.append(
+                    LazyTermPostings(
+                        t, info[t]["df"], info[t]["idf_now"],
+                        [
+                            (pl, ms, stored[sh][0], stored[sh][1])
+                            for sh, pl, ms in rs
+                        ],
+                        avgdl_now=self.avgdl,
+                    )
+                )
+            res = wand_topk_lazy(cursors, k, self.cfg.k1, self.cfg.b, self.avgdl)
+        if return_stats:
+            return res, {
+                "blocks_selected": blocks_selected,
+                "blocks_total": blocks_total,
+                "theta": theta,
+            }
+        return res
+
     def _postings(self, query: str) -> list[TermPostings]:
         qterms = analyze_query(query)
         got = self.fetch_terms(qterms)
