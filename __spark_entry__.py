@@ -505,6 +505,34 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_image_resize(spark, sf_dir):
+    # 8x8 -> 4x4 average pooling; every output pixel is an oracle row.
+    # Both sides read the SAME float32 parquet values and pool in
+    # float64 with the same summation order, then cast through float32
+    # (the stored payload precision) — so round(6) comparison is stable.
+    from yase_spark.multimodal import image_resize, media_values, synthesize_media
+
+    media = synthesize_media(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).filter(F.col("modality") == "image")
+    return media_values(image_resize(media, 4, 4)).select(
+        "item_id", "idx", F.round("val", 6).alias("val_r")
+    )
+
+
+def _q_frame_sample(spark, sf_dir):
+    # keep every 2nd frame of 4x (4x4) video planes: pure byte striding,
+    # values pass through bit-exactly — every kept float is an oracle row
+    from yase_spark.multimodal import frame_sample, media_values, synthesize_media
+
+    media = synthesize_media(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).filter(F.col("modality") == "video")
+    return media_values(frame_sample(media, 2)).select(
+        "item_id", "idx", F.round("val", 6).alias("val_r")
+    )
+
+
 def _q_event_windows(spark, sf_dir):
     from yase_spark.events import event_windows
 
@@ -591,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "doc_fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
+        "image_resize": _q_image_resize,
+        "frame_sample": _q_frame_sample,
         "append_df_agg": _q_append_df_agg,
         "stream_df_agg": _q_stream_df_agg,
         "bool_and_distributed": _q_bool_and_distributed,
@@ -939,6 +969,37 @@ SELECT vec_id AS item_id,
        round(sqrt(list_aggregate(list_transform(v, x -> (x - mu) * (x - mu)), 'avg')), 6) AS std_r,
        round(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6) AS l2_r
 FROM m
+""",
+        # image_resize: per-pixel parity of the 8x8 -> 4x4 average pool.
+        # Both engines read the same float32 parquet values, pool in
+        # float64 with the same order ((v00+v01)+(v10+v11))/4, then cast
+        # through FLOAT (the stored payload precision) — identical bits,
+        # so 6-dp rounding is stable.
+        "image_resize": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+  FROM embeddings WHERE label = 0
+),
+oy AS (SELECT unnest(range(0, 4)) oy), ox AS (SELECT unnest(range(0, 4)) ox)
+SELECT vec_id AS item_id,
+       (oy.oy * 4 + ox.ox)::INT AS idx,
+       round(CAST(CAST(
+         ((v[(oy.oy*2)*8 + ox.ox*2 + 1] + v[(oy.oy*2)*8 + ox.ox*2 + 2])
+          + (v[(oy.oy*2+1)*8 + ox.ox*2 + 1] + v[(oy.oy*2+1)*8 + ox.ox*2 + 2])) / 4.0
+       AS FLOAT) AS DOUBLE), 6) AS val_r
+FROM e CROSS JOIN oy CROSS JOIN ox
+""",
+        # frame_sample: byte striding only — kept frames' floats must
+        # pass through bit-exactly (frames 0 and 2 of 4, 16 values each)
+        "frame_sample": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+  FROM embeddings WHERE label >= 2
+),
+fr AS (SELECT unnest(range(0, 2)) k), px AS (SELECT unnest(range(0, 16)) j)
+SELECT vec_id AS item_id, (fr.k * 16 + px.j)::INT AS idx,
+       round(v[(fr.k*2)*16 + px.j + 1], 6) AS val_r
+FROM e CROSS JOIN fr CROSS JOIN px
 """,
         # ann_lsh_topk: rows-only (approximate by design; recall gated
         # in tests/test_pipeline_ops.py). codec_roundtrip, checkpoints:

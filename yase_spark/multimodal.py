@@ -119,6 +119,37 @@ def media_features(media: DataFrame) -> DataFrame:
     )
 
 
+def media_values(media: DataFrame) -> DataFrame:
+    """Explode decoded payload values -> (item_id, idx, val double).
+    The oracle/debug surface of the decode path (every payload float
+    becomes one checkable row); map-only like every media kernel."""
+    import numpy as np
+    import pandas as pd
+
+    def vals(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, idxs, vs = [], [], []
+            for r in pdf.itertuples():
+                v = _decode_one(r.format, bytes(r.payload)).astype(np.float64)
+                ids.append(np.full(v.size, int(r.item_id), dtype=np.int64))
+                idxs.append(np.arange(v.size, dtype=np.int32))
+                vs.append(v)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "item_id": np.concatenate(ids),
+                        "idx": np.concatenate(idxs),
+                        "val": np.concatenate(vs),
+                    }
+                )
+
+    return media.select("item_id", "format", "payload").mapInPandas(
+        vals, schema="item_id long, idx int, val double"
+    )
+
+
 def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Average-pool 'images' (width x height float planes) to
     (out_w x out_h); non-image rows pass through untouched. Output
@@ -134,13 +165,19 @@ def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for i, r in enumerate(pdf.itertuples()):
                 if r.modality != "image":
                     continue
-                img = _decode_one(r.format, bytes(r.payload)).reshape(
-                    int(r.height), int(r.width)
-                )
+                img = _decode_one(r.format, bytes(r.payload)).astype(
+                    np.float64
+                ).reshape(int(r.height), int(r.width))
                 bh, bw = img.shape[0] // out_h, img.shape[1] // out_w
-                pooled = img[: bh * out_h, : bw * out_w].reshape(
-                    out_h, bh, out_w, bw
-                ).mean(axis=(1, 3)).astype("<f4")
+                # pool in float64 with a FIXED summation order (row sums
+                # first, then across rows) so the result is reproducible
+                # bit-for-bit against an oracle using the same order;
+                # output storage stays float32 like the input
+                pooled = (
+                    img[: bh * out_h, : bw * out_w]
+                    .reshape(out_h, bh, out_w, bw)
+                    .sum(axis=3).sum(axis=1) / float(bh * bw)
+                ).astype("<f4")
                 out.iat[i, out.columns.get_loc("payload")] = pooled.tobytes()
                 out.iat[i, out.columns.get_loc("width")] = out_w
                 out.iat[i, out.columns.get_loc("height")] = out_h

@@ -182,6 +182,16 @@ def wand_topk(
 
 INF_DOC = 1 << 62
 
+# process-wide cap on concurrent per-term cold-fetch Spark jobs (VERDICT
+# round 2 item 8): each cold multi-term query fans its Arrow collects out
+# to up to 8 driver threads; without a global bound, N concurrent cold
+# queries schedule 8N simultaneous jobs and the scheduler fixed costs eat
+# the transfer win. BoundedSemaphore so a buggy double-release fails loud.
+import threading
+
+FETCH_JOB_CAP = 8
+_FETCH_SEM = threading.BoundedSemaphore(FETCH_JOB_CAP)
+
 
 class LazyTermPostings:
     """Block-lazy cursor over one term's postings, built from segment
@@ -606,14 +616,13 @@ class IndexReader:
         import pyarrow as pa
 
         def one(ts: list[str]):
-            bs = sorted({term_bucket(t, self.cfg.term_buckets) for t in ts})
-            return (
-                self._segments.filter(
-                    F.col("bucket").isin(bs) & F.col("term").isin(ts)
-                )
-                .select(*columns)
-                .toArrow()
-            )
+            # the process-wide semaphore bounds TOTAL in-flight fetch
+            # jobs across all readers and queries (VERDICT round 2 item
+            # 8): a single query still fans out, but N concurrent cold
+            # queries share the same FETCH_JOB_CAP job budget instead of
+            # scheduling 8N jobs
+            with _FETCH_SEM:
+                return self._fetch_table(ts, columns)
 
         # concurrency only pays when per-term payloads dwarf per-job
         # setup (~30-60 ms each): on a small index a 40-term prefetch
@@ -621,12 +630,24 @@ class IndexReader:
         # 1.2 s on the sf0.1 warm prefetch), while at 1.6M docs the
         # split is a 1.5-2.6x win. Gate on corpus size.
         if len(missing) <= 1 or self.n_docs < 200_000:
-            return one(missing)
+            return self._fetch_table(missing, columns)
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(8, len(missing))) as ex:
             tables = list(ex.map(lambda t: one([t]), missing))
         return pa.concat_tables(tables)
+
+    def _fetch_table(self, ts: list[str], columns: list[str]):
+        """One bucket-pruned columnar scan for ``ts`` -> pyarrow table
+        (split out so tests can instrument in-flight job concurrency)."""
+        bs = sorted({term_bucket(t, self.cfg.term_buckets) for t in ts})
+        return (
+            self._segments.filter(
+                F.col("bucket").isin(bs) & F.col("term").isin(ts)
+            )
+            .select(*columns)
+            .toArrow()
+        )
 
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | None]:
         missing = [t for t in dict.fromkeys(terms) if t not in self._cache]
