@@ -144,8 +144,14 @@ def test_topk_sharded_exact_pruned_multitask(spark, small_block_index):
     for q in _topk_queries():
         k = q.get("k", 10)
         want = rd.topk(q["query"], k, use_wand=False)
-        got, stats = rd.topk_sharded(q["query"], k, n_ranges=6, return_stats=True)
+        # WAND kernel: the pruning gate (blocks decoded < shipped)
+        got, stats = rd.topk_sharded(
+            q["query"], k, n_ranges=6, return_stats=True, kernel="wand"
+        )
         assert got == want, q["query"]  # bitwise: same floats, same ranks
+        # dense kernel (the flat-distribution auto pick): same bits
+        got_d = rd.topk_sharded(q["query"], k, n_ranges=6, kernel="dense")
+        assert got_d == want, q["query"]
         multi = max(multi, stats["n_ranges"])
         dec += stats["blocks_decoded"]
         tot += stats["blocks_total"]

@@ -924,6 +924,28 @@ class IndexReader:
                 if sel.size:
                     sel_map[(t, r["shard"])] = np.sort(sel)
 
+        # adaptive bail-out (1.6M-doc study): on flat multi-common-term
+        # score distributions the summed upper bounds exceed theta0
+        # almost everywhere (sel fraction ~1.0) and the two-hop path
+        # just adds a metadata job; fall back to the one-job eager
+        # fetch + dense scorer. The selective regime — single-term and
+        # idf-dominated queries — measured 0.1-9 % fetch fractions.
+        if blocks_selected > self.BLOCKSEL_MAX_FRACTION * blocks_total:
+            tp = self._postings(query)
+            if self.n_docs <= self.DENSE_MAX_DOCS:
+                res = dense_topk(tp, k, self.cfg.k1, self.cfg.b, self.avgdl,
+                                 self.n_docs)
+            else:
+                res = naive_topk(tp, k, self.cfg.k1, self.cfg.b, self.avgdl)
+            if return_stats:
+                return res, {
+                    "blocks_selected": blocks_selected,
+                    "blocks_total": blocks_total,
+                    "theta": theta,
+                    "fallback": True,
+                }
+            return res
+
         # ---- hop 2: slice-fetch ONLY the selected blocks ----------------
         fetch_terms = sorted({t for (t, _s) in sel_map})
         meta_t = (
@@ -1048,6 +1070,22 @@ class IndexReader:
                 # shuffled every posting; topk_sharded ships compressed
                 # blocks once and block-max-prunes per range)
                 return self.topk_sharded(query, k)
+            # under-cap COLD query on a big index: try the block-selected
+            # lane when one term's idf dominates the rest — the measured
+            # regime where theta0 pruning moves 0.1-9 % of the bytes
+            # (single-term, or rare-term + stopwords). The dictionary dfs
+            # are already in hand; a mis-predict costs one payload-free
+            # metadata job before the in-lane eager bail-out.
+            all_dfs = self.term_dfs(qterms)
+            idfs = sorted(
+                (
+                    math.log(1.0 + (self.n_docs - d + 0.5) / (d + 0.5))
+                    for d in all_dfs.values() if d > 0
+                ),
+                reverse=True,
+            )
+            if idfs and (len(idfs) == 1 or idfs[0] >= 2.0 * sum(idfs[1:])):
+                return self.topk_block_selected(query, k)
         tp = self._postings(query)
         if use_wand is None:
             use_wand = sum(t.doc_ids.size for t in tp) > self.WAND_MIN_POSTINGS
@@ -1199,9 +1237,13 @@ class IndexReader:
     # per posting → tens of MB per task)
     SHARD_TARGET_POSTINGS = 5_000_000
     SHARD_MAX_RANGES = 256
+    # block-selected fetch: above this selected fraction the two-hop
+    # path cannot beat the single-job eager fetch (measured), so it
+    # bails out to eager after the (cheap, payload-free) metadata hop
+    BLOCKSEL_MAX_FRACTION = 0.5
 
     def topk_sharded(self, query: str, k: int = 10, n_ranges: int | None = None,
-                     return_stats: bool = False):
+                     return_stats: bool = False, kernel: str = "auto"):
         """Exact ranked top-k for ONE huge query, cluster-side AND pruned
         (VERDICT round 2 item 1 — the missing lane): doc-id space is cut
         into R ranges; a slicing kernel ships each stored block (bytes
@@ -1227,6 +1269,20 @@ class IndexReader:
         total/SHARD_TARGET_POSTINGS), not query count — a single
         two-stopword query at 10^12 docs fans out to R tasks with
         bounded memory each.
+
+        ``kernel``: per-range executor choice. ``"wand"`` runs the lazy
+        block-max cursor loop (blocks skipped by the bound are never
+        decoded — the win on skewed/selective score distributions);
+        ``"dense"`` fully decodes each range's slices (the slice
+        rewrite makes every sub-payload standalone-decodable) and
+        scatter-adds into a range-local dense accumulator — pure numpy,
+        no Python-per-pivot loop, the measured winner when bounds prune
+        little (the flat-distribution regime: 1.6M-doc study, WAND
+        decode fraction 0.80). ``"auto"`` picks dense while the range
+        accumulator is executor-affordable, else WAND. All kernels are
+        bitwise-identical (same per-term contribution expression, same
+        per-doc summation order), so the dispatch is invisible in
+        results.
         """
         from .codec import slice_blocks
 
@@ -1303,13 +1359,18 @@ class IndexReader:
         n_docs_, avgdl_ = self.n_docs, self.avgdl
         k1, b = self.cfg.k1, self.cfg.b
         order = {t: i for i, t in enumerate(qterms)}
+        kernel_mode = kernel
+        dense_cap = self.DENSE_MAX_DOCS
 
         def run_range(key, group):
             import pandas as pd
 
             rid = int(key[0])
             lo, hi = bounds[rid], bounds[rid + 1]
-            cursors = []
+            use_dense = kernel_mode == "dense" or (
+                kernel_mode == "auto" and (hi - lo) <= dense_cap
+            )
+            term_rows = []
             for t in sorted(group["term"].unique(), key=order.get):
                 rs = group[group["term"] == t]
                 rs = rs.assign(
@@ -1317,19 +1378,68 @@ class IndexReader:
                 ).sort_values(["shard", "_bf"])
                 df_g = int(rs["df"].iloc[0])
                 idf_now = math.log(1.0 + (n_docs_ - df_g + 0.5) / (df_g + 0.5))
-                base = LazyTermPostings(
-                    t, df_g, idf_now,
-                    [
-                        (bytes(r.payload), list(r.block_meta), float(r.idf),
-                         float(r.avgdl))
-                        for r in rs.itertuples()
-                    ],
-                    avgdl_now=avgdl_,
-                )
-                cursors.append(_ClippedCursor(base, lo, hi))
-            total_blocks = sum(c.nb for c in cursors)
-            res = wand_topk_lazy(cursors, k, k1, b, avgdl_)
-            dec = sum(c.blocks_decoded for c in cursors)
+                term_rows.append((t, df_g, idf_now, rs))
+
+            if use_dense:
+                # vectorized full evaluation over the range: the slice
+                # rewrite made every sub-payload standalone-decodable, so
+                # one decode_postings per sub-row + clip + scatter-add
+                # into a range-local accumulator reproduces dense_topk
+                # bit-for-bit (same contribution expression, same
+                # per-term add order). At extreme range widths (auto
+                # caps at DENSE_MAX_DOCS) the WAND kernel takes over.
+                width = hi - lo
+                scores = np.zeros(width, dtype=np.float64)
+                total_blocks = dec = 0
+                for t, df_g, idf_now, rs in term_rows:
+                    ids_l, tfs_l, dls_l = [], [], []
+                    for r in rs.itertuples():
+                        metas = list(r.block_meta)
+                        total_blocks += len(metas)
+                        n = int(sum(m["n_docs"] for m in metas))
+                        ids, tfs, dls = decode_postings(bytes(r.payload), n)
+                        ids_l.append(ids)
+                        tfs_l.append(tfs)
+                        dls_l.append(dls)
+                    ids = np.concatenate(ids_l)
+                    tfs = np.concatenate(tfs_l)
+                    dls = np.concatenate(dls_l)
+                    m = (ids >= lo) & (ids < hi)
+                    ids, tfs, dls = ids[m], tfs[m], dls[m]
+                    contrib = idf_now * (tfs.astype(np.float64) * (k1 + 1.0)) / (
+                        tfs.astype(np.float64)
+                        + k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl_))
+                    )
+                    scores[ids - lo] += contrib
+                dec = total_blocks
+                n_hits = int(np.count_nonzero(scores > 0.0))
+                res = []
+                if n_hits:
+                    kk = min(k, n_hits)
+                    part = np.argpartition(scores, -kk)[-kk:]
+                    kth = scores[part].min()
+                    cand = np.flatnonzero(scores >= kth)
+                    sel = np.lexsort((cand, -scores[cand]))[:k]
+                    res = [
+                        (r + 1, int(cand[i]) + lo, float(scores[cand[i]]))
+                        for r, i in enumerate(sel)
+                    ]
+            else:
+                cursors = []
+                for t, df_g, idf_now, rs in term_rows:
+                    base = LazyTermPostings(
+                        t, df_g, idf_now,
+                        [
+                            (bytes(r.payload), list(r.block_meta), float(r.idf),
+                             float(r.avgdl))
+                            for r in rs.itertuples()
+                        ],
+                        avgdl_now=avgdl_,
+                    )
+                    cursors.append(_ClippedCursor(base, lo, hi))
+                total_blocks = sum(c.nb for c in cursors)
+                res = wand_topk_lazy(cursors, k, k1, b, avgdl_)
+                dec = sum(c.blocks_decoded for c in cursors)
             rows = [(rid, rk, d, s, dec, total_blocks) for rk, d, s in res]
             # stats marker row: ranges whose local top-k is empty still
             # report decode counts (rank -1, filtered by the merge)
