@@ -130,7 +130,7 @@ def main() -> None:
         ), f"WAND mismatch on {q['query_id']}"
 
     # ---- phase 4: LLM-pipeline operators over sf documents/embeddings
-    from yase_spark.neardup import minhash_lsh_pairs, simhash_pairs
+    from yase_spark.neardup import dup_groups, minhash_lsh_pairs, simhash_pairs
     from yase_spark.similarity import lsh_ann_topk
     from yase_spark.textstats import doc_fingerprints, lang_id, quality_scores
 
@@ -139,9 +139,13 @@ def main() -> None:
     # the near-dup regime LSH exists for: threshold 0.5, (b=64, r=2)
     # banding -> candidates collapse to near-true pairs (P(miss) ~ 1e-8
     # at j = 0.5); the oracle entry runs the total-recall r=1 variant
-    extras["near_dup_pairs"] = minhash_lsh_pairs(
-        docs, threshold=0.5, rows_per_band=2
-    ).count()
+    nd_pairs = minhash_lsh_pairs(docs, threshold=0.5, rows_per_band=2)
+    extras["near_dup_pairs"] = nd_pairs.count()
+    # pair -> group clustering (round 3): docs that a dedup pass would drop
+    extras["dup_docs_dropped"] = (
+        dup_groups(docs.select("doc_id"), nd_pairs)
+        .filter(~F.col("keep")).count()
+    )
     extras["simhash_pairs"] = simhash_pairs(docs).count()
     extras["ann_rows"] = lsh_ann_topk(emb).count()
     extras["text_rows"] = (

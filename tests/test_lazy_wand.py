@@ -256,3 +256,37 @@ def test_topk_block_selected_survives_append(spark, tmp_path):
             assert rd.topk_block_selected(q, k) == rd.topk(
                 q, k, use_wand=False
             ), (q, k)
+
+
+def test_topk_set_splits_overcap_queries_to_sharded(spark, small_block_index):
+    """Batch executor WAND: a query whose dictionary-estimated postings
+    exceed the per-task cap must be served via the sharded per-range
+    lane (bounded task memory) and still return driver-identical
+    results alongside the normally-grouped queries."""
+    rd = IndexReader(spark, small_block_index)
+    qs = [
+        {"query_id": "light", "query": "itemscan", "k": 5},
+        {"query_id": "heavy", "query": "json getPage sync", "k": 10},
+    ]
+    want = {
+        q["query_id"]: rd.topk(q["query"], q["k"], use_wand=False) for q in qs
+    }
+
+    rd2 = IndexReader(spark, small_block_index)
+    rd2.driver_fetch_max_postings = 500   # 'heavy' exceeds, 'light' not
+    rd2._total_postings_upper = 10**9
+    called = []
+    orig = rd2.topk_sharded
+    rd2.topk_sharded = lambda q, k=10, **kw: (called.append(q), orig(q, k, **kw))[1]
+
+    rows = rd2.topk_set_distributed(qs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+        )
+    for qid in got:
+        got[qid].sort()
+    assert called, "over-cap query was not routed through topk_sharded"
+    assert got["heavy"] == want["heavy"]
+    assert got["light"] == want["light"]
