@@ -372,19 +372,25 @@ def dup_groups(
         jump_map = stepped.select(
             F.col("doc_id").alias("j_doc"), F.col("lbl").alias("j_lbl")
         )
-        new_labels = (
+        # the convergence flag rides the SAME materialization as the new
+        # labels (doc_id is its own initial label, so old label == doc_id
+        # comparison needs no extra join): one localCheckpoint action per
+        # iteration, then a cheap scan of the checkpointed data for the
+        # existence probe
+        old = labels.select(
+            F.col("doc_id").alias("o_doc"), F.col("lbl").alias("o_lbl")
+        )
+        staged = (
             stepped.join(jump_map, stepped["lbl"] == jump_map["j_doc"], "left")
             .select("doc_id", F.coalesce("j_lbl", "lbl").alias("lbl"))
+            .join(old, F.col("doc_id") == F.col("o_doc"))
+            .select(
+                "doc_id", "lbl", (F.col("lbl") != F.col("o_lbl")).alias("chg")
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = staged.filter(F.col("chg")).limit(1).count()
+        labels = staged.select("doc_id", "lbl")
         if changed == 0:
             break
     else:
