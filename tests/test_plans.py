@@ -115,3 +115,41 @@ def test_neardup_exact_is_jvm_and_simhash_codegen(spark):
     lsh = _plan(minhash_lsh_pairs(docs))
     assert "ArrowEvalPython" in lsh or "MapInPandas" in lsh
     assert "BatchEvalPython" not in lsh
+
+
+# ---------------------------------------------- round-3 query lanes
+def test_blocksel_hop1_never_reads_payload(spark, tiny_index):
+    """The block-selected lane's metadata hop must PRUNE the payload
+    column at the parquet scan (the whole point: no payload bytes read
+    before selection) while keeping bucket partition pruning."""
+    from yase_spark.postings import term_bucket
+    from yase_spark.query import IndexReader
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    terms = ["getusername"]
+    bs = sorted({term_bucket(t, rd.cfg.term_buckets) for t in terms})
+    hop1 = rd._segments.filter(
+        F.col("bucket").isin(bs) & F.col("term").isin(terms)
+    ).select("term", "shard", "df", "n", "block_meta", "idf", "avgdl")
+    plan = _plan(hop1)
+    seg = plan.split("ReadSchema")[1][:400]
+    assert "block_meta" in seg and "payload" not in seg, (
+        "hop-1 scan must not read payload bytes:\n" + seg
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_sharded_slice_scan_pruned_and_arrow(spark, tiny_index):
+    """topk_sharded's slicing stage must scan only the query's buckets
+    (partition pruning + term pushdown) and run as Arrow-batched
+    kernels — never row-at-a-time Python."""
+    from yase_spark.query import IndexReader
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    df = rd.topk_sharded("getusername json", 5, n_ranges=4, return_stats="df")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python in sharded lane"
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan

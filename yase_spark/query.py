@@ -1450,11 +1450,16 @@ class IndexReader:
                          "blocks_decoded", "blocks_total"],
             )
 
-        out = sliced.groupBy("range_id").applyInPandas(
+        out_df = sliced.groupBy("range_id").applyInPandas(
             run_range,
             schema=("range_id int, rank long, doc_id long, score double, "
                     "blocks_decoded long, blocks_total long"),
-        ).collect()
+        )
+        if return_stats == "df":
+            # plan-gate hook: hand back the un-executed DataFrame so
+            # tests can assert pruning/Arrow shape without running it
+            return out_df
+        out = out_df.collect()
 
         cand = sorted(
             ((r["score"], r["doc_id"]) for r in out if r["rank"] > 0),
