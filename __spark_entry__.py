@@ -310,6 +310,42 @@ def _q_bool_or(spark, sf_dir):
     return res.join(m, "doc_id").select(F.col("orig_doc_id").alias("doc_id"))
 
 
+def _q_bool_tree(spark, sf_dir):
+    # nested boolean AST (SURVEY.md §1.4/§3.3): (window OR spark) AND
+    # table — driver set-kernel walk, cross-checked in-entry against the
+    # one-shuffle cluster lane (flag-aggregation + JVM boolean expr)
+    from yase_spark.query import And, Or, Term
+
+    rd = _reader(spark, sf_dir)
+    tree = And([Or([Term(OR_TERMS[0]), Term(OR_TERMS[1])]), Term(AND_TERMS[0])])
+    ids = [int(x) for x in rd.search(tree)]
+    df_ids = sorted(r["doc_id"] for r in rd.search_df(tree).collect())
+    assert df_ids == ids, "search_df (cluster) != search (driver)"
+    res = spark.createDataFrame([(i,) for i in ids] or [], schema="doc_id long")
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(F.col("orig_doc_id").alias("doc_id"))
+
+
+def _q_topk_filtered(spark, sf_dir):
+    # TopK over a boolean filter: docs matching the tree, BM25-ranked
+    # over its leaf tokens in DFS order
+    from yase_spark.query import And, Or, Term, TopK
+
+    rd = _reader(spark, sf_dir)
+    tree = TopK(
+        And([Or([Term(OR_TERMS[0]), Term(OR_TERMS[1])]), Term(AND_TERMS[0])]),
+        k=10,
+    )
+    rows = rd.search_topk(tree)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r")
+    )
+
+
 def _q_segments_df(spark, sf_dir):
     rd = _reader(spark, sf_dir)
     segs = rd.cat.read(spark, "segments")
@@ -593,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_sharded": _q_topk_sharded,
         "bool_and": _q_bool_and,
         "bool_or": _q_bool_or,
+        "bool_tree": _q_bool_tree,
+        "topk_filtered": _q_topk_filtered,
         "segments_df": _q_segments_df,
         "window_topk": _q_window_topk,
         "hydrate_join": _q_hydrate_join,
@@ -799,6 +837,37 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             f"{_T_SQL} SELECT DISTINCT doc_id FROM t WHERE term = '{or_a}' "
             f"UNION SELECT DISTINCT doc_id FROM t WHERE term = '{or_b}'"
         ),
+        "bool_tree": (
+            f"{_T_SQL} SELECT doc_id FROM ("
+            f"SELECT DISTINCT doc_id FROM t WHERE term = '{or_a}' "
+            f"UNION SELECT DISTINCT doc_id FROM t WHERE term = '{or_b}') "
+            f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}'"
+        ),
+        "topk_filtered": f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+       WHERE term IN ('{or_a}', '{or_b}', '{and_a}') GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+match AS (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id FROM t WHERE term = '{or_a}'
+    UNION SELECT DISTINCT doc_id FROM t WHERE term = '{or_b}')
+  INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}'
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+       JOIN match USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 5) AS score_r FROM sc
+ORDER BY score DESC, doc_id LIMIT 10
+""",
         # same oracle as bool_and — the Spark side is the executor-side
         # DataFrame lane (bool_and_df) instead of the driver ndarray path
         "bool_and_distributed": (

@@ -164,3 +164,65 @@ def test_cold_fetch_job_cap_is_global(spark, tiny_index, monkeypatch):
         list(ex.map(cold_query, range(4)))
     assert state["max"] >= 2, "fan-out never overlapped — test is vacuous"
     assert state["max"] <= 3, f"{state['max']} concurrent fetch jobs > cap 3"
+
+
+def test_boolean_ast_driver_cluster_and_topk(spark, tiny_index):
+    """SURVEY §1.4/§3.3 query AST: nested And/Or trees must evaluate
+    identically in the driver set-kernel walk and the one-shuffle
+    cluster lane, and TopK-over-a-filter must rank the matched set with
+    the standard contribution formula and tie-break."""
+    import math
+
+    import numpy as np
+
+    from yase_spark.query import And, IndexReader, Or, Term, TopK
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    t1, t2, t3, t4 = "json", "get", "page", "sync"
+    got_terms = rd.fetch_terms([t1, t2, t3, t4])
+
+    def docs(t):
+        tp = got_terms.get(t)
+        return set(tp.doc_ids.tolist()) if tp is not None else set()
+
+    trees = {
+        "or_and": (
+            And([Or([Term(t1), Term(t2)]), Term(t3)]),
+            (docs(t1) | docs(t2)) & docs(t3),
+        ),
+        "and_or_nested": (
+            Or([And([Term(t1), Term(t3)]), And([Term(t2), Term(t4)])]),
+            (docs(t1) & docs(t3)) | (docs(t2) & docs(t4)),
+        ),
+        "deep": (
+            And([Or([Term(t1), And([Term(t2), Term(t4)])]), Term(t3)]),
+            (docs(t1) | (docs(t2) & docs(t4))) & docs(t3),
+        ),
+    }
+    for name, (tree, want) in trees.items():
+        assert want, f"{name}: fixture term choice made the test vacuous"
+        got = set(int(x) for x in rd.search(tree))
+        assert got == want, name
+        got_df = set(r["doc_id"] for r in rd.search_df(tree).collect())
+        assert got_df == want, f"{name}: cluster lane diverges"
+
+    # TopK over the first tree: rank matched docs by summed contributions
+    tree, want = trees["or_and"]
+    res = rd.search_topk(TopK(tree, k=5))
+    scores = {}
+    for t in (t1, t2, t3, t4):
+        tp = got_terms.get(t)
+        if tp is None:
+            continue
+        contrib = tp.idf * (tp.tfs.astype(np.float64) * (rd.cfg.k1 + 1.0)) / (
+            tp.tfs.astype(np.float64)
+            + rd.cfg.k1 * (1.0 - rd.cfg.b + rd.cfg.b * (tp.dls.astype(np.float64) / rd.avgdl))
+        )
+        for d, c in zip(tp.doc_ids.tolist(), contrib.tolist()):
+            if d in want and t in (t1, t2, t3):  # leaf tokens of the tree only
+                scores[d] = scores.get(d, 0.0) + c
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(d, round(s, 9)) for _, d, s in res] == [
+        (d, round(s, 9)) for d, s in exp
+    ]

@@ -546,6 +546,60 @@ def bool_or(terms: list[TermPostings]) -> np.ndarray:
     return np.unique(np.concatenate(arrs))
 
 
+# ------------------------------------------------- boolean query AST
+# SURVEY.md §1.4 / §3.3: queries are a tiny programmatic AST — no SQL
+# parser. A Term's text goes through the SAME analyzer as indexing
+# (T4 parity); if analysis splits it (camelCase → parts + bigrams off),
+# the leaf means the conjunction of its tokens, matching how bool_and
+# treats a typed identifier.
+@dataclass(frozen=True)
+class Term:
+    t: str
+
+
+@dataclass(frozen=True)
+class And:
+    kids: tuple
+
+    def __init__(self, kids):
+        object.__setattr__(self, "kids", tuple(kids))
+
+
+@dataclass(frozen=True)
+class Or:
+    kids: tuple
+
+    def __init__(self, kids):
+        object.__setattr__(self, "kids", tuple(kids))
+
+
+@dataclass(frozen=True)
+class TopK:
+    expr: object
+    k: int = 10
+
+
+def _ast_leaf_tokens(node) -> list[str]:
+    """Analyzed leaf tokens in DFS first-occurrence order — the fixed
+    BM25 summation order for TopK over an AST (same contract as
+    analyze_query for string queries)."""
+    out: list[str] = []
+
+    def walk(n):
+        if isinstance(n, Term):
+            out.extend(analyze_query(n.t))
+        elif isinstance(n, (And, Or)):
+            for c in n.kids:
+                walk(c)
+        elif isinstance(n, TopK):
+            walk(n.expr)
+        else:
+            raise TypeError(f"not an AST node: {n!r}")
+
+    walk(node)
+    return list(dict.fromkeys(out))
+
+
 # ----------------------------------------------------------------- reader
 class IndexReader:
     """Query-time view of a built index.
@@ -1142,6 +1196,129 @@ class IndexReader:
         if not qterms:
             return self.spark.createDataFrame([], schema="doc_id long")
         return self._term_docs_df(qterms).select("doc_id").distinct()
+
+    def search(self, tree) -> np.ndarray:
+        """Boolean AST evaluation, driver lane (SURVEY.md §3.3): walks
+        the tree bottom-up with the Q3/Q4 set kernels — rarest-first
+        numpy intersection for AND, union for OR; a Term whose analysis
+        yields several tokens is their conjunction. Returns the sorted
+        matching doc_id array. Use :meth:`search_df` when the RESULT
+        itself may be corpus-sized."""
+        tokens = _ast_leaf_tokens(tree)
+        got = self.fetch_terms(tokens)
+
+        def docs_of(tok: str) -> np.ndarray:
+            tp = got.get(tok)
+            return tp.doc_ids if tp is not None else np.empty(0, dtype=np.int64)
+
+        def ev(n) -> np.ndarray:
+            if isinstance(n, Term):
+                toks = analyze_query(n.t)
+                if not toks:
+                    return np.empty(0, dtype=np.int64)
+                sets = sorted((docs_of(t) for t in toks), key=lambda a: a.size)
+                out = sets[0]
+                for s in sets[1:]:
+                    if out.size == 0:
+                        break
+                    out = out[np.isin(out, s, assume_unique=True)]
+                return out
+            if isinstance(n, And):
+                sets = sorted((ev(c) for c in n.kids), key=lambda a: a.size)
+                if not sets:
+                    return np.empty(0, dtype=np.int64)
+                out = sets[0]
+                for s in sets[1:]:
+                    if out.size == 0:
+                        break
+                    out = out[np.isin(out, s, assume_unique=True)]
+                return out
+            if isinstance(n, Or):
+                arrs = [a for a in (ev(c) for c in n.kids) if a.size]
+                if not arrs:
+                    return np.empty(0, dtype=np.int64)
+                return np.unique(np.concatenate(arrs))
+            raise TypeError(f"not a boolean AST node: {n!r}")
+
+        return ev(tree)
+
+    def search_df(self, tree) -> DataFrame:
+        """Boolean AST evaluation, cluster lane: ONE executor-side decode
+        of the leaf terms' postings, ONE shuffle (per-doc leaf-presence
+        flags via map-side-combinable max-aggregation), then the whole
+        tree compiles to a single JVM boolean expression over the flag
+        columns — a depth-d tree costs d Column ops, not d shuffles of
+        INTERSECT/UNION nodes. The scale shape for corpus-sized results
+        at 10^12 docs."""
+        tokens = _ast_leaf_tokens(tree)
+        if not tokens:
+            return self.spark.createDataFrame([], schema="doc_id long")
+        flag_of = {t: f"_l{i}" for i, t in enumerate(tokens)}
+        td = self._term_docs_df(tokens)
+        flags = td.groupBy("doc_id").agg(
+            *[
+                F.max(
+                    F.when(F.col("term") == t, F.lit(True)).otherwise(F.lit(False))
+                ).alias(c)
+                for t, c in flag_of.items()
+            ]
+        )
+
+        def cond(n):
+            if isinstance(n, Term):
+                toks = analyze_query(n.t)
+                if not toks:
+                    return F.lit(False)
+                c = F.col(flag_of[toks[0]])
+                for t in toks[1:]:
+                    c = c & F.col(flag_of[t])
+                return c
+            if isinstance(n, And):
+                out = F.lit(True)
+                for k in n.kids:
+                    out = out & cond(k)
+                return out
+            if isinstance(n, Or):
+                out = F.lit(False)
+                for k in n.kids:
+                    out = out | cond(k)
+                return out
+            raise TypeError(f"not a boolean AST node: {n!r}")
+
+        return flags.filter(cond(tree)).select("doc_id")
+
+    def search_topk(self, node: TopK):
+        """Ranked top-k over a boolean filter (SURVEY.md §1.4
+        ``TopK(expr, k)``): docs matching ``expr`` are BM25-scored over
+        the expr's leaf tokens in DFS first-occurrence order (the same
+        fixed summation order as string queries) with the deterministic
+        (score DESC, doc_id ASC) tie-break — the boolean filter selects,
+        the scorer ranks. Driver lane (the filter result is doc-id
+        bounded by the rarest conjunct; corpus-sized filters belong to
+        the DataFrame lanes)."""
+        assert isinstance(node, TopK)
+        matched = self.search(node.expr)
+        if matched.size == 0 or node.k <= 0:
+            return []
+        tokens = _ast_leaf_tokens(node.expr)
+        got = self.fetch_terms(tokens)
+        scores = np.zeros(matched.size, dtype=np.float64)
+        for t in tokens:  # DFS order -> fixed per-doc add order
+            tp = got.get(t)
+            if tp is None:
+                continue
+            pos = np.searchsorted(tp.doc_ids, matched)
+            ok = (pos < tp.doc_ids.size) & (
+                tp.doc_ids[np.minimum(pos, tp.doc_ids.size - 1)] == matched
+            )
+            contrib = tp.idf * (tp.tfs.astype(np.float64) * (self.cfg.k1 + 1.0)) / (
+                tp.tfs.astype(np.float64)
+                + self.cfg.k1
+                * (1.0 - self.cfg.b + self.cfg.b * (tp.dls.astype(np.float64) / self.avgdl))
+            )
+            scores[ok] += contrib[pos[ok]]
+        order = np.lexsort((matched, -scores))[: node.k]
+        return [(r + 1, int(matched[i]), float(scores[i])) for r, i in enumerate(order)]
 
     def bool_and(self, query: str) -> np.ndarray:
         """Driver boolean AND (sorted doc_id array). Dispatches to the
