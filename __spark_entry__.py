@@ -461,6 +461,19 @@ def _q_dup_groups(spark, sf_dir):
     return dup_groups(docs.select("doc_id"), jaccard_pairs(docs, k=3, threshold=0.1))
 
 
+def _q_clean_corpus(spark, sf_dir):
+    # the composed curation materialization: near-dup keep-lowest +
+    # quality threshold + language allowlist (round-3 pipeline.py)
+    from yase_spark.neardup import jaccard_pairs
+    from yase_spark.pipeline import clean_corpus
+
+    docs = _docs(spark, sf_dir)
+    return clean_corpus(
+        docs, jaccard_pairs(docs, k=3, threshold=0.1),
+        min_quality=0.45, langs=["en", "de", "fr"],
+    )
+
+
 def _q_near_dup_lsh(spark, sf_dir):
     from yase_spark.neardup import minhash_lsh_pairs
 
@@ -644,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # textstats}.py
         "near_dup_exact": _q_near_dup_exact,
         "dup_groups": _q_dup_groups,
+        "clean_corpus": _q_clean_corpus,
         "near_dup_lsh": _q_near_dup_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
@@ -945,6 +959,23 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         # LLM-pipeline operators -------------------------------------
         "near_dup_exact": _NEAR_DUP_SQL,
         "dup_groups": _DUP_GROUPS_SQL,
+        # composed curation: dup-group keep-lowest (recursive closure)
+        # x quality threshold x language allowlist
+        "clean_corpus": f"""
+WITH RECURSIVE nd AS ({_NEAR_DUP_SQL}),
+edges AS (SELECT doc_a a, doc_b b FROM nd UNION SELECT doc_b, doc_a FROM nd),
+reach(d, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.d, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+grp AS (SELECT d AS doc_id, min(r) AS cluster_id FROM reach GROUP BY d),
+q AS ({_QUALITY_SQL})
+SELECT g.doc_id, g.cluster_id, q.quality_r
+FROM grp g JOIN q USING (doc_id) JOIN documents USING (doc_id)
+WHERE g.doc_id = g.cluster_id AND q.quality_r >= 0.45
+  AND lang IN ('en', 'de', 'fr')
+""",
         # LSH banding with 128 rows-per-band=1 bands + exact verify:
         # same exact-Jaccard oracle (a miss needs all 128 independent
         # minhashes to collide-free — P < 2e-6 at j >= 0.1)
