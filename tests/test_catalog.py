@@ -46,3 +46,48 @@ def test_missing_table_raises(spark, tmp_path):
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError:
         pass
+
+
+def test_compact_collapses_dirs_and_preserves_tags(spark, tmp_path):
+    """catalog.compact (Iceberg rewrite_data_files parity): after
+    build + COW append, compaction must collapse the read plan to one
+    data dir, keep table contents identical, and carry the collapsed
+    history's unit tags so append idempotence survives."""
+    from yase_spark.catalog import Catalog
+    from yase_spark.config import IndexConfig
+    from yase_spark.index import IndexBuilder
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    base = [("r", f"{i:03d}", "c", "py", f"alpha{i % 11} beta") for i in range(150)]
+    delta = [("r", f"9{i:02d}", "c", "py", "beta gamma") for i in range(20)]
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, term_buckets=16,
+                      ngrams=False)
+    b = IndexBuilder(spark, root, cfg)
+    b.build(spark.createDataFrame(base, schema=schema))
+    b.append(spark.createDataFrame(delta, schema=schema))
+
+    cat = Catalog(root)
+    before = {
+        (r["term"], r["df"], r["cf"])
+        for r in cat.read(spark, "segments").select("term", "df", "cf").collect()
+    }
+    tags_before = {t.get("unit") for t in cat.committed_tags("segments")}
+    assert len(cat._manifest("segments")["data_dirs"]) > 1
+
+    cat.compact(spark, "segments")
+    m = cat._manifest("segments")
+    assert len(m["data_dirs"]) == 1, "compaction must collapse to one dir"
+    after = {
+        (r["term"], r["df"], r["cf"])
+        for r in cat.read(spark, "segments").select("term", "df", "cf").collect()
+    }
+    assert after == before, "compaction changed table contents"
+    tags_after = {t.get("unit") for t in cat.committed_tags("segments")}
+    assert tags_before <= tags_after, "collapsed history tags were lost"
+
+    # idempotence survives: re-appending the same delta is still a no-op
+    s = IndexBuilder(spark, root, cfg).append(
+        spark.createDataFrame(delta, schema=schema)
+    )
+    assert s["noop"]

@@ -286,9 +286,43 @@ class Catalog:
             m = self._manifest(name, v)
             tags.append(m.get("tag", {}))
             if m["operation"] == "overwrite":
+                # a compaction snapshot carries the tags of the history
+                # it collapsed (Iceberg: retained snapshot metadata)
+                tags.extend(m.get("carried_tags", []))
                 break
             v = m["parent_version"]
         return tags
+
+    def compact(self, spark: SparkSession, name: str) -> int:
+        """Maintenance: rewrite the CURRENT snapshot into a single data
+        dir (Iceberg: ``rewrite_data_files`` + snapshot expiry). After
+        many append / partition-replace commits, ``read()`` unions one
+        scan per surviving commit dir; compaction collapses the plan
+        back to one scan. Unit/resume tags of the collapsed history are
+        carried on the compaction manifest so idempotence checks
+        (committed build units, applied append fingerprints) survive —
+        Iceberg keeps them as retained snapshot metadata."""
+        carried = self.committed_tags(name)
+        m = self._manifest(name)
+        df = self.read(spark, name)
+        v = self.write(
+            name, df, mode="overwrite",
+            partition_by=m.get("partition_by") or None,
+            tag={"unit": f"compact-{m['snapshot'][:8]}"},
+        )
+        # attach the carried tags to the just-written manifest (same
+        # commit lock discipline: manifests are immutable once VERSION
+        # points at them EXCEPT for this write-side enrichment, which
+        # happens before anyone can observe v as current... VERSION
+        # already flipped, so re-write the manifest file atomically)
+        with self._commit_lock:
+            mm = self._manifest(name, v)
+            mm["carried_tags"] = carried
+            tmp = self._manifest_path(name, v) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(mm, f, indent=1)
+            os.replace(tmp, self._manifest_path(name, v))
+        return v
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)

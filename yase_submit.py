@@ -51,6 +51,11 @@ def main(argv=None) -> int:
     p.add_argument("--index", help="index warehouse root")
     p.add_argument("--manifest", help="optional sha256 manifest parquet")
     p.add_argument("--q", help="query string")
+    p.add_argument(
+        "--tree",
+        help='boolean AST JSON for query: \'{"and": [{"or": ["a","b"]}, "c"]}\''
+        " — with --kind topk, BM25-ranks the matches over the tree's tokens",
+    )
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--kind", choices=["topk", "and", "or"], default="topk")
     p.add_argument("--docs", type=int, default=50000)
@@ -84,10 +89,32 @@ def main(argv=None) -> int:
         print(json.dumps({k: v for k, v in summary.items()}, default=float))
 
     elif args.cmd == "query":
-        from yase_spark.query import IndexReader
+        from yase_spark.query import And, IndexReader, Or, Term, TopK
 
         rd = IndexReader(spark, args.index)
-        if args.kind == "topk":
+        if args.tree:
+            # boolean AST as JSON: "term" | {"and": [...]} | {"or": [...]}
+            # e.g. --tree '{"and": [{"or": ["window", "spark"]}, "table"]}'
+            def parse(node):
+                if isinstance(node, str):
+                    return Term(node)
+                if isinstance(node, dict) and len(node) == 1:
+                    (op, kids), = node.items()
+                    if op == "and":
+                        return And([parse(k) for k in kids])
+                    if op == "or":
+                        return Or([parse(k) for k in kids])
+                raise SystemExit(f"bad tree node: {node!r}")
+
+            tree = parse(json.loads(args.tree))
+            if args.kind == "topk":
+                out = [
+                    {"rank": r, "doc_id": d, "score": s}
+                    for r, d, s in rd.search_topk(TopK(tree, args.k))
+                ]
+            else:
+                out = [int(x) for x in rd.search(tree)]
+        elif args.kind == "topk":
             out = [
                 {"rank": r, "doc_id": d, "score": s}
                 for r, d, s in rd.topk(args.q, args.k)
