@@ -588,6 +588,35 @@ def _q_event_windows(spark, sf_dir):
     return event_windows(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_stream_event_windows(spark, sf_dir):
+    # Structured-Streaming windowed agg with watermark (append mode):
+    # the stream must emit exactly the batch windows the final watermark
+    # has closed (window_end <= max event ts at watermark "0 seconds"),
+    # each exactly once, across two micro-batches
+    import tempfile
+
+    key = ("swin", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.streaming import stream_event_windows
+
+        base = tempfile.mkdtemp(prefix="yase_swin_")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{base}/in")
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{base}/in")
+        q = stream_event_windows(
+            spark, f"{base}/in", f"{base}/out", f"{base}/ck",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        _CACHE[key] = (f"{base}/out", None)
+    out, _ = _CACHE[key]
+    return spark.read.parquet(out)
+
+
 def _q_sessionize(spark, sf_dir):
     from yase_spark.events import sessionize
 
@@ -663,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "event_windows": _q_event_windows,
+        "stream_event_windows": _q_stream_event_windows,
         "sessionize": _q_sessionize,
         "props_extract": _q_props_extract,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -995,6 +1025,15 @@ WHERE g.doc_id = g.cluster_id AND q.quality_r >= 0.45
             "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
             "event_type, count(*) AS n, round(sum(value), 6) AS sum_value_r "
             "FROM events GROUP BY 1, 2"
+        ),
+        # streaming twin: only windows CLOSED by the final watermark
+        # (window_end <= max ts at watermark 0s) are emitted, exactly once
+        "stream_event_windows": (
+            "WITH w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+            "event_type, count(*) AS n, round(sum(value), 6) AS sum_value_r "
+            "FROM events GROUP BY 1, 2), mx AS (SELECT max(ts) AS m FROM events) "
+            "SELECT window_start, event_type, n, sum_value_r FROM w, mx "
+            "WHERE window_start + INTERVAL '1 hour' <= m"
         ),
         "sessionize": """
 WITH g AS (

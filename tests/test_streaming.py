@@ -112,3 +112,46 @@ def test_bootstrap_crash_then_replay_recovers(spark, tmp_path):
     assert "build_complete_fp" in props
     b2.append(corpus)  # what the replayed foreachBatch would now run
     assert Catalog(root).current_version("segments") == v_before
+
+
+def test_stream_event_windows_watermark_matches_batch(spark, tmp_path):
+    """stream_event_windows (watermark + append mode) must emit exactly
+    the windows the batch operator produces for every window the final
+    watermark has closed — and a replay of the same availableNow run
+    must add nothing (exactly-once)."""
+    from yase_spark.events import event_windows
+    from yase_spark.streaming import stream_event_windows
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inbox = str(tmp_path / "in")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = stream_event_windows(spark, inbox, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    want = {
+        (r["window_start"], r["event_type"], r["n"], r["sum_value_r"])
+        for r in event_windows(events)
+        .withColumn("w_end", F.col("window_start") + F.expr("interval 1 hour"))
+        .filter(F.col("w_end") <= F.lit(max_ts))
+        .drop("w_end")
+        .collect()
+    }
+    got = {
+        (r["window_start"], r["event_type"], r["n"], r["sum_value_r"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert want, "fixture produced no closed windows — test is vacuous"
+    assert got == want, f"missing {want - got} / extra {got - want}"
+
+    # replay: nothing new (append-mode exactly-once via the checkpoint)
+    q = stream_event_windows(spark, inbox, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == len(got)

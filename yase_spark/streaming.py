@@ -22,6 +22,7 @@ via the engine's own COW merge, never via streaming state stores.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .config import IndexConfig
 from .index import IndexBuilder
@@ -82,6 +83,60 @@ def stream_index(
 
     return (
         stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_event_windows(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    hours: int = 1,
+    watermark: str = "0 seconds",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming tumbling-window aggregation with a WATERMARK for late
+    data (pipeline brief: "watermarks + windowed aggs"): the streaming
+    twin of :func:`yase_spark.events.event_windows` — same epoch-aligned
+    windows, same output schema — run as readStream -> withWatermark ->
+    window groupBy -> append-mode parquet sink.
+
+    Append mode emits a window exactly once, when the watermark passes
+    its end: events later than ``watermark`` behind the max seen event
+    time are dropped from closed windows instead of corrupting emitted
+    results, and state size stays bounded by (watermark horizon /
+    window) groups per key — the property that keeps this runnable
+    forever at 100 TB/day. With the availableNow trigger it doubles as
+    a batch catch-up: windows whose end precedes the final watermark
+    are flushed, anything newer stays in state for the next run
+    (exactly-once across restarts via the checkpoint).
+    """
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    win = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{hours} hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value_r"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"), "event_type", "n", "sum_value_r"
+        )
+    )
+    return (
+        win.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
