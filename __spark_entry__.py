@@ -617,6 +617,41 @@ def _q_stream_event_windows(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _q_stream_sessionize(spark, sf_dir):
+    # custom STATEFUL streaming operator (applyInPandasWithState): over
+    # a drained time-ordered stream, emitted sessions are exactly the
+    # batch sessions closed by a successor or by the final watermark
+    # passing end + gap
+    import tempfile
+
+    key = ("ssess", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.streaming import stream_sessionize
+
+        base = tempfile.mkdtemp(prefix="yase_ssess_")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cutoff_us = int(
+            ev.select(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+            ).approxQuantile("us", [0.5], 0.0)[0]
+        )
+        cutoff = F.timestamp_micros(F.lit(cutoff_us))
+        ev.filter(F.col("ts").cast("timestamp") <= cutoff).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{base}/in")
+        ev.filter(F.col("ts").cast("timestamp") > cutoff).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{base}/in")
+        q = stream_sessionize(
+            spark, f"{base}/in", f"{base}/out", f"{base}/ck",
+            gap_minutes=30, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        _CACHE[key] = (f"{base}/out", None)
+    out, _ = _CACHE[key]
+    return spark.read.parquet(out)
+
+
 def _q_sessionize(spark, sf_dir):
     from yase_spark.events import sessionize
 
@@ -694,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "stream_event_windows": _q_stream_event_windows,
         "sessionize": _q_sessionize,
+        "stream_sessionize": _q_stream_sessionize,
         "props_extract": _q_props_extract,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "token_stats": _q_token_stats,
@@ -1046,6 +1082,25 @@ SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
        min(ts) AS start_ts, max(ts) AS end_ts,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
 FROM s GROUP BY 1, 2
+""",
+        # streaming twin of sessionize: only sessions CLOSED at final
+        # watermark (a successor exists, or end + gap < max event time)
+        "stream_sessionize": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) session_seq FROM g),
+sess AS (SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
+         min(ts) AS start_ts, max(ts) AS end_ts,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+         FROM s GROUP BY 1, 2),
+last AS (SELECT user_id, max(session_seq) AS mx_seq FROM sess GROUP BY 1),
+mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+SELECT sess.user_id, sess.session_seq, n_events, start_ts, end_ts, duration_us
+FROM sess JOIN last USING (user_id), mx
+WHERE session_seq < mx_seq OR epoch_us(end_ts) + 1800000000 < mx.m
 """,
         "props_extract": (
             "SELECT event_id, (props->>'$.k')::BIGINT AS k FROM events"

@@ -155,3 +155,73 @@ def test_stream_event_windows_watermark_matches_batch(spark, tmp_path):
     q = stream_event_windows(spark, inbox, out, ckpt, max_files_per_trigger=1)
     q.awaitTermination()
     assert spark.read.parquet(out).count() == len(got)
+
+
+def test_stream_sessionize_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: over a drained stream,
+    emitted sessions must be exactly the batch operator's sessions that
+    are CLOSED — by a successor event beyond the gap, or by the final
+    watermark passing end + gap — with identical numbering, bounds and
+    counts; open sessions stay in state, and a replay emits nothing
+    new."""
+    from yase_spark.events import sessionize
+    from yase_spark.streaming import stream_sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # micro-batches arrive in TIME order (the operator's documented
+    # arrival contract — an event stream's natural shape): split on the
+    # median timestamp, earlier file first
+    cutoff = (
+        events.select(F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        .approxQuantile("us", [0.5], 0.0)[0]
+    )
+    cutoff = F.timestamp_micros(F.lit(int(cutoff)))
+    inbox = str(tmp_path / "in")
+    events.filter(F.col("ts").cast("timestamp") <= cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+    events.filter(F.col("ts").cast("timestamp") > cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = stream_sessionize(spark, inbox, out, ckpt, gap_minutes=30,
+                          max_files_per_trigger=1)
+    q.awaitTermination()
+
+    gap_us = 30 * 60 * 1_000_000
+    max_us = events.select(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    batch = sessionize(events, gap_minutes=30)
+    last = batch.groupBy("user_id").agg(F.max("session_seq").alias("mx"))
+    closed = (
+        batch.join(last, "user_id")
+        .withColumn(
+            "end_us", F.unix_micros(F.col("end_ts").cast("timestamp"))
+        )
+        .filter(
+            (F.col("session_seq") < F.col("mx"))
+            | (F.col("end_us") + gap_us < max_us)
+        )
+    )
+    want = {
+        (r["user_id"], r["session_seq"], r["n_events"],
+         r["start_ts"], r["end_ts"], r["duration_us"])
+        for r in closed.collect()
+    }
+    got = {
+        (r["user_id"], r["session_seq"], r["n_events"],
+         r["start_ts"], r["end_ts"], r["duration_us"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert want, "fixture yielded no closed sessions — vacuous"
+    assert got == want, (
+        f"missing {sorted(want - got)[:3]} / extra {sorted(got - want)[:3]} "
+        f"({len(want)} want, {len(got)} got)"
+    )
+
+    q = stream_sessionize(spark, inbox, out, ckpt, gap_minutes=30,
+                          max_files_per_trigger=1)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == len(got), "replay emitted rows"

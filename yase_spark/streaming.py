@@ -141,3 +141,141 @@ def stream_event_windows(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int | None = None,
+):
+    """CUSTOM STATEFUL streaming operator (pipeline brief:
+    "applyInPandasWithState for custom stateful operators"): gap-based
+    sessionization of an event stream — the streaming twin of
+    :func:`yase_spark.events.sessionize`, same output schema and the
+    same session numbering.
+
+    State per user is ONE open session (seq, start_us, last_us, n):
+    sessions are sequential, so that is the entire state no matter how
+    long the stream runs — the 100 TB/day property. A session is
+    emitted exactly once, when it CLOSES: either a later event arrives
+    more than ``gap_minutes`` after its end, or the event-time watermark
+    passes end + gap (state timeout), whichever first. Batch
+    equivalence: over a drained stream, emitted sessions are precisely
+    the batch operator's sessions whose end + gap precedes the final
+    watermark, plus any closed by a successor event.
+
+    Arrival contract: micro-batches are time-ordered ACROSS batches
+    (within a batch, any order — the kernel sorts); an event older than
+    its user's open-session tail merges into that session rather than
+    rewriting emitted history (sessions already emitted are immutable —
+    the append-mode invariant). That is the standard watermark bargain:
+    disorder within the watermark horizon is absorbed, disorder beyond
+    it degrades gracefully instead of corrupting output.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize_user(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        user_id = int(key[0])
+        cols = ["user_id", "session_seq", "n_events", "start_ts", "end_ts",
+                "duration_us"]
+
+        def emit(rows):
+            return pd.DataFrame(
+                [
+                    (user_id, seq, n,
+                     pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"),
+                     e - s)
+                    for seq, s, e, n in rows
+                ],
+                columns=cols,
+            )
+
+        if state.hasTimedOut:
+            seq, s, e, n = state.get
+            # tombstone keeps the sequence counter: a dormant user's
+            # NEXT session must continue the batch-identical numbering
+            # (start_us == -1 encodes "no open session, seq consumed").
+            # No new timeout — a tombstone is one tiny row per dormant
+            # user until their next event (or state-store TTL upstream).
+            state.update((seq, -1, -1, 0))
+            yield emit([(seq, s, e, n)])
+            return
+
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        batch = pd.concat(frames, ignore_index=True)
+        # event-time order; event_id breaks ts ties exactly like the
+        # batch window (ORDER BY ts, event_id)
+        batch = batch.sort_values(["ts", "event_id"])
+        ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
+
+        open_sess = None
+        base_seq = 0
+        if state.exists:
+            seq, s, e, n = state.get
+            if s == -1:
+                base_seq = seq  # tombstone: counter only
+            else:
+                open_sess = (seq, s, e, n)
+        closed = []
+        for t in ts_us.tolist():
+            if open_sess is None:
+                open_sess = (base_seq + 1, t, t, 1)
+            else:
+                seq, s, e, n = open_sess
+                if t - e <= gap_us:
+                    open_sess = (seq, s, max(e, t), n + 1)
+                else:
+                    closed.append(open_sess)
+                    open_sess = (seq + 1, t, t, 1)
+        state.update(open_sess)
+        # close-by-silence: when the watermark passes end + gap with no
+        # successor, the timeout callback above emits the open session.
+        # (Timeout timestamps must sit beyond the current watermark —
+        # clamp for sessions that were already stale on arrival.)
+        state.setTimeoutTimestamp(
+            max((open_sess[2] + gap_us) // 1000 + 1,
+                state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield emit(closed)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    out = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize_user,
+            outputStructType=(
+                "user_id long, session_seq long, n_events long, "
+                "start_ts timestamp, end_ts timestamp, duration_us long"
+            ),
+            stateStructType="seq long, start_us long, last_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
