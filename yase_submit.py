@@ -40,7 +40,8 @@ def _spark(args):
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="yase_submit")
     p.add_argument(
-        "cmd", choices=["build", "query", "synth", "bench", "neardup", "ann"]
+        "cmd",
+        choices=["build", "query", "synth", "bench", "neardup", "ann", "stream"],
     )
     p.add_argument(
         "--method", choices=["exact", "lsh", "simhash"], default="lsh",
@@ -60,6 +61,7 @@ def main(argv=None) -> int:
     p.add_argument("--kind", choices=["topk", "and", "or"], default="topk")
     p.add_argument("--docs", type=int, default=50000)
     p.add_argument("--out")
+    p.add_argument("--ckpt", help="stream: checkpoint dir (default <index>_ckpt)")
     p.add_argument("--groups", type=int, default=None)
     p.add_argument(
         "--cluster", action="store_true",
@@ -87,6 +89,21 @@ def main(argv=None) -> int:
         cfg = IndexConfig(build_groups=args.groups) if args.groups else IndexConfig()
         summary = build_index(spark, corpus, args.index, cfg, manifest=manifest)
         print(json.dumps({k: v for k, v in summary.items()}, default=float))
+
+    elif args.cmd == "stream":
+        # exactly-once incremental indexing of a growing corpus
+        # directory: first run bootstraps, later runs (same checkpoint)
+        # append only new files; safe to re-run on a schedule
+        from yase_spark.query import IndexReader
+        from yase_spark.streaming import stream_index
+
+        ckpt = args.ckpt or args.index.rstrip("/") + "_ckpt"
+        cfg = IndexConfig(build_groups=args.groups) if args.groups else IndexConfig()
+        q = stream_index(spark, args.corpus, args.index, ckpt, cfg)
+        q.awaitTermination()
+        rd = IndexReader(spark, args.index)
+        print(json.dumps({"index": args.index, "checkpoint": ckpt,
+                          "n_docs": rd.n_docs, "avgdl": rd.avgdl}))
 
     elif args.cmd == "query":
         from yase_spark.query import And, IndexReader, Or, Term, TopK
