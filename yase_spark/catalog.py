@@ -79,6 +79,19 @@ class Catalog:
     def _entry_exclude(entry) -> dict:
         return {} if isinstance(entry, str) else (entry.get("exclude") or {})
 
+    @staticmethod
+    def _has_data_files(path: str) -> bool:
+        """True iff the data dir holds >= 1 real data file. Commits of
+        EMPTY DataFrames (e.g. a fully-duplicate streamed delta's tagged
+        local_segments commit) write only _SUCCESS; unioning such a dir
+        into a read fails schema inference, so read() skips them. Early-
+        exit walk — O(first file found)."""
+        for dirpath, _dirs, files in os.walk(path):
+            for fn in files:
+                if not fn.startswith(("_", ".")):
+                    return True
+        return False
+
     # ------------------------------------------------------------ write
     def write(
         self,
@@ -229,7 +242,13 @@ class Catalog:
         from pyspark.sql import functions as F
 
         m = self._manifest(name, version)
-        entries = m["data_dirs"]
+        entries = [
+            e for e in m["data_dirs"] if self._has_data_files(self._entry_path(e))
+        ]
+        if not entries:
+            raise FileNotFoundError(
+                f"table {name} has no data files in any committed dir"
+            )
         if len(entries) == 1 and not self._entry_exclude(entries[0]):
             return spark.read.parquet(self._entry_path(entries[0]))
         # appended snapshots: one scan per commit dir, unioned — keeps

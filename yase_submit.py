@@ -41,7 +41,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="yase_submit")
     p.add_argument(
         "cmd",
-        choices=["build", "query", "synth", "bench", "neardup", "ann", "stream"],
+        choices=[
+            "build", "query", "synth", "bench", "neardup", "ann", "stream",
+            "compact",
+        ],
     )
     p.add_argument(
         "--method", choices=["exact", "lsh", "simhash"], default="lsh",
@@ -89,6 +92,21 @@ def main(argv=None) -> int:
         cfg = IndexConfig(build_groups=args.groups) if args.groups else IndexConfig()
         summary = build_index(spark, corpus, args.index, cfg, manifest=manifest)
         print(json.dumps({k: v for k, v in summary.items()}, default=float))
+
+    elif args.cmd == "compact":
+        # maintenance: collapse a table's commit history to one data dir
+        # (Iceberg rewrite_data_files parity; resume/idempotence tags
+        # carry over)
+        from yase_spark.catalog import Catalog
+
+        cat = Catalog(args.index)
+        out = {}
+        for t in ("segments", "local_segments", "docs"):
+            if cat.exists(t):
+                n_before = len(cat._manifest(t)["data_dirs"])
+                v = cat.compact(spark, t)
+                out[t] = {"dirs_before": n_before, "version": v}
+        print(json.dumps(out))
 
     elif args.cmd == "stream":
         # exactly-once incremental indexing of a growing corpus
