@@ -258,6 +258,44 @@ def test_topk_block_selected_survives_append(spark, tmp_path):
             ), (q, k)
 
 
+def test_topk_block_selected_adaptive_two_rare_terms(spark, tmp_path):
+    """Round-3 open item 2: on a two-rare-term query theta0 (a
+    single-term bound) prunes nothing — the summed upper bounds beat it
+    in every interval — so the lane used to bail to eager. The adaptive
+    probe must fetch a small budget of highest-UB intervals, certify
+    theta1 from their ACHIEVED scores, and re-select down to the
+    co-occurrence intervals: exact result, no fallback, and total moved
+    blocks (probe + final) well under the bail threshold."""
+    schema = "repo string, path string, commit string, lang string, content string"
+    rows = []
+    for i in range(60_000):
+        filler = f"common{i % 7} filler pad"
+        if i % 33 == 5:
+            extra = " alpha"          # rare term 1, spread over doc space
+        elif i % 33 == 21:
+            extra = " beta"           # rare term 2, spread over doc space
+        elif i % 8191 == 700:
+            extra = " alpha alpha alpha beta beta beta"   # co-occurrence
+        else:
+            extra = ""
+        rows.append(("r", f"{i:06d}", "c", "python", filler + extra))
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, block_size=16,
+                      ngrams=False)
+    IndexBuilder(spark, root, cfg).build(
+        spark.createDataFrame(rows, schema=schema)
+    )
+    rd = IndexReader(spark, root)
+    q, k = "alpha beta", 5
+    want = rd.topk(q, k, use_wand=False)
+    got, stats = rd.topk_block_selected(q, k, return_stats=True)
+    assert got == want
+    assert not stats.get("fallback"), stats
+    assert stats["theta1"] is not None and stats["probe_blocks"] > 0, stats
+    moved = stats["blocks_selected"] + stats["probe_blocks"]
+    assert moved < stats["blocks_total"] * rd.BLOCKSEL_MAX_FRACTION, stats
+
+
 def test_topk_set_splits_overcap_queries_to_sharded(spark, small_block_index):
     """Batch executor WAND: a query whose dictionary-estimated postings
     exceed the per-task cap must be served via the sharded per-range

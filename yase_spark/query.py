@@ -876,6 +876,15 @@ class IndexReader:
           term's covering-block upper bound); a block is fetched iff
           some doc interval it covers has UB >= θ0.
 
+        When θ0 alone prunes nothing (multi-rare-term queries: every
+        summed UB beats the best single-term bound), an ADAPTIVE second
+        round probes the highest-UB intervals within a small block
+        budget, scores them exactly on the partial cursors, and uses the
+        k-th achieved score as θ1 — a certified lower bound on S_k, since
+        partial sums only underestimate and any k achieved scores are
+        real docs' scores — then re-selects. Only if θ1 still prunes less
+        than BLOCKSEL_MAX_FRACTION does the lane bail to the eager fetch.
+
         Exactness: any doc with true score >= θ0 lies in a surviving
         interval, so ALL its blocks (every term) are fetched and it is
         scored fully; an unfetched doc has true score < θ0 <= S_k and
@@ -946,11 +955,11 @@ class IndexReader:
             }
             blocks_total += len(firsts)
 
-        theta = -math.inf
+        theta0 = -math.inf
         for t in terms:
             lb = info[t]["lb"]
             if lb.size >= k:
-                theta = max(theta, float(np.partition(lb, lb.size - k)[lb.size - k]))
+                theta0 = max(theta0, float(np.partition(lb, lb.size - k)[lb.size - k]))
 
         # ---- interval sweep over merged block boundaries ----------------
         pts = np.unique(np.concatenate(
@@ -964,69 +973,55 @@ class IndexReader:
             np.add.at(diff, hi + 1, -info[t]["ub"])
             info[t]["lo_seg"], info[t]["hi_seg"] = lo, hi
         ub_seg = np.cumsum(diff[:-1])
-        surviving = ub_seg >= theta
-        surv_pref = np.concatenate(([0], np.cumsum(surviving)))
 
-        sel_map: dict[tuple[str, int], np.ndarray] = {}
-        blocks_selected = 0
-        for t in terms:
-            inf_t = info[t]
-            need = (surv_pref[inf_t["hi_seg"] + 1] - surv_pref[inf_t["lo_seg"]]) > 0
-            blocks_selected += int(need.sum())
-            for ri, r in enumerate(inf_t["rows"]):
-                sel = inf_t["idx"][(inf_t["row_of"] == ri) & need]
-                if sel.size:
-                    sel_map[(t, r["shard"])] = np.sort(sel)
+        def select(surviving: np.ndarray):
+            """Surviving-interval mask -> per-(term, shard) block pick: a
+            block is fetched iff it overlaps >=1 surviving interval."""
+            surv_pref = np.concatenate(([0], np.cumsum(surviving)))
+            sel_map: dict[tuple[str, int], np.ndarray] = {}
+            n_sel = 0
+            for t in terms:
+                inf_t = info[t]
+                need = (surv_pref[inf_t["hi_seg"] + 1] - surv_pref[inf_t["lo_seg"]]) > 0
+                n_sel += int(need.sum())
+                for ri, r in enumerate(inf_t["rows"]):
+                    sel = inf_t["idx"][(inf_t["row_of"] == ri) & need]
+                    if sel.size:
+                        sel_map[(t, r["shard"])] = np.sort(sel)
+            return sel_map, n_sel
 
-        # adaptive bail-out (1.6M-doc study): on flat multi-common-term
-        # score distributions the summed upper bounds exceed theta0
-        # almost everywhere (sel fraction ~1.0) and the two-hop path
-        # just adds a metadata job; fall back to the one-job eager
-        # fetch + dense scorer. The selective regime — single-term and
-        # idf-dominated queries — measured 0.1-9 % fetch fractions.
-        if blocks_selected > self.BLOCKSEL_MAX_FRACTION * blocks_total:
-            tp = self._postings(query)
-            if self.n_docs <= self.DENSE_MAX_DOCS:
-                res = dense_topk(tp, k, self.cfg.k1, self.cfg.b, self.avgdl,
-                                 self.n_docs)
-            else:
-                res = naive_topk(tp, k, self.cfg.k1, self.cfg.b, self.avgdl)
-            if return_stats:
-                return res, {
-                    "blocks_selected": blocks_selected,
-                    "blocks_total": blocks_total,
-                    "theta": theta,
-                    "fallback": True,
-                }
-            return res
-
-        # ---- hop 2: slice-fetch ONLY the selected blocks ----------------
-        fetch_terms = sorted({t for (t, _s) in sel_map})
         meta_t = (
             "array<struct<block_first:long,block_last:long,max_tf:int,"
             "max_score:double,byte_offset:long,tf_off:long,dl_off:long,"
             "n_docs:int>>"
         )
 
-        def slice_sel(batches):
-            import pandas as pd
+        def fetch_cursors(sel_map):
+            """Slice exactly the selected blocks executor-side
+            (codec.slice_blocks — byte surgery, no decode) and build lazy
+            cursors over the partial payloads; moved bytes are ∝ selected
+            blocks, never ∝ posting lists."""
+            fetch_terms = sorted({t for (t, _s) in sel_map})
+            if not fetch_terms:
+                return []
 
-            for pdf in batches:
-                out = {"term": [], "shard": [], "payload": [], "block_meta": []}
-                for r in pdf.itertuples():
-                    sel = sel_map.get((r.term, int(r.shard)))
-                    if sel is None:
-                        continue
-                    pl, ms = slice_blocks(bytes(r.payload), list(r.block_meta), sel)
-                    out["term"].append(r.term)
-                    out["shard"].append(int(r.shard))
-                    out["payload"].append(pl)
-                    out["block_meta"].append(ms)
-                if out["term"]:
-                    yield pd.DataFrame(out)
+            def slice_sel(batches):
+                import pandas as pd
 
-        res: list[tuple[int, int, float]] = []
-        if fetch_terms:
+                for pdf in batches:
+                    out = {"term": [], "shard": [], "payload": [], "block_meta": []}
+                    for r in pdf.itertuples():
+                        sel = sel_map.get((r.term, int(r.shard)))
+                        if sel is None:
+                            continue
+                        pl, ms = slice_blocks(bytes(r.payload), list(r.block_meta), sel)
+                        out["term"].append(r.term)
+                        out["shard"].append(int(r.shard))
+                        out["payload"].append(pl)
+                        out["block_meta"].append(ms)
+                    if out["term"]:
+                        yield pd.DataFrame(out)
+
             buckets = sorted(
                 {term_bucket(t, self.cfg.term_buckets) for t in fetch_terms}
             )
@@ -1060,12 +1055,88 @@ class IndexReader:
                         avgdl_now=self.avgdl,
                     )
                 )
+            return cursors
+
+        sel_map, blocks_selected = select(ub_seg >= theta0)
+        cap = self.BLOCKSEL_MAX_FRACTION * blocks_total
+        theta1 = None
+        probe_blocks = 0
+        if (
+            blocks_selected > cap
+            and len(terms) >= 2
+            and blocks_total >= self.BLOCKSEL_PROBE_MIN_BLOCKS
+        ):
+            # ---- adaptive second round (round-3 open item 2) ------------
+            # theta0 is a SINGLE-term bound (within one term, distinct
+            # blocks hold distinct docs, so k blocks certify k docs); on
+            # multi-rare-term queries the SUMMED upper bounds exceed it
+            # almost everywhere — exactly the regime that used to bail to
+            # eager. Probe the highest-UB intervals within a small block
+            # budget and score them exactly: per-term contributions on
+            # fetched blocks are exact, a doc with missing blocks only
+            # UNDERESTIMATES its true score, and the k-th best achieved
+            # score over ANY doc subset lower-bounds the global S_k — so
+            # theta1 is certified and re-selection with it stays exact.
+            budget = max(
+                self.BLOCKSEL_PROBE_MIN_BLOCKS // 2,
+                int(self.BLOCKSEL_PROBE_FRACTION * blocks_total),
+            )
+            order = np.argsort(-ub_seg, kind="stable")
+            m = min(max(4 * k, 16), order.size)
+            while True:
+                mask = np.zeros(ub_seg.size, dtype=bool)
+                mask[order[:m]] = True
+                sel_p, n_p = select(mask)
+                if n_p <= budget or m <= 1:
+                    break
+                m //= 2
+            if 0 < n_p < blocks_selected:
+                probe_blocks = n_p
+                res_p = wand_topk_lazy(
+                    fetch_cursors(sel_p), k, self.cfg.k1, self.cfg.b, self.avgdl
+                )
+                if len(res_p) == k and res_p[-1][2] > theta0:
+                    theta1 = float(res_p[-1][2])
+                    sel_map, blocks_selected = select(ub_seg >= theta1)
+
+        theta = theta0 if theta1 is None else theta1
+        if blocks_selected > cap:
+            # bail-out (1.6M-doc study): when even the adaptive threshold
+            # leaves most summed upper bounds above theta (flat multi-
+            # common-term score distributions, sel fraction ~1.0), the
+            # multi-hop path just adds payload-free metadata/probe jobs;
+            # fall back to the one-job eager fetch + dense scorer. The
+            # selective regimes — single-term / idf-dominated (theta0)
+            # and multi-rare-term (theta1) — measured 0.1-9 % fetch.
+            tp = self._postings(query)
+            if self.n_docs <= self.DENSE_MAX_DOCS:
+                res = dense_topk(tp, k, self.cfg.k1, self.cfg.b, self.avgdl,
+                                 self.n_docs)
+            else:
+                res = naive_topk(tp, k, self.cfg.k1, self.cfg.b, self.avgdl)
+            if return_stats:
+                return res, {
+                    "blocks_selected": blocks_selected,
+                    "blocks_total": blocks_total,
+                    "theta": theta,
+                    "theta1": theta1,
+                    "probe_blocks": probe_blocks,
+                    "fallback": True,
+                }
+            return res
+
+        # ---- hop 2: slice-fetch ONLY the selected blocks ----------------
+        cursors = fetch_cursors(sel_map)
+        res: list[tuple[int, int, float]] = []
+        if cursors:
             res = wand_topk_lazy(cursors, k, self.cfg.k1, self.cfg.b, self.avgdl)
         if return_stats:
             return res, {
                 "blocks_selected": blocks_selected,
                 "blocks_total": blocks_total,
                 "theta": theta,
+                "theta1": theta1,
+                "probe_blocks": probe_blocks,
             }
         return res
 
@@ -1125,11 +1196,15 @@ class IndexReader:
                 # blocks once and block-max-prunes per range)
                 return self.topk_sharded(query, k)
             # under-cap COLD query on a big index: try the block-selected
-            # lane when one term's idf dominates the rest — the measured
-            # regime where theta0 pruning moves 0.1-9 % of the bytes
-            # (single-term, or rare-term + stopwords). The dictionary dfs
-            # are already in hand; a mis-predict costs one payload-free
-            # metadata job before the in-lane eager bail-out.
+            # lane when pruning is plausible — (a) one term's idf
+            # dominates the rest (theta0 regime, measured 0.1-9 % fetch:
+            # single-term, or rare-term + stopwords), or (b) EVERY term
+            # is rare (the adaptive-theta1 regime: co-occurrence docs
+            # dominate and the probe certifies a threshold above any
+            # single-term bound). The dictionary dfs are already in
+            # hand; a mis-predict costs one payload-free metadata job
+            # (+ a budget-capped probe in regime (b)) before the in-lane
+            # eager bail-out.
             all_dfs = self.term_dfs(qterms)
             idfs = sorted(
                 (
@@ -1138,7 +1213,11 @@ class IndexReader:
                 ),
                 reverse=True,
             )
-            if idfs and (len(idfs) == 1 or idfs[0] >= 2.0 * sum(idfs[1:])):
+            if idfs and (
+                len(idfs) == 1
+                or idfs[0] >= 2.0 * sum(idfs[1:])
+                or idfs[-1] >= math.log(33.0)   # every df <= ~n_docs/32
+            ):
                 return self.topk_block_selected(query, k)
         tp = self._postings(query)
         if use_wand is None:
@@ -1418,6 +1497,13 @@ class IndexReader:
     # path cannot beat the single-job eager fetch (measured), so it
     # bails out to eager after the (cheap, payload-free) metadata hop
     BLOCKSEL_MAX_FRACTION = 0.5
+    # adaptive second round: probe block budget as a fraction of the
+    # query's total blocks (the probe pays one extra slice-fetch job; it
+    # must stay cheap relative to the eager fetch it tries to avoid),
+    # and the minimum total-block count below which probing is pointless
+    # (the eager fetch is already tiny)
+    BLOCKSEL_PROBE_FRACTION = 0.05
+    BLOCKSEL_PROBE_MIN_BLOCKS = 64
 
     def topk_sharded(self, query: str, k: int = 10, n_ranges: int | None = None,
                      return_stats: bool = False, kernel: str = "auto"):
