@@ -161,6 +161,65 @@ def test_topk_sharded_exact_pruned_multitask(spark, small_block_index):
     )
 
 
+def test_est_surviving_fraction_flat_vs_spiky():
+    """Round-3 open item 3: the metadata-only pruning-potential estimate
+    must read ~1.0 on flat block-max distributions (dense territory) and
+    near the spike fraction on skewed ones (WAND territory)."""
+    import numpy as np
+
+    from yase_spark.query import est_surviving_fraction
+
+    n = 100
+    first = np.arange(n, dtype=np.int64) * 10
+    last = first + 9
+    flat = np.full(n, 1.0)
+    assert est_surviving_fraction([(first, last, flat, flat)], 3) == 1.0
+
+    spiky = flat.copy()
+    spiky[[7, 40, 77]] = 10.0
+    frac = est_surviving_fraction([(first, last, spiky, spiky)], 3)
+    assert frac <= 5 / n, frac
+    # fewer blocks than k -> no certified bound -> assume nothing prunes
+    assert est_surviving_fraction([(first[:2], last[:2], flat[:2], flat[:2])], 3) == 1.0
+
+
+def test_topk_sharded_auto_kernel_picks_by_pruning_potential(spark, tmp_path):
+    """auto must route a spiky-bounds query through the per-range WAND
+    (blocks decoded < shipped) and a flat-bounds query through the dense
+    kernel (every shipped block decoded), with results exact in both."""
+    schema = "repo string, path string, commit string, lang string, content string"
+    rows = []
+    for i in range(8000):
+        body = "filler pad"
+        if i % 2 == 0:
+            # ~8 spike docs per range of 2000: enough that every range
+            # certifies theta from k=3 blocks, few enough that the
+            # surviving fraction stays well under the WAND pick cutoff
+            body += " needle" * (50 if i % 250 == 0 else 1)
+        rows.append(("r", f"{i:05d}", "c", "python", body))
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, block_size=16,
+                      ngrams=False)
+    IndexBuilder(spark, root, cfg).build(
+        spark.createDataFrame(rows, schema=schema)
+    )
+    rd = IndexReader(spark, root)
+
+    got, stats = rd.topk_sharded("needle", 3, n_ranges=4, return_stats=True,
+                                 kernel="auto")
+    assert got == rd.topk("needle", 3, use_wand=False)
+    assert stats["blocks_decoded"] < stats["blocks_total"], (
+        "auto picked dense on a spiky distribution", stats
+    )
+
+    got_f, stats_f = rd.topk_sharded("filler pad", 3, n_ranges=4,
+                                     return_stats=True, kernel="auto")
+    assert got_f == rd.topk("filler pad", 3, use_wand=False)
+    assert stats_f["blocks_decoded"] == stats_f["blocks_total"], (
+        "auto picked WAND on a flat distribution", stats_f
+    )
+
+
 def test_topk_sharded_survives_append(spark, tmp_path):
     """Sharded executor on an appended index: stored bounds are stale
     (idf AND avgdl changed); the slice-and-rescale path must still be

@@ -223,7 +223,7 @@ class LazyTermPostings:
         "term", "df", "idf", "block_first", "block_last", "block_max",
         "block_n", "b_gap", "b_tf", "b_dl", "pay_idx", "chain_prev",
         "payloads", "nb", "bi", "p", "ids", "tfs", "dls",
-        "blocks_decoded", "max_score",
+        "blocks_decoded", "max_score", "loaded",
     )
 
     def __init__(
@@ -269,11 +269,12 @@ class LazyTermPostings:
         self.nb = self.block_last.size
         self.max_score = float(self.block_max.max()) if self.nb else 0.0
         self.blocks_decoded = 0
-        self.bi = -1
+        # start VIRTUAL at block 0: position/bound checks run on metadata
+        # alone; bytes are first touched when a value is actually read
+        self.bi = 0
         self.p = 0
+        self.loaded = False
         self.ids = self.tfs = self.dls = None
-        if self.nb:
-            self._load(0)
 
     # ------------------------------------------------------------ blocks
     def _load(self, bi: int) -> None:
@@ -289,13 +290,36 @@ class LazyTermPostings:
         self.dls = dls.astype(np.int64)
         self.bi = bi
         self.p = 0
+        self.loaded = True
         self.blocks_decoded += 1
+
+    def _virtual(self, bi: int) -> None:
+        """Position at the FIRST posting of block ``bi`` without decoding:
+        block_first IS that posting's doc id (stored metadata), so
+        cur_doc/bound checks need no payload bytes. The decode happens
+        lazily in ``_ensure_loaded`` only if the executor actually reads
+        values or moves inside the block — a block the WAND bound rejects
+        is skipped for free. This is what makes single-term (and
+        last-surviving-cursor) skips decode-free: their seeks land
+        exactly on the next block boundary."""
+        self.bi = bi
+        self.p = 0
+        self.loaded = False
+
+    def _ensure_loaded(self) -> None:
+        if not self.loaded:
+            self._load(self.bi)
 
     # ------------------------------------------------------------ cursor
     def cur_doc(self) -> int:
-        return INF_DOC if self.bi >= self.nb else int(self.ids[self.p])
+        if self.bi >= self.nb:
+            return INF_DOC
+        if not self.loaded:
+            return int(self.block_first[self.bi])
+        return int(self.ids[self.p])
 
     def cur_tf_dl(self):
+        self._ensure_loaded()
         return float(self.tfs[self.p]), float(self.dls[self.p])
 
     def block_max_cur(self) -> float:
@@ -305,7 +329,8 @@ class LazyTermPostings:
         return int(self.block_last[self.bi])
 
     def seek(self, target: int) -> None:
-        """First posting >= target; skipped blocks are never decoded."""
+        """First posting >= target; skipped blocks are never decoded, and
+        a landing at or before a block's first doc stays metadata-only."""
         if self.bi >= self.nb or self.cur_doc() >= target:
             return
         if target > int(self.block_last[self.bi]):
@@ -313,16 +338,21 @@ class LazyTermPostings:
             if nbi >= self.nb:
                 self.bi = self.nb  # exhausted
                 return
-            self._load(nbi)
-            self.p = int(np.searchsorted(self.ids, target, side="left"))
+            if target <= int(self.block_first[nbi]):
+                self._virtual(nbi)
+            else:
+                self._load(nbi)
+                self.p = int(np.searchsorted(self.ids, target, side="left"))
         else:
+            self._ensure_loaded()
             self.p += int(np.searchsorted(self.ids[self.p:], target, side="left"))
 
     def advance(self) -> None:
+        self._ensure_loaded()
         self.p += 1
         if self.p >= self.ids.size:
             if self.bi + 1 < self.nb:
-                self._load(self.bi + 1)
+                self._virtual(self.bi + 1)
             else:
                 self.bi = self.nb
 
@@ -459,6 +489,44 @@ def wand_topk_lazy(
 
     ranked = sorted(heap, key=lambda it: (-it[0], -it[1]))
     return [(r + 1, -nd, s) for r, (s, nd) in enumerate(ranked)]
+
+
+def est_surviving_fraction(per_term: list, k: int) -> float:
+    """Metadata-only estimate of how much a block-max WAND kernel could
+    skip: the fraction of blocks whose doc-interval SUMMED upper bound
+    reaches the k-th best per-block lower bound (within one term,
+    distinct blocks hold distinct docs, so k blocks certify k docs).
+
+    ``per_term``: one entry per query term, each a tuple of equal-length
+    numpy arrays ``(first, last, ub, lb)`` over that term's blocks
+    (bounds already rescaled to current stats). This is the same sweep
+    the block-selected lane runs driver-side, packaged so the sharded
+    executor can run it per doc-range from the sliced block metadata it
+    already holds — free relative to a decode. Purely advisory: kernel
+    choice never changes results (all kernels are exact)."""
+    theta = -math.inf
+    for _f, _l, _u, lb in per_term:
+        if lb.size >= k:
+            theta = max(theta, float(np.partition(lb, lb.size - k)[lb.size - k]))
+    if not math.isfinite(theta):
+        return 1.0
+    pts = np.unique(np.concatenate(
+        [f for f, _l, _u, _b in per_term] + [l + 1 for _f, l, _u, _b in per_term]
+    ))
+    diff = np.zeros(pts.size + 1)
+    segs = []
+    for f, l, ub, _b in per_term:
+        lo = np.searchsorted(pts, f, side="right") - 1
+        hi = np.searchsorted(pts, l, side="right") - 1
+        np.add.at(diff, lo, ub)
+        np.add.at(diff, hi + 1, -ub)
+        segs.append((lo, hi))
+    surv_pref = np.concatenate(([0], np.cumsum(np.cumsum(diff[:-1]) >= theta)))
+    sel = total = 0
+    for lo, hi in segs:
+        sel += int(((surv_pref[hi + 1] - surv_pref[lo]) > 0).sum())
+        total += lo.size
+    return (sel / total) if total else 1.0
 
 
 def dense_topk(
@@ -1504,6 +1572,12 @@ class IndexReader:
     # (the eager fetch is already tiny)
     BLOCKSEL_PROBE_FRACTION = 0.05
     BLOCKSEL_PROBE_MIN_BLOCKS = 64
+    # sharded "auto" kernel pick: run the per-range lazy WAND only when
+    # the metadata-estimated surviving-block fraction is below this —
+    # above it the bounds barely prune and the vectorized dense kernel
+    # beats WAND's per-pivot Python loop (1.6M-doc study: WAND decode
+    # fraction 0.80 on flat two-common-term queries)
+    SHARD_WAND_MAX_SURVIVING = 0.4
 
     def topk_sharded(self, query: str, k: int = 10, n_ranges: int | None = None,
                      return_stats: bool = False, kernel: str = "auto"):
@@ -1541,10 +1615,15 @@ class IndexReader:
         scatter-adds into a range-local dense accumulator — pure numpy,
         no Python-per-pivot loop, the measured winner when bounds prune
         little (the flat-distribution regime: 1.6M-doc study, WAND
-        decode fraction 0.80). ``"auto"`` picks dense while the range
-        accumulator is executor-affordable, else WAND. All kernels are
-        bitwise-identical (same per-term contribution expression, same
-        per-doc summation order), so the dispatch is invisible in
+        decode fraction 0.80). ``"auto"`` estimates the pruning
+        potential per range from the sliced block metadata (the same
+        summed-UB interval sweep the block-selected lane runs
+        driver-side — free relative to a decode) and picks WAND when
+        the estimated surviving fraction is below
+        ``SHARD_WAND_MAX_SURVIVING``, dense otherwise; ranges wider
+        than the dense accumulator cap always take WAND. All kernels
+        are bitwise-identical (same per-term contribution expression,
+        same per-doc summation order), so the dispatch is invisible in
         results.
         """
         from .codec import slice_blocks
@@ -1624,15 +1703,13 @@ class IndexReader:
         order = {t: i for i, t in enumerate(qterms)}
         kernel_mode = kernel
         dense_cap = self.DENSE_MAX_DOCS
+        wand_max_surv = self.SHARD_WAND_MAX_SURVIVING
 
         def run_range(key, group):
             import pandas as pd
 
             rid = int(key[0])
             lo, hi = bounds[rid], bounds[rid + 1]
-            use_dense = kernel_mode == "dense" or (
-                kernel_mode == "auto" and (hi - lo) <= dense_cap
-            )
             term_rows = []
             for t in sorted(group["term"].unique(), key=order.get):
                 rs = group[group["term"] == t]
@@ -1642,6 +1719,40 @@ class IndexReader:
                 df_g = int(rs["df"].iloc[0])
                 idf_now = math.log(1.0 + (n_docs_ - df_g + 0.5) / (df_g + 0.5))
                 term_rows.append((t, df_g, idf_now, rs))
+
+            if kernel_mode == "dense":
+                use_dense = True
+            elif kernel_mode == "wand" or (hi - lo) > dense_cap:
+                use_dense = False
+            else:
+                # "auto" (round-3 open item 3): estimate the pruning
+                # potential from the sliced block metadata already in
+                # hand — the range-local summed-UB sweep — and pick WAND
+                # only when the bounds would actually skip blocks; on
+                # flat distributions (fraction ~1.0) the vectorized
+                # dense kernel wins because WAND decodes almost
+                # everything anyway THROUGH a per-pivot Python loop.
+                per_term = []
+                for t, df_g, idf_now, rs in term_rows:
+                    fs, ls, ubs, lbs = [], [], [], []
+                    for r in rs.itertuples():
+                        ir = idf_now / r.idf if r.idf else 1.0
+                        ar = (avgdl_ / r.avgdl) if r.avgdl > 0.0 else 1.0
+                        up, dn = ir * max(1.0, ar), ir * min(1.0, ar)
+                        for m in r.block_meta:
+                            fs.append(m["block_first"])
+                            ls.append(m["block_last"])
+                            s = m["max_score"]
+                            ubs.append(np.nextafter(s * up * (1.0 + 1e-12), np.inf))
+                            lbs.append(np.nextafter(s * dn * (1.0 - 1e-12), -np.inf))
+                    per_term.append((
+                        np.asarray(fs, dtype=np.int64),
+                        np.asarray(ls, dtype=np.int64),
+                        np.asarray(ubs), np.asarray(lbs),
+                    ))
+                use_dense = (
+                    est_surviving_fraction(per_term, k) > wand_max_surv
+                )
 
             if use_dense:
                 # vectorized full evaluation over the range: the slice
