@@ -141,3 +141,37 @@ def test_salted_agg_equals_plain(spark, tiny_corpus):
         for r in salted_two_phase_count(tiny_corpus, "lang", shards=8).collect()
     }
     assert plain == salted
+
+
+def test_fingerprint_overlaps_tokenize_on_file_backed_corpus(spark, tiny_corpus, tmp_path):
+    """Round-3 open item 1: a fresh build over a file-backed corpus must
+    not pay the fingerprint scan as serial wall time (it rides a driver
+    thread concurrent with the tokenize write, resolved at the manifest
+    commit) — and the committed fingerprint must be IDENTICAL to the
+    standalone scan's, so resume identity is unchanged."""
+    from yase_spark.config import IndexConfig
+    from yase_spark.index import (
+        IndexBuilder,
+        _estimate_content_bytes,
+        corpus_fingerprint,
+    )
+
+    cdir = str(tmp_path / "corpus")
+    tiny_corpus.write.parquet(cdir)
+    corpus = spark.read.parquet(cdir)
+
+    # estimator: file-backed -> positive estimate; in-memory -> None
+    est = _estimate_content_bytes(corpus)
+    assert est is not None and est > 0
+    assert _estimate_content_bytes(tiny_corpus) is None
+
+    root = str(tmp_path / "idx")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8)
+    summary = IndexBuilder(spark, root, cfg).build(corpus)
+    assert summary["phases"]["fingerprint"] == 0.0, summary["phases"]
+    assert summary["fingerprint"] == corpus_fingerprint(corpus)
+
+    # resume identity: same corpus -> upfront scan matches, zero rebuild
+    again = IndexBuilder(spark, root, cfg).build(corpus)
+    assert again["groups_built"] == 0
+    assert again["fingerprint"] == summary["fingerprint"]

@@ -130,6 +130,11 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
+        if callable(tag):
+            # deferred tag: resolved AFTER the data-write action, so the
+            # caller can fold tag inputs (e.g. the corpus fingerprint)
+            # into driver-thread jobs that run concurrently with it
+            tag = tag()
 
         with self._commit_lock:
             prev = self.current_version(name)

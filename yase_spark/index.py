@@ -68,6 +68,38 @@ def corpus_fingerprint(corpus: DataFrame, with_bytes: bool = False):
     return fp
 
 
+def _estimate_content_bytes(corpus: DataFrame) -> int | None:
+    """Zero-job estimate of raw content bytes for sort-partition sizing,
+    from the source files' on-disk sizes (driver-side listing only).
+    Deterministic for the same input regardless of cluster size, so the
+    strong-scaling invariant (partitions from DATA, never cores) holds.
+    Returns None when the corpus is not a locally-stat-able file scan
+    (computed/in-memory sources must measure with the fingerprint scan).
+    The parquet->raw ratio only shifts partition FATNESS around the
+    configured target; any value is correct (the kernel streams fixed
+    Arrow batches and the sort spills), so a coarse default is fine."""
+    try:
+        files = corpus.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for u in files:
+        p = u
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        elif "://" in p:
+            return None
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return int(total * float(os.environ.get("YASE_PARQUET_RAW_RATIO", "2.5")))
+
+
 class IndexBuilder:
     def __init__(self, spark: SparkSession, index_root: str, cfg: IndexConfig | None = None):
         self.spark = spark
@@ -178,10 +210,40 @@ class IndexBuilder:
             phase_t[name] = round(now - t_from, 2)
             return now
 
-        fp, content_bytes = corpus_fingerprint(corpus, with_bytes=True)
-        tcur = _mark("fingerprint", stage_t)
+        # fingerprint scheduling (round-3 open item 1 — the scan was a
+        # FIXED ~3 s per build that a bigger cluster cannot shrink):
+        # * prior state on disk -> the resume decision needs fp BEFORE
+        #   deciding whether to re-tokenize; pay the scan up front.
+        # * fresh build over a file-backed corpus -> nothing reads fp
+        #   until the local_segments manifest commit, so the scan runs in
+        #   a driver thread CONCURRENT with the sampling/tokenize jobs
+        #   (deferred commit tag) and the sort partition count comes from
+        #   the source files' on-disk bytes.
+        # * fresh build over a computed/in-memory corpus -> no file
+        #   metadata to stat; pay the scan (status quo).
+        fp = None
+        fp_future = fp_ex = None
+        est_bytes = _estimate_content_bytes(corpus) if prior_fp is None else None
+        if est_bytes is None:
+            fp, content_bytes = corpus_fingerprint(corpus, with_bytes=True)
+            tcur = _mark("fingerprint", stage_t)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        if prior_fp == fp and cat.exists("local_segments"):
+            content_bytes = est_bytes
+            fp_ex = ThreadPoolExecutor(1)
+            fp_future = fp_ex.submit(corpus_fingerprint, corpus, True)
+            tcur = stage_t
+
+        def _resolve_fp() -> str:
+            nonlocal fp
+            if fp is None:
+                fp, _fp_bytes = fp_future.result()
+                # overlapped with the tokenize write — no serial wall time
+                phase_t["fingerprint"] = 0.0
+            return fp
+
+        if fp is not None and prior_fp == fp and cat.exists("local_segments"):
             docs = cat.read(spark, "docs")
             stats_tags = cat.committed_tags("stats")
             stats = (
@@ -198,10 +260,11 @@ class IndexBuilder:
             # doc metadata rides as DOCMETA pseudo-rows. There is no
             # content persist, no separate dedup or id-zip pass, and no
             # driver barrier between the shuffle and the kernel.
+            from pyspark.sql import Observation
+
             from .corpus import (
                 DOCLEN_TERM,
                 DOCMETA_TERM,
-                decode_doclens,
                 docs_from_meta,
                 fused_local_segments,
                 shard_offsets_from_doclens,
@@ -221,10 +284,30 @@ class IndexBuilder:
             local = fused_local_segments(shuffled, ngrams=cfg.ngrams).withColumn(
                 "grp", F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int")
             )
+            # corpus totals ride the write action (zero extra pass): every
+            # token lands in exactly one real term's cf_local, and the
+            # DOCLEN dictionary rows carry deduped docs-per-shard — this
+            # replaces the round-2 decode-doclens aggregation job.
+            lobs = Observation("local-totals")
+            local = local.observe(
+                lobs,
+                F.sum(
+                    F.when(
+                        ~F.col("term").isin(DOCLEN_TERM, DOCMETA_TERM),
+                        F.col("cf_local"),
+                    )
+                ).alias("tok"),
+                F.sum(
+                    F.when(F.col("term") == DOCLEN_TERM, F.col("df_local"))
+                ).alias("docs"),
+            )
             cat.write(
                 "local_segments", local, mode="overwrite", partition_by=["grp"],
-                tag={"unit": "local_segments", "fingerprint": fp},
+                tag=lambda: {"unit": "local_segments", "fingerprint": _resolve_fp()},
             )
+            if fp_ex is not None:
+                _resolve_fp()
+                fp_ex.shutdown()
             tcur = _mark("tokenize_encode_write", tcur)
 
             staged = cat.read(spark, "local_segments")
@@ -245,15 +328,17 @@ class IndexBuilder:
                     (F.col("grp") == g_doclen) & (F.col("term") == DOCLEN_TERM)
                 ).select("shard", "df_local").collect()
             )
-            srow = decode_doclens(
-                staged.filter(F.col("grp") == g_doclen), offsets
-            ).agg(F.sum("doc_len").alias("s")).collect()[0]
+            got_totals = lobs.get
+            if int(got_totals["docs"] or 0) != n_total:
+                raise RuntimeError(
+                    f"doc-count mismatch: write observed "
+                    f"{got_totals['docs']} docs vs doclen dictionary {n_total}"
+                )
+            total_tok = int(got_totals["tok"] or 0)
             stats = {
                 "n_docs": n_total,
-                "total_tokens": int(srow["s"] or 0),
-                "avgdl": (
-                    float(srow["s"] or 0) / n_total if n_total else 0.0
-                ),
+                "total_tokens": total_tok,
+                "avgdl": (float(total_tok) / n_total if n_total else 0.0),
             }
             tcur = _mark("doclen_stats", tcur)
 
