@@ -505,6 +505,21 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    # IVF with nprobe == n_centroids probes every inverted list, which
+    # is EXACTLY brute force (the assignment partitions the vectors), so
+    # the full-value oracle is the same brute-force SQL as ann_topk and
+    # validates the k-means train / assign / probe machinery end to end.
+    # Pruned-recall (nprobe << K) and candidate-pruning are pytest-gated
+    # in tests/test_pipeline_ops.py.
+    from yase_spark.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_queries=8, k=10, n_centroids=16,
+    )
+
+
 def _q_cosine_dup_pairs(spark, sf_dir):
     from yase_spark.similarity import cosine_dup_pairs
 
@@ -725,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_lsh": _q_near_dup_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "event_windows": _q_event_windows,
         "stream_event_windows": _q_stream_event_windows,
@@ -1048,6 +1064,9 @@ WHERE g.doc_id = g.cluster_id AND q.quality_r >= 0.45
         "near_dup_lsh": _NEAR_DUP_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "ann_topk": _ANN_SQL,
+        # full-probe IVF == brute force (every vector is in exactly one
+        # inverted list and every list is probed)
+        "ann_ivf_topk": _ANN_SQL,
         # embedding-cosine near-dup pairs: LSH candidates (64 tables) +
         # exact verify vs the brute-force all-pairs oracle
         "cosine_dup_pairs": (

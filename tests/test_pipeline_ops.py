@@ -91,6 +91,63 @@ def test_ann_candidates_are_pruned(spark, emb):
     )
 
 
+def test_ann_ivf_full_probe_equals_exact_and_partitions(spark, emb):
+    """IVF invariants: (a) the assignment is a PARTITION of the vectors
+    (every vec_id in exactly one inverted list — the property that makes
+    cid a partition key at scale and full-probe == brute force), (b)
+    nprobe == n_centroids reproduces the exact top-k row-for-row."""
+    from yase_spark.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    C = train_ivf_centroids(emb, n_centroids=16, iters=3)
+    a = ivf_assign(emb, C)
+    n = emb.count()
+    assert a.count() == n
+    assert a.select("vec_id").distinct().count() == n
+
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["sim_r"])
+    exact = sorted(cosine_topk(emb).collect(), key=key)
+    full = sorted(ivf_ann_topk(emb, n_centroids=16).collect(), key=key)
+    assert [key(r) for r in full] == [key(r) for r in exact]
+
+
+def test_ann_ivf_pruned_recall_and_candidates(spark, emb):
+    """nprobe << n_centroids must prune the scored candidates while
+    keeping recall@10 high (probing the nearest lists finds most true
+    neighbors — random fixture vectors are the hard case)."""
+    from yase_spark.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    n = emb.count()
+    n_queries, nprobe, K = 8, 4, 16
+    exact = cosine_topk(emb).collect()
+    approx = ivf_ann_topk(emb, n_queries=n_queries, k=10,
+                          n_centroids=K, nprobe=nprobe).collect()
+    want, got = {}, {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(want[q] & got.get(q, set())) / len(want[q]) for q in want]
+    recall = sum(recalls) / len(recalls)
+    assert recall >= 0.5, f"recall@10 = {recall:.3f} (per-query {recalls})"
+
+    # candidate pruning: probed lists cover well under the full table
+    C = train_ivf_centroids(emb, n_centroids=K, iters=5)
+    sizes = {r["cid"]: r["n"] for r in
+             ivf_assign(emb, C).groupBy("cid").agg(F.count("*").alias("n")).collect()}
+    biggest = sum(sorted(sizes.values(), reverse=True)[:nprobe])
+    assert biggest < 0.8 * n, f"probing {biggest}/{n} vectors — no pruning"
+
+
 def test_quality_and_langid_shapes(spark, docs):
     from yase_spark.textstats import lang_id, quality_scores, token_stats
 

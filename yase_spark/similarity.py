@@ -132,6 +132,161 @@ def cosine_dup_pairs(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame, n_centroids: int = 16, iters: int = 5
+):
+    """Spherical k-means coarse quantizer for IVF: returns a
+    (n_centroids, dim) float64 numpy array of unit-norm centroids.
+
+    Distributed Lloyd iterations, Spark-shaped: per iteration ONE
+    Arrow-batched pass emits per-batch partial sums (cid, count,
+    vector-sum) — K*P tiny rows — which the driver reduces in sorted
+    order and renormalizes. Init is the ``n_centroids`` lowest-vec_id
+    vectors (deterministic, no RNG). Centroids are rounded per iteration
+    so borderline assignments don't flip on float reduce order; the
+    serving path's correctness never depends on centroid bits (any
+    assignment is a valid partition of the vectors)."""
+    import numpy as np
+
+    init_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in init_rows])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    dim = C.shape[1]
+    for _ in range(iters):
+        Cb = C
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                Xn = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+                cid = np.argmax(Xn @ Cb.T, axis=1)
+                rows = {"cid": [], "n": [], "vsum": []}
+                for c in np.unique(cid):
+                    m = cid == c
+                    rows["cid"].append(int(c))
+                    rows["n"].append(int(m.sum()))
+                    rows["vsum"].append(Xn[m].sum(axis=0).tolist())
+                yield pd.DataFrame(rows)
+
+        got = (
+            emb.select("embedding")
+            .mapInPandas(partials, schema="cid int, n long, vsum array<double>")
+            .collect()
+        )
+        sums = np.zeros((n_centroids, dim))
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        for r in sorted(got, key=lambda r: (r["cid"], r["n"], tuple(r["vsum"]))):
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            counts[r["cid"]] += r["n"]
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / np.maximum(
+            np.linalg.norm(sums[nz], axis=1, keepdims=True), 1e-12
+        )
+        C = np.round(C, 9)
+    return C
+
+
+def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, cid): nearest-centroid assignment, one Arrow-batched
+    matmul pass. At scale ``cid`` is the IVF partition key — the
+    embeddings table is written ``partitionBy(cid)`` and a query probing
+    ``nprobe`` lists prunes every other partition at the parquet scan."""
+    import numpy as np
+
+    Cb = centroids
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": np.argmax(Xn @ Cb.T, axis=1).astype(np.int32),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cid int"
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int | None = None,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF cosine top-k: score only vectors whose centroid is among the
+    query's ``nprobe`` nearest centroids. Same output schema as
+    :func:`cosine_topk`.
+
+    ``nprobe = n_centroids`` (the default) probes every inverted list;
+    since the assignment covers each vector exactly once, that is
+    EXACTLY brute force — the driver-contract oracle row runs this
+    configuration against the same DuckDB brute-force SQL as the exact
+    operator, validating the train/assign/probe machinery end-to-end.
+    Pruned recall (nprobe << n_centroids) is pytest-gated
+    (tests/test_pipeline_ops.py), as is candidate pruning."""
+    import numpy as np
+
+    C = train_ivf_centroids(emb, n_centroids, iters)
+    assign = ivf_assign(emb, C)
+    if nprobe is None:
+        nprobe = n_centroids
+    nprobe = min(nprobe, n_centroids)
+
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probes = {"query_id": [], "cid": []}
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        qv /= max(float(np.linalg.norm(qv)), 1e-12)
+        top = np.argsort(-(C @ qv), kind="stable")[:nprobe]
+        probes["query_id"].extend([int(r["vec_id"])] * nprobe)
+        probes["cid"].extend(int(c) for c in top)
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(
+        list(zip(probes["query_id"], probes["cid"])), schema="query_id long, cid int"
+    )
+
+    cand = (
+        assign.join(F.broadcast(probe_df), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qe = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    joined = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qe), "query_id")
+    )
+    return _ranked(joined, k)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     n_queries: int = 8,
