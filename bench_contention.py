@@ -60,6 +60,33 @@ def _worker(level: int, idx: int, docs_pickle, secs: float, q) -> None:
     q.put((level, idx, n / dt))
 
 
+def _dram_worker(idx: int, secs: float, mb: int, q) -> None:
+    # DRAM-STREAMING probe (round-3 follow-up): the tokenize kernel's
+    # working set is small enough to ride the private caches, so the
+    # kernel probe alone UNDERSTATES contention for the engine's
+    # bandwidth-bound stages (shuffle write/read through tmpfs, parquet
+    # encode, big Arrow batches). Each proc streams a PRIVATE buffer far
+    # larger than LLC; per-proc GB/s at P vs at 8 bounds what any
+    # DRAM-bound stage can scale to on this box.
+    try:
+        os.sched_setaffinity(0, {idx % os.cpu_count()})
+    except OSError:
+        pass
+    import numpy as np
+
+    a = np.random.default_rng(idx).integers(
+        0, 255, size=mb * 1024 * 1024 // 8, dtype=np.int64
+    )
+    int(a.sum())  # touch every page before timing
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < secs:
+        int(a.sum())
+        n += 1
+    dt = time.perf_counter() - t0
+    q.put((idx, n * a.nbytes / dt / 1e9))
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     levels = [
@@ -67,6 +94,7 @@ def main() -> None:
     ]
     secs = float(os.environ.get("YASE_CONT_SECS", "8"))
     n_docs = int(os.environ.get("YASE_CONT_DOCS", "1500"))
+    dram_mb = int(os.environ.get("YASE_CONT_DRAM_MB", "256"))
 
     from yase_spark.synth import gen_corpus_pdf
 
@@ -107,6 +135,30 @@ def main() -> None:
             / out["levels"]["8"]["per_proc_docs_per_s"]
         )
         out["efficiency_cap_8_to_32"] = round(cap, 3)
+
+    # DRAM streaming levels (private >LLC buffers, same pinning)
+    out["dram"] = {"buffer_mb": dram_mb, "levels": {}}
+    for p in levels:
+        q = ctx.Queue()
+        procs = [
+            ctx.Process(target=_dram_worker, args=(i, secs / 2, dram_mb, q))
+            for i in range(p)
+        ]
+        for pr in procs:
+            pr.start()
+        got = sorted(q.get()[1] for _ in range(p))
+        for pr in procs:
+            pr.join()
+        out["dram"]["levels"][str(p)] = {
+            "per_proc_GBps": round(sum(got) / p, 2),
+            "total_GBps": round(sum(got), 1),
+            "min_GBps": round(got[0], 2),
+        }
+    dl = out["dram"]["levels"]
+    if "8" in dl and "32" in dl:
+        out["dram"]["efficiency_cap_8_to_32"] = round(
+            dl["32"]["per_proc_GBps"] / dl["8"]["per_proc_GBps"], 3
+        )
     print(json.dumps(out))
 
     if os.environ.get("YASE_CONT_APPEND") == "1":
@@ -123,6 +175,19 @@ def main() -> None:
                 f"- implied 8->32 scaling-efficiency ceiling on this box: "
                 f"**{out['efficiency_cap_8_to_32']}** (shared LLC/DRAM only — "
                 "no Spark, no shared state, each proc on a private copy)\n"
+            )
+        for p in levels:
+            dv = out["dram"]["levels"][str(p)]
+            lines.append(
+                f"- DRAM stream P={p}: {dv['per_proc_GBps']} GB/s/proc "
+                f"(total {dv['total_GBps']})\n"
+            )
+        if "efficiency_cap_8_to_32" in out.get("dram", {}):
+            lines.append(
+                f"- DRAM-bound 8->32 ceiling: "
+                f"**{out['dram']['efficiency_cap_8_to_32']}** (private "
+                f"{out['dram']['buffer_mb']} MB streams — the socket "
+                "saturates; a real 4x multi-NODE cluster adds sockets)\n"
             )
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH", "BASELINE.md"), "a") as f:
