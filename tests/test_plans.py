@@ -153,3 +153,26 @@ def test_sharded_slice_scan_pruned_and_arrow(spark, tiny_index):
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
     assert "BatchEvalPython" not in plan, "row-at-a-time Python in sharded lane"
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def test_ivf_materialized_probe_prunes_partitions(spark, tmp_path):
+    """IVF layout gate: the materialized index (partitionBy cid) must
+    serve a probe by pruning unprobed list partitions AT THE SCAN
+    (PartitionFilters on cid), and the full probe must reproduce the
+    exact brute-force top-k row-for-row."""
+    from yase_spark.similarity import cosine_topk, ivf_read_topk, ivf_write
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    root = str(tmp_path / "ivf")
+    ivf_write(emb, root, n_centroids=16, iters=3)
+
+    pruned = ivf_read_topk(spark, root, n_queries=4, k=10, nprobe=4)
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]
+
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["sim_r"])
+    exact = sorted(cosine_topk(emb, n_queries=4).collect(), key=key)
+    full = sorted(
+        ivf_read_topk(spark, root, n_queries=4, k=10).collect(), key=key
+    )
+    assert [key(r) for r in full] == [key(r) for r in exact]

@@ -287,6 +287,78 @@ def ivf_ann_topk(
     return _ranked(joined, k)
 
 
+def ivf_write(
+    emb: DataFrame, root: str, n_centroids: int = 16, iters: int = 5
+):
+    """Materialize an IVF index: the embeddings table written
+    ``partitionBy(cid)`` (one directory per inverted list) plus the
+    centroid matrix as JSON. At 100 TB this is the layout that makes a
+    probe read ``nprobe/K`` of the bytes: the cid filter prunes whole
+    partitions at the parquet scan (plan-gated in
+    tests/test_pipeline_ops.py). Returns the centroid array."""
+    import json as _json
+    import os
+
+    C = train_ivf_centroids(emb, n_centroids, iters)
+    a = ivf_assign(emb, C)
+    (
+        emb.join(a, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(root, "vectors"))
+    )
+    with open(os.path.join(root, "centroids.json"), "w") as f:
+        _json.dump([[float(x) for x in row] for row in C], f)
+    return C
+
+
+def ivf_read_topk(
+    spark, root: str, n_queries: int = 8, k: int = 10, nprobe: int | None = None
+) -> DataFrame:
+    """Serve ANN from a materialized IVF index: probe the query's
+    ``nprobe`` nearest centroid partitions ONLY — the cid predicate
+    reaches the scan as a partition filter, so unprobed lists cost zero
+    IO. Full probe equals brute force (same identity as
+    :func:`ivf_ann_topk`)."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(root, "centroids.json")) as f:
+        C = np.asarray(_json.load(f))
+    vecs = spark.read.parquet(os.path.join(root, "vectors"))
+    if nprobe is None:
+        nprobe = C.shape[0]
+    nprobe = min(nprobe, C.shape[0])
+
+    qrows = (
+        vecs.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    pairs = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        qv /= max(float(np.linalg.norm(qv)), 1e-12)
+        for c in np.argsort(-(C @ qv), kind="stable")[:nprobe]:
+            pairs.append((int(r["vec_id"]), int(c)))
+    probe_df = spark.createDataFrame(pairs, schema="query_id long, cid int")
+    probed_cids = sorted({c for _, c in pairs})
+
+    # the isin predicate is what prunes partitions at the scan; the
+    # per-query probe membership is then the (broadcast) join
+    cand = (
+        vecs.filter(F.col("cid").isin(probed_cids))
+        .join(F.broadcast(probe_df), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    qe = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return _ranked(cand.join(F.broadcast(qe), "query_id"), k)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     n_queries: int = 8,
