@@ -353,7 +353,14 @@ def dup_groups(
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    labels = all_docs.select(
+    # propagate over the PAIR-TOUCHED nodes only: a doc in no pair can
+    # never change label, so iterating the full corpus through every
+    # round (the round-3 version) did corpus-sized joins per iteration —
+    # at 10^12 docs with a dup subgraph orders of magnitude smaller,
+    # per-round cost must be ∝ the pair graph. Untouched docs re-enter
+    # at the end as singleton clusters via one left-anti join.
+    nodes = edges.select(F.col("a").alias("doc_id")).distinct()
+    labels = nodes.select(
         F.col("doc_id"), F.col("doc_id").alias("lbl")
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
@@ -396,11 +403,21 @@ def dup_groups(
     else:
         raise RuntimeError(f"dup_groups did not converge in {max_iter} iterations")
     edges.unpersist()
-    return labels.select(
+    clustered = labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),
         (F.col("doc_id") == F.col("lbl")).alias("keep"),
     )
+    singletons = (
+        all_docs.select("doc_id")
+        .join(nodes, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(True).alias("keep"),
+        )
+    )
+    return clustered.unionByName(singletons)
 
 
 # ----------------------------------------------------------------- simhash
