@@ -326,6 +326,23 @@ def _q_bool_tree(spark, sf_dir):
     return res.join(m, "doc_id").select(F.col("orig_doc_id").alias("doc_id"))
 
 
+def _q_bool_not(spark, sf_dir):
+    # AND-NOT (round-3+): (window OR spark) AND NOT table — Not is valid
+    # only beside a positive conjunct (Lucene MUST_NOT rule; a bare
+    # complement is corpus-sized and rejected). Driver set-difference
+    # cross-checked in-entry against the cluster flag-expression lane.
+    from yase_spark.query import And, Not, Or, Term
+
+    rd = _reader(spark, sf_dir)
+    tree = And([Or([Term(OR_TERMS[0]), Term(OR_TERMS[1])]), Not(Term(AND_TERMS[0]))])
+    ids = [int(x) for x in rd.search(tree)]
+    df_ids = sorted(r["doc_id"] for r in rd.search_df(tree).collect())
+    assert df_ids == ids, "search_df (cluster) != search (driver)"
+    res = spark.createDataFrame([(i,) for i in ids] or [], schema="doc_id long")
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(F.col("orig_doc_id").alias("doc_id"))
+
+
 def _q_topk_filtered(spark, sf_dir):
     # TopK over a boolean filter: docs matching the tree, BM25-ranked
     # over its leaf tokens in DFS order
@@ -722,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_and": _q_bool_and,
         "bool_or": _q_bool_or,
         "bool_tree": _q_bool_tree,
+        "bool_not": _q_bool_not,
         "topk_filtered": _q_topk_filtered,
         "segments_df": _q_segments_df,
         "window_topk": _q_window_topk,
@@ -938,6 +956,12 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             f"SELECT DISTINCT doc_id FROM t WHERE term = '{or_a}' "
             f"UNION SELECT DISTINCT doc_id FROM t WHERE term = '{or_b}') "
             f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}'"
+        ),
+        "bool_not": (
+            f"{_T_SQL} SELECT doc_id FROM ("
+            f"SELECT DISTINCT doc_id FROM t WHERE term = '{or_a}' "
+            f"UNION SELECT DISTINCT doc_id FROM t WHERE term = '{or_b}') "
+            f"EXCEPT SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}'"
         ),
         "topk_filtered": f"""
 {_T_SQL},

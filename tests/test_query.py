@@ -226,3 +226,58 @@ def test_boolean_ast_driver_cluster_and_topk(spark, tiny_index):
     assert [(d, round(s, 9)) for _, d, s in res] == [
         (d, round(s, 9)) for d, s in exp
     ]
+
+
+def test_boolean_ast_not(spark, tiny_index):
+    """AND-NOT (round-3+): Not beside a positive conjunct must
+    set-difference identically in the driver and cluster lanes; negated
+    leaves must not contribute to TopK scores; a bare complement (Not at
+    the root, Not under Or, And of only Nots) must be rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from yase_spark.query import And, IndexReader, Not, Or, Term, TopK
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    t1, t2, t3 = "json", "get", "parse"
+    got_terms = rd.fetch_terms([t1, t2, t3])
+
+    def docs(t):
+        tp = got_terms.get(t)
+        return set(tp.doc_ids.tolist()) if tp is not None else set()
+
+    tree = And([Or([Term(t1), Term(t2)]), Not(Term(t3))])
+    want = (docs(t1) | docs(t2)) - docs(t3)
+    assert want and docs(t3), "fixture term choice made the test vacuous"
+    got = set(int(x) for x in rd.search(tree))
+    assert got == want
+    got_df = set(r["doc_id"] for r in rd.search_df(tree).collect())
+    assert got_df == want, "cluster lane diverges"
+
+    # TopK: scores must come from positive leaves only (t1, t2)
+    res = rd.search_topk(TopK(tree, k=5))
+    scores = {}
+    for t in (t1, t2):
+        tp = got_terms.get(t)
+        contrib = tp.idf * (tp.tfs.astype(np.float64) * (rd.cfg.k1 + 1.0)) / (
+            tp.tfs.astype(np.float64)
+            + rd.cfg.k1 * (1.0 - rd.cfg.b + rd.cfg.b * (tp.dls.astype(np.float64) / rd.avgdl))
+        )
+        for d, c in zip(tp.doc_ids.tolist(), contrib.tolist()):
+            if d in want:
+                scores[d] = scores.get(d, 0.0) + c
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(d, round(s, 9)) for _, d, s in res] == [
+        (d, round(s, 9)) for d, s in exp
+    ]
+
+    for bad in (
+        Not(Term(t1)),
+        And([Not(Term(t1)), Not(Term(t2))]),
+        Or([Term(t1), Not(Term(t2))]),
+    ):
+        with _pytest.raises(TypeError):
+            rd.search(bad)
+        with _pytest.raises(TypeError):
+            rd.search_df(bad)

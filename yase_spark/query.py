@@ -642,15 +642,29 @@ class Or:
 
 
 @dataclass(frozen=True)
+class Not:
+    """Negation clause, valid ONLY as a direct child of ``And`` with at
+    least one positive sibling (the Lucene MUST_NOT rule): an AND-NOT is
+    a cheap set-difference bounded by the positive conjuncts, while a
+    bare complement is corpus-sized by construction — at 10^12 docs
+    that query is a mistake, and the engine rejects it instead of
+    silently materializing it. Negated terms never contribute to BM25
+    scores in ``TopK`` (standard retrieval semantics)."""
+
+    kid: object
+
+
+@dataclass(frozen=True)
 class TopK:
     expr: object
     k: int = 10
 
 
-def _ast_leaf_tokens(node) -> list[str]:
+def _ast_leaf_tokens(node, positive_only: bool = False) -> list[str]:
     """Analyzed leaf tokens in DFS first-occurrence order — the fixed
     BM25 summation order for TopK over an AST (same contract as
-    analyze_query for string queries)."""
+    analyze_query for string queries). ``positive_only`` skips ``Not``
+    subtrees (scoring); the default includes them (fetch planning)."""
     out: list[str] = []
 
     def walk(n):
@@ -659,6 +673,9 @@ def _ast_leaf_tokens(node) -> list[str]:
         elif isinstance(n, (And, Or)):
             for c in n.kids:
                 walk(c)
+        elif isinstance(n, Not):
+            if not positive_only:
+                walk(n.kid)
         elif isinstance(n, TopK):
             walk(n.expr)
         else:
@@ -666,6 +683,13 @@ def _ast_leaf_tokens(node) -> list[str]:
 
     walk(node)
     return list(dict.fromkeys(out))
+
+
+def _reject_bare_not(n) -> None:
+    raise TypeError(
+        "Not(...) is only supported as a direct child of And(...) with at "
+        "least one positive sibling — a bare complement is corpus-sized"
+    )
 
 
 # ----------------------------------------------------------------- reader
@@ -1371,7 +1395,11 @@ class IndexReader:
                     out = out[np.isin(out, s, assume_unique=True)]
                 return out
             if isinstance(n, And):
-                sets = sorted((ev(c) for c in n.kids), key=lambda a: a.size)
+                pos = [c for c in n.kids if not isinstance(c, Not)]
+                neg = [c.kid for c in n.kids if isinstance(c, Not)]
+                if neg and not pos:
+                    _reject_bare_not(n)
+                sets = sorted((ev(c) for c in pos), key=lambda a: a.size)
                 if not sets:
                     return np.empty(0, dtype=np.int64)
                 out = sets[0]
@@ -1379,12 +1407,19 @@ class IndexReader:
                     if out.size == 0:
                         break
                     out = out[np.isin(out, s, assume_unique=True)]
+                # AND-NOT: set-difference bounded by the positive result
+                for m in neg:
+                    if out.size == 0:
+                        break
+                    out = out[~np.isin(out, ev(m), assume_unique=True)]
                 return out
             if isinstance(n, Or):
                 arrs = [a for a in (ev(c) for c in n.kids) if a.size]
                 if not arrs:
                     return np.empty(0, dtype=np.int64)
                 return np.unique(np.concatenate(arrs))
+            if isinstance(n, Not):
+                _reject_bare_not(n)
             raise TypeError(f"not a boolean AST node: {n!r}")
 
         return ev(tree)
@@ -1421,15 +1456,26 @@ class IndexReader:
                     c = c & F.col(flag_of[t])
                 return c
             if isinstance(n, And):
+                pos = [c for c in n.kids if not isinstance(c, Not)]
+                neg = [c for c in n.kids if isinstance(c, Not)]
+                if neg and not pos:
+                    _reject_bare_not(n)
                 out = F.lit(True)
-                for k in n.kids:
-                    out = out & cond(k)
+                for c in pos:
+                    out = out & cond(c)
+                # a doc matching the And holds >= 1 positive leaf, so it
+                # is present in the flags table and the negated leaf's
+                # flag is an honest False when absent — ~cond is exact
+                for m in neg:
+                    out = out & ~cond(m.kid)
                 return out
             if isinstance(n, Or):
                 out = F.lit(False)
                 for k in n.kids:
                     out = out | cond(k)
                 return out
+            if isinstance(n, Not):
+                _reject_bare_not(n)
             raise TypeError(f"not a boolean AST node: {n!r}")
 
         return flags.filter(cond(tree)).select("doc_id")
@@ -1447,7 +1493,9 @@ class IndexReader:
         matched = self.search(node.expr)
         if matched.size == 0 or node.k <= 0:
             return []
-        tokens = _ast_leaf_tokens(node.expr)
+        # negated leaves filter but never score (standard retrieval
+        # semantics — a MUST_NOT clause has no tf to reward)
+        tokens = _ast_leaf_tokens(node.expr, positive_only=True)
         got = self.fetch_terms(tokens)
         scores = np.zeros(matched.size, dtype=np.float64)
         for t in tokens:  # DFS order -> fixed per-doc add order
