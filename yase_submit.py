@@ -57,8 +57,9 @@ def main(argv=None) -> int:
     p.add_argument("--q", help="query string")
     p.add_argument(
         "--tree",
-        help='boolean AST JSON for query: \'{"and": [{"or": ["a","b"]}, "c"]}\''
-        " — with --kind topk, BM25-ranks the matches over the tree's tokens",
+        help='boolean AST JSON for query: \'{"and": [{"or": ["a","b"]}, '
+        '{"not": "c"}]}\' — with --kind topk, BM25-ranks the matches over '
+        "the tree's positive tokens",
     )
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--kind", choices=["topk", "and", "or"], default="topk")
@@ -124,12 +125,13 @@ def main(argv=None) -> int:
                           "n_docs": rd.n_docs, "avgdl": rd.avgdl}))
 
     elif args.cmd == "query":
-        from yase_spark.query import And, IndexReader, Or, Term, TopK
+        from yase_spark.query import And, IndexReader, Not, Or, Term, TopK
 
         rd = IndexReader(spark, args.index)
         if args.tree:
             # boolean AST as JSON: "term" | {"and": [...]} | {"or": [...]}
-            # e.g. --tree '{"and": [{"or": ["window", "spark"]}, "table"]}'
+            # | {"not": "x"} (valid only beside a positive "and" sibling)
+            # e.g. --tree '{"and": [{"or": ["window", "spark"]}, {"not": "table"}]}'
             def parse(node):
                 if isinstance(node, str):
                     return Term(node)
@@ -139,6 +141,8 @@ def main(argv=None) -> int:
                         return And([parse(k) for k in kids])
                     if op == "or":
                         return Or([parse(k) for k in kids])
+                    if op == "not":
+                        return Not(parse(kids))
                 raise SystemExit(f"bad tree node: {node!r}")
 
             tree = parse(json.loads(args.tree))
