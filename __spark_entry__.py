@@ -257,6 +257,61 @@ def _q_wand_topk(spark, sf_dir):
     )
 
 
+def _deleted_reader(spark, sf_dir, compact):
+    """Index with every original doc_id ≡ 3 (mod 7) deleted — tombstoned
+    (compact=False: Lucene-liveDocs phase, stats stay encode-time) or
+    physically compacted (compact=True: stats/df/ids rebuilt; bitwise a
+    fresh build over the remaining corpus, tests/test_deletes.py)."""
+    key = ("deleted-compact" if compact else "deleted", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.index import IndexBuilder
+
+        root = tempfile.mkdtemp(prefix="yase_ixd_")
+        cfg = IndexConfig(build_groups=2, shuffle_partitions=16, hot_term_df=10**9)
+        b = IndexBuilder(spark, root, cfg)
+        b.build(_corpus_shape(spark, sf_dir))
+        b.delete(predicate="pmod(cast(path as long), 7) = 3")
+        if compact:
+            b.apply_deletes()
+        _CACHE[key] = (root, cfg)
+    root, cfg = _CACHE[key]
+    return IndexReader(spark, root, cfg)
+
+
+def _q_topk_after_delete(spark, sf_dir):
+    # tombstone semantics: deleted docs stop matching IMMEDIATELY while
+    # collection stats stay encode-time (the Lucene rule) — the oracle
+    # computes BM25 over FULL-corpus stats and excludes the tombstoned
+    # ids only at ranking, which is exactly the engine contract.
+    rd = _deleted_reader(spark, sf_dir, compact=False)
+    rows = rd.topk(" ".join(BM25_TERMS), 10, use_wand=False)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return (
+        res.join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r"))
+    )
+
+
+def _q_topk_after_compact(spark, sf_dir):
+    # physical compaction: postings rewritten without the tombstones,
+    # doc ids renumbered densely (order-preserving), stats/df/idf and
+    # block bounds recomputed — the oracle recomputes BM25 entirely
+    # over the REMAINING corpus.
+    rd = _deleted_reader(spark, sf_dir, compact=True)
+    rows = rd.topk(" ".join(BM25_TERMS), 10, use_wand=False)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return (
+        res.join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r"))
+    )
+
+
 def _q_topk_sharded(spark, sf_dir):
     # the pruned+sharded cluster lane (round-3): per-doc-range lazy WAND
     # with local k-heaps, driver merges <= R*k rows; forced multi-range
@@ -734,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id_mint": _q_doc_id_mint,
         "bm25_topk_sql": _bm25_spark,
         "wand_topk": _q_wand_topk,
+        "topk_after_delete": _q_topk_after_delete,
+        "topk_after_compact": _q_topk_after_compact,
         "topk_distributed": _q_topk_distributed,
         "topk_sharded": _q_topk_sharded,
         "bool_and": _q_bool_and,
@@ -779,10 +836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _bm25_oracle_sql(select: str) -> str:
+def _bm25_oracle_sql(select: str, t_sql: str | None = None) -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     return f"""
-{_T_SQL},
+{t_sql or _T_SQL},
 dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM t WHERE term IN ({terms}) GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -941,6 +998,20 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         ),
         "bm25_topk_sql": _bm25_oracle_sql(topk_select),
         "wand_topk": _bm25_oracle_sql(topk_select),
+        # tombstone phase: FULL-corpus stats, tombstoned ids excluded at
+        # ranking only (Lucene liveDocs semantics)
+        "topk_after_delete": _bm25_oracle_sql(
+            "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+            "WHERE doc_id % 7 <> 3 ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        # compacted phase: stats/df recomputed over the remaining corpus
+        "topk_after_compact": _bm25_oracle_sql(
+            topk_select,
+            t_sql=(
+                f"WITH tok AS ({_TOK_SQL}), "
+                "t AS (SELECT * FROM tok WHERE term <> '' AND doc_id % 7 <> 3)"
+            ),
+        ),
         "topk_distributed": _bm25_oracle_sql(topk_select),
         "topk_sharded": _bm25_oracle_sql(topk_select),
         "bool_and": (

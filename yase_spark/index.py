@@ -20,10 +20,12 @@ double-publish. The ``checkpoints`` table carries lineage + metrics
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 import uuid
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -507,6 +509,191 @@ class IndexBuilder:
         }
         return summary
 
+
+    # ------------------------------------------------------------ deletes
+    def delete(self, doc_ids=None, predicate=None) -> dict:
+        """Logical (tombstone) delete — the Iceberg positional-delete /
+        Lucene liveDocs analogue. Appends doc ids to the ``deletes``
+        table; queries exclude them immediately (``IndexReader`` masks
+        tombstoned postings at decode), while collection statistics
+        (n_docs, avgdl, df/idf) keep their encode-time values until
+        :meth:`apply_deletes` — exactly Lucene's semantics, where a
+        deleted doc stops matching at once but affects stats until the
+        segments merge. Cost ∝ tombstones, never ∝ index.
+
+        Exactly one of ``doc_ids`` (iterable of ints) or ``predicate``
+        (SQL string over the docs table's columns, e.g.
+        ``"lang = 'java'"`` or ``"repo = 'r7' and path like 'x/%'"``)."""
+        spark, cat = self.spark, self.cat
+        if (doc_ids is None) == (predicate is None):
+            raise ValueError("pass exactly one of doc_ids / predicate")
+        docs = cat.read(spark, "docs")
+        ids_df = (
+            docs.filter(predicate).select("doc_id")
+            if predicate is not None
+            else spark.createDataFrame(
+                [(int(d),) for d in doc_ids], schema="doc_id long"
+            ).join(docs.select("doc_id"), "doc_id", "left_semi")
+        )
+        if cat.exists("deletes"):
+            ids_df = ids_df.join(cat.read(spark, "deletes"), "doc_id", "left_anti")
+        ids_df = ids_df.distinct()
+        n = ids_df.count()
+        if n:
+            cat.write(
+                "deletes", ids_df, mode="append",
+                tag={"unit": f"delete-{self.run_id}-{n}"},
+            )
+        return {"tombstoned": int(n)}
+
+    def apply_deletes(self) -> dict:
+        """Physical compaction of tombstones (Lucene segment merge /
+        Iceberg rewrite-data-files): one dictionary-sized shuffle
+        recomputes per-term surviving df, then ONE map-only pass over
+        segment rows decodes, drops tombstoned postings, and re-encodes
+        payload + block-max bounds under the POST-delete global stats;
+        the docs table is filtered, stats recomputed, and the tombstone
+        table cleared. Doc ids are RENUMBERED densely and
+        order-preservingly (``new = old - #tombstones_below(old)`` — a
+        broadcast searchsorted, no driver mapping), the Lucene-merge
+        analogue: the engine's invariant ``max(doc_id) == n_docs`` (the
+        dense accumulator and the sharded doc-range bounds rely on it)
+        holds again, and because the mapping is strictly monotone the
+        (score DESC, doc_id ASC) tie-break order is preserved.
+        Afterwards results and scores are bitwise what a fresh build
+        over the remaining corpus produces (matched by natural key;
+        tests/test_deletes.py), and every pruned query lane (lazy WAND,
+        block-selected, sharded WAND kernel) is re-enabled. No payload
+        ever shuffles: the df fix-up moves (term, count) rows only."""
+        import pandas as pd
+
+        from .codec import decode_postings, encode_postings
+
+        spark, cat, cfg = self.spark, self.cat, self.cfg
+        if not cat.exists("deletes"):
+            return {"applied": 0}
+        t0 = time.time()
+        dels = np.unique(
+            np.asarray(
+                [r["doc_id"] for r in cat.read(spark, "deletes").collect()],
+                dtype=np.int64,
+            )
+        )
+        if dels.size == 0:
+            cat.drop("deletes")
+            return {"applied": 0}
+        docs = cat.read(spark, "docs")
+        new_docs = docs.join(cat.read(spark, "deletes"), "doc_id", "left_anti")
+        srow = new_docs.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("s")
+        ).collect()[0]
+        n_docs2, total2 = int(srow["n"]), int(srow["s"] or 0)
+        if n_docs2 == 0:
+            raise ValueError(
+                "apply_deletes would drop every document; rebuild instead"
+            )
+        avgdl2 = total2 / n_docs2
+        bdel = spark.sparkContext.broadcast(dels)
+        segs = cat.read(spark, "segments")
+
+        # order-preserving dense renumbering (Lucene-merge analogue)
+        def _remap_docs(batches):
+            for pdf in batches:
+                a = pdf["doc_id"].to_numpy(dtype=np.int64)
+                yield pdf.assign(
+                    doc_id=a - np.searchsorted(bdel.value, a, side="left")
+                )
+
+        new_docs = new_docs.mapInPandas(_remap_docs, schema=new_docs.schema)
+
+        def surv(batches):
+            for pdf in batches:
+                out = {"term": [], "nsv": []}
+                for r in pdf.itertuples():
+                    ids, _tf, _dl = decode_postings(bytes(r.payload), int(r.n))
+                    out["term"].append(r.term)
+                    out["nsv"].append(
+                        int(ids.size)
+                        - int(np.isin(ids, bdel.value, assume_unique=True).sum())
+                    )
+                if out["term"]:
+                    yield pd.DataFrame(out)
+
+        df_new = (
+            segs.select("term", "n", "payload")
+            .mapInPandas(surv, schema="term string, nsv long")
+            .groupBy("term")
+            .agg(F.sum("nsv").alias("df_new"))
+        )
+
+        k1, b_, bs = cfg.k1, cfg.b, cfg.block_size
+        meta_t = (
+            "array<struct<block_first:long,block_last:long,max_tf:int,"
+            "max_score:double,byte_offset:long,tf_off:long,dl_off:long,"
+            "n_docs:int>>"
+        )
+
+        def rewrite(batches):
+            for pdf in batches:
+                out = {
+                    "term": [], "shard": [], "df": [], "cf": [], "n": [],
+                    "payload": [], "block_meta": [], "idf": [], "avgdl": [],
+                    "bucket": [],
+                }
+                for r in pdf.itertuples():
+                    ids, tfs, dls = decode_postings(bytes(r.payload), int(r.n))
+                    keep = ~np.isin(ids, bdel.value, assume_unique=True)
+                    if not keep.any():
+                        continue  # the whole row's postings were deleted
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    # strictly monotone renumbering keeps ids sorted, so
+                    # the delta chain stays valid
+                    ids = ids - np.searchsorted(bdel.value, ids, side="left")
+                    df_g = int(r.df_new)
+                    idf = math.log(1.0 + (n_docs2 - df_g + 0.5) / (df_g + 0.5))
+                    payload, metas = encode_postings(
+                        ids, tfs, dls, block_size=bs, idf=idf, k1=k1, b=b_,
+                        avgdl=avgdl2,
+                    )
+                    out["term"].append(r.term)
+                    out["shard"].append(int(r.shard))
+                    out["df"].append(df_g)
+                    out["cf"].append(int(tfs.sum()))
+                    out["n"].append(int(ids.size))
+                    out["payload"].append(payload)
+                    out["block_meta"].append(metas)
+                    out["idf"].append(idf)
+                    out["avgdl"].append(avgdl2)
+                    out["bucket"].append(int(r.bucket))
+                if out["term"]:
+                    yield pd.DataFrame(out)
+
+        new_segs = segs.join(df_new, "term").mapInPandas(
+            rewrite,
+            schema=(
+                "term string, shard int, df long, cf long, n long, "
+                f"payload binary, block_meta {meta_t}, idf double, "
+                "avgdl double, bucket int"
+            ),
+        )
+        cat.write(
+            "segments", new_segs, mode="overwrite", partition_by=["bucket"],
+            tag={"unit": f"compact-deletes-{self.run_id}"},
+        )
+        cat.write(
+            "docs", new_docs, mode="overwrite",
+            tag={"unit": f"docs-compact-{self.run_id}"},
+        )
+        self._commit_stats(
+            {"n_docs": n_docs2, "total_tokens": total2, "avgdl": avgdl2},
+            f"apply-deletes-{self.run_id}",
+        )
+        cat.drop("deletes")
+        self._ckpt(
+            f"apply-deletes-{self.run_id}", "-", rows_in=int(dels.size),
+            wall_ms=(time.time() - t0) * 1000,
+        )
+        return {"applied": int(dels.size), "n_docs": n_docs2}
 
     # ------------------------------------------------------------- append
     def append(self, delta: DataFrame) -> dict:

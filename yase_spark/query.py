@@ -746,6 +746,38 @@ class IndexReader:
         # skipped — cold queries on small/medium indexes cost ONE Spark
         # job (the payload fetch) instead of two.
         self._total_postings_upper = int(srow["total_tokens"])
+        # tombstoned doc ids (IndexBuilder.delete — Lucene-liveDocs
+        # semantics): masked out at every decode funnel, while the
+        # encode-time collection stats stay in force until
+        # apply_deletes() physically compacts. Pruning lanes that reason
+        # from stored block bounds keyed by block_first (which may be a
+        # tombstoned doc) fall back to full-decode executors while any
+        # tombstone exists — compaction restores them, exactly as a
+        # Lucene merge re-enables its skip optimizations.
+        self._deleted: np.ndarray | None = None
+        if self.cat.exists("deletes"):
+            darr = np.unique(
+                np.asarray(
+                    self.cat.read(spark, "deletes")
+                    .toArrow().column("doc_id").to_pylist(),
+                    dtype=np.int64,
+                )
+            )
+            if darr.size > self.DELETE_DRIVER_CAP:
+                raise ValueError(
+                    f"{darr.size} tombstones exceed the reader cap "
+                    f"({self.DELETE_DRIVER_CAP}); run "
+                    "IndexBuilder.apply_deletes() first"
+                )
+            self._deleted = darr if darr.size else None
+
+    # readers materialize the tombstone set (it rides every decode);
+    # beyond this, physical compaction is overdue and cheaper
+    DELETE_DRIVER_CAP = 50_000_000
+
+    def _mask_deleted(self, ids: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask over ``ids`` (True = not tombstoned)."""
+        return ~np.isin(ids, self._deleted, assume_unique=False)
 
     # ------------------------------------------------------------- fetch
     def _collect_segments(self, missing: list[str], columns: list[str]):
@@ -825,6 +857,14 @@ class IndexReader:
                 ids = np.concatenate(ids_l)
                 tfs = np.concatenate(tfs_l)
                 dls = np.concatenate(dls_l)
+                if self._deleted is not None:
+                    # tombstone mask (Lucene-liveDocs): the doc stops
+                    # matching; df/idf stay encode-time until compaction
+                    keep = self._mask_deleted(ids)
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    if not ids.size:
+                        self._cache[t] = None
+                        continue
                 # Block bounds are recomputed here (one vectorized pass over
                 # the already-decoded arrays) rather than trusted from the
                 # stored metadata: (a) shard-split terms have partial interior
@@ -935,6 +975,20 @@ class IndexReader:
         the row fetch no further Spark jobs). Results are identical to
         ``topk``; with ``return_stats`` also returns
         {'blocks_decoded', 'blocks_total'}."""
+        if self._deleted is not None:
+            # stored block bounds/firsts can reference tombstoned docs;
+            # serve via the masked full-decode scorer until compaction
+            tp = self._postings(query)
+            res = (
+                dense_topk(tp, k, self.cfg.k1, self.cfg.b, self.avgdl,
+                           self.n_docs)
+                if self.n_docs <= self.DENSE_MAX_DOCS
+                else naive_topk(tp, k, self.cfg.k1, self.cfg.b, self.avgdl)
+            )
+            if return_stats:
+                return res, {"blocks_decoded": 0, "blocks_total": 0,
+                             "tombstone_fallback": True}
+            return res
         cursors = self._lazy_cursors(query)
         res = wand_topk_lazy(cursors, k, self.cfg.k1, self.cfg.b, self.avgdl)
         if return_stats:
@@ -996,6 +1050,14 @@ class IndexReader:
         empty_stats = {"blocks_selected": 0, "blocks_total": 0}
         if not qterms or k <= 0:
             return ([], empty_stats) if return_stats else []
+        if self._deleted is not None:
+            # block selection certifies theta from stored per-block
+            # bounds whose achieving doc may be tombstoned; fall back to
+            # the masked full-decode scorer until compaction
+            res = self.topk_lazy(query, k)
+            if return_stats:
+                return res, dict(empty_stats, tombstone_fallback=True)
+            return res
 
         # ---- hop 1: metadata only ---------------------------------------
         tbl = self._collect_segments(
@@ -1305,7 +1367,7 @@ class IndexReader:
                 ),
                 reverse=True,
             )
-            if idfs and (
+            if self._deleted is None and idfs and (
                 len(idfs) == 1
                 or idfs[0] >= 2.0 * sum(idfs[1:])
                 or idfs[-1] >= math.log(33.0)   # every df <= ~n_docs/32
@@ -1329,6 +1391,11 @@ class IndexReader:
         segs = self._segments.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
         ).select("term", "n", "payload")
+        bdel = (
+            self.spark.sparkContext.broadcast(self._deleted)
+            if self._deleted is not None
+            else None
+        )
 
         def docs_of(batches):
             import pandas as pd
@@ -1337,6 +1404,8 @@ class IndexReader:
                 frames = []
                 for r in pdf.itertuples():
                     ids, _, _ = decode_postings(bytes(r.payload), int(r.n))
+                    if bdel is not None:
+                        ids = ids[~np.isin(ids, bdel.value, assume_unique=True)]
                     frames.append(pd.DataFrame({"doc_id": ids, "term": r.term}))
                 if frames:
                     yield pd.concat(frames, ignore_index=True)
@@ -1567,6 +1636,11 @@ class IndexReader:
         ).select("term", "df", "n", "payload")
         n_docs, avgdl = self.n_docs, self.avgdl
         k1, b = self.cfg.k1, self.cfg.b
+        bdel_d = (
+            self.spark.sparkContext.broadcast(self._deleted)
+            if self._deleted is not None
+            else None
+        )
 
         def contribs(batches):
             import pandas as pd
@@ -1575,6 +1649,9 @@ class IndexReader:
                 out_doc, out_sc = [], []
                 for r in pdf.itertuples():
                     ids, tfs, dls = decode_postings(bytes(r.payload), int(r.n))
+                    if bdel_d is not None:
+                        keep = ~np.isin(ids, bdel_d.value, assume_unique=True)
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                     idf = math.log(1.0 + (n_docs - int(r.df) + 0.5) / (int(r.df) + 0.5))
                     sc = bm25_scores_np(tfs, dls, idf, k1, b, avgdl)
                     out_doc.append(ids)
@@ -1686,6 +1763,15 @@ class IndexReader:
                 max(2, min(self.SHARD_MAX_RANGES,
                            -(-total // self.SHARD_TARGET_POSTINGS)))
             )
+        bdel_sh = None
+        if self._deleted is not None:
+            # tombstones: stored block bounds may be achieved by deleted
+            # docs, so the per-range WAND kernel is unsafe — force the
+            # dense kernel (exact under masking) and keep every range
+            # within its accumulator cap
+            kernel = "dense"
+            n_ranges = max(n_ranges, -(-self.n_docs // self.DENSE_MAX_DOCS))
+            bdel_sh = self.spark.sparkContext.broadcast(self._deleted)
         bounds = sorted(
             {1 + (i * self.n_docs) // n_ranges for i in range(n_ranges)}
             | {self.n_docs + 1}
@@ -1827,6 +1913,8 @@ class IndexReader:
                     tfs = np.concatenate(tfs_l)
                     dls = np.concatenate(dls_l)
                     m = (ids >= lo) & (ids < hi)
+                    if bdel_sh is not None:
+                        m &= ~np.isin(ids, bdel_sh.value, assume_unique=True)
                     ids, tfs, dls = ids[m], tfs[m], dls[m]
                     contrib = idf_now * (tfs.astype(np.float64) * (k1 + 1.0)) / (
                         tfs.astype(np.float64)
@@ -1923,6 +2011,18 @@ class IndexReader:
         no term hits simply emit no rows. Returns a DataFrame
         (query_id string, rank long, doc_id long, score double).
         """
+        if self._deleted is not None:
+            # tombstones make the executor WAND kernel's stored bounds
+            # unsafe; serve the batch through the masked driver/sharded
+            # dispatch per query until compaction restores the fast lane
+            rows = []
+            for q in queries:
+                for r, d, s in self.topk(q["query"], q.get("k", 10)):
+                    rows.append((q["query_id"], r, d, s))
+            return self.spark.createDataFrame(
+                rows or [],
+                schema="query_id string, rank long, doc_id long, score double",
+            )
         huge = []
         if queries and self._total_postings_upper > self.driver_fetch_max_postings:
             dfs = self.term_dfs(

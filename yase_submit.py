@@ -43,8 +43,17 @@ def main(argv=None) -> int:
         "cmd",
         choices=[
             "build", "query", "synth", "bench", "neardup", "ann", "stream",
-            "compact",
+            "compact", "delete",
         ],
+    )
+    p.add_argument(
+        "--predicate",
+        help="delete: SQL predicate over docs columns, e.g. \"lang = 'java'\"",
+    )
+    p.add_argument(
+        "--apply", action="store_true",
+        help="delete: physically compact tombstones (rewrite postings, "
+        "renumber doc ids, recompute stats) instead of tombstoning",
     )
     p.add_argument(
         "--method", choices=["exact", "lsh", "simhash"], default="lsh",
@@ -107,6 +116,22 @@ def main(argv=None) -> int:
                 n_before = len(cat._manifest(t)["data_dirs"])
                 v = cat.compact(spark, t)
                 out[t] = {"dirs_before": n_before, "version": v}
+        print(json.dumps(out))
+
+    elif args.cmd == "delete":
+        # document lifecycle: tombstone by predicate (Lucene-liveDocs
+        # semantics — immediate exclusion, encode-time stats), then
+        # --apply physically compacts (Lucene merge / Iceberg rewrite)
+        from yase_spark.index import IndexBuilder
+
+        b = IndexBuilder(spark, args.index)
+        out = {}
+        if args.predicate:
+            out["delete"] = b.delete(predicate=args.predicate)
+        if args.apply:
+            out["apply"] = b.apply_deletes()
+        if not out:
+            raise SystemExit("delete: pass --predicate and/or --apply")
         print(json.dumps(out))
 
     elif args.cmd == "stream":
