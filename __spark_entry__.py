@@ -257,6 +257,24 @@ def _q_wand_topk(spark, sf_dir):
     )
 
 
+def _q_topk_where(spark, sf_dir):
+    # metadata-filtered ranked top-k: rank only within a docs-table
+    # slice, full-corpus statistics (the standard filtered-search
+    # contract). The allowed set semi-joins the contributions BEFORE
+    # aggregation — never driver-materialized.
+    rd = _reader(spark, sf_dir)
+    rows = rd.topk_where(" ".join(BM25_TERMS), 10, "lang = 'en'").collect()
+    res = spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in rows] or [],
+        schema="doc_id long, score double",
+    )
+    m = _orig_ids(rd, spark)
+    return (
+        res.join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r"))
+    )
+
+
 def _deleted_reader(spark, sf_dir, compact):
     """Index with every original doc_id ≡ 3 (mod 7) deleted — tombstoned
     (compact=False: Lucene-liveDocs phase, stats stay encode-time) or
@@ -791,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _q_wand_topk,
         "topk_after_delete": _q_topk_after_delete,
         "topk_after_compact": _q_topk_after_compact,
+        "topk_where": _q_topk_where,
         "topk_distributed": _q_topk_distributed,
         "topk_sharded": _q_topk_sharded,
         "bool_and": _q_bool_and,
@@ -1003,6 +1022,13 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         "topk_after_delete": _bm25_oracle_sql(
             "SELECT doc_id, round(score, 5) AS score_r FROM sc "
             "WHERE doc_id % 7 <> 3 ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        # filtered serving: full-corpus stats, ranking restricted to the
+        # metadata slice (restriction commutes with scoring)
+        "topk_where": _bm25_oracle_sql(
+            "SELECT sc.doc_id, round(score, 5) AS score_r FROM sc "
+            "JOIN documents d ON d.doc_id = sc.doc_id AND d.lang = 'en' "
+            "ORDER BY score DESC, sc.doc_id LIMIT 10"
         ),
         # compacted phase: stats/df recomputed over the remaining corpus
         "topk_after_compact": _bm25_oracle_sql(

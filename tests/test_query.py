@@ -281,3 +281,25 @@ def test_boolean_ast_not(spark, tiny_index):
             rd.search(bad)
         with _pytest.raises(TypeError):
             rd.search_df(bad)
+
+
+def test_topk_where_filtered_serving(spark, tiny_index):
+    """topk_where: ranking restricted to a docs-metadata slice under
+    FULL-corpus statistics must equal filtering the dense scorer's full
+    ranking to the slice; the tie-break order is preserved."""
+    from yase_spark.query import IndexReader
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    q = "json getPage"
+    langs = {r["doc_id"]: r["lang"] for r in rd.cat.read(spark, "docs").collect()}
+    target = sorted({v for v in langs.values()})[0]
+    allowed = {d for d, l in langs.items() if l == target}
+    assert allowed and len(allowed) < len(langs)
+
+    full = rd.topk(q, 10**9, use_wand=False)  # every scored doc
+    exp = [(d, s) for _, d, s in full if d in allowed][:10]
+    got = rd.topk_where(q, 10, f"lang = '{target}'").collect()
+    assert [int(r["doc_id"]) for r in got] == [d for d, _ in exp]
+    for r, (_, s) in zip(got, exp):
+        assert abs(float(r["score"]) - s) < 1e-9  # distributed sum ulps

@@ -1987,6 +1987,79 @@ class IndexReader:
             return res, stats
         return res
 
+    def topk_where(self, query: str, k: int = 10, predicate: str = "true") -> DataFrame:
+        """Ranked top-k restricted to docs matching a METADATA predicate
+        (SQL over the docs table's columns, e.g. ``"lang = 'java'"`` or
+        ``"repo = 'r3' and path like 'src/%'"``) — the filtered-serving
+        shape ("rank only within this language/repo slice").
+
+        Scale shape: the allowed set can be corpus-sized, so it is never
+        driver-materialized — per-term BM25 contributions (executor
+        decode, tombstone-masked) LEFT-SEMI-join the predicate-filtered
+        docs scan on doc_id BEFORE the per-doc aggregation, so filtered
+        docs never reach the agg and the predicate pushes down to the
+        docs parquet scan. Exactness: restriction commutes with scoring
+        (a doc's score does not depend on other docs), so this equals
+        ranking the filtered corpus under the FULL-corpus statistics —
+        the standard filtered-search contract (df/idf are collection
+        stats, not slice stats). Returns (rank, doc_id, score)."""
+        qterms = analyze_query(query)
+        if not qterms:
+            return self.spark.createDataFrame(
+                [], schema="rank long, doc_id long, score double"
+            )
+        allowed = (
+            self.cat.read(self.spark, "docs").filter(predicate).select("doc_id")
+        )
+        buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in qterms})
+        segs = self._segments.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
+        ).select("term", "df", "n", "payload")
+        n_docs, avgdl = self.n_docs, self.avgdl
+        k1, b = self.cfg.k1, self.cfg.b
+        bdel_w = (
+            self.spark.sparkContext.broadcast(self._deleted)
+            if self._deleted is not None
+            else None
+        )
+
+        def contribs(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out_doc, out_sc = [], []
+                for r in pdf.itertuples():
+                    ids, tfs, dls = decode_postings(bytes(r.payload), int(r.n))
+                    if bdel_w is not None:
+                        keep = ~np.isin(ids, bdel_w.value, assume_unique=True)
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    idf = math.log(
+                        1.0 + (n_docs - int(r.df) + 0.5) / (int(r.df) + 0.5)
+                    )
+                    out_doc.append(ids)
+                    out_sc.append(bm25_scores_np(tfs, dls, idf, k1, b, avgdl))
+                if out_doc:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(out_doc),
+                            "contrib": np.concatenate(out_sc),
+                        }
+                    )
+
+        per_doc = (
+            segs.mapInPandas(contribs, schema="doc_id long, contrib double")
+            .join(allowed, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).select("rank", "doc_id", "score")
+
     def topk_set_distributed(self, queries: list[dict]) -> DataFrame:
         """Executor-side block-max WAND for BATCH workloads (the scale
         path when the query set is large): queries are analyzed
