@@ -5,8 +5,8 @@ Gates: tombstoned docs stop matching IMMEDIATELY in every lane (driver
 dense, lazy fallback, boolean driver+cluster, sharded, distributed,
 batch); collection stats stay encode-time until apply_deletes; after
 apply_deletes the index is bitwise what a fresh build over the
-remaining corpus produces (matched by natural key — doc ids are
-retained, not re-minted)."""
+remaining corpus produces, matched by natural key (doc ids are
+renumbered densely and order-preservingly, the Lucene-merge rule)."""
 
 import numpy as np
 import pytest
@@ -43,14 +43,8 @@ def test_tombstone_masks_every_lane(spark, del_index):
     rd = IndexReader(spark, root)
     vs = set(victims)
 
-    # expected: clean postings minus victims, OLD stats (Lucene rule)
-    tps = [clean.fetch_terms([t])[t] for t in ("json", "getpage", "get", "page")]
-    tps = [t for t in tps if t is not None]
-    scores = {}
-    for tp in tps:
-        if tp.term not in ("json", "get", "page"):
-            continue
-    # build expected from the analyzer's own tokens
+    # expected: clean postings minus victims, OLD stats (Lucene rule) —
+    # built from the analyzer's own tokens
     from yase_spark.tokenize import analyze_query
 
     toks = analyze_query(q)
@@ -156,3 +150,52 @@ def test_delete_validation(spark, del_index):
         b.delete(doc_ids=[1], predicate="doc_id = 2")
     # unknown ids are ignored (left-semi against docs)
     assert b.delete(doc_ids=[10**12])["tombstoned"] == 0
+
+
+def test_compact_then_append_equals_oneshot(spark, tmp_path):
+    """Lifecycle composition: build -> delete+compact -> append must be
+    indistinguishable (natural keys + bitwise scores) from a one-shot
+    build over (remaining ∪ delta) — compaction's renumbering and stats
+    rebuild must compose with the copy-on-write append."""
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, block_size=16)
+    full = corpus_df(spark, 900, partitions=8)
+    base = full.filter(F.pmod(F.xxhash64("path"), F.lit(3)) != 0)
+    delta = full.join(base.select("repo", "path", "commit"),
+                      ["repo", "path", "commit"], "left_anti")
+
+    root_a = str(tmp_path / "a")
+    ba = IndexBuilder(spark, root_a, cfg)
+    ba.build(base)
+    ba.delete(predicate="pmod(doc_id, 4) = 1")
+    ba.apply_deletes()
+    ba.append(delta)
+    ra = IndexReader(spark, root_a)
+
+    keys_a = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in ra.cat.read(spark, "docs").collect()
+    }
+    keep = spark.createDataFrame(
+        [(k[0], k[1], k[2]) for k in keys_a],
+        schema="repo string, path string, commit string",
+    )
+    root_b = str(tmp_path / "b")
+    IndexBuilder(spark, root_b, cfg).build(
+        full.join(keep, ["repo", "path", "commit"], "left_semi")
+    )
+    rb = IndexReader(spark, root_b)
+    keys_b = {
+        (r["repo"], r["path"], r["commit"]): r["doc_id"]
+        for r in rb.cat.read(spark, "docs").collect()
+    }
+    assert set(keys_a) == set(keys_b)
+    assert ra.n_docs == rb.n_docs and abs(ra.avgdl - rb.avgdl) < 1e-12
+
+    inv_a = {v: k for k, v in keys_a.items()}
+    inv_b = {v: k for k, v in keys_b.items()}
+    for q in ("json", "json getPage", "getUserName parse"):
+        res_a = ra.topk(q, 10, use_wand=False)
+        res_b = rb.topk(q, 10, use_wand=False)
+        assert [(inv_a[d], s) for _, d, s in res_a] == [
+            (inv_b[d], s) for _, d, s in res_b
+        ], q
