@@ -67,6 +67,18 @@ _TOK_SQL = (
 )
 _T_SQL = f"WITH tok AS ({_TOK_SQL}), t AS (SELECT * FROM tok WHERE term <> '')"
 
+# token positions: array ordinality (stable), empties filtered, then
+# re-numbered per doc — matches the engine's parts-stream positions
+_POS_SQL = (
+    "pos AS (SELECT doc_id, "
+    "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term, "
+    "generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS rawp "
+    "FROM documents), "
+    "f AS (SELECT doc_id, term, "
+    "row_number() OVER (PARTITION BY doc_id ORDER BY rawp) AS p "
+    "FROM pos WHERE term <> '')"
+)
+
 
 # ------------------------------------------------------------ engine cache
 _CACHE: dict[str, tuple[str, IndexConfig]] = {}
@@ -247,6 +259,64 @@ def _bm25_spark(spark, sf_dir):
 def _q_wand_topk(spark, sf_dir):
     rd = _reader(spark, sf_dir)
     rows = rd.topk(" ".join(BM25_TERMS), 10)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return (
+        res.join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r"))
+    )
+
+
+def _pos_reader(spark, sf_dir) -> IndexReader:
+    """Main index + the positional sibling index (positions.py) built
+    over the same corpus shape."""
+    rd = _reader(spark, sf_dir)
+    key = ("positions", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.positions import build_positions
+
+        root, cfg = _CACHE[sf_dir]
+        build_positions(spark, root, _corpus_shape(spark, sf_dir), cfg)
+        _CACHE[key] = True
+        rd = _reader(spark, sf_dir)
+    return rd
+
+
+PHRASE = ["table", "hash"]          # adjacent in the corpus (df-verified)
+NEAR = ("merge", "group", 2)        # ordered within slop 2
+
+
+def _q_phrase_match(spark, sf_dir):
+    # exact phrase: docs whose token stream contains "table hash"
+    # ADJACENTLY (position-verified), not merely both terms (bool_and)
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.phrase_df(" ".join(PHRASE))
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
+def _q_near_match(spark, sf_dir):
+    # ordered proximity: "merge" then "group" with at most 2 tokens
+    # between (greedy minimal-window chain over positions)
+    a, b, slop = NEAR
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.phrase_df(f"{a} {b}", slop=slop)
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
+def _q_phrase_topk(spark, sf_dir):
+    # the phrase filter selects, BM25 over the phrase's parts ranks
+    rd = _pos_reader(spark, sf_dir)
+    rows = rd.phrase_topk(" ".join(PHRASE), k=10)
     res = spark.createDataFrame(
         [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
     )
@@ -807,6 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id_mint": _q_doc_id_mint,
         "bm25_topk_sql": _bm25_spark,
         "wand_topk": _q_wand_topk,
+        "phrase_match": _q_phrase_match,
+        "near_match": _q_near_match,
+        "phrase_topk": _q_phrase_topk,
         "topk_after_delete": _q_topk_after_delete,
         "topk_after_compact": _q_topk_after_compact,
         "topk_where": _q_topk_where,
@@ -1017,6 +1090,47 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         ),
         "bm25_topk_sql": _bm25_oracle_sql(topk_select),
         "wand_topk": _bm25_oracle_sql(topk_select),
+        # positional index: token positions = ordinality in the filtered
+        # (empties-dropped) stream — identical to the engine's parts-
+        # stream positions on this corpus (pure lowercase words)
+        "phrase_match": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT a.doc_id FROM f a "
+            "JOIN f b ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
+            f"WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'"
+        ),
+        "near_match": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT a.doc_id FROM f a "
+            "JOIN f b ON b.doc_id = a.doc_id AND b.p > a.p "
+            f"AND b.p <= a.p + 1 + {NEAR[2]} "
+            f"WHERE a.term = '{NEAR[0]}' AND b.term = '{NEAR[1]}'"
+        ),
+        "phrase_topk": f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+       WHERE term IN ('{PHRASE[0]}', '{PHRASE[1]}') GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+{_POS_SQL},
+match AS (
+  SELECT DISTINCT a.doc_id FROM f a
+  JOIN f b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+       JOIN match USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 5) AS score_r FROM sc
+ORDER BY score DESC, doc_id LIMIT 10
+""",
         # tombstone phase: FULL-corpus stats, tombstoned ids excluded at
         # ranking only (Lucene liveDocs semantics)
         "topk_after_delete": _bm25_oracle_sql(

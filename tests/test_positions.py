@@ -1,0 +1,263 @@
+"""Positional sibling index + phrase/proximity queries (positions.py).
+
+Gates:
+* engine phrase/proximity results == a brute-force pure-Python oracle
+  (all position combinations, no greedy) on the synthetic corpus;
+* greedy window matcher == brute force on randomized position lists;
+* tombstoned docs stop matching immediately; after apply_deletes the
+  positional index is rewritten (renumbered) and phrase results equal a
+  fresh build over the remaining corpus;
+* incremental build after append covers the delta (and the reader
+  refuses to serve from a stale positional index);
+* parallelism invariance: position payloads are identical at different
+  shuffle widths.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yase_spark.config import IndexConfig
+from yase_spark.index import IndexBuilder, build_index
+from yase_spark.positions import build_positions, match_ordered_window
+from yase_spark.query import IndexReader
+from yase_spark.tokenize import _ident, analyze_phrase, split_parts
+
+
+def parts_stream(text):
+    out = []
+    for ident in _ident.findall(text):
+        out.extend(split_parts(ident))
+    return out
+
+
+def brute_phrase(docs: dict, query: str, slop: int = 0) -> list[int]:
+    """All-combinations oracle: doc matches iff ANY strictly-increasing
+    position tuple of the query parts has span <= (n-1)+slop."""
+    qp = analyze_phrase(query)
+    hits = []
+    for d, text in docs.items():
+        pos = {}
+        for i, t in enumerate(parts_stream(text)):
+            pos.setdefault(t, []).append(i)
+        if any(t not in pos for t in qp):
+            continue
+        if len(qp) == 1:
+            hits.append(d)
+            continue
+        found = False
+        for combo in itertools.product(*(pos[t] for t in qp)):
+            if all(b > a for a, b in zip(combo, combo[1:])) and (
+                combo[-1] - combo[0] <= len(qp) - 1 + slop
+            ):
+                found = True
+                break
+        if found:
+            hits.append(d)
+    return sorted(hits)
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tiny_corpus, tiny_index):
+    root, cfg, _ = tiny_index
+    # small row cap so hot terms actually chunk into multiple shard rows
+    pcfg = IndexConfig(**{**cfg.__dict__, "pos_row_docs": 256})
+    summary = build_positions(spark, root, tiny_corpus, pcfg)
+    assert summary["positions_docs"] == 1000
+    return root, pcfg
+
+
+@pytest.fixture(scope="module")
+def doc_texts(spark, tiny_corpus, pos_index):
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    return {
+        r["doc_id"]: r["content"]
+        for r in rd.cat.read(spark, "docs")
+        .join(
+            tiny_corpus.select("repo", "path", "commit", "content"),
+            ["repo", "path", "commit"],
+        )
+        .select("doc_id", "content")
+        .collect()
+    }
+
+
+PHRASES = [
+    ("get page", 0),
+    ("copy zone lock", 0),
+    ("sync list", 0),
+    ("getPage", 0),          # multi-part identifier as a phrase
+    ("json exec", 1),
+    ("get zone", 2),
+    ("count utc infer", 0),
+    ("nosuchtoken page", 0),  # absent part -> empty
+]
+
+
+def test_phrase_matches_brute_force(spark, pos_index, doc_texts):
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    nonzero = 0
+    for q, slop in PHRASES:
+        eng = rd.phrase(q, slop=slop).tolist()
+        ref = brute_phrase(doc_texts, q, slop=slop)
+        assert eng == ref, (q, slop)
+        nonzero += bool(eng)
+    assert nonzero >= 5  # the gate exercises real matches, not misses
+
+
+def test_phrase_topk_scores_bitwise(spark, pos_index, doc_texts):
+    """phrase_topk == restrict-then-score: the phrase filter selects,
+    BM25 over the unique parts ranks; scores must equal topk()'s scorer
+    bitwise for docs in both (same fixed summation order)."""
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    got = rd.phrase_topk("get page", k=10)
+    assert len(got) == 10
+    full = {d: s for _, d, s in rd.topk("get page", k=10**6)}
+    for _, d, s in got:
+        assert s == full[d]  # bitwise
+    # ranked subset of the phrase match set
+    matched = set(rd.phrase("get page").tolist())
+    assert {d for _, d, _ in got} <= matched
+
+
+def test_chunked_rows_exist(spark, pos_index):
+    """pos_row_docs=256 over 1000 docs forces multi-row terms; the
+    reader's shard-ordered concat must still be doc-ordered (implied by
+    the brute-force gate, asserted structurally here)."""
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    segs = rd.cat.read(spark, "pos_segments")
+    multi = segs.groupBy("term").count().filter(F.col("count") > 1).count()
+    assert multi > 0
+    pp = rd._positions().fetch(["page"])["page"]
+    assert np.all(np.diff(pp.doc_ids) > 0)
+    assert pp.counts.sum() == pp.pos.size
+
+
+def test_greedy_window_equals_brute_force():
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n_terms = int(rng.integers(2, 5))
+        slop = int(rng.integers(0, 4))
+        # one synthetic doc per trial, dense positions
+        lists = []
+        for _ in range(n_terms):
+            k = int(rng.integers(1, 6))
+            lists.append(np.unique(rng.integers(0, 20, size=k)).astype(np.int64))
+        # brute force
+        found = False
+        for combo in itertools.product(*lists):
+            if all(b > a for a, b in zip(combo, combo[1:])) and (
+                combo[-1] - combo[0] <= n_terms - 1 + slop
+            ):
+                found = True
+                break
+        got = match_ordered_window([x.copy() for x in lists], slop)
+        assert (got.size > 0) == found, (trial, lists, slop)
+
+
+def test_phrase_respects_tombstones(spark, tiny_corpus, tmp_path):
+    root = str(tmp_path / "ix")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, hot_term_df=10**9)
+    sub = tiny_corpus.limit(200)
+    build_index(spark, sub, root, cfg)
+    build_positions(spark, root, sub, cfg)
+    rd = IndexReader(spark, root, cfg)
+    before = rd.phrase("get page")
+    assert before.size > 0
+    victim = int(before[0])
+    IndexBuilder(spark, root, cfg).delete(doc_ids=[victim])
+    rd2 = IndexReader(spark, root, cfg)
+    after = rd2.phrase("get page")
+    assert victim not in after.tolist()
+    assert sorted(after.tolist() + [victim]) == before.tolist()
+
+
+@pytest.mark.slow
+def test_compaction_rewrites_positions(spark, tiny_corpus, tmp_path):
+    """delete + apply_deletes -> phrase results bitwise-equal a fresh
+    build over the remaining corpus (matched by natural key)."""
+    root = str(tmp_path / "ix")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, hot_term_df=10**9)
+    sub = tiny_corpus.limit(300).persist()
+    build_index(spark, sub, root, cfg)
+    build_positions(spark, root, sub, cfg)
+    b = IndexBuilder(spark, root, cfg)
+    b.delete(predicate="pmod(doc_id, 5) = 2")
+    b.apply_deletes()
+    rd = IndexReader(spark, root, cfg)
+
+    # fresh build over the remaining corpus
+    root2 = str(tmp_path / "ix2")
+    kept = (
+        rd.cat.read(spark, "docs").select("repo", "path", "commit")
+        .join(sub, ["repo", "path", "commit"])
+        .select("repo", "path", "commit", "lang", "content")
+        .persist()
+    )
+    build_index(spark, kept, root2, cfg)
+    build_positions(spark, root2, kept, cfg)
+    rd2 = IndexReader(spark, root2, cfg)
+
+    for q, slop in [("get page", 0), ("json exec", 1), ("copy zone lock", 0)]:
+        a = rd.phrase(q, slop=slop).tolist()
+        bq = rd2.phrase(q, slop=slop).tolist()
+        assert a == bq, q
+    ta = rd.phrase_topk("get page", k=10)
+    tb = rd2.phrase_topk("get page", k=10)
+    assert ta == tb  # bitwise scores, identical renumbered ids
+    sub.unpersist()
+    kept.unpersist()
+
+
+@pytest.mark.slow
+def test_incremental_positions_after_append(spark, tiny_corpus, tmp_path):
+    root = str(tmp_path / "ix")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, hot_term_df=10**9)
+    full = tiny_corpus.limit(300).persist()
+    even = F.pmod(F.xxhash64("path"), F.lit(2)) == 0
+    build_index(spark, full.filter(even), root, cfg)
+    build_positions(spark, root, full.filter(even), cfg)
+    b = IndexBuilder(spark, root, cfg)
+    b.append(full.filter(~even))
+
+    # stale reader must refuse (docs changed since the positions build)
+    with pytest.raises(ValueError, match="stale"):
+        IndexReader(spark, root, cfg).phrase("get page")
+
+    out = build_positions(spark, root, full, cfg)
+    assert out["positions_docs"] > 0
+    rd = IndexReader(spark, root, cfg)
+
+    root2 = str(tmp_path / "ix2")
+    build_index(spark, full, root2, cfg)
+    build_positions(spark, root2, full, cfg)
+    rd2 = IndexReader(spark, root2, cfg)
+    for q, slop in [("get page", 0), ("json exec", 1)]:
+        a = (
+            rd.cat.read(spark, "docs")
+            .join(
+                spark.createDataFrame(
+                    [(int(d),) for d in rd.phrase(q, slop=slop)], "doc_id long"
+                ),
+                "doc_id",
+            )
+            .select("repo", "path", "commit")
+        )
+        bq = (
+            rd2.cat.read(spark, "docs")
+            .join(
+                spark.createDataFrame(
+                    [(int(d),) for d in rd2.phrase(q, slop=slop)], "doc_id long"
+                ),
+                "doc_id",
+            )
+            .select("repo", "path", "commit")
+        )
+        assert a.exceptAll(bq).count() == 0 and bq.exceptAll(a).count() == 0, q
+    full.unpersist()

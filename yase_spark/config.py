@@ -65,6 +65,12 @@ class IndexConfig:
                                    # — equality-tested impls of ONE spec
     parallel_units: int = PARALLEL_UNITS
     shuffle_partitions: int = field(default_factory=lambda: DEFAULT_CPUS)
+    # docs per row of the positional sibling index (positions.py): hot
+    # terms chunk into multiple shard rows so no task/row ever holds a
+    # ubiquitous term's full position list. Not semantic: chunking
+    # changes bytes-at-rest layout, never query results.
+    pos_row_docs: int = 1 << 20
+
     # target raw-content bytes per sort partition in the ingest shuffle.
     # DATA-derived (never core-derived): the partition count fixes
     # runs-per-term in the merge, so it must be identical across cluster

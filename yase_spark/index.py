@@ -684,6 +684,13 @@ class IndexBuilder:
             "docs", new_docs, mode="overwrite",
             tag={"unit": f"docs-compact-{self.run_id}"},
         )
+        if cat.exists("pos_segments"):
+            # the positional sibling index (positions.py) shares doc ids;
+            # rewrite it under the same tombstone set + renumbering so
+            # phrase queries stay valid after compaction
+            from .positions import compact_positions
+
+            compact_positions(spark, cat, cfg, dels)
         self._commit_stats(
             {"n_docs": n_docs2, "total_tokens": total2, "avgdl": avgdl2},
             f"apply-deletes-{self.run_id}",

@@ -33,7 +33,7 @@ from .catalog import Catalog
 from .codec import decode_postings
 from .config import IndexConfig
 from .postings import term_bucket
-from .tokenize import analyze_query
+from .tokenize import analyze_phrase, analyze_query
 
 
 @dataclass
@@ -1582,6 +1582,63 @@ class IndexReader:
             )
             scores[ok] += contrib[pos[ok]]
         order = np.lexsort((matched, -scores))[: node.k]
+        return [(r + 1, int(matched[i]), float(scores[i])) for r, i in enumerate(order)]
+
+    # ------------------------------------------------- phrase / proximity
+    def _positions(self):
+        """Lazily-constructed positional sibling reader (positions.py);
+        shares this reader's tombstone mask so phrase results honor
+        deletes exactly like every other lane."""
+        if not hasattr(self, "_pos_reader"):
+            from .positions import PositionsReader
+
+            self._pos_reader = PositionsReader(
+                self.spark, self.cat.root, self.cfg, deleted=self._deleted
+            )
+        return self._pos_reader
+
+    def phrase(self, query: str, slop: int = 0) -> np.ndarray:
+        """Exact-phrase (slop=0) / ordered-proximity match over the
+        positional index: sorted doc ids whose parts stream contains the
+        query's parts as an ordered window of span ≤ (n-1)+slop.
+        Requires ``build_positions`` to have run for this index."""
+        return self._positions().phrase_docs(query, slop=slop)
+
+    def phrase_df(self, query: str, slop: int = 0) -> DataFrame:
+        """Phrase match as a doc_id DataFrame (harness/hydration lane)."""
+        ids = self.phrase(query, slop=slop)
+        return self.spark.createDataFrame(
+            [(int(d),) for d in ids], schema="doc_id long"
+        )
+
+    def phrase_topk(self, query: str, k: int = 10, slop: int = 0):
+        """BM25-ranked phrase results: the phrase filter selects, the
+        scorer ranks over the phrase's UNIQUE parts in first-occurrence
+        order (the engine's fixed summation order) with the
+        deterministic (score DESC, doc_id ASC) tie-break — Lucene's
+        PhraseQuery contract (match requires adjacency, score is the
+        standard per-term sum). Returns [(rank, doc_id, score)]."""
+        matched = self.phrase(query, slop=slop)
+        if matched.size == 0 or k <= 0:
+            return []
+        tokens = list(dict.fromkeys(analyze_phrase(query)))
+        got = self.fetch_terms(tokens)
+        scores = np.zeros(matched.size, dtype=np.float64)
+        for t in tokens:
+            tp = got.get(t)
+            if tp is None:
+                continue
+            pos = np.searchsorted(tp.doc_ids, matched)
+            ok = (pos < tp.doc_ids.size) & (
+                tp.doc_ids[np.minimum(pos, tp.doc_ids.size - 1)] == matched
+            )
+            contrib = tp.idf * (tp.tfs.astype(np.float64) * (self.cfg.k1 + 1.0)) / (
+                tp.tfs.astype(np.float64)
+                + self.cfg.k1
+                * (1.0 - self.cfg.b + self.cfg.b * (tp.dls.astype(np.float64) / self.avgdl))
+            )
+            scores[ok] += contrib[pos[ok]]
+        order = np.lexsort((matched, -scores))[:k]
         return [(r + 1, int(matched[i]), float(scores[i])) for r, i in enumerate(order)]
 
     def bool_and(self, query: str) -> np.ndarray:

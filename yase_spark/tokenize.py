@@ -71,6 +71,17 @@ def tokenize_text(text: str, ngrams: bool = True) -> list[str]:
     return out
 
 
+def analyze_phrase(query: str) -> list[str]:
+    """Phrase analyzer: the query's PARTS stream in order (no synonym
+    tokens, duplicates kept) — the positional index's token stream
+    (positions.py module docstring), so ``"getUserName"`` as a phrase is
+    the 3-part sequence ``get user name``."""
+    out: list[str] = []
+    for ident in _ident.findall(query):
+        out.extend(split_parts(ident))
+    return out
+
+
 def analyze_query(query: str, ngrams: bool = False) -> list[str]:
     """Query analyzer (T4): unique tokens, first-occurrence order kept —
     the fixed BM25 summation order (BASELINE.json:6 bitwise parity)."""

@@ -42,8 +42,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "cmd",
         choices=[
-            "build", "query", "synth", "bench", "neardup", "ann", "stream",
-            "compact", "delete",
+            "build", "positions", "query", "synth", "bench", "neardup", "ann",
+            "stream", "compact", "delete",
         ],
     )
     p.add_argument(
@@ -71,7 +71,15 @@ def main(argv=None) -> int:
         "the tree's positive tokens",
     )
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--kind", choices=["topk", "and", "or"], default="topk")
+    p.add_argument(
+        "--kind",
+        choices=["topk", "and", "or", "phrase", "phrase_topk"],
+        default="topk",
+    )
+    p.add_argument(
+        "--slop", type=int, default=0,
+        help="phrase kinds: max extra token gaps in the ordered window",
+    )
     p.add_argument("--docs", type=int, default=50000)
     p.add_argument("--out")
     p.add_argument("--ckpt", help="stream: checkpoint dir (default <index>_ckpt)")
@@ -102,6 +110,15 @@ def main(argv=None) -> int:
         cfg = IndexConfig(build_groups=args.groups) if args.groups else IndexConfig()
         summary = build_index(spark, corpus, args.index, cfg, manifest=manifest)
         print(json.dumps({k: v for k, v in summary.items()}, default=float))
+
+    elif args.cmd == "positions":
+        # positional sibling index (phrase / ordered-proximity queries):
+        # full build after `build`, incremental after appends (only docs
+        # above the covered high-water mark are tokenized)
+        from yase_spark.positions import build_positions
+
+        corpus = spark.read.parquet(args.corpus)
+        print(json.dumps(build_positions(spark, args.index, corpus), default=float))
 
     elif args.cmd == "compact":
         # maintenance: collapse a table's commit history to one data dir
@@ -182,6 +199,13 @@ def main(argv=None) -> int:
             out = [
                 {"rank": r, "doc_id": d, "score": s}
                 for r, d, s in rd.topk(args.q, args.k)
+            ]
+        elif args.kind == "phrase":
+            out = [int(x) for x in rd.phrase(args.q, slop=args.slop)]
+        elif args.kind == "phrase_topk":
+            out = [
+                {"rank": r, "doc_id": d, "score": s}
+                for r, d, s in rd.phrase_topk(args.q, args.k, slop=args.slop)
             ]
         elif args.kind == "and":
             out = rd.bool_and(args.q).tolist()
