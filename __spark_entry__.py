@@ -863,6 +863,73 @@ def _q_fingerprint(spark, sf_dir):
     return doc_fingerprints(_docs(spark, sf_dir))
 
 
+# --------------- multi-term expansion + facets (round 3, expand.py)
+EXP_PREFIX = "s"       # -> small scan slow stream sort spark (df-ranked)
+EXP_WILD = "s*a*"      # -> small scan stream spark
+EXP_FUZZ = "sow"       # edit distance 1 -> slow, row
+
+
+def _dict_reader(spark, sf_dir) -> IndexReader:
+    """Main index plus the sorted ``dictionary(term, df)`` sibling table
+    (expand.py) — prefix lookups become Parquet min/max range pruning."""
+    rd = _reader(spark, sf_dir)
+    key = ("dictionary", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.expand import build_term_dictionary
+
+        build_term_dictionary(spark, rd.cat.root)
+        _CACHE[key] = True
+        rd = _reader(spark, sf_dir)
+    return rd
+
+
+def _q_prefix_expand(spark, sf_dir):
+    # dictionary expansion order is part of the contract: highest-df
+    # first (most recall per clause), term ASC tie-break — the oracle
+    # recomputes the ranking from raw tokens
+    rd = _dict_reader(spark, sf_dir)
+    terms = rd.expand_terms("prefix", EXP_PREFIX)
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(terms)] or [],
+        schema="rank long, term string",
+    )
+
+
+def _q_multi_term_search(spark, sf_dir):
+    # constant-score MultiTermQuery rewrite: wildcard expansion -> OR
+    rd = _dict_reader(spark, sf_dir)
+    ids = rd.multi_term_search("wildcard", EXP_WILD)
+    res = spark.createDataFrame(
+        [(int(d),) for d in ids.tolist()] or [], schema="doc_id long"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(F.col("orig_doc_id").alias("doc_id"))
+
+
+def _q_multi_term_topk(spark, sf_dir):
+    # scoring MultiTermQuery rewrite: fuzzy expansion feeds the same
+    # block-max WAND executor as an ordinary multi-term query
+    rd = _dict_reader(spark, sf_dir)
+    rows = rd.multi_term_topk("fuzzy", EXP_FUZZ, k=10, max_edits=1)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r")
+    )
+
+
+def _q_facet_counts(spark, sf_dir):
+    # facet collection over a boolean match set: executor-side end-to-
+    # end (match set from the one-shuffle search_df lane, one count agg)
+    from yase_spark.query import And, Term
+
+    rd = _reader(spark, sf_dir)
+    tree = And([Term(AND_TERMS[0]), Term(AND_TERMS[1])])
+    return rd.facet_counts(tree, "lang", topn=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_agg": _q_tf,
@@ -925,15 +992,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "append_df_agg": _q_append_df_agg,
         "stream_df_agg": _q_stream_df_agg,
         "bool_and_distributed": _q_bool_and_distributed,
+        # multi-term expansion + facets (round 3): expand.py
+        "prefix_expand": _q_prefix_expand,
+        "multi_term_search": _q_multi_term_search,
+        "multi_term_topk": _q_multi_term_topk,
+        "facet_counts": _q_facet_counts,
     }
 
 
-def _bm25_oracle_sql(select: str, t_sql: str | None = None) -> str:
-    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+def _bm25_oracle_sql(
+    select: str, t_sql: str | None = None, term_pred: str | None = None
+) -> str:
+    terms = term_pred or "term IN (%s)" % ", ".join(f"'{t}'" for t in BM25_TERMS)
     return f"""
 {t_sql or _T_SQL},
 dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-tf AS (SELECT term, doc_id, count(*) AS tf FROM t WHERE term IN ({terms}) GROUP BY 1, 2),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t WHERE {terms} GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
 sc AS (
@@ -1449,6 +1523,29 @@ SELECT vec_id AS item_id, (fr.k * 16 + px.j)::INT AS idx,
        round(v[(fr.k*2)*16 + px.j + 1], 6) AS val_r
 FROM e CROSS JOIN fr CROSS JOIN px
 """,
+        # multi-term expansion + facets (round 3, expand.py)
+        "prefix_expand": (
+            f"{_T_SQL}, d AS (SELECT term, count(DISTINCT doc_id) AS df "
+            f"FROM t WHERE term LIKE '{EXP_PREFIX}%' GROUP BY 1) "
+            "SELECT row_number() OVER (ORDER BY df DESC, term) AS rank, "
+            "term FROM d"
+        ),
+        "multi_term_search": (
+            f"{_T_SQL} SELECT DISTINCT doc_id FROM t "
+            f"WHERE term LIKE '{EXP_WILD.replace('*', '%')}'"
+        ),
+        "multi_term_topk": _bm25_oracle_sql(
+            "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+            "ORDER BY score DESC, doc_id LIMIT 10",
+            term_pred=f"levenshtein(term, '{EXP_FUZZ}') <= 1",
+        ),
+        "facet_counts": (
+            f"{_T_SQL}, m AS ("
+            f"SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}' "
+            f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_b}') "
+            "SELECT d.lang, count(*) AS cnt FROM m JOIN documents d "
+            "USING (doc_id) GROUP BY 1 ORDER BY cnt DESC, lang LIMIT 10"
+        ),
         # ann_lsh_topk: rows-only (approximate by design; recall gated
         # in tests/test_pipeline_ops.py). codec_roundtrip, checkpoints:
         # rows-only (engine-internal — real gates are in tests/).

@@ -1,0 +1,157 @@
+"""Dictionary expansion (prefix/wildcard/regex/fuzzy), ranked/boolean
+multi-term rewrites, and facet counts (expand.py + IndexReader hooks).
+
+Gates: expansions == a pure-Python scan of the collected dictionary;
+the sorted-dictionary path == the segments-scan fallback AND its prefix
+predicate reaches the Parquet scan (PushedFilters); the boolean rewrite
+== union of per-term doc sets; the ranked rewrite == a naive
+fixed-order BM25 disjunction; facets == a pandas recount of the match
+set; the expansion cap raises.
+"""
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yase_spark.expand import (
+    MAX_EXPANSIONS,
+    TermExpander,
+    build_term_dictionary,
+    literal_prefix,
+    wildcard_to_regex,
+)
+from yase_spark.query import IndexReader
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def rd(spark, tiny_index):
+    root, cfg, _ = tiny_index
+    n = build_term_dictionary(spark, root)
+    assert n > 0
+    return IndexReader(spark, root, cfg)
+
+
+@pytest.fixture(scope="module")
+def all_terms(spark, rd):
+    return {
+        r["term"]: r["df"]
+        for r in rd.cat.read(spark, "dictionary").collect()
+    }
+
+
+def _naive_expand(all_terms, pred, limit=MAX_EXPANSIONS):
+    hits = sorted(
+        (t for t in all_terms if pred(t)),
+        key=lambda t: (-all_terms[t], t),
+    )
+    assert len(hits) <= limit
+    return hits
+
+
+def test_expansions_match_naive(rd, all_terms):
+    assert rd.expand_terms("prefix", "get") == _naive_expand(
+        all_terms, lambda t: t.startswith("get")
+    )
+    rx = re.compile(wildcard_to_regex("s*nc"))
+    assert rd.expand_terms("wildcard", "s*nc") == _naive_expand(
+        all_terms, lambda t: rx.match(t)
+    )
+    assert rd.expand_terms("regex", "^ev[a-z]+$") == _naive_expand(
+        all_terms, lambda t: re.match("^ev[a-z]+$", t)
+    )
+    assert rd.expand_terms("fuzzy", "jsom", max_edits=1) == _naive_expand(
+        all_terms, lambda t: _levenshtein(t, "jsom") <= 1
+    )
+    assert "json" in rd.expand_terms("fuzzy", "jsom", max_edits=1)
+
+
+def test_wildcard_helpers():
+    assert wildcard_to_regex("a*b?c") == "^a.*b.c$"
+    assert literal_prefix("abc*d") == "abc"
+    assert literal_prefix("*x") == ""
+
+
+def test_dictionary_path_equals_fallback(spark, rd, tiny_index, all_terms):
+    root, _, _ = tiny_index
+    ex = TermExpander(spark, root)
+    # force the fallback (segments (term, df) scan)
+    fb = TermExpander.__new__(TermExpander)
+    fb.spark, fb.cat = spark, ex.cat
+    fb._dic = ex.cat.read(spark, "segments").select("term", "df")
+    for kind, arg in [("prefix", "co"), ("fuzzy", "page")]:
+        assert getattr(ex, kind)(arg) == getattr(fb, kind)(arg)
+
+
+def test_prefix_predicate_pushdown(spark, rd):
+    """The sorted dictionary table turns a prefix lookup into a pushed
+    range predicate — at scale that is Parquet row-group pruning."""
+    dic = rd.cat.read(spark, "dictionary")
+    from yase_spark.expand import _prefix_range
+
+    plan = dic.filter(_prefix_range(F.col("term"), "get"))._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(term," in plan
+
+
+def test_multi_term_search_is_union(rd):
+    terms = rd.expand_terms("prefix", "get")
+    got = rd.multi_term_search("prefix", "get")
+    union = np.unique(
+        np.concatenate(
+            [tp.doc_ids for tp in rd.fetch_terms(terms).values() if tp is not None]
+        )
+    )
+    assert got.tolist() == union.tolist()
+
+
+def test_multi_term_topk_matches_naive(rd):
+    terms = rd.expand_terms("prefix", "ge")
+    got = rd.multi_term_topk("prefix", "ge", k=10)
+    assert len(got) == 10
+    # naive disjunction in the SAME term order (fixed summation order)
+    tps = [tp for tp in rd.fetch_terms(terms).values() if tp is not None]
+    scores: dict[int, float] = {}
+    for tp in tps:
+        contrib = tp.idf * (tp.tfs.astype(np.float64) * (rd.cfg.k1 + 1.0)) / (
+            tp.tfs.astype(np.float64)
+            + rd.cfg.k1
+            * (1.0 - rd.cfg.b + rd.cfg.b * (tp.dls.astype(np.float64) / rd.avgdl))
+        )
+        for d, c in zip(tp.doc_ids.tolist(), contrib.tolist()):
+            scores[d] = scores.get(d, 0.0) + c
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(d, s) for _, d, s in got] == ref  # bitwise
+
+
+def test_expansion_cap_raises(rd):
+    with pytest.raises(ValueError, match="max_expansions"):
+        rd.expand_terms("prefix", "", limit=3)
+
+
+def test_facet_counts(spark, rd):
+    from yase_spark.query import And, Term
+
+    tree = And([Term("get"), Term("page")])
+    got = rd.facet_counts(tree, "lang", topn=10).collect()
+    matched = rd.search(tree)
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in rd.cat.read(spark, "docs").select("doc_id", "lang").collect()
+    }
+    counts: dict[str, int] = {}
+    for d in matched.tolist():
+        counts[docs[d]] = counts.get(docs[d], 0) + 1
+    ref = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["lang"], r["cnt"]) for r in got] == ref

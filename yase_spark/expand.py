@@ -1,0 +1,140 @@
+"""Multi-term query expansion: prefix / wildcard / regex / fuzzy, plus
+faceted counts over match sets.
+
+Lucene analogues: ``PrefixQuery`` / ``WildcardQuery`` / ``RegexpQuery`` /
+``FuzzyQuery`` (MultiTermQuery rewrites) and facet collection. The
+expansion step scans the TERM DICTIONARY, never postings:
+
+* ``build_term_dictionary`` publishes a ``dictionary(term, df)`` table
+  **range-partitioned and sorted by term**, so Parquet row-group min/max
+  statistics prune prefix lookups (``term >= 'pre' AND term < 'prf'``)
+  down to the few files whose range overlaps — the columnar analogue of
+  Lucene's sorted term index. Wildcard/regex patterns with a literal
+  prefix get the same range pruning (Lucene extracts the prefix too);
+  a leading-wildcard pattern is honestly a full dictionary-column scan.
+* Fuzzy expansion pre-filters by ``abs(length(term) - len(q)) <= e``
+  (edit distance lower bound) before the JVM ``levenshtein``.
+
+Matching docs for an expansion = ranked/boolean OR over the expanded
+terms, capped at ``max_expansions`` (Lucene's maxClauseCount): the
+driver lane feeds the expansion set through the existing block-max WAND
+executor; corpus-sized results belong to the DataFrame lanes
+(``*_df``), which stay executor-side end-to-end.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+
+MAX_EXPANSIONS = 1024  # Lucene maxClauseCount analogue
+
+
+def build_term_dictionary(
+    spark: SparkSession, index_root: str, n_files: int = 32
+) -> int:
+    """Publish the sorted ``dictionary(term, df)`` table (one shuffle of
+    the (term, df) projection — payloads never move). Sorting by term is
+    what turns prefix predicates into Parquet row-group pruning."""
+    cat = Catalog(index_root)
+    segs = cat.read(spark, "segments")
+    dic = (
+        segs.groupBy("term").agg(F.max("df").alias("df"))
+        .repartitionByRange(n_files, "term")
+        .sortWithinPartitions("term")
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation("dictionary-size")
+    dic = dic.observe(obs, F.count("*").alias("n"))
+    cat.write("dictionary", dic, mode="overwrite", tag={"unit": "dictionary"})
+    return int(obs.get["n"] or 0)
+
+
+def _prefix_range(col, prefix: str):
+    """term-range predicate for a literal prefix (pushed to Parquet
+    min/max). ``prefix + chr(0x10FFFF)`` upper-bounds every extension."""
+    return (col >= prefix) & (col <= prefix + "\U0010ffff")
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene wildcard syntax (``*`` any run, ``?`` one char) -> anchored
+    regex, everything else literal."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a wildcard pattern (range-pruning key)."""
+    out = []
+    for ch in pattern:
+        if ch in "*?":
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+class TermExpander:
+    """Dictionary-scan expansion over an index. Prefers the sorted
+    ``dictionary`` table (range-pruned); falls back to the segments'
+    (term, df) columns (columnar projection, no payload IO)."""
+
+    def __init__(self, spark: SparkSession, index_root: str):
+        self.spark = spark
+        self.cat = Catalog(index_root)
+        self._dic = (
+            self.cat.read(spark, "dictionary")
+            if self.cat.exists("dictionary")
+            else self.cat.read(spark, "segments").select("term", "df")
+        )
+
+    def _top(self, df: DataFrame, limit: int) -> list[str]:
+        # deterministic cap: highest-df first (the expansions that
+        # contribute most recall), term as tie-break
+        rows = df.orderBy(F.desc("df"), F.asc("term")).limit(limit + 1).collect()
+        if len(rows) > limit:
+            raise ValueError(
+                f"expansion exceeds max_expansions={limit}; narrow the "
+                "pattern or raise the cap"
+            )
+        return [r["term"] for r in rows]
+
+    def prefix(self, prefix: str, limit: int = MAX_EXPANSIONS) -> list[str]:
+        return self._top(
+            self._dic.filter(_prefix_range(F.col("term"), prefix)), limit
+        )
+
+    def wildcard(self, pattern: str, limit: int = MAX_EXPANSIONS) -> list[str]:
+        rx = wildcard_to_regex(pattern)
+        lead = literal_prefix(pattern)
+        d = self._dic
+        if lead:
+            d = d.filter(_prefix_range(F.col("term"), lead))
+        return self._top(d.filter(F.col("term").rlike(rx)), limit)
+
+    def regex(self, pattern: str, limit: int = MAX_EXPANSIONS) -> list[str]:
+        d = self._dic
+        m = re.match(r"\^([a-z0-9_]+)", pattern)
+        if m:
+            d = d.filter(_prefix_range(F.col("term"), m.group(1)))
+        return self._top(d.filter(F.col("term").rlike(pattern)), limit)
+
+    def fuzzy(self, term: str, max_edits: int = 1, limit: int = MAX_EXPANSIONS) -> list[str]:
+        d = self._dic.filter(
+            F.abs(F.length("term") - F.lit(len(term))) <= max_edits
+        )
+        return self._top(
+            d.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits),
+            limit,
+        )

@@ -1641,6 +1641,64 @@ class IndexReader:
         order = np.lexsort((matched, -scores))[:k]
         return [(r + 1, int(matched[i]), float(scores[i])) for r, i in enumerate(order)]
 
+    # ------------------------------------------- multi-term expansion
+    def _expander(self):
+        """Lazily-constructed dictionary expander (expand.py): prefers
+        the sorted ``dictionary`` table (Parquet min/max range pruning),
+        falls back to a columnar (term, df) scan of segments."""
+        if not hasattr(self, "_term_expander"):
+            from .expand import TermExpander
+
+            self._term_expander = TermExpander(self.spark, self.cat.root)
+        return self._term_expander
+
+    def expand_terms(self, kind: str, pattern, **kw) -> list[str]:
+        """Dictionary expansion: ``kind`` in prefix|wildcard|regex|fuzzy
+        (Lucene MultiTermQuery analogues), capped at max_expansions
+        (highest-df first)."""
+        ex = self._expander()
+        return getattr(ex, kind)(pattern, **kw)
+
+    def multi_term_search(self, kind: str, pattern, **kw) -> np.ndarray:
+        """Boolean OR over the expansion set -> sorted doc ids (the
+        constant-score MultiTermQuery rewrite). Driver lane; the
+        expansion cap bounds the fetch."""
+        terms = self.expand_terms(kind, pattern, **kw)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        got = self.fetch_terms(terms)
+        tps = [tp for tp in got.values() if tp is not None]
+        return bool_or(tps) if tps else np.empty(0, dtype=np.int64)
+
+    def multi_term_topk(self, kind: str, pattern, k: int = 10, **kw):
+        """BM25-ranked disjunction over the expansion set (the scoring
+        MultiTermQuery rewrite): the expansion terms feed the same
+        block-max WAND executor as an ordinary multi-term query, in the
+        expander's deterministic (df DESC, term ASC) order."""
+        terms = self.expand_terms(kind, pattern, **kw)
+        if not terms or k <= 0:
+            return []
+        got = self.fetch_terms(terms)
+        tps = [got[t] for t in terms if got[t] is not None]
+        return wand_topk(tps, k, self.cfg.k1, self.cfg.b, self.avgdl)
+
+    def facet_counts(self, tree, col: str, topn: int = 10) -> DataFrame:
+        """Facet collection over a boolean match set: top-N values of a
+        docs-table column among matching docs, (count DESC, value ASC).
+        Executor-side end-to-end: the match set comes from the
+        one-shuffle ``search_df`` lane and joins the docs dimension
+        before a single count aggregation — nothing corpus-sized ever
+        reaches the driver."""
+        matched = self.search_df(tree)
+        docs = self.cat.read(self.spark, "docs").select("doc_id", col)
+        return (
+            matched.join(docs, "doc_id")
+            .groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc(col))
+            .limit(topn)
+        )
+
     def bool_and(self, query: str) -> np.ndarray:
         """Driver boolean AND (sorted doc_id array). Dispatches to the
         cluster kernel when the dictionary-estimated postings exceed

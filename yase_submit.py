@@ -42,8 +42,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "cmd",
         choices=[
-            "build", "positions", "query", "synth", "bench", "neardup", "ann",
-            "stream", "compact", "delete",
+            "build", "positions", "dictionary", "query", "synth", "bench",
+            "neardup", "ann", "stream", "compact", "delete",
         ],
     )
     p.add_argument(
@@ -73,8 +73,23 @@ def main(argv=None) -> int:
     p.add_argument("--k", type=int, default=10)
     p.add_argument(
         "--kind",
-        choices=["topk", "and", "or", "phrase", "phrase_topk"],
+        choices=["topk", "and", "or", "phrase", "phrase_topk", "terms"],
         default="topk",
+    )
+    p.add_argument(
+        "--expand", choices=["prefix", "wildcard", "regex", "fuzzy"],
+        help="query: treat --q as a dictionary expansion pattern "
+        "(Lucene MultiTermQuery); --kind topk ranks the disjunction, "
+        "--kind or returns the match set, --kind terms the expansion list",
+    )
+    p.add_argument(
+        "--max-edits", type=int, default=1,
+        help="query --expand fuzzy: Levenshtein budget",
+    )
+    p.add_argument(
+        "--facet",
+        help="query: docs-table column to facet-count over the --tree "
+        "match set (top --k values)",
     )
     p.add_argument(
         "--slop", type=int, default=0,
@@ -166,27 +181,57 @@ def main(argv=None) -> int:
         print(json.dumps({"index": args.index, "checkpoint": ckpt,
                           "n_docs": rd.n_docs, "avgdl": rd.avgdl}))
 
+    elif args.cmd == "dictionary":
+        # sorted (term, df) sibling table: prefix/wildcard lookups become
+        # Parquet row-group range pruning (Lucene term-index analogue)
+        from yase_spark.expand import build_term_dictionary
+
+        n = build_term_dictionary(spark, args.index)
+        print(json.dumps({"index": args.index, "terms": n}))
+
     elif args.cmd == "query":
         from yase_spark.query import And, IndexReader, Not, Or, Term, TopK
 
         rd = IndexReader(spark, args.index)
-        if args.tree:
-            # boolean AST as JSON: "term" | {"and": [...]} | {"or": [...]}
-            # | {"not": "x"} (valid only beside a positive "and" sibling)
-            # e.g. --tree '{"and": [{"or": ["window", "spark"]}, {"not": "table"}]}'
-            def parse(node):
-                if isinstance(node, str):
-                    return Term(node)
-                if isinstance(node, dict) and len(node) == 1:
-                    (op, kids), = node.items()
-                    if op == "and":
-                        return And([parse(k) for k in kids])
-                    if op == "or":
-                        return Or([parse(k) for k in kids])
-                    if op == "not":
-                        return Not(parse(kids))
-                raise SystemExit(f"bad tree node: {node!r}")
 
+        # boolean AST as JSON: "term" | {"and": [...]} | {"or": [...]}
+        # | {"not": "x"} (valid only beside a positive "and" sibling)
+        # e.g. --tree '{"and": [{"or": ["window", "spark"]}, {"not": "table"}]}'
+        def parse(node):
+            if isinstance(node, str):
+                return Term(node)
+            if isinstance(node, dict) and len(node) == 1:
+                (op, kids), = node.items()
+                if op == "and":
+                    return And([parse(k) for k in kids])
+                if op == "or":
+                    return Or([parse(k) for k in kids])
+                if op == "not":
+                    return Not(parse(kids))
+            raise SystemExit(f"bad tree node: {node!r}")
+
+        if args.facet:
+            if not args.tree:
+                raise SystemExit("query --facet needs --tree")
+            rows = rd.facet_counts(
+                parse(json.loads(args.tree)), args.facet, topn=args.k
+            ).collect()
+            out = [r.asDict() for r in rows]
+        elif args.expand:
+            # MultiTermQuery rewrites over the dictionary expansion
+            kw = {"max_edits": args.max_edits} if args.expand == "fuzzy" else {}
+            if args.kind == "topk":
+                out = [
+                    {"rank": r, "doc_id": d, "score": s}
+                    for r, d, s in rd.multi_term_topk(
+                        args.expand, args.q, args.k, **kw
+                    )
+                ]
+            elif args.kind == "or":
+                out = rd.multi_term_search(args.expand, args.q, **kw).tolist()
+            else:
+                out = rd.expand_terms(args.expand, args.q, **kw)
+        elif args.tree:
             tree = parse(json.loads(args.tree))
             if args.kind == "topk":
                 out = [
