@@ -920,6 +920,36 @@ def _q_multi_term_topk(spark, sf_dir):
     )
 
 
+HL_WIDTH = 10
+
+
+def _q_highlight_topk(spark, sf_dir):
+    # best-passage highlighting of the top-10 BM25 hits: window coords
+    # from the positional index, snippet text hydrated from the corpus
+    # (content never lives in the index) — oracle recomputes the
+    # anchored-window argmax and the token slice from raw text
+    from yase_spark.positions import snippet_df
+
+    rd = _pos_reader(spark, sf_dir)
+    rows = rd.highlight_topk(" ".join(BM25_TERMS), k=10, width=HL_WIDTH)
+    wins = spark.createDataFrame(
+        [(d, ws, nh) for _, d, _, ws, nh in rows] or [],
+        schema="doc_id long, win_start long, n_hits long",
+    )
+    snip = snippet_df(
+        wins, rd.cat.read(spark, "docs"), _corpus_shape(spark, sf_dir),
+        width=HL_WIDTH,
+    )
+    m = _orig_ids(rd, spark)
+    return (
+        wins.join(snip, "doc_id").join(m, "doc_id")
+        .select(
+            F.col("orig_doc_id").alias("doc_id"),
+            "win_start", "n_hits", "snippet",
+        )
+    )
+
+
 def _q_facet_counts(spark, sf_dir):
     # facet collection over a boolean match set: executor-side end-to-
     # end (match set from the one-shuffle search_df lane, one count agg)
@@ -993,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_df_agg": _q_stream_df_agg,
         "bool_and_distributed": _q_bool_and_distributed,
         # multi-term expansion + facets (round 3): expand.py
+        "highlight_topk": _q_highlight_topk,
         "prefix_expand": _q_prefix_expand,
         "multi_term_search": _q_multi_term_search,
         "multi_term_topk": _q_multi_term_topk,
@@ -1522,6 +1553,44 @@ fr AS (SELECT unnest(range(0, 2)) k), px AS (SELECT unnest(range(0, 16)) j)
 SELECT vec_id AS item_id, (fr.k * 16 + px.j)::INT AS idx,
        round(v[(fr.k*2)*16 + px.j + 1], 6) AS val_r
 FROM e CROSS JOIN fr CROSS JOIN px
+""",
+        # best-passage highlighting: anchored fixed-width window argmax
+        # (max distinct query terms, smallest start) over the top-10
+        # BM25 hits + the token slice as snippet text. Engine positions
+        # are 0-based, _POS_SQL row_number is 1-based -> s - 1.
+        "highlight_topk": f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+       WHERE term IN ({", ".join(f"'{x}'" for x in BM25_TERMS)}) GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+),
+top AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id LIMIT 10),
+{_POS_SQL},
+hits AS (SELECT f.doc_id, f.term, f.p FROM f JOIN top USING (doc_id)
+         WHERE f.term IN ({", ".join(f"'{x}'" for x in BM25_TERMS)})),
+win AS (SELECT c.doc_id, c.p AS s, count(DISTINCT h.term) AS nh
+        FROM hits c JOIN hits h ON h.doc_id = c.doc_id
+             AND h.p >= c.p AND h.p < c.p + {HL_WIDTH}
+        GROUP BY 1, 2),
+best AS (SELECT doc_id, s, nh,
+         row_number() OVER (PARTITION BY doc_id ORDER BY nh DESC, s) AS rn
+         FROM win),
+arr AS (SELECT d.doc_id,
+        list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                    x -> x <> '') AS toks
+        FROM documents d JOIN top ON top.doc_id = d.doc_id)
+SELECT b.doc_id, b.s - 1 AS win_start, b.nh AS n_hits,
+       array_to_string(list_slice(a.toks, b.s, b.s + {HL_WIDTH} - 1), ' ') AS snippet
+FROM best b JOIN arr a USING (doc_id) WHERE b.rn = 1
 """,
         # multi-term expansion + facets (round 3, expand.py)
         "prefix_expand": (

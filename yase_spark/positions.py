@@ -671,3 +671,132 @@ class PositionsReader:
             )
         hit_ranks = match_ordered_window(key_lists, slop)
         return cand[hit_ranks]
+
+    def best_windows(
+        self, terms: list[str], doc_ids, width: int = 30
+    ) -> dict[int, tuple[int, int]]:
+        """Best fixed-width passage per document (Lucene unified-
+        highlighter shape, simplified): for each doc the ``width``-token
+        window containing the most DISTINCT query terms, tie-broken to
+        the smallest start. Windows are anchored at hit positions — any
+        optimal window can be slid right until its left edge lands on
+        its leftmost hit without changing membership, so anchoring is
+        lossless and makes the contract deterministic.
+
+        Returns ``{doc_id: (win_start, n_hits)}`` (0-based token
+        positions in the doc's PARTS stream). Serving-shaped: meant for
+        the k hydrated results of a query (Lucene highlights top hits
+        only, never the corpus) — cost is O(query-term hits in those
+        docs) after one positional fetch of the query terms."""
+        uniq = list(dict.fromkeys(terms))
+        want = np.asarray(sorted({int(x) for x in np.asarray(doc_ids).ravel()}),
+                          dtype=np.int64)
+        if want.size == 0 or not uniq:
+            return {}
+        got = self.fetch(uniq)
+        doc_l, pos_l, tid_l = [], [], []
+        for ti, t in enumerate(uniq):
+            pp = got[t]
+            if pp is None:
+                continue
+            mask = np.isin(pp.doc_ids, want, assume_unique=True)
+            if not mask.any():
+                continue
+            cnts = pp.counts[mask]
+            doc_l.append(np.repeat(pp.doc_ids[mask], cnts))
+            pos_l.append(pp.pos[np.repeat(mask, pp.counts)])
+            tid_l.append(np.full(int(cnts.sum()), ti, dtype=np.int64))
+        if not doc_l:
+            return {}
+        d = np.concatenate(doc_l)
+        p = np.concatenate(pos_l)
+        t = np.concatenate(tid_l)
+        order = np.lexsort((p, d))
+        d, p, t = d[order], p[order], t[order]
+        bounds = np.append(
+            np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1]))), d.size
+        )
+        out: dict[int, tuple[int, int]] = {}
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        for si in range(bounds.size - 1):
+            lo, hi = bounds[si], bounds[si + 1]
+            dp, dt = p[lo:hi], t[lo:hi]
+            counts[:] = 0
+            distinct = 0
+            best_n, best_s = -1, -1
+            r = 0
+            # classic two-pointer: l anchors at each hit, r extends to
+            # the window edge; distinct is maintained incrementally
+            for l in range(dp.size):
+                while r < dp.size and dp[r] < dp[l] + width:
+                    if counts[dt[r]] == 0:
+                        distinct += 1
+                    counts[dt[r]] += 1
+                    r += 1
+                if distinct > best_n:
+                    best_n, best_s = distinct, int(dp[l])
+                counts[dt[l]] -= 1
+                if counts[dt[l]] == 0:
+                    distinct -= 1
+            out[int(d[lo])] = (best_s, best_n)
+        return out
+
+
+def parts_column(content):
+    """JVM column expression for a document's PARTS stream (the
+    positional index's token stream): identifier split, acronym/camel
+    boundaries, lowercase — the regexp_replace chain produces the same
+    stream as the Arrow build kernel (`_local_pos_batches`), pytest-
+    gated against the pure-Python tokenizer."""
+    s = F.regexp_replace(content, NON_IDENT_RE, " ")
+    s = F.regexp_replace(s, ACRONYM_RE, r"$1 $2")
+    s = F.regexp_replace(s, CAMEL_RE, r"$1 $2")
+    s = F.regexp_replace(s, "_+", " ")
+    arr = F.split(F.lower(s), " +")
+    return F.filter(arr, lambda x: x != F.lit(""))
+
+
+def snippet_df(
+    windows: DataFrame, docs: DataFrame, corpus: DataFrame, width: int = 30
+) -> DataFrame:
+    """Hydrate passage windows into snippet text: ``windows``
+    (doc_id, win_start, …) are the k highlight results, ``docs`` is the
+    engine docs dimension (doc_id -> natural key; content is dropped at
+    index time by design), ``corpus`` is the content-bearing source
+    table. Returns (doc_id, snippet).
+
+    Scale shape: the k natural keys are collected driver-side (k rows by
+    contract) and pushed into the corpus scan as an `isin` predicate —
+    at 100 TB the blob-store scan prunes to the k files — then a
+    broadcast join attaches win_start and one JVM slice cuts the
+    window. Nothing corpus-sized shuffles."""
+    keyed = windows.join(
+        docs.select("doc_id", "repo", "path", "commit"), "doc_id"
+    )
+    rows = keyed.collect()
+    if not rows:
+        return windows.sparkSession.createDataFrame(
+            [], schema="doc_id long, snippet string"
+        )
+    paths = [r["path"] for r in rows]
+    keyed_small = windows.sparkSession.createDataFrame(
+        [(r["doc_id"], r["repo"], r["path"], r["commit"], r["win_start"])
+         for r in rows],
+        schema="doc_id long, repo string, path string, commit string, "
+        "win_start long",
+    )
+    src = corpus.filter(F.col("path").isin(paths)).select(
+        "repo", "path", "commit", "content"
+    )
+    j = src.join(F.broadcast(keyed_small), ["repo", "path", "commit"])
+    return j.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.slice(
+                parts_column(F.col("content")),
+                (F.col("win_start") + 1).cast("int"),
+                F.lit(width),
+            ),
+        ).alias("snippet"),
+    )

@@ -1641,6 +1641,28 @@ class IndexReader:
         order = np.lexsort((matched, -scores))[:k]
         return [(r + 1, int(matched[i]), float(scores[i])) for r, i in enumerate(order)]
 
+    def highlight_topk(self, query: str, k: int = 10, width: int = 30):
+        """Ranked top-k with a best-passage highlight per hit: the
+        ``width``-token window of each result doc containing the most
+        DISTINCT query parts (tie: smallest start), from the positional
+        sibling index. Lucene's unified-highlighter contract shape —
+        only the k hits are highlighted, never the corpus. Returns
+        ``[(rank, doc_id, score, win_start, n_hits)]`` with 0-based
+        parts-stream positions; hydrate text via
+        ``positions.snippet_df`` (content never lives in the index)."""
+        rows = self.topk(query, k)
+        if not rows:
+            return []
+        parts = list(dict.fromkeys(analyze_phrase(query)))
+        wins = self._positions().best_windows(
+            parts, [d for _, d, _ in rows], width=width
+        )
+        # a hit with none of the query PARTS (e.g. matched only via an
+        # n-gram token) gets the honest empty window
+        return [
+            (r, d, s, *wins.get(d, (-1, 0))) for r, d, s in rows
+        ]
+
     # ------------------------------------------- multi-term expansion
     def _expander(self):
         """Lazily-constructed dictionary expander (expand.py): prefers

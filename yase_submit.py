@@ -73,8 +73,13 @@ def main(argv=None) -> int:
     p.add_argument("--k", type=int, default=10)
     p.add_argument(
         "--kind",
-        choices=["topk", "and", "or", "phrase", "phrase_topk", "terms"],
+        choices=["topk", "and", "or", "phrase", "phrase_topk", "terms",
+                 "highlight"],
         default="topk",
+    )
+    p.add_argument(
+        "--width", type=int, default=30,
+        help="query --kind highlight: passage window width in tokens",
     )
     p.add_argument(
         "--expand", choices=["prefix", "wildcard", "regex", "fuzzy"],
@@ -245,6 +250,32 @@ def main(argv=None) -> int:
                 {"rank": r, "doc_id": d, "score": s}
                 for r, d, s in rd.topk(args.q, args.k)
             ]
+        elif args.kind == "highlight":
+            # top-k + best passage window; --corpus additionally
+            # hydrates snippet text from the content-bearing source
+            out = [
+                {"rank": r, "doc_id": d, "score": s,
+                 "win_start": ws, "n_hits": nh}
+                for r, d, s, ws, nh in rd.highlight_topk(
+                    args.q, args.k, width=args.width
+                )
+            ]
+            if args.corpus and out:
+                from yase_spark.positions import snippet_df
+
+                wins = spark.createDataFrame(
+                    [(o["doc_id"], o["win_start"]) for o in out],
+                    schema="doc_id long, win_start long",
+                )
+                snips = {
+                    r["doc_id"]: r["snippet"]
+                    for r in snippet_df(
+                        wins, rd.cat.read(spark, "docs"),
+                        spark.read.parquet(args.corpus), width=args.width,
+                    ).collect()
+                }
+                for o in out:
+                    o["snippet"] = snips.get(o["doc_id"], "")
         elif args.kind == "phrase":
             out = [int(x) for x in rd.phrase(args.q, slop=args.slop)]
         elif args.kind == "phrase_topk":
