@@ -950,6 +950,34 @@ def _q_highlight_topk(spark, sf_dir):
     )
 
 
+MLT_SRC = 7   # original documents.doc_id of the find-similar source
+MLT_M = 5
+
+
+def _q_more_like_this(spark, sf_dir):
+    # find-similar: top-m interesting terms of the source doc (tf *
+    # ln(N/df)) scored as a BM25 disjunction, source excluded — the
+    # oracle recomputes selection AND ranking from raw tokens
+    rd = _dict_reader(spark, sf_dir)
+    src_row = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") == MLT_SRC)
+        .select("text").collect()
+    )
+    m = _orig_ids(rd, spark)
+    src_engine = int(
+        m.filter(F.col("orig_doc_id") == MLT_SRC).collect()[0]["doc_id"]
+    )
+    rows = rd.more_like_this(
+        src_row[0]["text"], k=10, m=MLT_M, exclude=src_engine
+    )
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r")
+    )
+
+
 def _q_facet_counts(spark, sf_dir):
     # facet collection over a boolean match set: executor-side end-to-
     # end (match set from the one-shuffle search_df lane, one count agg)
@@ -1024,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_and_distributed": _q_bool_and_distributed,
         # multi-term expansion + facets (round 3): expand.py
         "highlight_topk": _q_highlight_topk,
+        "more_like_this": _q_more_like_this,
         "prefix_expand": _q_prefix_expand,
         "multi_term_search": _q_multi_term_search,
         "multi_term_topk": _q_multi_term_topk,
@@ -1591,6 +1620,32 @@ arr AS (SELECT d.doc_id,
 SELECT b.doc_id, b.s - 1 AS win_start, b.nh AS n_hits,
        array_to_string(list_slice(a.toks, b.s, b.s + {HL_WIDTH} - 1), ' ') AS snippet
 FROM best b JOIN arr a USING (doc_id) WHERE b.rn = 1
+""",
+        # more-like-this: term selection (tf * ln(N/df), top-m, term ASC
+        # tie-break) and the BM25 disjunction over the selected terms,
+        # source doc excluded — both recomputed from raw tokens
+        "more_like_this": f"""
+{_T_SQL},
+src AS (SELECT term, count(*) AS tf FROM t WHERE doc_id = {MLT_SRC} GROUP BY 1),
+alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents),
+sel AS (SELECT s.term FROM src s JOIN alldf d USING (term) CROSS JOIN nn
+        ORDER BY s.tf * ln(nn.n * 1.0 / d.df) DESC, s.term LIMIT {MLT_M}),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tfq AS (SELECT t.term, t.doc_id, count(*) AS tf FROM t JOIN sel USING (term)
+        GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+sc AS (
+  SELECT tfq.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tfq.tf * {K1 + 1.0}) / (tfq.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tfq JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 5) AS score_r FROM sc WHERE doc_id <> {MLT_SRC}
+ORDER BY score DESC, doc_id LIMIT 10
 """,
         # multi-term expansion + facets (round 3, expand.py)
         "prefix_expand": (

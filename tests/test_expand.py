@@ -140,6 +140,70 @@ def test_expansion_cap_raises(rd):
         rd.expand_terms("prefix", "", limit=3)
 
 
+@pytest.fixture(scope="module")
+def doc_texts(spark, rd, tiny_corpus):
+    return {
+        r["doc_id"]: r["content"]
+        for r in rd.cat.read(spark, "docs")
+        .join(
+            tiny_corpus.select("repo", "path", "commit", "content"),
+            ["repo", "path", "commit"],
+        )
+        .select("doc_id", "content")
+        .collect()
+    }
+
+
+def test_mlt_terms_match_naive(rd, doc_texts):
+    """Term selection == a pure-Python tf*ln(N/df) ranking where df is
+    recomputed from every document's analyzed token SET (the index df
+    definition), N = corpus size."""
+    import math
+    from collections import Counter
+
+    from yase_spark.tokenize import tokenize_text
+
+    n = len(doc_texts)
+    df = Counter(
+        t
+        for txt in doc_texts.values()
+        for t in set(tokenize_text(txt, ngrams=rd.cfg.ngrams))
+    )
+    for src in (5, 77, 400):
+        tf = Counter(tokenize_text(doc_texts[src], ngrams=rd.cfg.ngrams))
+        scored = sorted(
+            ((t, c * math.log(n / df[t])) for t, c in tf.items() if df[t]),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        assert rd.mlt_terms(doc_texts[src], m=15) == [t for t, _ in scored[:15]]
+
+
+def test_more_like_this_scores_and_excludes(rd, doc_texts):
+    src = 5
+    terms = rd.mlt_terms(doc_texts[src], m=15)
+    got = rd.more_like_this(doc_texts[src], k=10, m=15, exclude=src)
+    assert len(got) == 10
+    assert src not in {d for _, d, _ in got}
+    # without exclusion the source doc itself must win or place: it
+    # contains every selected term by construction
+    got_incl = rd.more_like_this(doc_texts[src], k=10, m=15)
+    assert src in {d for _, d, _ in got_incl}
+    # naive fixed-order summation over the same fetched postings
+    tps = [tp for t in terms for tp in [rd.fetch_terms([t])[t]] if tp is not None]
+    scores: dict[int, float] = {}
+    for tp in tps:
+        contrib = tp.idf * (tp.tfs.astype("float64") * (rd.cfg.k1 + 1.0)) / (
+            tp.tfs.astype("float64")
+            + rd.cfg.k1
+            * (1.0 - rd.cfg.b + rd.cfg.b * (tp.dls.astype("float64") / rd.avgdl))
+        )
+        for d, c in zip(tp.doc_ids.tolist(), contrib.tolist()):
+            scores[d] = scores.get(d, 0.0) + c
+    scores.pop(src, None)
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(d, s) for _, d, s in got] == ref  # bitwise
+
+
 def test_facet_counts(spark, rd):
     from yase_spark.query import And, Term
 

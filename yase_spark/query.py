@@ -1704,6 +1704,79 @@ class IndexReader:
         tps = [got[t] for t in terms if got[t] is not None]
         return wand_topk(tps, k, self.cfg.k1, self.cfg.b, self.avgdl)
 
+    # ------------------------------------------------ more-like-this
+    def mlt_terms(self, text: str, m: int = 25, min_df: int = 1) -> list[str]:
+        """Lucene-MoreLikeThis term selection: re-analyze the source
+        text with the index analyzer, score each candidate term
+        ``tf * ln(N/df)`` (the classic MLT interestingness), keep the
+        top-m (score DESC, term ASC — deterministic). df comes from the
+        dictionary/segments (term, df) projection with the candidate
+        list pushed into the scan — one dictionary-sized lookup, no
+        postings move."""
+        from collections import Counter
+
+        from .tokenize import tokenize_text
+
+        tf = Counter(tokenize_text(text, ngrams=self.cfg.ngrams))
+        if not tf:
+            return []
+        dic = self._expander()._dic.filter(F.col("term").isin(sorted(tf)))
+        dfs: dict[str, int] = {
+            r["term"]: int(r["df"]) for r in dic.collect()
+        }
+        n = float(self.n_docs)
+        scored = [
+            (t, tf[t] * math.log(n / dfs[t]))
+            for t in sorted(tf)
+            if dfs.get(t, 0) >= max(min_df, 1)
+        ]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return [t for t, _ in scored[:m]]
+
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 10,
+        m: int = 25,
+        exclude: int | None = None,
+        min_df: int = 1,
+    ):
+        """Find-similar: the source text's top-m interesting terms
+        scored as an ordinary BM25 disjunction; ``exclude`` drops the
+        source document itself from the ranking (MLT's "don't return
+        the query doc" rule). Driver exact lane — dense accumulation
+        over the fetched postings in the fixed mlt_terms order (the
+        same scorer shape as phrase_topk); a corpus-sized serve belongs
+        to ``topk_where`` with a ``doc_id != …`` predicate."""
+        terms = self.mlt_terms(text, m=m, min_df=min_df)
+        if not terms or k <= 0:
+            return []
+        got = self.fetch_terms(terms)
+        tps = [got[t] for t in terms if got[t] is not None]
+        if not tps:
+            return []
+        allids = np.unique(np.concatenate([tp.doc_ids for tp in tps]))
+        scores = np.zeros(allids.size, dtype=np.float64)
+        for tp in tps:
+            pos = np.searchsorted(allids, tp.doc_ids)
+            contrib = tp.idf * (
+                tp.tfs.astype(np.float64) * (self.cfg.k1 + 1.0)
+            ) / (
+                tp.tfs.astype(np.float64)
+                + self.cfg.k1
+                * (1.0 - self.cfg.b
+                   + self.cfg.b * (tp.dls.astype(np.float64) / self.avgdl))
+            )
+            scores[pos] += contrib
+        if exclude is not None:
+            keep = allids != int(exclude)
+            allids, scores = allids[keep], scores[keep]
+        order = np.lexsort((allids, -scores))[:k]
+        return [
+            (r + 1, int(allids[i]), float(scores[i]))
+            for r, i in enumerate(order)
+        ]
+
     def facet_counts(self, tree, col: str, topn: int = 10) -> DataFrame:
         """Facet collection over a boolean match set: top-N values of a
         docs-table column among matching docs, (count DESC, value ASC).

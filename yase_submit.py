@@ -74,8 +74,12 @@ def main(argv=None) -> int:
     p.add_argument(
         "--kind",
         choices=["topk", "and", "or", "phrase", "phrase_topk", "terms",
-                 "highlight"],
+                 "highlight", "mlt"],
         default="topk",
+    )
+    p.add_argument(
+        "--mlt-terms", type=int, default=25,
+        help="query --kind mlt: number of interesting terms to select",
     )
     p.add_argument(
         "--width", type=int, default=30,
@@ -249,6 +253,15 @@ def main(argv=None) -> int:
             out = [
                 {"rank": r, "doc_id": d, "score": s}
                 for r, d, s in rd.topk(args.q, args.k)
+            ]
+        elif args.kind == "mlt":
+            # find-similar: --q is the SOURCE TEXT (Lucene MoreLikeThis
+            # re-analyzes stored content the same way)
+            out = [
+                {"rank": r, "doc_id": d, "score": s}
+                for r, d, s in rd.more_like_this(
+                    args.q, args.k, m=args.mlt_terms
+                )
             ]
         elif args.kind == "highlight":
             # top-k + best passage window; --corpus additionally
