@@ -16,7 +16,7 @@ from yase_spark.positions import parts_column, snippet_df
 from yase_spark.query import IndexReader
 from yase_spark.tokenize import _ident, analyze_phrase, split_parts
 
-from test_positions import parts_stream, pos_index, doc_texts  # noqa: F401
+from test_positions import parts_stream  # noqa: F401
 
 
 def brute_best_window(text: str, terms: list[str], width: int):

@@ -59,31 +59,9 @@ def brute_phrase(docs: dict, query: str, slop: int = 0) -> list[int]:
     return sorted(hits)
 
 
-@pytest.fixture(scope="module")
-def pos_index(spark, tiny_corpus, tiny_index):
-    root, cfg, _ = tiny_index
-    # small row cap so hot terms actually chunk into multiple shard rows
-    pcfg = IndexConfig(**{**cfg.__dict__, "pos_row_docs": 256})
-    summary = build_positions(spark, root, tiny_corpus, pcfg)
-    assert summary["positions_docs"] == 1000
-    return root, pcfg
-
-
-@pytest.fixture(scope="module")
-def doc_texts(spark, tiny_corpus, pos_index):
-    root, cfg = pos_index
-    rd = IndexReader(spark, root, cfg)
-    return {
-        r["doc_id"]: r["content"]
-        for r in rd.cat.read(spark, "docs")
-        .join(
-            tiny_corpus.select("repo", "path", "commit", "content"),
-            ["repo", "path", "commit"],
-        )
-        .select("doc_id", "content")
-        .collect()
-    }
-
+# pos_index / doc_texts are session-scoped fixtures in conftest.py
+# (shared with test_highlight.py — build_positions is incremental, so
+# a per-module rebuild on the shared root would be a noop).
 
 PHRASES = [
     ("get page", 0),
