@@ -863,6 +863,41 @@ def _q_fingerprint(spark, sf_dir):
     return doc_fingerprints(_docs(spark, sf_dir))
 
 
+# --------------- curation stages (round 3, curation.py): benchmark
+# decontamination, stratified sampling, chunking, sequence packing
+DECON_N = 5            # n-gram size for the overlap rule
+CHUNK, STRIDE = 32, 24  # overlapping token windows
+PACK_MAX, PACK_G = 256, 8
+CUR_RATES = {"en": 0.5, "de": 0.25, "fr": 1.0, "zh": 0.0}
+
+
+def _q_decontaminate(spark, sf_dir):
+    # bench set = every 20th doc standing in for an eval suite; the
+    # gram table broadcasts (plan-gated in tests/test_curation.py)
+    from yase_spark.curation import decontaminate
+
+    d = _docs(spark, sf_dir)
+    return decontaminate(d, d.filter("doc_id % 20 = 0"), n=DECON_N)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from yase_spark.curation import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), CUR_RATES)
+
+
+def _q_chunk_docs(spark, sf_dir):
+    from yase_spark.curation import chunk_docs
+
+    return chunk_docs(_docs(spark, sf_dir), chunk=CHUNK, stride=STRIDE)
+
+
+def _q_pack_sequences(spark, sf_dir):
+    from yase_spark.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), max_tokens=PACK_MAX, n_groups=PACK_G)
+
+
 # --------------- multi-term expansion + facets (round 3, expand.py)
 EXP_PREFIX = "s"       # -> small scan slow stream sort spark (df-ranked)
 EXP_WILD = "s*a*"      # -> small scan stream spark
@@ -1057,6 +1092,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_term_search": _q_multi_term_search,
         "multi_term_topk": _q_multi_term_topk,
         "facet_counts": _q_facet_counts,
+        # curation stages (round 3): curation.py
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "chunk_docs": _q_chunk_docs,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1670,6 +1710,66 @@ ORDER BY score DESC, doc_id LIMIT 10
             "SELECT d.lang, count(*) AS cnt FROM m JOIN documents d "
             "USING (doc_id) GROUP BY 1 ORDER BY cnt DESC, lang LIMIT 10"
         ),
+        # curation stages (round 3, curation.py) — closed-form SQL for
+        # decontaminate/stratified_sample/chunk_docs; pack_sequences
+        # replays the same next-fit recurrence as a recursive CTE
+        "decontaminate": f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents),
+dg AS (
+  SELECT doc_id, CASE WHEN len(w) >= {DECON_N}
+      THEN list_distinct(list_transform(range(1, len(w)-{DECON_N}+2),
+           i -> array_to_string(w[i:i+{DECON_N}-1], ' ')))
+      ELSE [] END AS gs
+  FROM w),
+bg AS (SELECT DISTINCT unnest(gs) AS g FROM dg WHERE doc_id % 20 = 0),
+ex AS (SELECT doc_id, unnest(gs) AS g FROM dg),
+hits AS (SELECT ex.doc_id, count(*) AS n_hits FROM ex JOIN bg USING (g) GROUP BY 1)
+SELECT dg.doc_id, len(gs) AS n_grams, coalesce(n_hits, 0) AS n_hits,
+       coalesce(n_hits, 0) > 0 AS contaminated
+FROM dg LEFT JOIN hits USING (doc_id)
+""",
+        "stratified_sample": (
+            "SELECT doc_id, lang AS stratum, "
+            "CAST(concat('0x', substr(md5(concat('s0', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h "
+            "FROM documents "
+            "WHERE CAST(concat('0x', substr(md5(concat('s0', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) "
+            "< CASE lang "
+            + " ".join(
+                f"WHEN '{s}' THEN {int(r * (1 << 60))}"
+                for s, r in sorted(CUR_RATES.items())
+            )
+            + " ELSE 0 END"
+        ),
+        "chunk_docs": f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents),
+c AS (SELECT doc_id, w,
+        unnest(range(0, CASE WHEN len(w) > 0
+          THEN 1 + ((greatest(len(w) - {CHUNK}, 0) + {STRIDE} - 1) // {STRIDE}) ELSE 0 END)) AS chunk_id
+      FROM w)
+SELECT doc_id, chunk_id, least({CHUNK}, len(w) - chunk_id * {STRIDE}) AS n_tokens,
+       array_to_string(w[chunk_id*{STRIDE}+1 : chunk_id*{STRIDE}+{CHUNK}], ' ') AS chunk_text
+FROM c
+""",
+        # the recursive term advances every grp by one row per
+        # iteration, replaying curation.pack_sequences' next-fit state
+        # machine (new bin iff the bin is non-empty and the doc spills)
+        "pack_sequences": f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+    CAST(CAST(concat('0x', substr(md5(concat('p0', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % {PACK_G} AS INT) AS grp,
+    len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens
+  FROM documents),
+ordd AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn FROM base),
+pack AS (
+  SELECT doc_id, grp, n_tokens, rn, CAST(0 AS BIGINT) AS bin_l, CAST(0 AS BIGINT) AS off
+  FROM ordd WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.grp, o.n_tokens, o.rn,
+    CASE WHEN p.off + p.n_tokens > 0 AND p.off + p.n_tokens + o.n_tokens > {PACK_MAX} THEN p.bin_l + 1 ELSE p.bin_l END,
+    CASE WHEN p.off + p.n_tokens > 0 AND p.off + p.n_tokens + o.n_tokens > {PACK_MAX} THEN CAST(0 AS BIGINT) ELSE p.off + p.n_tokens END
+  FROM pack p JOIN ordd o ON o.grp = p.grp AND o.rn = p.rn + 1)
+SELECT doc_id, grp, grp * {1 << 40} + bin_l AS bin_id, off, n_tokens FROM pack
+""",
         # ann_lsh_topk: rows-only (approximate by design; recall gated
         # in tests/test_pipeline_ops.py). codec_roundtrip, checkpoints:
         # rows-only (engine-internal — real gates are in tests/).
