@@ -1023,6 +1023,76 @@ def _q_facet_counts(spark, sf_dir):
     return rd.facet_counts(tree, "lang", topn=10)
 
 
+# --------------- spell suggestion, co-occurrence, explain (round 3:
+# suggest.py, cooccur.py, IndexReader.explain)
+SPELL_PROBES = ["spak", "tble", "hast", "xyzq"]  # ->spark, ->table,
+# ->hash/fast (df-ranked), ->nothing
+SPELL_K = 5
+RT_SEED, RT_K, RT_MINPAIR = "dup", 15, 2
+COLL_K, COLL_MIN = 20, 3
+
+
+def _suggest_reader(spark, sf_dir):
+    """Dictionary + SymSpell deletion index siblings (suggest.py)."""
+    rd = _dict_reader(spark, sf_dir)
+    key = ("deletions", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.suggest import build_deletion_index
+
+        build_deletion_index(spark, rd.cat.root)
+        _CACHE[key] = True
+    return rd
+
+
+def _q_spell_suggest(spark, sf_dir):
+    # did-you-mean: distance-1 corrections from the deletion-
+    # neighborhood join, df-ranked; the oracle recomputes the same
+    # ranking with a brute-force levenshtein over raw-token dfs
+    from yase_spark.suggest import spell_suggest
+
+    rd = _suggest_reader(spark, sf_dir)
+    return spell_suggest(spark, rd.cat.root, SPELL_PROBES, k=SPELL_K)
+
+
+def _q_related_terms(spark, sf_dir):
+    # significant-terms: doc-level PMI vs the seed; the background df
+    # column comes from the index's published dictionary (no second
+    # corpus pass), the foreground from one distinct-token semi-join
+    from yase_spark.cooccur import related_terms
+
+    rd = _dict_reader(spark, sf_dir)
+    dic = rd.cat.read(spark, "dictionary")
+    return related_terms(
+        _docs(spark, sf_dir), RT_SEED, dictionary=dic, k=RT_K, min_pair=RT_MINPAIR
+    )
+
+
+def _q_collocations(spark, sf_dir):
+    from yase_spark.cooccur import collocations
+
+    return collocations(_docs(spark, sf_dir), k=COLL_K, min_count=COLL_MIN)
+
+
+def _q_score_explain(spark, sf_dir):
+    # per-term BM25 breakdown of the top-10 hits (Lucene explain):
+    # contributions must sum to the hit's total, and every number is
+    # recomputed by the oracle from raw tokens
+    rd = _reader(spark, sf_dir)
+    rows = rd.explain(" ".join(BM25_TERMS), k=10)
+    res = spark.createDataFrame(
+        [(d, t, tf, c, s) for _, d, t, tf, c, s in rows] or [],
+        schema="doc_id long, term string, tf long, contrib double, total double",
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        "term",
+        "tf",
+        F.round("contrib", 5).alias("contrib_r"),
+        F.round("total", 5).alias("total_r"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_agg": _q_tf,
@@ -1097,6 +1167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "chunk_docs": _q_chunk_docs,
         "pack_sequences": _q_pack_sequences,
+        # spell suggestion + co-occurrence mining + score explain
+        "spell_suggest": _q_spell_suggest,
+        "related_terms": _q_related_terms,
+        "collocations": _q_collocations,
+        "score_explain": _q_score_explain,
     }
 
 
@@ -1770,6 +1845,82 @@ pack AS (
   FROM pack p JOIN ordd o ON o.grp = p.grp AND o.rn = p.rn + 1)
 SELECT doc_id, grp, grp * {1 << 40} + bin_l AS bin_id, off, n_tokens FROM pack
 """,
+        # spell suggestion: brute-force levenshtein over raw-token dfs
+        # replays the SymSpell deletion-join + verify (exact at e=1)
+        "spell_suggest": f"""
+{_T_SQL},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+probes(word) AS (VALUES {", ".join(f"('{w}')" for w in SPELL_PROBES)}),
+cand AS (
+  SELECT word, term AS suggestion, df FROM probes CROSS JOIN d
+  WHERE levenshtein(word, term) = 1)
+SELECT word,
+       row_number() OVER (PARTITION BY word ORDER BY df DESC, suggestion) AS rank,
+       suggestion, df
+FROM cand QUALIFY rank <= {SPELL_K}
+""",
+        # related terms: doc-level PMI vs the seed over distinct tokens
+        "related_terms": f"""
+{_T_SQL},
+td AS (SELECT DISTINCT doc_id, term FROM t),
+seed AS (SELECT doc_id FROM td WHERE term = '{RT_SEED}'),
+pairs AS (
+  SELECT term, count(*) AS c_xy FROM td JOIN seed USING (doc_id)
+  WHERE term <> '{RT_SEED}' GROUP BY 1 HAVING count(*) >= {RT_MINPAIR}),
+bg AS (SELECT term, count(*) AS df FROM td GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM documents),
+sd AS (SELECT count(*) AS c_seed FROM seed),
+scored AS (
+  SELECT term, c_xy, df,
+         round(ln(c_xy * n / (df * c_seed)), 5) AS pmi_r
+  FROM pairs JOIN bg USING (term) CROSS JOIN tot CROSS JOIN sd)
+SELECT row_number() OVER (ORDER BY pmi_r DESC, term) AS rank,
+       term, c_xy, df, pmi_r
+FROM scored QUALIFY rank <= {RT_K}
+""",
+        # collocations: adjacent-bigram PMI over the empty-filtered
+        # token stream (bigrams never cross doc boundaries)
+        "collocations": f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents),
+uni AS (SELECT term, count(*) AS c
+        FROM (SELECT unnest(w) AS term FROM w) GROUP BY 1),
+big AS (
+  SELECT concat(w[i.i], ' ', w[i.i+1]) AS bigram, count(*) AS c_ab
+  FROM w CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(w), 1))) AS i) i
+  GROUP BY 1 HAVING count(*) >= {COLL_MIN}),
+tot AS (SELECT sum(len(w)) AS u_tokens,
+               sum(greatest(len(w) - 1, 0)) AS t_bigrams FROM w),
+scored AS (
+  SELECT bigram, c_ab,
+         round(ln((c_ab / t_bigrams) /
+                  ((a.c / u_tokens) * (b.c / u_tokens))), 5) AS pmi_r
+  FROM big
+  JOIN uni a ON a.term = split_part(bigram, ' ', 1)
+  JOIN uni b ON b.term = split_part(bigram, ' ', 2)
+  CROSS JOIN tot)
+SELECT row_number() OVER (ORDER BY pmi_r DESC, bigram) AS rank,
+       bigram, c_ab, pmi_r
+FROM scored QUALIFY rank <= {COLL_K}
+""",
+        # score explain: the bm25 oracle's per-term contributions,
+        # un-summed, restricted to the top-10 docs
+        "score_explain": _bm25_oracle_sql(
+            f"""
+SELECT r.doc_id, tf.term, tf.tf,
+       round(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl))), 5) AS contrib_r,
+       round(r.score, 5) AS total_r
+FROM (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10) r
+JOIN tf ON tf.doc_id = r.doc_id
+JOIN dfs USING (term)
+JOIN dl ON dl.doc_id = r.doc_id
+CROSS JOIN st
+"""
+        ),
         # ann_lsh_topk: rows-only (approximate by design; recall gated
         # in tests/test_pipeline_ops.py). codec_roundtrip, checkpoints:
         # rows-only (engine-internal — real gates are in tests/).

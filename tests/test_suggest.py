@@ -1,0 +1,213 @@
+"""Spell suggestion (suggest.py) and co-occurrence mining (cooccur.py).
+
+Gates:
+* deletion-neighborhood candidates are EXACT for edit distance 1: the
+  SymSpell join finds the identical suggestion set as a brute-force
+  levenshtein scan of the dictionary, for every probe word.
+* ranking contract: df DESC, suggestion ASC; the word never suggests
+  itself; unknown-neighborhood words yield no rows.
+* did_you_mean keeps known words and corrects unknown ones.
+* the deletions probe broadcasts the tiny side and pushes the IN-list
+  into the parquet scan.
+* related_terms PMI matches a pure-python replay; the seed never
+  reports itself; min_pair filters.
+* collocations PMI matches a pure-python replay over the same
+  empty-filtered token stream; bigrams never cross doc boundaries.
+"""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from yase_spark.cooccur import collocations, related_terms
+from yase_spark.suggest import (
+    build_deletion_index,
+    did_you_mean,
+    py_deletion_variants,
+    spell_suggest,
+)
+
+DOCS = [
+    "spark shuffle merge spark table",
+    "spark table hash merge",
+    "shark table spike hash",
+    "spork merge merge window",
+    "stark window table spark",
+]
+
+
+@pytest.fixture(scope="module")
+def sugg_ix(spark, tmp_path_factory):
+    from yase_spark.config import IndexConfig
+    from yase_spark.index import build_index
+
+    root = str(tmp_path_factory.mktemp("sugg") / "ix")
+    corpus = spark.createDataFrame(
+        [("r", f"{i:04d}", "h", "py", t) for i, t in enumerate(DOCS)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    cfg = IndexConfig(build_groups=1, shuffle_partitions=4, hot_term_df=10**9)
+    build_index(spark, corpus, root, cfg)
+    n = build_deletion_index(spark, root)
+    assert n > 0
+    return root
+
+
+def _dict_terms(spark, root):
+    from yase_spark.catalog import Catalog
+
+    return {
+        r["term"]: r["df"]
+        for r in Catalog(root).read(spark, "dictionary").collect()
+    }
+
+
+def _brute(dic: dict, word: str, k: int = 5):
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    cand = [(t, df) for t, df in dic.items() if t != word and lev(t, word) == 1]
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    return cand[:k]
+
+
+def test_variants_exact_vs_brute(spark, sugg_ix):
+    dic = _dict_terms(spark, sugg_ix)
+    probes = ["spark", "spork", "tble", "hash", "windoww", "zzz", "merg"]
+    got = spell_suggest(spark, sugg_ix, probes, k=5).collect()
+    by_word = {}
+    for r in got:
+        by_word.setdefault(r["word"], []).append(r)
+    for w in probes:
+        exp = _brute(dic, w)
+        rows = sorted(by_word.get(w, []), key=lambda r: r["rank"])
+        assert [(r["suggestion"], r["df"]) for r in rows] == exp, w
+        assert [r["rank"] for r in rows] == list(range(1, len(exp) + 1))
+        assert all(r["suggestion"] != w for r in rows)
+
+
+def test_variants_helper():
+    assert py_deletion_variants("ab") == ["ab", "b", "a"]
+    # dedup: "aa" deletes to "a" twice
+    assert py_deletion_variants("aa") == ["aa", "a"]
+
+
+def test_did_you_mean(spark, sugg_ix):
+    out = dict(did_you_mean(spark, sugg_ix, ["spark", "spork", "zzzzzz"]))
+    assert out["spark"] == "spark"          # known, kept
+    # spork is itself in the dictionary (df 1) so it is kept too
+    assert out["spork"] == "spork"
+    assert out["zzzzzz"] == "zzzzzz"        # nothing nearby -> unchanged
+    out2 = dict(did_you_mean(spark, sugg_ix, ["spork"], min_df=2))
+    # with min_df=2 spork (df 1) is "unknown" and corrects to spark
+    assert out2["spork"] == "spark"
+
+
+def test_probe_plan_broadcasts_and_pushes(spark, sugg_ix):
+    plan = (
+        spell_suggest(spark, sugg_ix, ["spark"], k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"PushedFilters: \[.*In\(variant", plan), plan
+
+
+# ------------------------------------------------------------ cooccur
+def _py_tok(t):
+    return [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+
+
+def test_related_terms_vs_python(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(DOCS)), "doc_id bigint, text string"
+    )
+    out = related_terms(docs, "spark", k=10, min_pair=1).collect()
+    sets = {i: set(_py_tok(t)) for i, t in enumerate(DOCS)}
+    n = len(DOCS)
+    seed_docs = {i for i, s in sets.items() if "spark" in s}
+    exp = []
+    for t in {w for s in sets.values() for w in s} - {"spark"}:
+        c_xy = sum(1 for i in seed_docs if t in sets[i])
+        df = sum(1 for s in sets.values() if t in s)
+        if c_xy >= 1:
+            exp.append((t, c_xy, df, round(math.log(c_xy * n / (df * len(seed_docs))), 5)))
+    exp.sort(key=lambda x: (-x[3], x[0]))
+    got = sorted(out, key=lambda r: r["rank"])
+    assert [(r["term"], r["c_xy"], r["df"], r["pmi_r"]) for r in got] == exp[:10]
+    assert all(r["term"] != "spark" for r in got)
+
+
+def test_related_terms_min_pair_and_dictionary(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(DOCS)), "doc_id bigint, text string"
+    )
+    base = related_terms(docs, "spark", k=50, min_pair=2).collect()
+    assert all(r["c_xy"] >= 2 for r in base)
+    # passing an explicit background dictionary gives identical results
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
+    ).filter("term <> ''").distinct()
+    dic = toks.groupBy("term").agg(F.count("*").alias("df"))
+    via_dic = related_terms(docs, "spark", dictionary=dic, k=50, min_pair=2).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, via_dic))
+
+
+def test_collocations_vs_python(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(DOCS)), "doc_id bigint, text string"
+    )
+    out = collocations(docs, k=100, min_count=2).collect()
+    streams = [_py_tok(t) for t in DOCS]
+    uni, big = {}, {}
+    for s in streams:
+        for w in s:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(s, s[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    u = sum(uni.values())
+    t_big = sum(max(len(s) - 1, 0) for s in streams)
+    exp = [
+        (f"{a} {b}", c, round(math.log((c / t_big) / ((uni[a] / u) * (uni[b] / u))), 5))
+        for (a, b), c in big.items()
+        if c >= 2
+    ]
+    exp.sort(key=lambda x: (-x[2], x[0]))
+    got = sorted(out, key=lambda r: r["rank"])
+    assert [(r["bigram"], r["c_ab"], r["pmi_r"]) for r in got] == exp
+    # cross-doc adjacency must NOT collocate: doc0 ends 'table', doc1
+    # starts 'spark'; 'table spark' count comes only from doc 4
+    counts = {r["bigram"]: r["c_ab"] for r in got}
+    assert counts.get("window table", 0) <= 1 or "window table" not in counts
+
+
+# ------------------------------------------------------------- explain
+def test_explain_decomposes_topk(spark, sugg_ix):
+    from yase_spark.config import IndexConfig
+    from yase_spark.query import IndexReader
+
+    rd = IndexReader(spark, sugg_ix)
+    q = "spark merge"
+    rows = rd.explain(q, k=3)
+    tops = rd.topk(q, k=3)
+    assert rows
+    by_doc = {}
+    for r, d, t, tf, contrib, total in rows:
+        by_doc.setdefault((r, d, total), []).append(contrib)
+    # one group per hit, contributions sum to the hit's total score
+    assert len(by_doc) == len(tops)
+    for (r, d, total), contribs in by_doc.items():
+        assert abs(sum(contribs) - total) < 1e-9
+    # every reported tf is positive and terms are query terms
+    assert all(tf >= 1 for _, _, _, tf, _, _ in rows)
+    assert {t for _, _, t, _, _, _ in rows} <= {"spark", "merge"}

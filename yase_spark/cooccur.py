@@ -1,0 +1,157 @@
+"""Term co-occurrence mining: related terms for a seed (query-expansion
+candidates) and corpus-wide collocations (PMI-ranked adjacent bigrams).
+
+Lucene/Elastic analogue: the ``significant_terms`` aggregation (a
+foreground doc set scored against the background corpus) and shingle
+collocation mining. Both operators are deterministic and one-shuffle:
+
+* ``related_terms(docs, seed, dictionary=None)`` — doc-level PMI of
+  every term against ``seed``: pmi = ln(c_xy * N / (c_x * c_seed))
+  over DISTINCT-per-doc terms. The foreground set (docs containing
+  ``seed``) has df(seed) rows — at 100 TB the doc-id list comes out of
+  the inverted index, the corpus join is a semi-join on doc_id, and
+  the background df column comes from the published ``dictionary``
+  table instead of a second corpus pass (pass it via ``dictionary``;
+  recomputed from ``docs`` only when absent). Every count is an exact
+  integer; only the final pmi is floating (rounded by callers).
+* ``collocations(docs)`` — adjacent-bigram PMI over the filtered token
+  stream (the same empty-dropped positions the phrase index stores):
+  pmi = ln((c_ab/T) / ((c_a/U) * (c_b/U))), c_ab bigram count, T total
+  bigrams, c_* unigram occurrences, U total tokens. One
+  explode+groupBy per granularity, all map-side-combinable; the
+  ranking shuffle moves only the surviving (bigram, count) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPLIT = "[^a-z0-9]+"
+
+
+def _rank_top(scored: DataFrame, order, k: int, cols: list[str]) -> DataFrame:
+    """Global top-k with a rank column, shuffle-safely: the cap runs as
+    TakeOrderedAndProject (per-partition heaps, no global sort), and the
+    single-partition ranking window only ever sees the k survivors."""
+    from pyspark.sql import Window
+
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(*cols)
+
+
+def _tok(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), SPLIT)).alias("term")
+    ).filter(F.col("term") != "")
+
+
+def related_terms(
+    docs: DataFrame,
+    seed: str,
+    dictionary: DataFrame | None = None,
+    k: int = 20,
+    min_pair: int = 2,
+) -> DataFrame:
+    """Top-``k`` terms by doc-level PMI with ``seed``.
+
+    Output: (rank, term, c_xy, df, pmi_r) — c_xy docs containing both,
+    df docs containing the term, pmi_r = round(pmi, 5). The seed never
+    reports itself; ties rank by pmi DESC, term ASC. ``dictionary`` is
+    an optional (term, df) background table (the index's published
+    dictionary) that replaces the background aggregation.
+    """
+    toks = _tok(docs).distinct()
+    seed_docs = toks.filter(F.col("term") == seed).select("doc_id")
+    pairs = (
+        toks.join(seed_docs, "doc_id")
+        .filter(F.col("term") != seed)
+        .groupBy("term")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_pair)
+    )
+    bg = (
+        dictionary
+        if dictionary is not None
+        else toks.groupBy("term").agg(F.count("*").alias("df"))
+    )
+    totals = docs.agg(F.count("*").alias("n_docs"))
+    seed_df = seed_docs.agg(F.count("*").alias("c_seed"))
+    scored = (
+        pairs.join(bg, "term")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(seed_df))
+        .select(
+            "term",
+            "c_xy",
+            "df",
+            F.round(
+                F.log(F.col("c_xy") * F.col("n_docs") / (F.col("df") * F.col("c_seed"))),
+                5,
+            ).alias("pmi_r"),
+        )
+    )
+    return _rank_top(
+        scored, [F.desc("pmi_r"), F.asc("term")], k,
+        ["rank", "term", "c_xy", "df", "pmi_r"],
+    )
+
+
+def collocations(docs: DataFrame, k: int = 20, min_count: int = 3) -> DataFrame:
+    """Top-``k`` adjacent bigrams by PMI over the filtered token stream.
+
+    Output: (rank, bigram, c_ab, pmi_r); bigram is "a b". Bigrams span
+    the empty-filtered stream (so "x, y" and "x y" collocate the same
+    way the phrase index sees them) and never cross doc boundaries.
+    """
+    w = F.split(F.lower("text"), SPLIT)
+    toks = docs.select(F.filter(w, lambda t: t != "").alias("w"))
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w) - 1, 0)), "
+                "i -> concat(w[i-1], ' ', w[i]))"
+            )
+        ).alias("bigram")
+    )
+    uni = (
+        toks.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    big = (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    totals = (
+        toks.agg(
+            F.sum(F.size("w")).alias("u_tokens"),
+            F.sum(F.greatest(F.size("w") - 1, F.lit(0))).alias("t_bigrams"),
+        )
+    )
+    a = uni.select(F.col("term").alias("ta"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("term").alias("tb"), F.col("c").alias("c_b"))
+    scored = (
+        big.withColumn("ta", F.split("bigram", " ")[0])
+        .withColumn("tb", F.split("bigram", " ")[1])
+        .join(a, "ta")
+        .join(b, "tb")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("t_bigrams"))
+                    / ((F.col("c_a") / F.col("u_tokens")) * (F.col("c_b") / F.col("u_tokens")))
+                ),
+                5,
+            ).alias("pmi_r"),
+        )
+    )
+    return _rank_top(
+        scored, [F.desc("pmi_r"), F.asc("bigram")], k,
+        ["rank", "bigram", "c_ab", "pmi_r"],
+    )

@@ -1663,6 +1663,39 @@ class IndexReader:
             (r, d, s, *wins.get(d, (-1, 0))) for r, d, s in rows
         ]
 
+    def explain(self, query: str, k: int = 10):
+        """Per-term score breakdown for the top-k hits (Lucene's
+        ``IndexSearcher.explain`` contract, batched): one row per
+        (hit, matched query term) with the raw tf and that term's BM25
+        contribution, plus the hit's total. The ranking comes from the
+        ordinary ``topk`` dispatch; the breakdown reuses the already-
+        fetched postings (searchsorted per term over k doc ids — no new
+        corpus or index IO beyond the query itself), so explaining is
+        O(q terms * k), independent of corpus size.
+
+        Returns ``[(rank, doc_id, term, tf, contrib, total)]`` sorted
+        by (rank, term); terms absent from a hit emit no row."""
+        rows = self.topk(query, k)
+        if not rows:
+            return []
+        qterms = list(dict.fromkeys(analyze_query(query)))
+        got = self.fetch_terms(qterms)
+        out = []
+        for r, d, total in rows:
+            for t in qterms:
+                tp = got.get(t)
+                if tp is None:
+                    continue
+                i = int(np.searchsorted(tp.doc_ids, d))
+                if i >= tp.doc_ids.size or tp.doc_ids[i] != d:
+                    continue
+                contrib = _score_one(
+                    float(tp.tfs[i]), float(tp.dls[i]), tp.idf,
+                    self.cfg.k1, self.cfg.b, self.avgdl,
+                )
+                out.append((r, d, t, int(tp.tfs[i]), contrib, total))
+        return out
+
     # ------------------------------------------- multi-term expansion
     def _expander(self):
         """Lazily-constructed dictionary expander (expand.py): prefers
