@@ -211,3 +211,56 @@ def test_explain_decomposes_topk(spark, sugg_ix):
     # every reported tf is positive and terms are query terms
     assert all(tf >= 1 for _, _, _, tf, _, _ in rows)
     assert {t for _, _, t, _, _, _ in rows} <= {"spark", "merge"}
+
+
+# --------------------------------------------- staleness after append
+def test_dictionary_and_deletions_staleness(spark, tmp_path):
+    """An append bumps the segments version; the sorted dictionary and
+    the deletion index are then STALE and every consumer must fall back
+    to the live (term, df) projection — delta-only terms stay visible
+    (no silent recall loss) — until the publishers re-run."""
+    from yase_spark.catalog import Catalog
+    from yase_spark.config import IndexConfig
+    from yase_spark.expand import (
+        TermExpander,
+        build_term_dictionary,
+        dictionary_is_fresh,
+    )
+    from yase_spark.index import IndexBuilder, build_index
+    from yase_spark.suggest import deletions_are_fresh
+
+    root = str(tmp_path / "ix")
+    cfg = IndexConfig(build_groups=1, shuffle_partitions=4, hot_term_df=10**9)
+
+    def corp(rows):
+        return spark.createDataFrame(
+            [("r", p, "h", "py", t) for p, t in rows],
+            "repo string, path string, commit string, lang string, content string",
+        )
+
+    build_index(spark, corp([("a", "spark merge table"), ("b", "spark hash")]), root, cfg)
+    build_term_dictionary(spark, root)
+    build_deletion_index(spark, root)
+    cat = Catalog(root)
+    assert dictionary_is_fresh(cat) and deletions_are_fresh(cat)
+
+    # delta introduces a brand-new term 'zzyzx'
+    b = IndexBuilder(spark, root, cfg)
+    b.append(corp([("c", "zzyzx merge")]))
+    assert not dictionary_is_fresh(cat)
+    assert not deletions_are_fresh(cat)
+
+    # expander fallback sees the delta-only term
+    ex = TermExpander(spark, root)
+    assert "zzyzx" in ex.prefix("zz")
+    # spell fallback suggests the delta-only term (distance 1)
+    got = spell_suggest(spark, root, ["zzyzxx"], k=3).collect()
+    assert [r["suggestion"] for r in got] == ["zzyzx"]
+    # did_you_mean corrects toward it as well
+    assert dict(did_you_mean(spark, root, ["zzyzxx"]))["zzyzxx"] == "zzyzx"
+
+    # republish -> fresh again, fast path gives the identical answer
+    build_deletion_index(spark, root)
+    assert dictionary_is_fresh(cat) and deletions_are_fresh(cat)
+    got2 = spell_suggest(spark, root, ["zzyzxx"], k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))

@@ -34,13 +34,34 @@ from .catalog import Catalog
 MAX_EXPANSIONS = 1024  # Lucene maxClauseCount analogue
 
 
+def dictionary_is_fresh(cat: Catalog) -> bool:
+    """True iff the published dictionary derives from the CURRENT
+    segments snapshot. An append/compact bumps the segments version;
+    a dictionary stamped with an older version would silently miss
+    delta-only terms (recall loss in prefix/wildcard/fuzzy expansion),
+    so consumers must check this and fall back to the live segments
+    (term, df) projection — correct, just unsorted — until
+    ``build_term_dictionary`` republishes."""
+    props = cat.get_properties() or {}
+    st = props.get("dictionary_state")
+    return (
+        cat.exists("dictionary")
+        and st is not None
+        and int(st.get("segments_version", -1)) == cat.current_version("segments")
+    )
+
+
 def build_term_dictionary(
     spark: SparkSession, index_root: str, n_files: int = 32
 ) -> int:
     """Publish the sorted ``dictionary(term, df)`` table (one shuffle of
     the (term, df) projection — payloads never move). Sorting by term is
-    what turns prefix predicates into Parquet row-group pruning."""
+    what turns prefix predicates into Parquet row-group pruning. The
+    commit is stamped with the source segments version so readers can
+    detect staleness after an append/compact (``dictionary_is_fresh``).
+    """
     cat = Catalog(index_root)
+    seg_version = cat.current_version("segments")
     segs = cat.read(spark, "segments")
     dic = (
         segs.groupBy("term").agg(F.max("df").alias("df"))
@@ -52,6 +73,9 @@ def build_term_dictionary(
     obs = Observation("dictionary-size")
     dic = dic.observe(obs, F.count("*").alias("n"))
     cat.write("dictionary", dic, mode="overwrite", tag={"unit": "dictionary"})
+    props = cat.get_properties() or {}
+    props["dictionary_state"] = {"segments_version": seg_version}
+    cat.set_properties(props)
     return int(obs.get["n"] or 0)
 
 
@@ -93,10 +117,17 @@ class TermExpander:
     def __init__(self, spark: SparkSession, index_root: str):
         self.spark = spark
         self.cat = Catalog(index_root)
+        # a dictionary stamped with an OLD segments version (an append
+        # or compaction happened since) would silently miss delta-only
+        # terms — fall back to the live (term, df) projection until
+        # build_term_dictionary republishes (correct, loses the sorted
+        # range pruning)
         self._dic = (
             self.cat.read(spark, "dictionary")
-            if self.cat.exists("dictionary")
-            else self.cat.read(spark, "segments").select("term", "df")
+            if dictionary_is_fresh(self.cat)
+            # distinct: a shard-split term has one segments row per
+            # shard, each carrying the same GLOBAL df
+            else self.cat.read(spark, "segments").select("term", "df").distinct()
         )
 
     def _top(self, df: DataFrame, limit: int) -> list[str]:

@@ -62,17 +62,37 @@ def py_deletion_variants(word: str) -> list[str]:
     return out
 
 
+def deletions_are_fresh(cat: Catalog) -> bool:
+    """True iff the deletion index derives from a dictionary that is
+    itself current vs the segments snapshot. After an append/compact
+    the chain segments -> dictionary -> deletions goes stale; a stale
+    probe would silently miss corrections toward delta-only terms, so
+    ``spell_suggest`` checks this and falls back to the exact banded
+    levenshtein scan until ``build_deletion_index`` republishes."""
+    from .expand import dictionary_is_fresh
+
+    props = cat.get_properties() or {}
+    st = props.get("deletions_state")
+    return (
+        cat.exists(DELETIONS_TABLE)
+        and st is not None
+        and int(st.get("dictionary_version", -1)) == cat.current_version("dictionary")
+        and dictionary_is_fresh(cat)
+    )
+
+
 def build_deletion_index(
     spark: SparkSession, index_root: str, n_files: int = 32
 ) -> int:
     """Publish ``deletions(variant, term, df)`` from the dictionary
-    (building the dictionary first if absent). One projection shuffle of
-    vocabulary-sized data; payloads never move. Returns the row count.
-    """
-    cat = Catalog(index_root)
-    if not cat.exists("dictionary"):
-        from .expand import build_term_dictionary
+    (rebuilding the dictionary first if absent or stale). One projection
+    shuffle of vocabulary-sized data; payloads never move. Returns the
+    row count. Stamped with the source dictionary version
+    (``deletions_are_fresh``)."""
+    from .expand import build_term_dictionary, dictionary_is_fresh
 
+    cat = Catalog(index_root)
+    if not dictionary_is_fresh(cat):
         build_term_dictionary(spark, index_root)
     dic = cat.read(spark, "dictionary")
     dels = (
@@ -89,6 +109,11 @@ def build_deletion_index(
     obs = Observation("deletions-size")
     dels = dels.observe(obs, F.count("*").alias("n"))
     cat.write(DELETIONS_TABLE, dels, mode="overwrite", tag={"unit": "deletions"})
+    props = cat.get_properties() or {}
+    props["deletions_state"] = {
+        "dictionary_version": cat.current_version("dictionary")
+    }
+    cat.set_properties(props)
     return int(obs.get["n"] or 0)
 
 
@@ -110,20 +135,42 @@ def spell_suggest(
     the driver, so the join BROADCASTS it; the deletions scan carries an
     IN-list predicate on the sorted ``variant`` column, so Parquet
     row-group stats prune everything outside the probed neighborhoods.
+
+    Staleness: when the segments -> dictionary -> deletions chain is
+    out of date (an append/compact since the last publish), the probe
+    falls back to the exact banded levenshtein scan over the LIVE
+    (term, df) projection — same output contract, O(V) instead of
+    O(probe), loud in cost but never silently missing delta terms.
     """
     cat = Catalog(index_root)
-    probes = [
-        (w, v) for w in words for v in py_deletion_variants(w)
-    ]
-    probe_df = spark.createDataFrame(probes, "word string, variant string")
-    variants = sorted({v for _, v in probes})
-    dels = cat.read(spark, DELETIONS_TABLE).filter(F.col("variant").isin(variants))
-    cand = (
-        dels.join(F.broadcast(probe_df), "variant")
-        .select("word", "term", "df")
-        .distinct()
-        .filter(F.levenshtein("word", "term") == 1)
-    )
+    if deletions_are_fresh(cat):
+        probes = [(w, v) for w in words for v in py_deletion_variants(w)]
+        probe_df = spark.createDataFrame(probes, "word string, variant string")
+        variants = sorted({v for _, v in probes})
+        dels = cat.read(spark, DELETIONS_TABLE).filter(
+            F.col("variant").isin(variants)
+        )
+        cand = (
+            dels.join(F.broadcast(probe_df), "variant")
+            .select("word", "term", "df")
+            .distinct()
+            .filter(F.levenshtein("word", "term") == 1)
+        )
+    else:
+        from .expand import dictionary_is_fresh
+
+        live = (
+            cat.read(spark, "dictionary")
+            if dictionary_is_fresh(cat)
+            else cat.read(spark, "segments").select("term", "df").distinct()
+        )
+        probe_df = spark.createDataFrame([(w,) for w in words], "word string")
+        cand = (
+            live.crossJoin(F.broadcast(probe_df))
+            .filter(F.abs(F.length("term") - F.length("word")) <= 1)
+            .filter(F.levenshtein("word", "term") == 1)
+            .select("word", "term", "df")
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("word").orderBy(F.desc("df"), F.asc("term"))
@@ -145,8 +192,14 @@ def did_you_mean(
     df >= ``min_df``, else the top distance-1 suggestion (or the word
     unchanged when nothing suggests). Returns [(word, corrected)].
     Two vocabulary-sided lookups, no corpus access."""
+    from .expand import dictionary_is_fresh
+
     cat = Catalog(index_root)
-    dic = cat.read(spark, "dictionary")
+    dic = (
+        cat.read(spark, "dictionary")
+        if dictionary_is_fresh(cat)
+        else cat.read(spark, "segments").select("term", "df").distinct()
+    )
     known = {
         r["term"]
         for r in dic.filter(
