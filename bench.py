@@ -153,11 +153,71 @@ def main() -> None:
     )
     timings["pipeline_ops"] = time.perf_counter() - t0
 
+    # ---- phase 5: positional sibling + serving features (round 3) --
+    # positions build is a second tokenize pass over the corpus (its
+    # own phase — at 100 TB a deployment wanting positions would fuse
+    # it into the main build's shuffle; measured standalone here)
+    from yase_spark.positions import build_positions
+
+    t0 = time.perf_counter()
+    build_positions(spark, root, corpus, cfg)
+    timings["positions_build"] = time.perf_counter() - t0
+
+    # dictionary + deletion-index publish, then a serving mix:
+    # phrase/proximity, highlighting, more-like-this, spell suggest,
+    # related terms, collocations — the round-3 query surface
+    from yase_spark.cooccur import collocations, related_terms
+    from yase_spark.expand import build_term_dictionary
+    from yase_spark.suggest import build_deletion_index, spell_suggest
+
+    t0 = time.perf_counter()
+    build_term_dictionary(spark, root)
+    build_deletion_index(spark, root)
+    phr = 0
+    for i in range(0, 12, 2):
+        phr += rd.phrase(" ".join(sample[i : i + 2]), slop=1).size
+    extras["phrase_hits"] = phr
+    rd.highlight_topk(" ".join(sample[:3]), k=10, width=20)
+    src_text = docs.select("text").limit(1).collect()[0]["text"]
+    rd.more_like_this(src_text, k=10, m=5)
+    typos = [t[:-1] for t in sample[:6] if len(t) > 3]
+    extras["spell_rows"] = spell_suggest(spark, root, typos, k=3).count()
+    dic = rd.cat.read(spark, "dictionary")
+    extras["related_rows"] = related_terms(
+        docs, sample[0], dictionary=dic, k=20
+    ).count()
+    extras["colloc_rows"] = collocations(docs, k=20).count()
+    timings["serving_ops"] = time.perf_counter() - t0
+
+    # ---- phase 6: curation stages over sf documents -----------------
+    from yase_spark.curation import (
+        chunk_docs,
+        decontaminate,
+        pack_sequences,
+        stratified_sample,
+    )
+
+    t0 = time.perf_counter()
+    bench_set = docs.filter(F.col("doc_id") % 97 == 0)
+    extras["decon_flagged"] = (
+        decontaminate(docs, bench_set, n=8).filter("contaminated").count()
+    )
+    extras["chunks"] = chunk_docs(docs, chunk=64, stride=48).count()
+    extras["packed_bins"] = (
+        pack_sequences(docs, max_tokens=512, n_groups=64)
+        .agg(F.countDistinct("bin_id")).collect()[0][0]
+    )
+    extras["sampled"] = stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "fr": 1.0}
+    ).count()
+    timings["curation_ops"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "index-build + BM25 query engine + pipeline ops wall time "
         "(build sf docs, query set, build 20k synthetic corpus, "
-        "dedup/ANN/text-analysis over sf documents)",
+        "dedup/ANN/text-analysis, positions+serving features, "
+        "curation stages over sf documents)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
