@@ -680,6 +680,39 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ann_pq_topk(spark, sf_dir):
+    # Product quantization with a SATURATED codebook (ks >= n): every
+    # subvector is its own centroid, Lloyd is a fixed point of the
+    # deterministic init, PQ reconstruction is lossless, and the ADC
+    # candidate ranking equals exact cosine — so with the exact re-rank
+    # (refine) the output is the brute-force top-k and the same SQL
+    # oracle validates train/encode/ADC/rank end to end. The
+    # compressed-regime recall (16x scan compression) and the re-rank
+    # contract are pytest-gated in tests/test_pq.py.
+    from yase_spark.pq import pq_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_ann_topk(
+        emb, n_queries=8, k=10, m=8, ks=emb.count(), iters=1, refine=5
+    )
+
+
+def _q_ann_ivf_pq_topk(spark, sf_dir):
+    # IVF-PQ (FAISS IVFPQ shape): full probe makes IVF == brute force
+    # and a saturated RESIDUAL codebook makes the PQ reconstruction
+    # lossless, so the composition — coarse k-means, residual encode,
+    # ADC with the <q, c_coarse> offset, exact re-rank — must equal the
+    # brute-force SQL oracle. The pruned regime (nprobe=4/16 lists +
+    # 16x compression) is pytest-gated in tests/test_pq.py.
+    from yase_spark.pq import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_pq_topk(
+        emb, n_queries=8, k=10, n_centroids=8, m=8, ks=emb.count(),
+        coarse_iters=2, iters=1, refine=5,
+    )
+
+
 def _q_cosine_dup_pairs(spark, sf_dir):
     from yase_spark.similarity import cosine_dup_pairs
 
@@ -1138,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "event_windows": _q_event_windows,
         "stream_event_windows": _q_stream_event_windows,
@@ -1551,6 +1586,13 @@ WHERE g.doc_id = g.cluster_id AND q.quality_r >= 0.45
         # full-probe IVF == brute force (every vector is in exactly one
         # inverted list and every list is probed)
         "ann_ivf_topk": _ANN_SQL,
+        # saturated-codebook PQ (lossless reconstruction) + exact
+        # re-rank == brute force; see tests/test_pq.py for the
+        # compressed regime
+        "ann_pq_topk": _ANN_SQL,
+        # full-probe IVF + saturated residual PQ + exact re-rank ==
+        # brute force (see _q_ann_ivf_pq_topk)
+        "ann_ivf_pq_topk": _ANN_SQL,
         # embedding-cosine near-dup pairs: LSH candidates (64 tables) +
         # exact verify vs the brute-force all-pairs oracle
         "cosine_dup_pairs": (
