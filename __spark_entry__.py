@@ -284,6 +284,39 @@ def _pos_reader(spark, sf_dir) -> IndexReader:
     return rd
 
 
+def _grep_reader(spark, sf_dir):
+    """Main index + the trigram sibling index (grep.py) over the same
+    corpus shape."""
+    from yase_spark.grep import GrepReader, build_trigrams
+
+    _reader(spark, sf_dir)  # ensure the main index exists
+    key = ("trigrams", sf_dir)
+    root, cfg = _CACHE[sf_dir]
+    if key not in _CACHE:
+        build_trigrams(spark, root, _corpus_shape(spark, sf_dir), cfg)
+        _CACHE[key] = True
+    return GrepReader(spark, root, _corpus_shape(spark, sf_dir), cfg)
+
+
+def _q_grep_literal(spark, sf_dir):
+    # substring search served by the trigram prefilter (posting-list
+    # intersection of the literal's trigrams) + containment verify over
+    # candidates only; the oracle is the brute-force containment scan
+    rd = _grep_reader(spark, sf_dir)
+    return rd.grep("customer").select(
+        F.col("path").cast("long").alias("doc_id")
+    )
+
+
+def _q_grep_regex(spark, sf_dir):
+    # regex search: required-literal factorization ("cus", "mer query")
+    # -> trigram candidates -> rlike verify; oracle = full regexp scan
+    rd = _grep_reader(spark, sf_dir)
+    return rd.grep(
+        "cus[a-z]*mer query", regex=True, case_sensitive=True
+    ).select(F.col("path").cast("long").alias("doc_id"))
+
+
 PHRASE = ["table", "hash"]          # adjacent in the corpus (df-verified)
 NEAR = ("merge", "group", 2)        # ordered within slop 2
 
@@ -1141,6 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_sql": _bm25_spark,
         "wand_topk": _q_wand_topk,
         "phrase_match": _q_phrase_match,
+        "grep_literal": _q_grep_literal,
+        "grep_regex": _q_grep_regex,
         "near_match": _q_near_match,
         "phrase_topk": _q_phrase_topk,
         "topk_after_delete": _q_topk_after_delete,
@@ -1389,6 +1424,16 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "JOIN f b ON b.doc_id = a.doc_id AND b.p > a.p "
             f"AND b.p <= a.p + 1 + {NEAR[2]} "
             f"WHERE a.term = '{NEAR[0]}' AND b.term = '{NEAR[1]}'"
+        ),
+        # trigram grep: the engine prefilters via posting-list
+        # intersection then verifies; the oracle is the brute-force scan
+        "grep_literal": (
+            "SELECT doc_id FROM documents "
+            "WHERE contains(lower(text), 'customer')"
+        ),
+        "grep_regex": (
+            "SELECT doc_id FROM documents "
+            "WHERE regexp_matches(text, 'cus[a-z]*mer query')"
         ),
         "phrase_topk": f"""
 {_T_SQL},

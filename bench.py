@@ -189,6 +189,21 @@ def main() -> None:
     extras["colloc_rows"] = collocations(docs, k=20).count()
     timings["serving_ops"] = time.perf_counter() - t0
 
+    # ---- phase 5b: trigram sibling + substring/regex grep ----------
+    # (one extra content pass, like positions; serving = posting-list
+    # intersection of the pattern's required trigrams + verify over
+    # candidates only)
+    from yase_spark.grep import GrepReader, build_trigrams
+
+    t0 = time.perf_counter()
+    build_trigrams(spark, root, corpus, cfg)
+    grd = GrepReader(spark, root, corpus, cfg)
+    extras["grep_lit_hits"] = grd.grep(sample[30]).count()
+    extras["grep_re_hits"] = grd.grep(
+        f"{sample[1][:4]}[a-z]* {sample[2][:3]}", regex=True
+    ).count()
+    timings["trigram_grep"] = time.perf_counter() - t0
+
     # ---- phase 6: curation stages over sf documents -----------------
     from yase_spark.curation import (
         chunk_docs,
@@ -217,7 +232,7 @@ def main() -> None:
         "metric": "index-build + BM25 query engine + pipeline ops wall time "
         "(build sf docs, query set, build 20k synthetic corpus, "
         "dedup/ANN/text-analysis, positions+serving features, "
-        "curation stages over sf documents)",
+        "trigram grep, curation stages over sf documents)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},

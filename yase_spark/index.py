@@ -691,6 +691,11 @@ class IndexBuilder:
             from .positions import compact_positions
 
             compact_positions(spark, cat, cfg, dels)
+        if cat.exists("tri_segments"):
+            # ditto for the trigram sibling index (grep.py)
+            from .grep import compact_trigrams
+
+            compact_trigrams(spark, cat, cfg, dels)
         self._commit_stats(
             {"n_docs": n_docs2, "total_tokens": total2, "avgdl": avgdl2},
             f"apply-deletes-{self.run_id}",

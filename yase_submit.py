@@ -42,9 +42,17 @@ def main(argv=None) -> int:
     p.add_argument(
         "cmd",
         choices=[
-            "build", "positions", "dictionary", "query", "synth", "bench",
-            "neardup", "ann", "stream", "compact", "delete",
+            "build", "positions", "trigrams", "dictionary", "query", "synth",
+            "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
         ],
+    )
+    p.add_argument(
+        "--regex", action="store_true",
+        help="grep: treat --q as a regex (default: literal substring)",
+    )
+    p.add_argument(
+        "--case-sensitive", action="store_true",
+        help="grep: match case-sensitively",
     )
     p.add_argument(
         "--predicate",
@@ -143,6 +151,27 @@ def main(argv=None) -> int:
 
         corpus = spark.read.parquet(args.corpus)
         print(json.dumps(build_positions(spark, args.index, corpus), default=float))
+
+    elif args.cmd == "trigrams":
+        # trigram sibling index (substring/regex code search): full
+        # build after `build`, incremental after appends
+        from yase_spark.grep import build_trigrams
+
+        corpus = spark.read.parquet(args.corpus)
+        print(json.dumps(build_trigrams(spark, args.index, corpus), default=float))
+
+    elif args.cmd == "grep":
+        # trigram-prefiltered substring/regex search: posting-list
+        # intersection of the pattern's required trigrams, then the real
+        # matcher over candidates only (Zoekt/Code Search shape)
+        from yase_spark.grep import GrepReader
+
+        corpus = spark.read.parquet(args.corpus)
+        rd = GrepReader(spark, args.index, corpus)
+        rows = rd.grep(
+            args.q, regex=args.regex, case_sensitive=args.case_sensitive
+        ).limit(args.k).collect()
+        print(json.dumps([r.asDict() for r in rows]))
 
     elif args.cmd == "compact":
         # maintenance: collapse a table's commit history to one data dir
