@@ -308,6 +308,23 @@ def _q_grep_literal(spark, sf_dir):
     )
 
 
+def _q_grep_topk(spark, sf_dir):
+    # ranked grep: the trigram match set of the literal selects, BM25
+    # over the standard query terms ranks (full-corpus stats — the
+    # filter-query + scorer composition, same convention as topk_where)
+    grd = _grep_reader(spark, sf_dir)
+    rd = _reader(spark, sf_dir)
+    rows = grd.grep_topk(rd, "customer", " ".join(BM25_TERMS), k=10)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 def _q_grep_regex(spark, sf_dir):
     # regex search: required-literal factorization ("cus", "mer query")
     # -> trigram candidates -> rlike verify; oracle = full regexp scan
@@ -1176,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "grep_literal": _q_grep_literal,
         "grep_regex": _q_grep_regex,
+        "grep_topk": _q_grep_topk,
         "near_match": _q_near_match,
         "phrase_topk": _q_phrase_topk,
         "topk_after_delete": _q_topk_after_delete,
@@ -1434,6 +1452,14 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         "grep_regex": (
             "SELECT doc_id FROM documents "
             "WHERE regexp_matches(text, 'cus[a-z]*mer query')"
+        ),
+        # ranked grep: BM25 (full-corpus stats) restricted to the
+        # containment match set
+        "grep_topk": _bm25_oracle_sql(
+            "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+            "WHERE doc_id IN (SELECT doc_id FROM documents "
+            "                 WHERE contains(lower(text), 'customer')) "
+            "ORDER BY score DESC, doc_id LIMIT 10"
         ),
         "phrase_topk": f"""
 {_T_SQL},

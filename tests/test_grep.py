@@ -176,6 +176,28 @@ def test_no_factor_regex_full_scan(rd):
     assert got == want
 
 
+def test_grep_topk_matches_manual_compose(rd, spark, grep_index):
+    """grep_topk == (grep match set) ∩-scored by the ordinary ranked
+    path: every returned doc matches the pattern, scores equal the
+    engine's own topk scores for those docs, order is (score DESC,
+    doc_id ASC)."""
+    from yase_spark.query import IndexReader
+
+    root, gcfg = grep_index
+    ir = IndexReader(spark, root)
+    rows = rd.grep_topk(ir, "getPage", "json getPage", k=5)
+    assert rows and [r for r, _, _ in rows] == list(range(1, len(rows) + 1))
+    match_set = set(_ids(rd.grep("getPage")))
+    assert {d for _, d, _ in rows} <= match_set
+    # scores must agree with rank_doc_set over the full match set
+    manual = ir.rank_doc_set(
+        np.array(sorted(match_set), dtype=np.int64), "json getPage", 5
+    )
+    assert rows == manual
+    scores = [s for _, _, s in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
 # ----------------------------------------------------------- lifecycle
 def test_stale_after_docs_change(spark, tiny_corpus, grep_index, tmp_path):
     """A docs-table rewrite (compaction renumbering) must invalidate the

@@ -680,3 +680,29 @@ class GrepReader:
             .filter(matcher)
         )
         return hit.select("doc_id", "repo", "path").orderBy("doc_id")
+
+    def grep_topk(
+        self,
+        reader,
+        pattern: str,
+        query: str,
+        k: int = 10,
+        regex: bool = False,
+        case_sensitive: bool = False,
+    ):
+        """BM25-ranked grep: the trigram-prefiltered match set of
+        ``pattern`` selects, ``reader`` (an IndexReader on the same
+        root) ranks by the standard scorer over ``query``'s tokens with
+        full-corpus statistics — the Lucene filter-query + scorer
+        composition (same contract as ``phrase_topk`` / ``topk_where``).
+        Returns [(rank, doc_id, score)]."""
+        matched = np.array(
+            sorted(
+                r["doc_id"]
+                for r in self.grep(
+                    pattern, regex=regex, case_sensitive=case_sensitive
+                ).collect()
+            ),
+            dtype=np.int64,
+        )
+        return reader.rank_doc_set(matched, query, k)

@@ -1611,17 +1611,23 @@ class IndexReader:
             [(int(d),) for d in ids], schema="doc_id long"
         )
 
-    def phrase_topk(self, query: str, k: int = 10, slop: int = 0):
-        """BM25-ranked phrase results: the phrase filter selects, the
-        scorer ranks over the phrase's UNIQUE parts in first-occurrence
-        order (the engine's fixed summation order) with the
-        deterministic (score DESC, doc_id ASC) tie-break — Lucene's
-        PhraseQuery contract (match requires adjacency, score is the
-        standard per-term sum). Returns [(rank, doc_id, score)]."""
-        matched = self.phrase(query, slop=slop)
+    def rank_doc_set(
+        self, matched, query: str, k: int = 10,
+        tokens: list[str] | None = None,
+    ):
+        """BM25-rank a pre-selected SORTED doc-id set: the caller's
+        filter (phrase match, trigram grep, any candidate generator)
+        selects, the standard scorer ranks over the query's unique
+        tokens in first-occurrence order with the deterministic
+        (score DESC, doc_id ASC) tie-break — the generic Lucene
+        filter-query + scorer composition. Full-corpus statistics
+        (restriction commutes with scoring, the ``topk_where``
+        convention). Returns [(rank, doc_id, score)]."""
+        matched = np.asarray(matched, dtype=np.int64)
         if matched.size == 0 or k <= 0:
             return []
-        tokens = list(dict.fromkeys(analyze_phrase(query)))
+        if tokens is None:
+            tokens = list(dict.fromkeys(analyze_query(query)))
         got = self.fetch_terms(tokens)
         scores = np.zeros(matched.size, dtype=np.float64)
         for t in tokens:
@@ -1640,6 +1646,18 @@ class IndexReader:
             scores[ok] += contrib[pos[ok]]
         order = np.lexsort((matched, -scores))[:k]
         return [(r + 1, int(matched[i]), float(scores[i])) for r, i in enumerate(order)]
+
+    def phrase_topk(self, query: str, k: int = 10, slop: int = 0):
+        """BM25-ranked phrase results: the phrase filter selects, the
+        scorer ranks over the phrase's UNIQUE parts in first-occurrence
+        order (the engine's fixed summation order) with the
+        deterministic (score DESC, doc_id ASC) tie-break — Lucene's
+        PhraseQuery contract (match requires adjacency, score is the
+        standard per-term sum). Returns [(rank, doc_id, score)]."""
+        return self.rank_doc_set(
+            self.phrase(query, slop=slop), query, k,
+            tokens=list(dict.fromkeys(analyze_phrase(query))),
+        )
 
     def highlight_topk(self, query: str, k: int = 10, width: int = 30):
         """Ranked top-k with a best-passage highlight per hit: the

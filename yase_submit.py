@@ -55,6 +55,11 @@ def main(argv=None) -> int:
         help="grep: match case-sensitively",
     )
     p.add_argument(
+        "--rank-q",
+        help="grep: BM25-rank the match set by this query "
+        "(filter-query + scorer composition)",
+    )
+    p.add_argument(
         "--predicate",
         help="delete: SQL predicate over docs columns, e.g. \"lang = 'java'\"",
     )
@@ -168,10 +173,23 @@ def main(argv=None) -> int:
 
         corpus = spark.read.parquet(args.corpus)
         rd = GrepReader(spark, args.index, corpus)
-        rows = rd.grep(
-            args.q, regex=args.regex, case_sensitive=args.case_sensitive
-        ).limit(args.k).collect()
-        print(json.dumps([r.asDict() for r in rows]))
+        if args.rank_q:
+            from yase_spark.query import IndexReader
+
+            out = [
+                {"rank": r, "doc_id": d, "score": s}
+                for r, d, s in rd.grep_topk(
+                    IndexReader(spark, args.index), args.q, args.rank_q,
+                    k=args.k, regex=args.regex,
+                    case_sensitive=args.case_sensitive,
+                )
+            ]
+            print(json.dumps(out))
+        else:
+            rows = rd.grep(
+                args.q, regex=args.regex, case_sensitive=args.case_sensitive
+            ).limit(args.k).collect()
+            print(json.dumps([r.asDict() for r in rows]))
 
     elif args.cmd == "compact":
         # maintenance: collapse a table's commit history to one data dir
