@@ -67,6 +67,51 @@ _TOK_SQL = (
 )
 _T_SQL = f"WITH tok AS ({_TOK_SQL}), t AS (SELECT * FROM tok WHERE term <> '')"
 
+
+def _fields_sql() -> str:
+    """Two-family BM25 oracle for fields_topk: the content field's CTEs
+    (t/dl1/tf1/...) and the metadata field's (t2/dl2/tf2/...), each
+    with its own df/avgdl, blended FULL OUTER with the query-time
+    weights — the exact semantics of yase_spark.fields.fields_topk."""
+    terms = ", ".join(f"'{t}'" for t in FIELD_QUERY.split())
+    return f"""
+{_T_SQL},
+dl1 AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf1 AS (SELECT term, doc_id, count(*) AS tf FROM t WHERE term IN ({terms}) GROUP BY 1, 2),
+df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+st1 AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl1),
+sc1 AS (
+  SELECT tf1.doc_id,
+         sum(ln(1.0 + (st1.n - df1.df + 0.5) / (df1.df + 0.5))
+             * (tf1.tf * {K1 + 1.0}) / (tf1.tf + {K1} * (1.0 - {B} + {B} * (dl1.dl / st1.avgdl)))
+         ) AS score
+  FROM tf1 JOIN df1 USING (term) JOIN dl1 USING (doc_id) CROSS JOIN st1
+  GROUP BY 1
+),
+tok2 AS (SELECT doc_id, unnest(regexp_split_to_array(
+           lower(source || ' ' || lang), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT * FROM tok2 WHERE term <> ''),
+dl2 AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+tf2 AS (SELECT term, doc_id, count(*) AS tf FROM t2 WHERE term IN ({terms}) GROUP BY 1, 2),
+df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+st2 AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl2),
+sc2 AS (
+  SELECT tf2.doc_id,
+         sum(ln(1.0 + (st2.n - df2.df + 0.5) / (df2.df + 0.5))
+             * (tf2.tf * {K1 + 1.0}) / (tf2.tf + {K1} * (1.0 - {B} + {B} * (dl2.dl / st2.avgdl)))
+         ) AS score
+  FROM tf2 JOIN df2 USING (term) JOIN dl2 USING (doc_id) CROSS JOIN st2
+  GROUP BY 1
+),
+sc AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.score, 0) * 1.0 + coalesce(b.score, 0) * {FIELD_W} AS score
+  FROM sc1 a FULL JOIN sc2 b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, round(score, 5) AS score_r FROM sc
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
 # token positions: array ordinality (stable), empties filtered, then
 # re-numbered per doc — matches the engine's parts-stream positions
 _POS_SQL = (
@@ -305,6 +350,49 @@ def _q_grep_literal(spark, sf_dir):
     rd = _grep_reader(spark, sf_dir)
     return rd.grep("customer").select(
         F.col("path").cast("long").alias("doc_id")
+    )
+
+
+def _fields_reader(spark, sf_dir):
+    """Second (metadata-field) index over the same corpus rows: content
+    := 'source lang' — doc ids align by construction (minted from the
+    natural key only)."""
+    _reader(spark, sf_dir)
+    key = ("fields", sf_dir)
+    if key not in _CACHE:
+        root = tempfile.mkdtemp(prefix="yase_ixf_")
+        cfg = _CACHE[sf_dir][1]
+        fcorpus = _docs(spark, sf_dir).select(
+            F.lit("docs").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("path"),
+            F.lit("head").alias("commit"),
+            F.col("lang"),
+            F.concat_ws(" ", "source", "lang").alias("content"),
+        )
+        build_index(spark, fcorpus, root, cfg)
+        _CACHE[key] = (root, cfg)
+    root, cfg = _CACHE[key]
+    return IndexReader(spark, root, cfg)
+
+
+FIELD_QUERY = "table hash src3"   # content terms + a metadata-field term
+FIELD_W = 2.0                     # boost on the metadata field
+
+
+def _q_fields_topk(spark, sf_dir):
+    # multi-field ranked search (Lucene per-field-boost shape): content
+    # field at weight 1 + the 'source lang' metadata field at weight 2,
+    # each with its OWN df/avgdl statistics; combined on the cluster
+    # contribution lane (one union + one hash agg + TakeOrdered top-k)
+    from yase_spark.fields import fields_topk
+
+    rd1 = _reader(spark, sf_dir)
+    rd2 = _fields_reader(spark, sf_dir)
+    res = fields_topk([(rd1, 1.0), (rd2, FIELD_W)], FIELD_QUERY, k=10)
+    m = _orig_ids(rd1, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
     )
 
 
@@ -1194,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_literal": _q_grep_literal,
         "grep_regex": _q_grep_regex,
         "grep_topk": _q_grep_topk,
+        "fields_topk": _q_fields_topk,
         "near_match": _q_near_match,
         "phrase_topk": _q_phrase_topk,
         "topk_after_delete": _q_topk_after_delete,
@@ -1453,6 +1542,10 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "SELECT doc_id FROM documents "
             "WHERE regexp_matches(text, 'cus[a-z]*mer query')"
         ),
+        # multi-field BM25 with per-field statistics and query-time
+        # boosts: content field (weight 1) + 'source lang' metadata
+        # field (weight FIELD_W), full outer blend
+        "fields_topk": _fields_sql(),
         # ranked grep: BM25 (full-corpus stats) restricted to the
         # containment match set
         "grep_topk": _bm25_oracle_sql(

@@ -1,0 +1,72 @@
+"""Multi-field search: per-field BM25 with query-time field boosts.
+
+The Lucene ``MultiFieldQueryParser`` / per-field-boost shape: every
+FIELD of a document (content, title, path…) is indexed as its own
+inverted index over the SAME doc-id space, and a query scores
+``sum_f w_f * BM25_f(q, d)`` — each field with its own df/avgdl/dl
+statistics (that per-field normalization is the practical reason
+engines rank titles above bodies at equal tf).
+
+Field index = an ordinary index built from the same corpus rows with
+``content`` replaced by the field's text. Doc-id alignment is free by
+construction: ids are minted as the dense row number over the natural
+key order (``ids.dedup_sorted``), which depends only on (repo, path,
+commit) — identical across every field of the same corpus (gated in
+tests/test_fields.py, and ``fields_topk`` hard-checks ``n_docs``).
+
+Scale shape: the combiner rides the cluster contribution lane
+(``IndexReader.contrib_df`` — executor-side decode + weighted BM25 per
+bucket partition, no postings at the driver). The per-field frames
+union (no barrier, no extra shuffle: union is partition concatenation)
+and ONE hash aggregation by doc_id feeds a TakeOrderedAndProject
+top-k, so the cost is exactly one topk_distributed over the union of
+the fields' postings for the query terms. A pruned variant would
+rescale each field's block maxima by ``w_f`` and run the sharded
+WAND per field against the shared threshold — the bounds stay valid
+since ``w_f`` is a positive constant; not implemented (the unpruned
+lane is the documented dispatch for bulk scoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .tokenize import analyze_query
+
+
+def fields_topk(
+    fields: list[tuple], query: str, k: int = 10
+) -> DataFrame:
+    """Ranked top-k over weighted fields: ``fields`` is a list of
+    ``(IndexReader, weight)`` pairs whose indexes cover the same corpus
+    (same doc-id space — checked). Returns (rank, doc_id, score) with
+    the deterministic (score DESC, doc_id ASC) tie-break. A term the
+    query mentions but a field never contains simply contributes
+    nothing for that field — the standard multi-field semantics."""
+    if not fields:
+        raise ValueError("fields_topk needs at least one (reader, weight)")
+    readers = [r for r, _ in fields]
+    n0 = readers[0].n_docs
+    for r in readers[1:]:
+        if r.n_docs != n0:
+            raise ValueError(
+                f"field indexes cover different corpora: n_docs {n0} != "
+                f"{r.n_docs} — every field must be built from the same rows"
+            )
+    spark = readers[0].spark
+    qterms = analyze_query(query)
+    if not qterms:
+        return spark.createDataFrame(
+            [], schema="rank long, doc_id long, score double"
+        )
+    contribs = [rd.contrib_df(qterms, weight=w) for rd, w in fields]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    per_doc = allc.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score"
+    )

@@ -1891,12 +1891,36 @@ class IndexReader:
             return self.spark.createDataFrame(
                 [], schema="rank long, doc_id long, score double"
             )
+        per_doc = (
+            self.contrib_df(qterms)
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        # orderBy().limit(k) compiles to TakeOrderedAndProject — each
+        # partition keeps a local k-heap, the driver merges P·k rows; the
+        # rank window then runs on k rows only (never a global sort).
+        top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+            "rank", "doc_id", "score"
+        )
+
+    def contrib_df(self, qterms: list[str], weight: float = 1.0) -> DataFrame:
+        """Executor-side per-term BM25 contributions for ``qterms`` as a
+        (doc_id, contrib) DataFrame — the building block of the
+        cluster-side ranked lanes: decode segment payloads per bucket
+        partition (mapInPandas, numpy), emit one weighted contribution
+        row per (term, doc) posting. ``weight`` scales every
+        contribution (multi-field composition, fields.py)."""
         buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in qterms})
         segs = self._segments.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
         ).select("term", "df", "n", "payload")
         n_docs, avgdl = self.n_docs, self.avgdl
         k1, b = self.cfg.k1, self.cfg.b
+        wgt = float(weight)
         bdel_d = (
             self.spark.sparkContext.broadcast(self._deleted)
             if self._deleted is not None
@@ -1916,7 +1940,7 @@ class IndexReader:
                     idf = math.log(1.0 + (n_docs - int(r.df) + 0.5) / (int(r.df) + 0.5))
                     sc = bm25_scores_np(tfs, dls, idf, k1, b, avgdl)
                     out_doc.append(ids)
-                    out_sc.append(sc)
+                    out_sc.append(sc if wgt == 1.0 else sc * wgt)
                 if out_doc:
                     yield pd.DataFrame(
                         {
@@ -1925,21 +1949,7 @@ class IndexReader:
                         }
                     )
 
-        per_doc = (
-            segs.mapInPandas(contribs, schema="doc_id long, contrib double")
-            .groupBy("doc_id")
-            .agg(F.sum("contrib").alias("score"))
-        )
-        # orderBy().limit(k) compiles to TakeOrderedAndProject — each
-        # partition keeps a local k-heap, the driver merges P·k rows; the
-        # rank window then runs on k rows only (never a global sort).
-        top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        from pyspark.sql import Window
-
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
-            "rank", "doc_id", "score"
-        )
+        return segs.mapInPandas(contribs, schema="doc_id long, contrib double")
 
     # target postings per range task of the sharded executor: large
     # enough that per-task overhead amortizes, small enough that one
