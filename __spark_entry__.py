@@ -68,6 +68,31 @@ _TOK_SQL = (
 _T_SQL = f"WITH tok AS ({_TOK_SQL}), t AS (SELECT * FROM tok WHERE term <> '')"
 
 
+def _pii_sql() -> str:
+    """DuckDB replay of pii_scrub over the same planted-PII text; the
+    pattern dictionary is imported so engine and oracle can't drift."""
+    from yase_spark.curation import PII_PATTERNS
+
+    clean = "text"
+    for pat in PII_PATTERNS.values():
+        clean = f"regexp_replace({clean}, '{pat}', '[PII]', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.7'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' id 123-45-6789 tel +1 555 0100 200'
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id, {clean} AS clean_text, {counts} FROM d
+"""
+
+
 def _fields_sql() -> str:
     """Two-family BM25 oracle for fields_topk: the content field's CTEs
     (t/dl1/tf1/...) and the metadata field's (t2/dl2/tf2/...), each
@@ -1069,6 +1094,32 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), max_tokens=PACK_MAX, n_groups=PACK_G)
 
 
+def _q_pii_scrub(spark, sf_dir):
+    # the corpus is synthetic word soup with no real PII, so the entry
+    # plants deterministic PII (email + ipv4 per doc; ssn + phone on
+    # every third doc) IN THE QUERY — the oracle plants the identical
+    # text in SQL, so detection counts and the redacted text are fully
+    # value-checked, not vacuously zero
+    from yase_spark.curation import pii_scrub
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.lit(" id 123-45-6789 tel +1 555 0100 200"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(d)
+
+
 # --------------- multi-term expansion + facets (round 3, expand.py)
 EXP_PREFIX = "s"       # -> small scan slow stream sort spark (df-ranked)
 EXP_WILD = "s*a*"      # -> small scan stream spark
@@ -1344,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "chunk_docs": _q_chunk_docs,
         "pack_sequences": _q_pack_sequences,
+        "pii_scrub": _q_pii_scrub,
         # spell suggestion + co-occurrence mining + score explain
         "spell_suggest": _q_spell_suggest,
         "related_terms": _q_related_terms,
@@ -2051,6 +2103,10 @@ pack AS (
   FROM pack p JOIN ordd o ON o.grp = p.grp AND o.rn = p.rn + 1)
 SELECT doc_id, grp, grp * {1 << 40} + bin_l AS bin_id, off, n_tokens FROM pack
 """,
+        # PII scrub: the SAME deterministic PII planted in SQL, counted
+        # and redacted with the shared pattern dictionary (one source of
+        # truth: yase_spark.curation.PII_PATTERNS)
+        "pii_scrub": _pii_sql(),
         # spell suggestion: brute-force levenshtein over raw-token dfs
         # replays the SymSpell deletion-join + verify (exact at e=1)
         "spell_suggest": f"""

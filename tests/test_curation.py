@@ -169,3 +169,34 @@ def test_pack_parallelism_invariance(spark):
     a = sorted(map(tuple, pack_sequences(docs.repartition(2), 24, 4).collect()))
     b = sorted(map(tuple, pack_sequences(docs.repartition(13), 24, 4).collect()))
     assert a == b
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from yase_spark.curation import pii_scrub
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.co.uk or call +44 20 7946 0958"),
+        (2, "server 192.168.1.250 handled it; ssn 078-05-1120 on file"),
+        (3, "nothing sensitive here, just 1.2 version and a-b-c"),
+        (4, "two mails a@b.io c.d@e.org and ip 10.0.0.1 10.0.0.2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["clean_text"] == "mail me at [PII] or call [PII]"
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_ssn"] == 1
+    assert got[2]["clean_text"] == "server [PII] handled it; ssn [PII] on file"
+    # no false positives on version strings / hyphenated words
+    assert tuple(got[3])[2:] == (0, 0, 0, 0)
+    assert got[3]["clean_text"] == rows[2][1]
+    assert got[4]["n_email"] == 2 and got[4]["n_ipv4"] == 2
+    assert got[4]["clean_text"] == "two mails [PII] [PII] and ip [PII] [PII]"
+
+
+def test_pii_scrub_map_only(spark):
+    from yase_spark.curation import pii_scrub
+
+    docs = spark.createDataFrame([(1, "x@y.io")], "doc_id bigint, text string")
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -229,3 +229,51 @@ def pack_sequences(
         return pdf[["doc_id", "grp", "bin_id", "off", "n_tokens"]]
 
     return src.groupBy("grp").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+# ---------------------------------------------------------------- PII
+# detection/redaction patterns — written for identical semantics under
+# Java regex (Spark), RE2 (DuckDB), and Python re: character classes +
+# bounded quantifiers + \b only, no lookaround, no backreferences
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+\d{1,3}[ \-]\d{2,4}[ \-]\d{3,4}[ \-]\d{3,4}\b",
+}
+
+
+def pii_scrub(docs: DataFrame, token: str = "[PII]") -> DataFrame:
+    """PII detection + redaction — the scrub stage every training-data
+    pipeline runs before materialization (emails, IPv4s, SSN-shaped
+    ids, international phone numbers).
+
+    Returns (doc_id, clean_text, n_email, n_ipv4, n_ssn, n_phone):
+    counts are per-pattern matches on the ORIGINAL text (audit
+    metrics), ``clean_text`` applies the replacements in the fixed
+    dictionary order above (email first, so an address is one [PII],
+    not an [PII]-with-embedded-ipv4).
+
+    Scale shape: map-only, pure JVM (``regexp_extract_all`` /
+    ``regexp_replace`` in WholeStageCodegen) — one scan, zero
+    exchanges, composes with any upstream filter pushdown. The pattern
+    set is the operator's contract surface: patterns are written to
+    evaluate identically under Java regex, RE2, and Python re (the
+    DuckDB oracle runs the same scrub), so extending the dictionary
+    keeps the oracle meaningful.
+    """
+    out = docs.select("doc_id", "text")
+    # F.regexp_extract_all takes the pattern as a literal column — no
+    # SQL string literal, so the backslashes survive un-mangled
+    counts = [
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    clean = F.col("text")
+    for pat in PII_PATTERNS.values():
+        clean = F.regexp_replace(clean, pat, token)
+    return out.select(
+        "doc_id", clean.alias("clean_text"), *counts
+    )
