@@ -1094,6 +1094,19 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), max_tokens=PACK_MAX, n_groups=PACK_G)
 
 
+def _q_tfidf_vectors(spark, sf_dir):
+    # sparse doc-term TF-IDF matrix exported FROM THE INDEX (postings
+    # already hold doc/tf; no re-tokenization) vs the oracle's
+    # from-scratch recount — any decode or df defect breaks the hash
+    from yase_spark.features import tfidf_vectors
+
+    rd = _reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return tfidf_vectors(rd).join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"), "term", "tfidf_r"
+    )
+
+
 def _q_pii_scrub(spark, sf_dir):
     # the corpus is synthetic word soup with no real PII, so the entry
     # plants deterministic PII (email + ipv4 per doc; ssn + phone on
@@ -1396,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "pack_sequences": _q_pack_sequences,
         "pii_scrub": _q_pii_scrub,
+        "tfidf_vectors": _q_tfidf_vectors,
         # spell suggestion + co-occurrence mining + score explain
         "spell_suggest": _q_spell_suggest,
         "related_terms": _q_related_terms,
@@ -2107,6 +2121,16 @@ SELECT doc_id, grp, grp * {1 << 40} + bin_l AS bin_id, off, n_tokens FROM pack
         # and redacted with the shared pattern dictionary (one source of
         # truth: yase_spark.curation.PII_PATTERNS)
         "pii_scrub": _pii_sql(),
+        # TF-IDF export: raw-count tf * ln(n/df), recomputed from text
+        "tfidf_vectors": (
+            f"{_T_SQL}, "
+            "tf AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2), "
+            "dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "st AS (SELECT count(*) AS n FROM documents) "
+            "SELECT tf.doc_id, tf.term, "
+            "round(tf * ln(st.n::DOUBLE / dfs.df), 6) AS tfidf_r "
+            "FROM tf JOIN dfs USING (term) CROSS JOIN st"
+        ),
         # spell suggestion: brute-force levenshtein over raw-token dfs
         # replays the SymSpell deletion-join + verify (exact at e=1)
         "spell_suggest": f"""

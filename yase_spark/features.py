@@ -1,0 +1,77 @@
+"""ML feature export from the inverted index.
+
+``tfidf_vectors`` turns the index back into the sparse doc-term matrix
+a downstream trainer consumes — (doc_id, term, tfidf) rows, equivalent
+to re-tokenizing the corpus but computed FROM THE INDEX: the postings
+already hold (doc, tf, dl) per term, so the export never touches
+content (at 100 TB the index is ~1-2 % of the corpus bytes) and
+inherits the index's dedup/tombstone semantics for free.
+
+Weighting: the classic raw-count formulation ``tf * ln(n_docs / df)``
+(df > 0 for every indexed term, so the log is total). Swap-in point
+for l2-normalized or sublinear-tf variants is the single expression in
+the select.
+
+Scale shape: ONE map-only decode pass over the segment rows (the same
+mapInPandas shape as the cluster contribution lane) joined to the
+dictionary-sized per-term df table with an explicit broadcast — no
+corpus-sized shuffle anywhere; the per-term df aggregation shuffles
+only (term, df) pairs. Output order is unspecified (it is a feature
+TABLE, not a ranking).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .codec import decode_postings
+
+
+def tfidf_vectors(reader) -> DataFrame:
+    """Sparse TF-IDF doc-term matrix (doc_id, term, tfidf_r) from an
+    ``IndexReader``'s segments — tombstoned docs excluded, tfidf
+    rounded to 6 dp (the cross-engine comparison convention)."""
+    segs = reader._segments.select("term", "df", "n", "payload")
+    n_docs = reader.n_docs
+    bdel = (
+        reader.spark.sparkContext.broadcast(reader._deleted)
+        if reader._deleted is not None
+        else None
+    )
+
+    def explode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            terms, docs, tfs_l = [], [], []
+            for r in pdf.itertuples():
+                ids, tfs, _dls = decode_postings(bytes(r.payload), int(r.n))
+                if bdel is not None:
+                    keep = ~np.isin(ids, bdel.value, assume_unique=True)
+                    ids, tfs = ids[keep], tfs[keep]
+                terms.append(np.full(ids.size, r.term, dtype=object))
+                docs.append(ids)
+                tfs_l.append(tfs.astype(np.int64))
+            if terms:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms),
+                        "doc_id": np.concatenate(docs),
+                        "tf": np.concatenate(tfs_l),
+                    }
+                )
+
+    tf = segs.mapInPandas(explode, schema="term string, doc_id long, tf long")
+    # segment rows carry the TERM-GLOBAL df duplicated per shard row
+    # (postings.py:378), so any-value aggregation recovers it — a
+    # dictionary-sized agg
+    dfs = segs.groupBy("term").agg(F.max("df").alias("t_df"))
+    return tf.join(F.broadcast(dfs), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("t_df")), 6
+        ).alias("tfidf_r"),
+    )
