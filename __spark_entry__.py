@@ -1308,6 +1308,18 @@ def _q_collocations(spark, sf_dir):
     return collocations(_docs(spark, sf_dir), k=COLL_K, min_count=COLL_MIN)
 
 
+SIG_PRED, SIG_K = "lang = 'de'", 15
+
+
+def _q_significant_terms(spark, sf_dir):
+    # ES significant_terms: terms overrepresented in the lang='de'
+    # slice vs the whole corpus, JLH-scored over distinct-per-doc
+    # tokens — one conditional aggregate, totals broadcast
+    from yase_spark.cooccur import significant_terms
+
+    return significant_terms(_docs(spark, sf_dir), SIG_PRED, k=SIG_K)
+
+
 def _q_score_explain(spark, sf_dir):
     # per-term BM25 breakdown of the top-10 hits (Lucene explain):
     # contributions must sum to the hit's total, and every number is
@@ -1414,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": _q_spell_suggest,
         "related_terms": _q_related_terms,
         "collocations": _q_collocations,
+        "significant_terms": _q_significant_terms,
         "score_explain": _q_score_explain,
     }
 
@@ -2146,6 +2159,24 @@ SELECT word,
 FROM cand QUALIFY rank <= {SPELL_K}
 """,
         # related terms: doc-level PMI vs the seed over distinct tokens
+        "significant_terms": f"""
+WITH d AS (SELECT doc_id, ({SIG_PRED}) AS fg, text FROM documents),
+tok AS (SELECT DISTINCT doc_id, fg,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM d),
+t AS (SELECT * FROM tok WHERE term <> ''),
+tal AS (SELECT term, count(*) FILTER (WHERE fg) AS fg_df, count(*) AS df
+        FROM t GROUP BY 1),
+tot AS (SELECT count(*) AS n_docs, count(*) FILTER (WHERE fg) AS n_fg FROM d),
+scored AS (
+  SELECT term, fg_df, df,
+         round((fg_df / n_fg - df / n_docs) * ((fg_df / n_fg) / (df / n_docs)), 6) AS score_r
+  FROM tal CROSS JOIN tot
+  WHERE fg_df >= 2 AND fg_df / n_fg > df / n_docs)
+SELECT row_number() OVER (ORDER BY score_r DESC, term) AS rank,
+       term, fg_df, df, score_r
+FROM scored QUALIFY rank <= {SIG_K}
+""",
         "related_terms": f"""
 {_T_SQL},
 td AS (SELECT DISTINCT doc_id, term FROM t),

@@ -264,3 +264,31 @@ def test_dictionary_and_deletions_staleness(spark, tmp_path):
     assert dictionary_is_fresh(cat) and deletions_are_fresh(cat)
     got2 = spell_suggest(spark, root, ["zzyzxx"], k=3).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_significant_terms_vs_python(spark):
+    from yase_spark.cooccur import significant_terms
+
+    rows = [
+        (i, ("der die das common " if i % 2 == 0 else "the a an common ")
+            + f"w{i % 3}", "de" if i % 2 == 0 else "en")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = significant_terms(docs, "lang = 'de'", k=10, min_fg_df=2).collect()
+
+    sets = {i: (set(_py_tok(t)), lang) for i, t, lang in rows}
+    n, n_fg = len(rows), sum(1 for _, (_, l) in sets.items() if l == "de")
+    exp = []
+    for t in {w for s, _ in sets.values() for w in s}:
+        fg = sum(1 for s, l in sets.values() if l == "de" and t in s)
+        df = sum(1 for s, _ in sets.values() if t in s)
+        fgr, bgr = fg / n_fg, df / n
+        if fg >= 2 and fgr > bgr:
+            exp.append((t, fg, df, round((fgr - bgr) * (fgr / bgr), 6)))
+    exp.sort(key=lambda x: (-x[3], x[0]))
+    assert [(r["term"], r["fg_df"], r["df"], r["score_r"]) for r in out] == exp[:10]
+    # the German-only stopwords dominate; shared terms never appear
+    top = {r["term"] for r in out[:3]}
+    assert top <= {"der", "die", "das"}
+    assert all(r["term"] != "common" for r in out)

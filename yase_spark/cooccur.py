@@ -155,3 +155,69 @@ def collocations(docs: DataFrame, k: int = 20, min_count: int = 3) -> DataFrame:
         scored, [F.desc("pmi_r"), F.asc("bigram")], k,
         ["rank", "bigram", "c_ab", "pmi_r"],
     )
+
+
+def significant_terms(
+    docs: DataFrame, predicate: str, k: int = 20, min_fg_df: int = 2
+) -> DataFrame:
+    """Elasticsearch ``significant_terms``: terms OVERREPRESENTED in a
+    metadata slice (the foreground, ``docs WHERE predicate``) relative
+    to the whole corpus, JLH-scored::
+
+        score = (fg% - bg%) * (fg% / bg%)
+        fg%   = fg_df / n_fg        bg% = df / n_docs
+
+    (ES's background includes the foreground — same convention here.)
+    Output: (rank, term, fg_df, df, score_r) with score rounded to 6
+    and the (score DESC, term ASC) tie-break; terms below ``min_fg_df``
+    foreground docs or at/below background rate are dropped (noise and
+    negatively-associated terms are not "significant").
+
+    Scale shape: ONE pass over the distinct-per-doc token stream with a
+    conditional aggregate — fg_df and df come out of the same
+    map-side-combinable groupBy, so adding the slice costs nothing over
+    a plain df aggregation; the two scalar totals are broadcast. The
+    ranking cap is TakeOrderedAndProject (per-partition heaps).
+    """
+    flagged = docs.select(
+        "doc_id", "text", F.expr(f"({predicate})").cast("boolean").alias("fg")
+    )
+    toks = (
+        flagged.select(
+            "doc_id",
+            "fg",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower("text"), SPLIT), lambda t: t != ""
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    tallies = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("fg_df"),
+        F.count("*").alias("df"),
+    )
+    totals = flagged.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("n_fg"),
+    )
+    fg_rate = F.col("fg_df") / F.col("n_fg")
+    bg_rate = F.col("df") / F.col("n_docs")
+    scored = (
+        tallies.crossJoin(F.broadcast(totals))
+        .filter((F.col("fg_df") >= min_fg_df) & (fg_rate > bg_rate))
+        .select(
+            "term",
+            "fg_df",
+            "df",
+            F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6).alias(
+                "score_r"
+            ),
+        )
+    )
+    return _rank_top(
+        scored, [F.desc("score_r"), F.asc("term")], k,
+        ["rank", "term", "fg_df", "df", "score_r"],
+    )
