@@ -339,6 +339,25 @@ def _q_wand_topk(spark, sf_dir):
     )
 
 
+def _q_topk_page2(spark, sf_dir):
+    # searchAfter deep paging: page 2 (ranks 11-20) via the value
+    # cursor from page 1 — the oracle takes rows 11..20 of the full
+    # ranking, so any skip/repeat at the boundary breaks the hash
+    rd = _reader(spark, sf_dir)
+    q = " ".join(BM25_TERMS)
+    p1 = rd.topk_after(q, 10)
+    cursor = (p1[-1][2], p1[-1][1])
+    rows = rd.topk_after(q, 10, after=cursor)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 def _pos_reader(spark, sf_dir) -> IndexReader:
     """Main index + the positional sibling index (positions.py) built
     over the same corpus shape."""
@@ -1359,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_regex": _q_grep_regex,
         "grep_topk": _q_grep_topk,
         "fields_topk": _q_fields_topk,
+        "topk_page2": _q_topk_page2,
         "near_match": _q_near_match,
         "phrase_topk": _q_phrase_topk,
         "topk_after_delete": _q_topk_after_delete,
@@ -1625,6 +1645,13 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         # boosts: content field (weight 1) + 'source lang' metadata
         # field (weight FIELD_W), full outer blend
         "fields_topk": _fields_sql(),
+        # deep paging: rows 11..20 of the full ranking
+        "topk_page2": _bm25_oracle_sql(
+            "SELECT doc_id, round(score, 5) AS score_r FROM ("
+            "  SELECT doc_id, score, row_number() OVER "
+            "    (ORDER BY score DESC, doc_id) AS rn FROM sc) "
+            "WHERE rn BETWEEN 11 AND 20"
+        ),
         # ranked grep: BM25 (full-corpus stats) restricted to the
         # containment match set
         "grep_topk": _bm25_oracle_sql(

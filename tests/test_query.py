@@ -303,3 +303,23 @@ def test_topk_where_filtered_serving(spark, tiny_index):
     assert [int(r["doc_id"]) for r in got] == [d for d, _ in exp]
     for r, (_, s) in zip(got, exp):
         assert abs(float(r["score"]) - s) < 1e-9  # distributed sum ulps
+
+
+def test_topk_after_pages_concatenate(spark, tiny_index):
+    """searchAfter contract: page1 ++ page2 (cursor = last of page1)
+    must equal the single top-2k ranking bitwise, and pages never
+    overlap."""
+    from yase_spark.query import IndexReader
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    q = "json getPage value"
+    whole = rd.topk(q, 20)
+    p1 = rd.topk_after(q, 10)
+    assert [(d, s) for _, d, s in p1] == [(d, s) for _, d, s in whole[:10]]
+    cursor = (p1[-1][2], p1[-1][1])
+    p2 = rd.topk_after(q, 10, after=cursor)
+    assert [(d, s) for _, d, s in p2] == [(d, s) for _, d, s in whole[10:]]
+    assert {d for _, d, _ in p1}.isdisjoint({d for _, d, _ in p2})
+    # re-executing a page with the same cursor is stable
+    assert rd.topk_after(q, 10, after=cursor) == p2

@@ -1647,6 +1647,45 @@ class IndexReader:
         order = np.lexsort((matched, -scores))[:k]
         return [(r + 1, int(matched[i]), float(scores[i])) for r, i in enumerate(order)]
 
+    def topk_after(
+        self, query: str, k: int = 10, after: tuple[float, int] | None = None
+    ):
+        """Deep paging (Lucene ``searchAfter``): the next ``k`` results
+        STRICTLY after the ``(score, doc_id)`` cursor in the global
+        (score DESC, doc_id ASC) order — page boundaries are exact and
+        stable because the cursor is a value, not an offset (a
+        re-executed page never skips or repeats under identical data).
+
+        Served from the eager lane: deep cursors make block-max pruning
+        ineffective by construction (the heap threshold falls with
+        every page), so the honest cost model is the full candidate
+        scoring the dense path already does — the same decay Lucene
+        accepts for searchAfter. Scores are computed by the identical
+        per-term accumulation as ``rank_doc_set``/``topk``, so pages
+        concatenate bitwise with page one.
+
+        ``after=None`` returns page one (== ``topk`` modulo lane).
+        Returns [(rank, doc_id, score)] with rank continuing 1..k
+        within the page."""
+        tokens = list(dict.fromkeys(analyze_query(query)))
+        if not tokens or k <= 0:
+            return []
+        got = self.fetch_terms(tokens)
+        lists = [got[t].doc_ids for t in tokens if got.get(t) is not None]
+        if not lists:
+            return []
+        union = lists[0]
+        for arr in lists[1:]:
+            union = np.union1d(union, arr)
+        ranked = self.rank_doc_set(union, query, union.size, tokens=tokens)
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            ranked = [
+                (r, d, s) for r, d, s in ranked
+                if s < a_s or (s == a_s and d > a_d)
+            ]
+        return [(i + 1, d, s) for i, (_, d, s) in enumerate(ranked[:k])]
+
     def phrase_topk(self, query: str, k: int = 10, slop: int = 0):
         """BM25-ranked phrase results: the phrase filter selects, the
         scorer ranks over the phrase's UNIQUE parts in first-occurrence
