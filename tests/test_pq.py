@@ -140,3 +140,36 @@ def test_codes_shape_and_range(spark, emb):
     for r in rows[:50]:
         assert len(r["codes"]) == 8
         assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_ivfpq_materialized_roundtrip(spark, emb, tmp_path):
+    """write -> read full-probe saturated == brute force (the same
+    structural identity as the in-memory path), and the pruned read's
+    cid filter reaches the codes scan as a PARTITION filter."""
+    from yase_spark.pq import ivfpq_read_topk, ivfpq_write
+
+    root = str(tmp_path / "ivfpq")
+    n = emb.count()
+    ivfpq_write(emb, root, n_centroids=8, m=8, ks=n, coarse_iters=2, iters=1)
+    key = lambda r: (r["query_id"], r["rank"])
+    exact = sorted(cosine_topk(emb, n_queries=4, k=10).collect(), key=key)
+    got = sorted(
+        ivfpq_read_topk(spark, emb, root, n_queries=4, k=10, refine=5).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in exact] == [tuple(r) for r in got]
+
+    pruned = ivfpq_read_topk(
+        spark, emb, root, n_queries=4, k=10, nprobe=2, refine=5
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    # pruned probe still finds most true neighbours
+    want = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["vec_id"])
+    have = {}
+    for r in pruned.collect():
+        have.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rec = sum(len(want[q] & have.get(q, set())) / 10 for q in want) / len(want)
+    assert rec >= 0.5

@@ -389,3 +389,126 @@ def ivf_pq_topk(
         adc, schema="query_id long, vec_id long, asim double"
     )
     return _rank_and_refine(scored, emb, n_queries, k, refine)
+
+
+def ivfpq_write(
+    emb: DataFrame,
+    root: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    coarse_iters: int = 3,
+    iters: int = 5,
+):
+    """Materialize an IVF-PQ index: the CODES table written
+    ``partitionBy(cid)`` (one directory per inverted list, holding only
+    vec_id + m-byte codes — the full vectors stay in the source table,
+    touched only by the re-rank) plus centroids and residual codebooks
+    as JSON. This is the at-rest layout that makes a probe read
+    ``nprobe/K`` of the COMPRESSED bytes: the cid filter prunes whole
+    partitions at the parquet scan (plan-gated in tests/test_pq.py).
+    Returns (coarse_centroids, codebooks)."""
+    import json as _json
+    import os
+
+    from .similarity import train_ivf_centroids
+
+    C = train_ivf_centroids(emb, n_centroids, coarse_iters)
+    resid = ivf_residuals(emb, C)
+    cb = train_pq_codebooks(
+        resid, m=m, ks=ks, iters=iters, col="resid", normalize=False
+    )
+    codes = pq_encode(resid, cb, col="resid", normalize=False, keep=("cid",))
+    codes.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(root, "codes")
+    )
+    with open(os.path.join(root, "centroids.json"), "w") as f:
+        _json.dump([[float(x) for x in row] for row in C], f)
+    with open(os.path.join(root, "codebooks.json"), "w") as f:
+        _json.dump(
+            [[[float(x) for x in c] for c in sub] for sub in cb], f
+        )
+    return C, cb
+
+
+def ivfpq_read_topk(
+    spark,
+    emb: DataFrame,
+    root: str,
+    n_queries: int = 8,
+    k: int = 10,
+    nprobe: int | None = None,
+    refine: int = 0,
+) -> DataFrame:
+    """Serve ANN from a materialized IVF-PQ index: probe the queries'
+    ``nprobe`` nearest lists ONLY — the cid predicate reaches the codes
+    scan as a partition filter, so unprobed lists cost zero IO, and the
+    scanned bytes are the m-byte codes, not vectors. ``emb`` is the
+    source vector table, used for the query vectors and (with
+    ``refine``) the exact re-rank slice. Full probe + saturated
+    codebook equals brute force (same identity as ``ivf_pq_topk``)."""
+    import json as _json
+    import os
+
+    with open(os.path.join(root, "centroids.json")) as f:
+        C = np.asarray(_json.load(f))
+    with open(os.path.join(root, "codebooks.json")) as f:
+        cb = np.asarray(_json.load(f))
+    codes = spark.read.parquet(os.path.join(root, "codes"))
+    mq, ksq, dsub = cb.shape
+    K = C.shape[0]
+    if nprobe is None:
+        nprobe = K
+    nprobe = min(nprobe, K)
+
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+    Q = _norm_rows(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    )
+    OFF = Q @ C.T
+    LUT = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), mq, dsub), cb)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    pairs = [
+        (int(q), int(c))
+        for i, q in enumerate(qids)
+        for c in np.argsort(-OFF[i], kind="stable")[:nprobe]
+    ]
+    probe_df = spark.createDataFrame(pairs, schema="query_id long, cid int")
+    probed = sorted({c for _, c in pairs})
+
+    # the isin predicate prunes partitions at the scan; per-query probe
+    # membership is the broadcast join
+    joined = (
+        codes.filter(F.col("cid").isin(probed))
+        .join(F.broadcast(probe_df), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qi = np.array([qpos[q] for q in pdf["query_id"]], dtype=np.int64)
+            Cd = np.stack(pdf["codes"].to_numpy())
+            take = LUT[qi[:, None], np.arange(mq)[None, :], Cd]
+            asim = take.sum(axis=1) + OFF[qi, pdf["cid"].to_numpy()]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "asim": asim,
+                }
+            )
+
+    scored = joined.select("query_id", "vec_id", "cid", "codes").mapInPandas(
+        adc, schema="query_id long, vec_id long, asim double"
+    )
+    return _rank_and_refine(scored, emb, n_queries, k, refine)
