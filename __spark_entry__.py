@@ -495,6 +495,23 @@ def _q_near_match(spark, sf_dir):
     )
 
 
+def _q_bool_phrase(spark, sf_dir):
+    # Phrase as a BooleanQuery clause (Lucene PhraseQuery inside a
+    # BooleanQuery): adjacency-verified phrase match INTERSECT a term's
+    # doc set, evaluated by the driver set kernels
+    from yase_spark.query import And, Phrase, Term
+
+    rd = _pos_reader(spark, sf_dir)
+    ids = rd.search(And([Phrase(" ".join(PHRASE)), Term(BM25_TERMS[2])]))
+    m = _orig_ids(rd, spark)
+    res = spark.createDataFrame(
+        [(int(d),) for d in ids] or [], schema="doc_id long"
+    )
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id")
+    )
+
+
 def _q_phrase_topk(spark, sf_dir):
     # the phrase filter selects, BM25 over the phrase's parts ranks
     rd = _pos_reader(spark, sf_dir)
@@ -1374,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_sql": _bm25_spark,
         "wand_topk": _q_wand_topk,
         "phrase_match": _q_phrase_match,
+        "bool_phrase": _q_bool_phrase,
         "grep_literal": _q_grep_literal,
         "grep_regex": _q_grep_regex,
         "grep_topk": _q_grep_topk,
@@ -1630,6 +1648,15 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "JOIN f b ON b.doc_id = a.doc_id AND b.p > a.p "
             f"AND b.p <= a.p + 1 + {NEAR[2]} "
             f"WHERE a.term = '{NEAR[0]}' AND b.term = '{NEAR[1]}'"
+        ),
+        # phrase-in-boolean: adjacency match set INTERSECT term docs
+        "bool_phrase": (
+            f"WITH {_POS_SQL}, "
+            "m AS (SELECT DISTINCT a.doc_id FROM f a "
+            "      JOIN f b ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
+            f"      WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}') "
+            "SELECT doc_id FROM m WHERE doc_id IN "
+            f"(SELECT DISTINCT doc_id FROM f WHERE term = '{BM25_TERMS[2]}')"
         ),
         # trigram grep: the engine prefilters via posting-list
         # intersection then verifies; the oracle is the brute-force scan

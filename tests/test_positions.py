@@ -239,3 +239,45 @@ def test_incremental_positions_after_append(spark, tiny_corpus, tmp_path):
         )
         assert a.exceptAll(bq).count() == 0 and bq.exceptAll(a).count() == 0, q
     full.unpersist()
+
+
+def test_phrase_in_boolean_ast(spark, tiny_corpus, pos_index):
+    """Phrase as a BooleanQuery clause: And/Or/Not compose with the
+    positional match set, and TopK ranks it over the phrase PARTS +
+    sibling terms (the PhraseQuery scoring contract)."""
+    import numpy as np
+
+    from yase_spark.query import And, IndexReader, Not, Or, Phrase, Term, TopK
+
+    root, pcfg = pos_index
+    rd = IndexReader(spark, root)
+    ph = "json getPage"
+    base = rd.phrase(ph)
+    assert base.size > 0
+    term_docs = rd.search(Term("value"))
+
+    got_and = rd.search(And([Phrase(ph), Term("value")]))
+    assert np.array_equal(
+        got_and, np.intersect1d(base, term_docs, assume_unique=True)
+    )
+    got_or = rd.search(Or([Phrase(ph), Term("value")]))
+    assert np.array_equal(got_or, np.union1d(base, term_docs))
+    got_not = rd.search(And([Phrase(ph), Not(Term("value"))]))
+    assert np.array_equal(
+        got_not, base[~np.isin(base, term_docs, assume_unique=True)]
+    )
+
+    # TopK over the composed filter == rank_doc_set over the match set
+    # with the DFS token order (phrase parts first, then the sibling)
+    rows = rd.search_topk(TopK(And([Phrase(ph), Term("value")]), 5))
+    from yase_spark.tokenize import analyze_phrase
+
+    tokens = list(dict.fromkeys(analyze_phrase(ph) + ["value"]))
+    manual = rd.rank_doc_set(got_and, "", 5, tokens=tokens)
+    assert rows == manual
+
+    # the corpus-sized lane rejects phrase leaves loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Phrase"):
+        rd.search_df(And([Phrase(ph), Term("value")]))

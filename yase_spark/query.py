@@ -655,6 +655,22 @@ class Not:
 
 
 @dataclass(frozen=True)
+class Phrase:
+    """Positional leaf: matches docs whose parts stream contains
+    ``q``'s parts as an ordered window of span ≤ (n-1)+``slop`` (exact
+    phrase at slop=0) — Lucene's PhraseQuery as a BooleanQuery clause.
+    Requires the positional sibling index (``build_positions``). In
+    ``TopK`` the phrase's PARTS score like ordinary terms (Lucene's
+    PhraseQuery scoring contract: match requires adjacency, score is
+    the standard per-term sum). Driver-lane only: a phrase match set is
+    selective by construction; ``search_df`` (the corpus-sized-result
+    lane) rejects it loudly."""
+
+    q: str
+    slop: int = 0
+
+
+@dataclass(frozen=True)
 class TopK:
     expr: object
     k: int = 10
@@ -670,6 +686,8 @@ def _ast_leaf_tokens(node, positive_only: bool = False) -> list[str]:
     def walk(n):
         if isinstance(n, Term):
             out.extend(analyze_query(n.t))
+        elif isinstance(n, Phrase):
+            out.extend(analyze_phrase(n.q))
         elif isinstance(n, (And, Or)):
             for c in n.kids:
                 walk(c)
@@ -1487,6 +1505,8 @@ class IndexReader:
                 if not arrs:
                     return np.empty(0, dtype=np.int64)
                 return np.unique(np.concatenate(arrs))
+            if isinstance(n, Phrase):
+                return self._positions().phrase_docs(n.q, slop=n.slop)
             if isinstance(n, Not):
                 _reject_bare_not(n)
             raise TypeError(f"not a boolean AST node: {n!r}")
@@ -1500,7 +1520,30 @@ class IndexReader:
         tree compiles to a single JVM boolean expression over the flag
         columns — a depth-d tree costs d Column ops, not d shuffles of
         INTERSECT/UNION nodes. The scale shape for corpus-sized results
-        at 10^12 docs."""
+        at 10^12 docs.
+
+        ``Phrase`` leaves are rejected loudly: the flag compilation
+        would silently degrade a phrase to AND-of-parts (wrong
+        semantics), and a phrase match set is selective by construction
+        — use the driver lane (``search``/``search_topk``)."""
+
+        def no_phrase(n):
+            if isinstance(n, Phrase):
+                raise ValueError(
+                    "search_df does not evaluate Phrase leaves (the flag "
+                    "lane would degrade them to AND-of-parts); use "
+                    "search()/search_topk() — phrase match sets are "
+                    "doc-id bounded"
+                )
+            if isinstance(n, (And, Or)):
+                for c in n.kids:
+                    no_phrase(c)
+            elif isinstance(n, Not):
+                no_phrase(n.kid)
+            elif isinstance(n, TopK):
+                no_phrase(n.expr)
+
+        no_phrase(tree)
         tokens = _ast_leaf_tokens(tree)
         if not tokens:
             return self.spark.createDataFrame([], schema="doc_id long")

@@ -246,24 +246,28 @@ def main(argv=None) -> int:
         print(json.dumps({"index": args.index, "terms": n}))
 
     elif args.cmd == "query":
-        from yase_spark.query import And, IndexReader, Not, Or, Term, TopK
+        from yase_spark.query import And, IndexReader, Not, Or, Phrase, Term, TopK
 
         rd = IndexReader(spark, args.index)
 
         # boolean AST as JSON: "term" | {"and": [...]} | {"or": [...]}
         # | {"not": "x"} (valid only beside a positive "and" sibling)
-        # e.g. --tree '{"and": [{"or": ["window", "spark"]}, {"not": "table"}]}'
+        # | {"phrase": "get user", "slop": 0} (needs the positions index)
+        # e.g. --tree '{"and": [{"phrase": "get user"}, {"not": "table"}]}'
         def parse(node):
             if isinstance(node, str):
                 return Term(node)
-            if isinstance(node, dict) and len(node) == 1:
-                (op, kids), = node.items()
-                if op == "and":
-                    return And([parse(k) for k in kids])
-                if op == "or":
-                    return Or([parse(k) for k in kids])
-                if op == "not":
-                    return Not(parse(kids))
+            if isinstance(node, dict):
+                if "phrase" in node and set(node) <= {"phrase", "slop"}:
+                    return Phrase(node["phrase"], int(node.get("slop", 0)))
+                if len(node) == 1:
+                    (op, kids), = node.items()
+                    if op == "and":
+                        return And([parse(k) for k in kids])
+                    if op == "or":
+                        return Or([parse(k) for k in kids])
+                    if op == "not":
+                        return Not(parse(kids))
             raise SystemExit(f"bad tree node: {node!r}")
 
         if args.facet:
