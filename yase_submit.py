@@ -44,6 +44,7 @@ def main(argv=None) -> int:
         choices=[
             "build", "positions", "trigrams", "dictionary", "query", "synth",
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
+            "info",
         ],
     )
     p.add_argument(
@@ -69,8 +70,10 @@ def main(argv=None) -> int:
         "renumber doc ids, recompute stats) instead of tombstoning",
     )
     p.add_argument(
-        "--method", choices=["exact", "lsh", "simhash"], default="lsh",
-        help="neardup/ann variant",
+        "--method",
+        choices=["exact", "lsh", "simhash", "ivf", "pq", "ivfpq"],
+        default="lsh",
+        help="neardup/ann variant (ivf/pq/ivfpq are ann-only)",
     )
     p.add_argument("--threshold", type=float, default=0.1)
     p.add_argument("--corpus", help="parquet path of the corpus table")
@@ -237,6 +240,45 @@ def main(argv=None) -> int:
         print(json.dumps({"index": args.index, "checkpoint": ckpt,
                           "n_docs": rd.n_docs, "avgdl": rd.avgdl}))
 
+    elif args.cmd == "info":
+        # index introspection: collection stats, per-table row counts +
+        # snapshot versions, sibling-index presence, pending tombstones
+        from pyspark.sql import functions as F
+
+        from yase_spark.catalog import Catalog
+        from yase_spark.query import IndexReader
+
+        rd = IndexReader(spark, args.index)
+        cat = Catalog(args.index)
+        segs = cat.read(spark, "segments")
+        agg = segs.agg(
+            F.countDistinct("term").alias("terms"),
+            F.sum("n").alias("postings"),
+            F.count("*").alias("segment_rows"),
+            F.countDistinct("bucket").alias("buckets"),
+        ).collect()[0]
+        out = {
+            "index": args.index,
+            "n_docs": rd.n_docs,
+            "avgdl": rd.avgdl,
+            "total_tokens": int(round(rd.avgdl * rd.n_docs)),
+            "terms": agg["terms"],
+            "postings": int(agg["postings"]),
+            "segment_rows": agg["segment_rows"],
+            "buckets": agg["buckets"],
+            "tables": {
+                t: {"version": cat.current_version(t)}
+                for t in ("docs", "segments", "pos_segments", "tri_segments",
+                          "dictionary", "deletes")
+                if cat.exists(t)
+            },
+            "deleted_pending": (
+                int(cat.read(spark, "deletes").count())
+                if cat.exists("deletes") else 0
+            ),
+        }
+        print(json.dumps(out, default=float))
+
     elif args.cmd == "dictionary":
         # sorted (term, df) sibling table: prefix/wildcard lookups become
         # Parquet row-group range pruning (Lucene term-index analogue)
@@ -381,10 +423,21 @@ def main(argv=None) -> int:
             print(json.dumps([r.asDict() for r in out.limit(100).collect()]))
 
     elif args.cmd == "ann":
-        from yase_spark.similarity import cosine_topk, lsh_ann_topk
+        from yase_spark.pq import ivf_pq_topk, pq_ann_topk
+        from yase_spark.similarity import (
+            cosine_topk,
+            ivf_ann_topk,
+            lsh_ann_topk,
+        )
 
         emb = spark.read.parquet(args.corpus)
-        fn = lsh_ann_topk if args.method == "lsh" else cosine_topk
+        fn = {
+            "lsh": lsh_ann_topk,
+            "ivf": ivf_ann_topk,
+            "pq": lambda e, k: pq_ann_topk(e, k=k, m=16, ks=32, refine=3 * k),
+            "ivfpq": lambda e, k: ivf_pq_topk(e, k=k, m=16, ks=32, refine=3 * k),
+            "exact": cosine_topk,
+        }[args.method]
         out = fn(emb, k=args.k)
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
