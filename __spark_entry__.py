@@ -495,6 +495,41 @@ def _q_near_match(spark, sf_dir):
     )
 
 
+HYBRID_DEPTH, HYBRID_C, HYBRID_QVEC = 20, 60, 0
+
+
+def _q_hybrid_topk(spark, sf_dir):
+    # hybrid retrieval: BM25 ranking (depth 20) + brute-force cosine
+    # ranking for the vec_id-0 query embedding (depth 20), fused by
+    # Reciprocal Rank Fusion — rank-only arithmetic, so the oracle
+    # replays both rankings and the fusion exactly in SQL
+    from yase_spark.hybrid import hybrid_topk
+    from yase_spark.similarity import cosine_topk
+
+    rd = _reader(spark, sf_dir)
+    orig = {
+        r["doc_id"]: r["orig_doc_id"]
+        for r in _orig_ids(rd, spark).collect()
+    }
+    text = [
+        (r, orig[d], s)
+        for r, d, s in rd.topk(" ".join(BM25_TERMS), HYBRID_DEPTH)
+    ]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = [
+        (r["rank"], r["vec_id"])
+        for r in cosine_topk(
+            emb, n_queries=HYBRID_QVEC + 1, k=HYBRID_DEPTH
+        ).collect()
+        if r["query_id"] == HYBRID_QVEC
+    ]
+    fused = hybrid_topk(text, vec, k=10, c=HYBRID_C)
+    return spark.createDataFrame(
+        [(r, d, round(s, 6)) for r, d, s in fused] or [],
+        schema="rank long, doc_id long, rrf_r double",
+    )
+
+
 def _q_bool_phrase(spark, sf_dir):
     # Phrase as a BooleanQuery clause (Lucene PhraseQuery inside a
     # BooleanQuery): adjacency-verified phrase match INTERSECT a term's
@@ -1392,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _q_wand_topk,
         "phrase_match": _q_phrase_match,
         "bool_phrase": _q_bool_phrase,
+        "hybrid_topk": _q_hybrid_topk,
         "grep_literal": _q_grep_literal,
         "grep_regex": _q_grep_regex,
         "grep_topk": _q_grep_topk,
@@ -1649,6 +1685,37 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             f"AND b.p <= a.p + 1 + {NEAR[2]} "
             f"WHERE a.term = '{NEAR[0]}' AND b.term = '{NEAR[1]}'"
         ),
+        # hybrid RRF: BM25 ranking + cosine ranking, fused by rank only
+        "hybrid_topk": f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+       WHERE term IN ({", ".join(f"'{x}'" for x in BM25_TERMS)}) GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1),
+tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM sc QUALIFY r <= {HYBRID_DEPTH}),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {HYBRID_QVEC}),
+vr AS (SELECT vec_id AS doc_id,
+              row_number() OVER (ORDER BY
+                round(list_cosine_similarity(qe, embedding::DOUBLE[]), 6) DESC,
+                vec_id) AS r
+       FROM embeddings CROSS JOIN q WHERE vec_id != {HYBRID_QVEC}
+       QUALIFY r <= {HYBRID_DEPTH}),
+u AS (SELECT doc_id, 1.0/({HYBRID_C}+r) AS w FROM tr
+      UNION ALL SELECT doc_id, 1.0/({HYBRID_C}+r) FROM vr),
+f AS (SELECT doc_id, sum(w) AS s FROM u GROUP BY 1)
+SELECT row_number() OVER (ORDER BY s DESC, doc_id) AS rank, doc_id,
+       round(s, 6) AS rrf_r
+FROM f QUALIFY rank <= 10
+""",
         # phrase-in-boolean: adjacency match set INTERSECT term docs
         "bool_phrase": (
             f"WITH {_POS_SQL}, "
