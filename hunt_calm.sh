@@ -5,8 +5,8 @@
 # BENCH/BASELINE.md). One shot: exits after the first scaling run or
 # after MAX_TRIES probes.
 set -u
-BAR_KERNEL=${BAR_KERNEL:-0.70}
-BAR_DRAM=${BAR_DRAM:-0.70}
+BAR_KERNEL=${BAR_KERNEL:-0.76}
+BAR_DRAM=${BAR_DRAM:-0.76}
 MAX_TRIES=${MAX_TRIES:-10}
 SLEEP_S=${SLEEP_S:-150}
 cd /root/repo
@@ -22,6 +22,11 @@ print(d['efficiency_cap_8_to_32'], d['dram']['efficiency_cap_8_to_32'])")
   if [ "$ok" = "1" ]; then
     echo "$(date +%H:%M:%S) CALM — running 8->32 scaling" | tee -a /tmp/hunt.log
     YASE_SCALE_LEVELS=8,32 python bench_scaling.py 2>/dev/null | tail -5 | tee -a /tmp/hunt.log
+    post=$(python bench_contention.py 2>/dev/null | python -c "
+import json, sys
+d = json.load(sys.stdin)
+print(d['efficiency_cap_8_to_32'], d['dram']['efficiency_cap_8_to_32'])")
+    echo "$(date +%H:%M:%S) post-run probe: $post" | tee -a /tmp/hunt.log
     echo DONE_SCALING | tee -a /tmp/hunt.log
     exit 0
   fi
