@@ -61,6 +61,20 @@ def main(argv=None) -> int:
         "(filter-query + scorer composition)",
     )
     p.add_argument(
+        "--after",
+        help="query --kind topk: deep-paging value cursor 'score,doc_id' "
+        "(searchAfter) — returns the next k strictly after it",
+    )
+    p.add_argument(
+        "--emb",
+        help="query --kind hybrid: embeddings parquet path (vec_id must "
+        "align with the corpus doc order)",
+    )
+    p.add_argument(
+        "--qvec", type=int, default=0,
+        help="query --kind hybrid: vec_id whose embedding is the vector query",
+    )
+    p.add_argument(
         "--predicate",
         help="delete: SQL predicate over docs columns, e.g. \"lang = 'java'\"",
     )
@@ -90,7 +104,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--kind",
         choices=["topk", "and", "or", "phrase", "phrase_topk", "terms",
-                 "highlight", "mlt"],
+                 "highlight", "mlt", "hybrid"],
         default="topk",
     )
     p.add_argument(
@@ -343,9 +357,34 @@ def main(argv=None) -> int:
             else:
                 out = [int(x) for x in rd.search(tree)]
         elif args.kind == "topk":
+            if args.after:
+                sc, did = args.after.split(",")
+                rows = rd.topk_after(
+                    args.q, args.k, after=(float(sc), int(did))
+                )
+            else:
+                rows = rd.topk(args.q, args.k)
+            out = [{"rank": r, "doc_id": d, "score": s} for r, d, s in rows]
+        elif args.kind == "hybrid":
+            # BM25 + vector RRF fusion: --q is the text query, --emb /
+            # --qvec pick the vector query; both rankings to depth 2k
+            if not args.emb:
+                raise SystemExit("query --kind hybrid needs --emb")
+            from yase_spark.hybrid import hybrid_topk
+            from yase_spark.similarity import cosine_topk
+
+            depth = 2 * args.k
+            text = rd.topk(args.q, depth)
+            emb = spark.read.parquet(args.emb)
+            vec = [
+                (r["rank"], r["vec_id"])
+                for r in cosine_topk(emb, n_queries=args.qvec + 1, k=depth)
+                .collect()
+                if r["query_id"] == args.qvec
+            ]
             out = [
-                {"rank": r, "doc_id": d, "score": s}
-                for r, d, s in rd.topk(args.q, args.k)
+                {"rank": r, "doc_id": d, "rrf": s}
+                for r, d, s in hybrid_topk(text, vec, k=args.k)
             ]
         elif args.kind == "mlt":
             # find-similar: --q is the SOURCE TEXT (Lucene MoreLikeThis
