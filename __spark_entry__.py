@@ -495,6 +495,47 @@ def _q_near_match(spark, sf_dir):
     )
 
 
+BOOSTED_Q = f"{BM25_TERMS[0]}^2 {BM25_TERMS[1]} {BM25_TERMS[2]}^0.5"
+FSCORE_EXPR = "case when lang = 'en' then 1.5 else 0.75 end"
+
+
+def _q_topk_boosted(spark, sf_dir):
+    # query-time term boosts (Lucene ^ syntax): boosts scale BM25
+    # contributions, never matching — executor-side on the
+    # contribution lane
+    rd = _reader(spark, sf_dir)
+    res = rd.topk_boosted(BOOSTED_Q, k=10)
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+def _q_topk_collapse(spark, sf_dir):
+    # field collapsing (ES collapse): best hit per lang, then the
+    # representatives rank normally
+    rd = _reader(spark, sf_dir)
+    res = rd.topk_collapse(" ".join(BM25_TERMS), "lang", k=10)
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        "rank", "lang",
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+def _q_topk_fscore(spark, sf_dir):
+    # function-score multiply mode: BM25 * a docs-column expression
+    rd = _reader(spark, sf_dir)
+    res = rd.topk_function_score(" ".join(BM25_TERMS), FSCORE_EXPR, k=10)
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 HYBRID_DEPTH, HYBRID_C, HYBRID_QVEC = 20, 60, 0
 
 
@@ -1428,6 +1469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "bool_phrase": _q_bool_phrase,
         "hybrid_topk": _q_hybrid_topk,
+        "topk_boosted": _q_topk_boosted,
+        "topk_collapse": _q_topk_collapse,
+        "topk_fscore": _q_topk_fscore,
         "grep_literal": _q_grep_literal,
         "grep_regex": _q_grep_regex,
         "grep_topk": _q_grep_topk,
@@ -1684,6 +1728,32 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "JOIN f b ON b.doc_id = a.doc_id AND b.p > a.p "
             f"AND b.p <= a.p + 1 + {NEAR[2]} "
             f"WHERE a.term = '{NEAR[0]}' AND b.term = '{NEAR[1]}'"
+        ),
+        # term boosts: CASE multiplier inside the contribution sum
+        "topk_boosted": _bm25_oracle_sql(
+            "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+            "ORDER BY score DESC, doc_id LIMIT 10"
+        ).replace(
+            "sum(ln(",
+            f"sum((CASE tf.term WHEN '{BM25_TERMS[0]}' THEN 2.0 "
+            f"WHEN '{BM25_TERMS[2]}' THEN 0.5 ELSE 1.0 END) * ln(",
+        ),
+        # field collapsing: best hit per lang, representatives ranked
+        "topk_collapse": _bm25_oracle_sql(
+            "SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, "
+            "lang, doc_id, round(score, 5) AS score_r FROM ("
+            "  SELECT sc.doc_id, d.lang, sc.score, row_number() OVER ("
+            "    PARTITION BY d.lang ORDER BY score DESC, sc.doc_id) AS rn "
+            "  FROM sc JOIN documents d USING (doc_id)) "
+            "WHERE rn = 1 QUALIFY rank <= 10"
+        ),
+        # function score: BM25 * docs-column expression
+        "topk_fscore": _bm25_oracle_sql(
+            "SELECT doc_id, round(score * (CASE WHEN d.lang = 'en' THEN 1.5 "
+            "ELSE 0.75 END), 5) AS score_r "
+            "FROM sc JOIN documents d USING (doc_id) "
+            "ORDER BY score * (CASE WHEN d.lang = 'en' THEN 1.5 ELSE 0.75 END) "
+            "DESC, doc_id LIMIT 10"
         ),
         # hybrid RRF: BM25 ranking + cosine ranking, fused by rank only
         "hybrid_topk": f"""

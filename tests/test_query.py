@@ -323,3 +323,57 @@ def test_topk_after_pages_concatenate(spark, tiny_index):
     assert {d for _, d, _ in p1}.isdisjoint({d for _, d, _ in p2})
     # re-executing a page with the same cursor is stable
     assert rd.topk_after(q, 10, after=cursor) == p2
+
+
+def test_topk_boosted_collapse_fscore(spark, tiny_index):
+    """Serving compositions on the contribution lane: boosts scale
+    contributions (weight 1 == the plain distributed lane), collapse
+    keeps exactly the best doc per field value, function-score
+    multiplies by the docs expression."""
+    from yase_spark.query import IndexReader
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    q = "json getPage"
+
+    plain = rd.topk_distributed(q, 10).collect()
+    noop = rd.topk_boosted(f"{q.split()[0]}^1.0 {q.split()[1]}", 10).collect()
+    assert [(r["rank"], r["doc_id"]) for r in plain] == [
+        (r["rank"], r["doc_id"]) for r in noop
+    ]
+    for p, n in zip(plain, noop):
+        assert abs(p["score"] - n["score"]) < 1e-12
+
+    # a 3x boost on a term must change scores in that term's favor
+    boosted = rd.topk_boosted("json^3 getPage", 10).collect()
+    assert boosted[0]["score"] > plain[0]["score"]
+
+    col = rd.topk_collapse(q, "lang", 10).collect()
+    langs = [r["lang"] for r in col]
+    assert len(langs) == len(set(langs))  # one representative per field
+    # each representative is its group's best: recompute from the lane
+    from pyspark.sql import functions as F
+
+    from yase_spark.tokenize import analyze_query
+
+    per_doc = (
+        rd.contrib_df(analyze_query(q))
+        .groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+    )
+    docs = rd.cat.read(spark, "docs").select("doc_id", "lang")
+    best = {
+        r["lang"]: (r["m"],)
+        for r in per_doc.join(docs, "doc_id").groupBy("lang")
+        .agg(F.max("s").alias("m")).collect()
+    }
+    for r in col:
+        assert abs(r["score"] - best[r["lang"]][0]) < 1e-9
+
+    fs = rd.topk_function_score(q, "case when lang = 'java' then 2.0 else 1.0 end", 10).collect()
+    doc_lang = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    plain_scores = {
+        r["doc_id"]: r["s"] for r in per_doc.collect()
+    }
+    for r in fs:
+        mult = 2.0 if doc_lang[r["doc_id"]] == "java" else 1.0
+        assert abs(r["score"] - plain_scores[r["doc_id"]] * mult) < 1e-9

@@ -1989,20 +1989,25 @@ class IndexReader:
             "rank", "doc_id", "score"
         )
 
-    def contrib_df(self, qterms: list[str], weight: float = 1.0) -> DataFrame:
+    def contrib_df(
+        self, qterms: list[str], weight: float | dict = 1.0
+    ) -> DataFrame:
         """Executor-side per-term BM25 contributions for ``qterms`` as a
         (doc_id, contrib) DataFrame — the building block of the
         cluster-side ranked lanes: decode segment payloads per bucket
         partition (mapInPandas, numpy), emit one weighted contribution
         row per (term, doc) posting. ``weight`` scales every
-        contribution (multi-field composition, fields.py)."""
+        contribution — a float applies uniformly (multi-field
+        composition, fields.py), a {term: w} dict applies per term
+        (query-time term boosts; missing terms default to 1)."""
         buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in qterms})
         segs = self._segments.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
         ).select("term", "df", "n", "payload")
         n_docs, avgdl = self.n_docs, self.avgdl
         k1, b = self.cfg.k1, self.cfg.b
-        wgt = float(weight)
+        per_term = dict(weight) if isinstance(weight, dict) else None
+        wgt = 1.0 if per_term is not None else float(weight)
         bdel_d = (
             self.spark.sparkContext.broadcast(self._deleted)
             if self._deleted is not None
@@ -2021,8 +2026,9 @@ class IndexReader:
                         ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                     idf = math.log(1.0 + (n_docs - int(r.df) + 0.5) / (int(r.df) + 0.5))
                     sc = bm25_scores_np(tfs, dls, idf, k1, b, avgdl)
+                    w = per_term.get(r.term, 1.0) if per_term is not None else wgt
                     out_doc.append(ids)
-                    out_sc.append(sc if wgt == 1.0 else sc * wgt)
+                    out_sc.append(sc if w == 1.0 else sc * w)
                 if out_doc:
                     yield pd.DataFrame(
                         {
@@ -2032,6 +2038,113 @@ class IndexReader:
                     )
 
         return segs.mapInPandas(contribs, schema="doc_id long, contrib double")
+
+    @staticmethod
+    def _take_ranked(per_doc: DataFrame, k: int, score_col: str = "score") -> DataFrame:
+        """(rank, doc_id, score) top-k from a per-doc score frame:
+        orderBy().limit(k) compiles to TakeOrderedAndProject (per-
+        partition heaps, P·k driver merge), the rank window then runs
+        on k rows only — never a global sort."""
+        from pyspark.sql import Window
+
+        top = per_doc.orderBy(F.desc(score_col), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
+        return top.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).select("rank", "doc_id", F.col(score_col).alias("score"))
+
+    def topk_boosted(self, query: str, k: int = 10) -> DataFrame:
+        """Ranked top-k with query-time term boosts — Lucene's ``^``
+        syntax: ``"json getPage^2.5 value^0.5"`` multiplies each
+        chunk's analyzed terms' BM25 contributions by its boost (the
+        BoostQuery contract: boosts scale scores, never matching).
+        Runs on the cluster contribution lane (weights applied
+        executor-side during decode — no extra pass)."""
+        weights: dict[str, float] = {}
+        order: list[str] = []
+        for chunk in query.split():
+            if "^" in chunk:
+                raw, _, wtxt = chunk.rpartition("^")
+                w = float(wtxt)
+            else:
+                raw, w = chunk, 1.0
+            for t in analyze_query(raw):
+                weights[t] = w
+                if t not in order:
+                    order.append(t)
+        if not order:
+            return self.spark.createDataFrame(
+                [], schema="rank long, doc_id long, score double"
+            )
+        per_doc = (
+            self.contrib_df(order, weight=weights)
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        return self._take_ranked(per_doc, k)
+
+    def topk_collapse(self, query: str, field: str, k: int = 10) -> DataFrame:
+        """Field-collapsed ranked search (the ES ``collapse`` /
+        Lucene grouping contract): at most ONE hit per distinct value
+        of the docs-table column ``field`` — each group is represented
+        by its best-scoring doc (doc_id tiebreak), then the group
+        representatives rank normally. Output: (rank, field value,
+        doc_id, score).
+
+        Scale shape: contribution lane → per-doc agg → broadcast-safe
+        join to the docs dimension for the field → ONE window partitioned
+        by field (shuffles the scored docs once, grouped by field) →
+        TakeOrdered top-k. Nothing corpus-sized reaches the driver."""
+        from pyspark.sql import Window
+
+        qterms = analyze_query(query)
+        if not qterms:
+            return self.spark.createDataFrame(
+                [], schema=f"rank long, {field} string, doc_id long, score double"
+            )
+        per_doc = (
+            self.contrib_df(qterms)
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        docs = self.cat.read(self.spark, "docs").select("doc_id", field)
+        scored = per_doc.join(docs, "doc_id")
+        wg = Window.partitionBy(field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        best = scored.withColumn("rn", F.row_number().over(wg)).filter(
+            F.col("rn") == 1
+        )
+        top = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).select("rank", field, "doc_id", "score")
+
+    def topk_function_score(
+        self, query: str, boost_expr: str, k: int = 10
+    ) -> DataFrame:
+        """Function-score ranking (the ES ``function_score`` multiply
+        mode): final score = BM25(query) * ``boost_expr``, a SQL
+        expression over the docs-table columns (recency decay, source
+        weights, length priors…). The expression must be positive for
+        the ranking to stay meaningful; matching is unchanged — only
+        scores scale. Same lane shape as ``topk_collapse``."""
+        qterms = analyze_query(query)
+        if not qterms:
+            return self.spark.createDataFrame(
+                [], schema="rank long, doc_id long, score double"
+            )
+        per_doc = (
+            self.contrib_df(qterms)
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("bm25"))
+        )
+        docs = self.cat.read(self.spark, "docs")
+        scored = per_doc.join(docs, "doc_id").select(
+            "doc_id", (F.col("bm25") * F.expr(boost_expr)).alias("score")
+        )
+        return self._take_ranked(scored, k)
 
     # target postings per range task of the sharded executor: large
     # enough that per-task overhead amortizes, small enough that one
