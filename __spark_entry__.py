@@ -440,6 +440,28 @@ def _q_fields_topk(spark, sf_dir):
     )
 
 
+DISMAX_TIE = 0.3
+
+
+def _q_fields_dismax(spark, sf_dir):
+    # dis-max multi-field (ES best_fields): best field's weighted BM25
+    # + tie_breaker * the rest — per-field stats, FULL-OUTER blend in
+    # the oracle via greatest/coalesce
+    from yase_spark.fields import fields_dismax_topk
+
+    rd1 = _reader(spark, sf_dir)
+    rd2 = _fields_reader(spark, sf_dir)
+    res = fields_dismax_topk(
+        [(rd1, 1.0), (rd2, FIELD_W)], FIELD_QUERY, k=10,
+        tie_breaker=DISMAX_TIE,
+    )
+    m = _orig_ids(rd1, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 def _q_grep_topk(spark, sf_dir):
     # ranked grep: the trigram match set of the literal selects, BM25
     # over the standard query terms ranks (full-corpus stats — the
@@ -1476,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_regex": _q_grep_regex,
         "grep_topk": _q_grep_topk,
         "fields_topk": _q_fields_topk,
+        "fields_dismax": _q_fields_dismax,
         "topk_page2": _q_topk_page2,
         "near_match": _q_near_match,
         "phrase_topk": _q_phrase_topk,
@@ -1809,6 +1832,15 @@ FROM f QUALIFY rank <= 10
         # boosts: content field (weight 1) + 'source lang' metadata
         # field (weight FIELD_W), full outer blend
         "fields_topk": _fields_sql(),
+        # dis-max blend over the same two per-field score CTEs
+        "fields_dismax": _fields_sql().replace(
+            f"coalesce(a.score, 0) * 1.0 + coalesce(b.score, 0) * {FIELD_W} AS score",
+            f"greatest(coalesce(a.score, 0) * 1.0, coalesce(b.score, 0) * {FIELD_W}) "
+            f"+ {DISMAX_TIE} * ((coalesce(a.score, 0) * 1.0 "
+            f"+ coalesce(b.score, 0) * {FIELD_W}) "
+            f"- greatest(coalesce(a.score, 0) * 1.0, "
+            f"coalesce(b.score, 0) * {FIELD_W})) AS score",
+        ),
         # deep paging: rows 11..20 of the full ranking
         "topk_page2": _bm25_oracle_sql(
             "SELECT doc_id, round(score, 5) AS score_r FROM ("

@@ -103,3 +103,47 @@ def test_mismatched_corpora_raise(spark, two_fields, tmp_path):
     rd3 = IndexReader(spark, other)
     with pytest.raises(ValueError, match="different corpora"):
         fields_topk([(rd1, 1.0), (rd3, 1.0)], "json", k=5)
+
+
+def test_dismax_limits_and_semantics(spark, two_fields):
+    """tie_breaker=1 degenerates to the weighted sum (fields_topk);
+    tie_breaker=0 is the per-doc max over field scores (recomputed)."""
+    from yase_spark.fields import fields_dismax_topk
+
+    root, froot, cfg = two_fields
+    rd1 = IndexReader(spark, root, cfg)
+    rd2 = IndexReader(spark, froot, cfg)
+    pair = [(rd1, 1.0), (rd2, 2.0)]
+    q = "json java"
+
+    t1 = fields_dismax_topk(pair, q, k=10, tie_breaker=1.0).collect()
+    ws = fields_topk(pair, q, k=10).collect()
+    assert [(r["rank"], r["doc_id"]) for r in t1] == [
+        (r["rank"], r["doc_id"]) for r in ws
+    ]
+    for a, b in zip(t1, ws):
+        assert abs(a["score"] - b["score"]) < 1e-12
+
+    t0 = fields_dismax_topk(pair, q, k=10, tie_breaker=0.0).collect()
+    tokens = analyze_query(q)
+    best: dict[int, float] = {}
+    for rd, w in pair:
+        got = rd.fetch_terms(tokens)
+        per: dict[int, float] = {}
+        for t in tokens:
+            tp = got.get(t)
+            if tp is None:
+                continue
+            contrib = tp.idf * (tp.tfs.astype(np.float64) * (cfg.k1 + 1.0)) / (
+                tp.tfs.astype(np.float64)
+                + cfg.k1
+                * (1.0 - cfg.b + cfg.b * (tp.dls.astype(np.float64) / rd.avgdl))
+            )
+            for d, c in zip(tp.doc_ids.tolist(), contrib.tolist()):
+                per[d] = per.get(d, 0.0) + w * c
+        for d, s in per.items():
+            best[d] = max(best.get(d, 0.0), s)
+    want = sorted(best.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert [r["doc_id"] for r in t0] == [d for d, _ in want]
+    for r, (_, s) in zip(t0, want):
+        assert abs(r["score"] - s) < 1e-9

@@ -70,3 +70,59 @@ def fields_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "score"
     )
+
+
+def fields_dismax_topk(
+    fields: list[tuple], query: str, k: int = 10, tie_breaker: float = 0.0
+) -> DataFrame:
+    """Dis-max multi-field ranking — the ES ``multi_match`` ``best_fields``
+    semantics (Lucene DisjunctionMaxQuery): a doc's score is its BEST
+    field's (weighted) BM25, plus ``tie_breaker`` times the other
+    fields' scores::
+
+        score = max_f s_f + tie_breaker * (sum_f s_f - max_f s_f)
+
+    ``tie_breaker = 0`` is pure best-field (a doc matching one field
+    well beats a doc matching every field poorly — the right call when
+    fields are near-duplicates like title/body); ``tie_breaker = 1``
+    degenerates to the weighted sum of :func:`fields_topk`.
+
+    Scale shape: the per-field frames union with a field tag, ONE
+    (doc_id, field) hash agg builds the per-field scores, one more
+    per-doc agg takes max+sum — two map-side-combinable aggregations,
+    TakeOrdered top-k, nothing corpus-sized at the driver."""
+    if not fields:
+        raise ValueError("fields_dismax_topk needs at least one (reader, weight)")
+    readers = [r for r, _ in fields]
+    n0 = readers[0].n_docs
+    for r in readers[1:]:
+        if r.n_docs != n0:
+            raise ValueError(
+                f"field indexes cover different corpora: n_docs {n0} != "
+                f"{r.n_docs} — every field must be built from the same rows"
+            )
+    spark = readers[0].spark
+    qterms = analyze_query(query)
+    if not qterms:
+        return spark.createDataFrame(
+            [], schema="rank long, doc_id long, score double"
+        )
+    tagged = [
+        rd.contrib_df(qterms, weight=w).withColumn("fld", F.lit(i))
+        for i, (rd, w) in enumerate(fields)
+    ]
+    allc = tagged[0]
+    for c in tagged[1:]:
+        allc = allc.unionByName(c)
+    per_field = allc.groupBy("doc_id", "fld").agg(
+        F.sum("contrib").alias("s")
+    )
+    tie = float(tie_breaker)
+    per_doc = per_field.groupBy("doc_id").agg(
+        (F.max("s") + F.lit(tie) * (F.sum("s") - F.max("s"))).alias("score")
+    )
+    top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score"
+    )
