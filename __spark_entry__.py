@@ -517,6 +517,22 @@ def _q_near_match(spark, sf_dir):
     )
 
 
+PERC_QUERIES = [
+    (1, [["customer", "supplier"], ["query"]]),
+    (2, [["window"], ["stream", "batch"]]),
+    (3, [["vector"]]),
+]
+
+
+def _q_percolate(spark, sf_dir):
+    # reverse search: which stored CNF queries match each document —
+    # one broadcast join against the distinct token stream, no
+    # doc x query cross join (plan-gated in tests/test_percolate.py)
+    from yase_spark.percolate import percolate
+
+    return percolate(_docs(spark, sf_dir), PERC_QUERIES)
+
+
 BOOSTED_Q = f"{BM25_TERMS[0]}^2 {BM25_TERMS[1]} {BM25_TERMS[2]}^0.5"
 FSCORE_EXPR = "case when lang = 'en' then 1.5 else 0.75 end"
 
@@ -1494,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_boosted": _q_topk_boosted,
         "topk_collapse": _q_topk_collapse,
         "topk_fscore": _q_topk_fscore,
+        "percolate": _q_percolate,
         "grep_literal": _q_grep_literal,
         "grep_regex": _q_grep_regex,
         "grep_topk": _q_grep_topk,
@@ -1751,6 +1768,28 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "JOIN f b ON b.doc_id = a.doc_id AND b.p > a.p "
             f"AND b.p <= a.p + 1 + {NEAR[2]} "
             f"WHERE a.term = '{NEAR[0]}' AND b.term = '{NEAR[1]}'"
+        ),
+        # percolation: CNF satisfaction replayed relationally
+        "percolate": (
+            "WITH toks AS (SELECT DISTINCT doc_id, unnest("
+            "  regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+            "  FROM documents), "
+            "t AS (SELECT * FROM toks WHERE term <> ''), "
+            "q(query_id, gid, term) AS (VALUES "
+            + ", ".join(
+                f"({qid}, {gid}, '{term}')"
+                for qid, groups in PERC_QUERIES
+                for gid, group in enumerate(groups)
+                for term in group
+            )
+            + "), "
+            "sat AS (SELECT DISTINCT t.doc_id, q.query_id, q.gid "
+            "        FROM t JOIN q USING (term)), "
+            "need AS (SELECT query_id, count(DISTINCT gid) AS n FROM q GROUP BY 1), "
+            "cnt AS (SELECT doc_id, query_id, count(DISTINCT gid) AS c "
+            "        FROM sat GROUP BY 1, 2) "
+            "SELECT doc_id, query_id FROM cnt JOIN need USING (query_id) "
+            "WHERE c = n"
         ),
         # term boosts: CASE multiplier inside the contribution sum
         "topk_boosted": _bm25_oracle_sql(
