@@ -1257,6 +1257,14 @@ def _q_tfidf_vectors(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    # Gopher repetition rules (dup-line fracs, top/dup n-gram char
+    # fracs) — the oracle replays lines, 2-grams, and 5-grams in SQL
+    from yase_spark.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n_top=2, n_dup=5)
+
+
 def _q_pii_scrub(spark, sf_dir):
     # the corpus is synthetic word soup with no real PII, so the entry
     # plants deterministic PII (email + ipv4 per doc; ssn + phone on
@@ -1579,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "pack_sequences": _q_pack_sequences,
         "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
         "tfidf_vectors": _q_tfidf_vectors,
         # spell suggestion + co-occurrence mining + score explain
         "spell_suggest": _q_spell_suggest,
@@ -2396,6 +2405,56 @@ SELECT doc_id, grp, grp * {1 << 40} + bin_l AS bin_id, off, n_tokens FROM pack
         # and redacted with the shared pattern dictionary (one source of
         # truth: yase_spark.curation.PII_PATTERNS)
         "pii_scrub": _pii_sql(),
+        # Gopher repetition metrics: lines + word n-grams replayed
+        "repetition_stats": """
+WITH nl AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+l AS (SELECT * FROM nl WHERE length(line) > 0),
+pl AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+la AS (SELECT doc_id, sum(c) AS n_lines,
+              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+              sum(c * length(line)) AS line_chars,
+              sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_line_chars
+       FROM pl GROUP BY 1),
+w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t != '') AS ws
+      FROM documents),
+tot AS (SELECT doc_id, length(array_to_string(ws, ' ')) AS w_chars FROM w),
+g2 AS (SELECT doc_id, concat_ws(' ', ws[i.i+1], ws[i.i+2]) AS g
+       FROM w CROSS JOIN LATERAL (
+         SELECT unnest(range(0, greatest(len(ws) - 1, 0))) AS i) i),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+top2 AS (SELECT doc_id, c * length(g) AS top_cov FROM (
+           SELECT doc_id, g, c,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, g) AS rn
+           FROM c2) WHERE rn = 1),
+g5 AS (SELECT doc_id, concat_ws(' ', ws[i.i+1], ws[i.i+2], ws[i.i+3],
+                                 ws[i.i+4], ws[i.i+5]) AS g
+       FROM w CROSS JOIN LATERAL (
+         SELECT unnest(range(0, greatest(len(ws) - 4, 0))) AS i) i),
+c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+dup5 AS (SELECT doc_id,
+                sum(CASE WHEN c > 1 THEN (c - 1) * length(g) ELSE 0 END) AS dup_cov
+         FROM c5 GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(la.n_lines, 0) AS n_lines,
+       round(CASE WHEN coalesce(la.n_lines, 0) > 0
+                  THEN coalesce(la.dup_lines, 0) / la.n_lines ELSE 0 END, 6)
+         AS dup_line_frac,
+       round(CASE WHEN coalesce(la.line_chars, 0) > 0
+                  THEN coalesce(la.dup_line_chars, 0) / la.line_chars ELSE 0 END, 6)
+         AS dup_line_char_frac,
+       round(CASE WHEN coalesce(tot.w_chars, 0) > 0
+                  THEN coalesce(top2.top_cov, 0) / tot.w_chars ELSE 0 END, 6)
+         AS top_ngram_char_frac,
+       round(CASE WHEN coalesce(tot.w_chars, 0) > 0
+                  THEN coalesce(dup5.dup_cov, 0) / tot.w_chars ELSE 0 END, 6)
+         AS dup_ngram_char_frac
+FROM documents d
+LEFT JOIN la USING (doc_id) LEFT JOIN tot USING (doc_id)
+LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
+""",
         # TF-IDF export: raw-count tf * ln(n/df), recomputed from text
         "tfidf_vectors": (
             f"{_T_SQL}, "

@@ -331,3 +331,52 @@ def test_dup_groups_components_and_keep_policy(spark):
     for d, (c, keep) in got.items():
         assert c == want[d], (d, c, want[d])
         assert keep == (d == c)
+
+
+def test_repetition_stats_vs_python(spark):
+    """Gopher repetition metrics == a pure-python replay over docs
+    with real newlines, duplicated lines, and repeated n-grams."""
+    import re
+    from collections import Counter
+
+    from yase_spark.textstats import repetition_stats
+
+    rows = [
+        (0, "alpha beta\nalpha beta\ngamma delta\n"),
+        (1, "one two three four five one two three four five extra"),
+        (2, "unique line one\nunique line two"),
+        (3, "x y x y x y x y"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs, n_top=2, n_dup=5).collect()}
+
+    for d, text in rows:
+        lines = [l for l in text.split("\n") if l]
+        lc = Counter(lines)
+        n_lines = len(lines)
+        dup_lines = sum(c for c in lc.values() if c > 1)
+        line_chars = sum(len(l) for l in lines)
+        dup_line_chars = sum(c * len(l) for l, c in lc.items() if c > 1)
+        words = [w for w in re.split("[^a-z0-9]+", text.lower()) if w]
+        w_chars = len(" ".join(words))
+        g2 = Counter(" ".join(words[i:i+2]) for i in range(len(words) - 1))
+        if g2:
+            top_g, top_c = sorted(g2.items(), key=lambda x: (-x[1], x[0]))[0]
+            top_cov = top_c * len(top_g)
+        else:
+            top_cov = 0
+        g5 = Counter(" ".join(words[i:i+5]) for i in range(len(words) - 4))
+        dup_cov = sum((c - 1) * len(g) for g, c in g5.items() if c > 1)
+
+        r = got[d]
+        assert r["n_lines"] == n_lines
+        assert r["dup_line_frac"] == round(dup_lines / n_lines, 6) if n_lines else r["dup_line_frac"] == 0.0
+        assert r["dup_line_char_frac"] == (round(dup_line_chars / line_chars, 6) if line_chars else 0.0)
+        assert r["top_ngram_char_frac"] == (round(top_cov / w_chars, 6) if w_chars else 0.0)
+        assert r["dup_ngram_char_frac"] == (round(dup_cov / w_chars, 6) if w_chars else 0.0)
+
+    # sanity of the signals themselves
+    assert got[0]["dup_line_frac"] > 0.5        # 2 of 3 lines duplicated
+    assert got[3]["dup_ngram_char_frac"] > 0.5  # heavy 5-gram repetition
+    assert got[2]["dup_line_frac"] == 0.0

@@ -135,3 +135,112 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     return tok.groupBy("doc_id").agg(
         F.min("h").alias("fp_min"), F.expr("bit_xor(h)").alias("fp_xor")
     )
+
+
+def repetition_stats(docs: DataFrame, n_top: int = 2, n_dup: int = 5) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021
+    §A1.1; the rules RefinedWeb/Dolma re-implement) — the signals that
+    catch boilerplate, templated spam, and degenerate generations that
+    plain length/stopword quality scores miss:
+
+    * ``dup_line_frac`` — fraction of LINES (split on ``\\n``) whose
+      exact text occurs more than once in the doc;
+    * ``dup_line_char_frac`` — fraction of line CHARACTERS inside such
+      duplicated lines;
+    * ``top_ngram_char_frac`` — characters covered by the single most
+      frequent word ``n_top``-gram (count × gram length, space-joined)
+      over total word-stream characters; most-frequent ties break to
+      the lexicographically smallest gram (deterministic);
+    * ``dup_ngram_char_frac`` — characters of all occurrences BEYOND
+      THE FIRST of every duplicated word ``n_dup``-gram over total
+      word-stream characters (the standard overlap-agnostic
+      approximation — may exceed 1 on pathological docs; thresholds
+      are applied on the raw value, as in the papers' reference
+      filters).
+
+    Output: (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_ngram_char_frac, dup_ngram_char_frac), fractions rounded to 6.
+
+    Scale shape: one explode per granularity feeding
+    map-side-combinable per-(doc, unit) counts, re-aggregated per doc
+    and joined back broadcast-free on doc_id — the same one-shuffle
+    discipline as the other textstats operators; nothing leaves the
+    doc's partition except (doc, unit, count) rows.
+    """
+    words_expr = f"filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+
+    lines = docs.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    ).filter(F.length("line") > 0)
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    line_agg = per_line.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_lines"),
+        F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0)
+        ).alias("dup_line_chars"),
+    )
+
+    def grams(n: int):
+        # sequence(1, 0) DESCENDS through 0 in Spark, so short docs
+        # must short-circuit to an empty array before the transform
+        return docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"case when size({words_expr}) >= {n} then "
+                    f"transform(sequence(1, size({words_expr}) - {n - 1}), "
+                    f"i -> array_join(slice({words_expr}, i, {n}), ' ')) "
+                    "else array() end"
+                )
+            ).alias("g"),
+        )
+
+    totals = docs.select(
+        "doc_id",
+        F.expr(f"length(array_join({words_expr}, ' '))").alias("w_chars"),
+    )
+
+    from pyspark.sql import Window
+
+    wtop = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
+    topg = (
+        grams(n_top).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", (F.col("c") * F.length("g")).alias("top_cov"))
+    )
+    dupg = (
+        grams(n_dup).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c") > 1, (F.col("c") - 1) * F.length("g")
+                ).otherwise(0)
+            ).alias("dup_cov")
+        )
+    )
+
+    out = (
+        docs.select("doc_id")
+        .join(line_agg, "doc_id", "left")
+        .join(totals, "doc_id", "left")
+        .join(topg, "doc_id", "left")
+        .join(dupg, "doc_id", "left")
+    )
+    nz = lambda c: F.coalesce(c, F.lit(0))
+    frac = lambda num, den: F.round(
+        F.when(nz(den) > 0, nz(num) / nz(den)).otherwise(F.lit(0.0)), 6
+    )
+    return out.select(
+        "doc_id",
+        nz(F.col("n_lines")).alias("n_lines"),
+        frac(F.col("dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
+        frac(F.col("dup_line_chars"), F.col("line_chars")).alias(
+            "dup_line_char_frac"
+        ),
+        frac(F.col("top_cov"), F.col("w_chars")).alias("top_ngram_char_frac"),
+        frac(F.col("dup_cov"), F.col("w_chars")).alias("dup_ngram_char_frac"),
+    )
