@@ -339,6 +339,24 @@ def _q_wand_topk(spark, sf_dir):
     )
 
 
+LMD_MU = 2000.0
+
+
+def _q_topk_lmd(spark, sf_dir):
+    # pluggable similarity: LM Dirichlet (Lucene LMDirichletSimilarity
+    # formulation, per-term clamp at 0) over the same fetch/union lane
+    rd = _reader(spark, sf_dir)
+    rows = rd.topk_lmd(" ".join(BM25_TERMS), 10, mu=LMD_MU)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 def _q_topk_page2(spark, sf_dir):
     # searchAfter deep paging: page 2 (ranks 11-20) via the value
     # cursor from page 1 — the oracle takes rows 11..20 of the full
@@ -1525,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fields_topk": _q_fields_topk,
         "fields_dismax": _q_fields_dismax,
         "topk_page2": _q_topk_page2,
+        "topk_lmd": _q_topk_lmd,
         "near_match": _q_near_match,
         "phrase_topk": _q_phrase_topk,
         "topk_after_delete": _q_topk_after_delete,
@@ -1889,6 +1908,24 @@ FROM f QUALIFY rank <= 10
             f"- greatest(coalesce(a.score, 0) * 1.0, "
             f"coalesce(b.score, 0) * {FIELD_W})) AS score",
         ),
+        # LM Dirichlet: same tokenize CTEs, different similarity
+        "topk_lmd": f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+cf AS (SELECT term, count(*) AS cf FROM t
+       WHERE term IN ({", ".join(f"'{x}'" for x in BM25_TERMS)}) GROUP BY 1),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+       WHERE term IN ({", ".join(f"'{x}'" for x in BM25_TERMS)}) GROUP BY 1, 2),
+tot AS (SELECT count(*) AS T FROM t),
+sc AS (
+  SELECT tf.doc_id,
+         sum(greatest(0, ln(1 + tf.tf / ({LMD_MU} * (cf.cf * 1.0 / tot.T)))
+                         + ln({LMD_MU} / ({LMD_MU} + dl.dl)))) AS score
+  FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+  GROUP BY 1)
+SELECT doc_id, round(score, 5) AS score_r FROM sc
+ORDER BY score DESC, doc_id LIMIT 10
+""",
         # deep paging: rows 11..20 of the full ranking
         "topk_page2": _bm25_oracle_sql(
             "SELECT doc_id, round(score, 5) AS score_r FROM ("

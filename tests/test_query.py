@@ -377,3 +377,47 @@ def test_topk_boosted_collapse_fscore(spark, tiny_index):
     for r in fs:
         mult = 2.0 if doc_lang[r["doc_id"]] == "java" else 1.0
         assert abs(r["score"] - plain_scores[r["doc_id"]] * mult) < 1e-9
+
+
+def test_topk_lmd_properties(spark, tiny_index):
+    """LM Dirichlet similarity: matches the pure-python Lucene-form
+    recompute over the fetched postings, and is a genuinely different
+    ranking signal than BM25 (shorter-doc prior)."""
+    import numpy as np
+
+    from yase_spark.query import IndexReader
+    from yase_spark.tokenize import analyze_query
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    q = "json getPage"
+    mu = 500.0
+    rows = rd.topk_lmd(q, 10, mu=mu)
+    assert len(rows) == 10
+    scores = [s for _, _, s in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)  # per-term clamp at 0
+
+    tokens = analyze_query(q)
+    got = rd.fetch_terms(tokens)
+    from pyspark.sql import functions as F
+
+    cf = {
+        r["term"]: r["cf"]
+        for r in rd._segments.filter(F.col("term").isin(tokens))
+        .groupBy("term").agg(F.max("cf").alias("cf")).collect()
+    }
+    T = float(rd._total_postings_upper)
+    expected: dict[int, float] = {}
+    for t in tokens:
+        tp = got.get(t)
+        if tp is None:
+            continue
+        p = cf[t] / T
+        for d, tf, dl in zip(
+            tp.doc_ids.tolist(), tp.tfs.tolist(), tp.dls.tolist()
+        ):
+            c = max(0.0, np.log(1.0 + tf / (mu * p)) + np.log(mu / (mu + dl)))
+            expected[d] = expected.get(d, 0.0) + c
+    want = sorted(expected.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert [(d, s) for _, d, s in rows] == [(d, pytest.approx(s)) for d, s in want]

@@ -1690,6 +1690,68 @@ class IndexReader:
         order = np.lexsort((matched, -scores))[:k]
         return [(r + 1, int(matched[i]), float(scores[i])) for r, i in enumerate(order)]
 
+    def topk_lmd(self, query: str, k: int = 10, mu: float = 2000.0):
+        """Ranked top-k under the LM Dirichlet similarity (Zhai &
+        Lafferty query likelihood, Lucene ``LMDirichletSimilarity``
+        formulation): per MATCHED term::
+
+            max(0, ln(1 + tf / (mu * cf/T)) + ln(mu / (mu + dl)))
+
+        with ``cf`` the term's collection frequency, ``T`` total corpus
+        tokens, and the per-term clamp at 0 Lucene applies. Pluggable-
+        similarity row: same fetch, same union-of-postings eager lane,
+        same (score DESC, doc_id ASC) tie-break as BM25 — only the
+        contribution expression differs, which is the whole point of a
+        similarity abstraction. Returns [(rank, doc_id, score)]."""
+        tokens = list(dict.fromkeys(analyze_query(query)))
+        if not tokens or k <= 0:
+            return []
+        got = self.fetch_terms(tokens)
+        present = [t for t in tokens if got.get(t) is not None]
+        if not present:
+            return []
+        # collection frequencies: dictionary-sized aggregate (cf is the
+        # term-global value duplicated per shard row, like df)
+        buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in present})
+        cf_rows = (
+            self._segments.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(present)
+            )
+            .groupBy("term").agg(F.max("cf").alias("cf"))
+            .collect()
+        )
+        cf = {r["term"]: int(r["cf"]) for r in cf_rows}
+        # exact corpus token count (stats table), not avgdl*n_docs —
+        # the float product is not bit-identical to the stored integer
+        total_tokens = float(self._total_postings_upper)
+
+        lists = [got[t].doc_ids for t in present]
+        union = lists[0]
+        for arr in lists[1:]:
+            union = np.union1d(union, arr)
+        scores = np.zeros(union.size, dtype=np.float64)
+        for t in present:
+            tp = got[t]
+            p_c = cf[t] / total_tokens
+            pos = np.searchsorted(tp.doc_ids, union)
+            ok = (pos < tp.doc_ids.size) & (
+                tp.doc_ids[np.minimum(pos, tp.doc_ids.size - 1)] == union
+            )
+            tf = tp.tfs.astype(np.float64)
+            dl = tp.dls.astype(np.float64)
+            # ln(1 + x) spelled as in the SQL oracle (log1p's extra
+            # precision would diverge in the last ulp)
+            contrib = np.maximum(
+                0.0,
+                np.log(1.0 + tf / (mu * p_c)) + np.log(mu / (mu + dl)),
+            )
+            scores[ok] += contrib[pos[ok]]
+        order = np.lexsort((union, -scores))[:k]
+        return [
+            (r + 1, int(union[i]), float(scores[i]))
+            for r, i in enumerate(order)
+        ]
+
     def topk_after(
         self, query: str, k: int = 10, after: tuple[float, int] | None = None
     ):
