@@ -90,7 +90,13 @@ def main(argv=None) -> int:
         help="neardup/ann variant (ivf/pq/ivfpq are ann-only)",
     )
     p.add_argument("--threshold", type=float, default=0.1)
-    p.add_argument("--corpus", help="parquet path of the corpus table")
+    p.add_argument(
+        "--format", choices=["parquet", "jsonl", "csv"], default=None,
+        help="corpus format for build/positions/trigrams/grep "
+        "(default: inferred from the path extension, parquet for "
+        "directories); synth writes --out in this format",
+    )
+    p.add_argument("--corpus", help="path of the corpus table")
     p.add_argument("--index", help="index warehouse root")
     p.add_argument("--manifest", help="optional sha256 manifest parquet")
     p.add_argument("--q", help="query string")
@@ -151,15 +157,18 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     if args.cmd == "synth":
+        from yase_spark.sources import write_corpus
         from yase_spark.synth import corpus_df
 
-        corpus_df(spark, args.docs).write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"written": args.out, "docs": args.docs}))
+        write_corpus(corpus_df(spark, args.docs), args.out, args.format or "parquet")
+        print(json.dumps({"written": args.out, "docs": args.docs,
+                          "format": args.format or "parquet"}))
 
     elif args.cmd == "build":
         from yase_spark.index import build_index
+        from yase_spark.sources import read_corpus
 
-        corpus = spark.read.parquet(args.corpus)
+        corpus = read_corpus(spark, args.corpus, args.format)
         manifest = spark.read.parquet(args.manifest) if args.manifest else None
         cfg = IndexConfig(build_groups=args.groups) if args.groups else IndexConfig()
         summary = build_index(spark, corpus, args.index, cfg, manifest=manifest)
@@ -170,16 +179,18 @@ def main(argv=None) -> int:
         # full build after `build`, incremental after appends (only docs
         # above the covered high-water mark are tokenized)
         from yase_spark.positions import build_positions
+        from yase_spark.sources import read_corpus
 
-        corpus = spark.read.parquet(args.corpus)
+        corpus = read_corpus(spark, args.corpus, args.format)
         print(json.dumps(build_positions(spark, args.index, corpus), default=float))
 
     elif args.cmd == "trigrams":
         # trigram sibling index (substring/regex code search): full
         # build after `build`, incremental after appends
         from yase_spark.grep import build_trigrams
+        from yase_spark.sources import read_corpus
 
-        corpus = spark.read.parquet(args.corpus)
+        corpus = read_corpus(spark, args.corpus, args.format)
         print(json.dumps(build_trigrams(spark, args.index, corpus), default=float))
 
     elif args.cmd == "grep":
@@ -187,8 +198,9 @@ def main(argv=None) -> int:
         # intersection of the pattern's required trigrams, then the real
         # matcher over candidates only (Zoekt/Code Search shape)
         from yase_spark.grep import GrepReader
+        from yase_spark.sources import read_corpus
 
-        corpus = spark.read.parquet(args.corpus)
+        corpus = read_corpus(spark, args.corpus, args.format)
         rd = GrepReader(spark, args.index, corpus)
         if args.rank_q:
             from yase_spark.query import IndexReader
@@ -416,7 +428,7 @@ def main(argv=None) -> int:
                     r["doc_id"]: r["snippet"]
                     for r in snippet_df(
                         wins, rd.cat.read(spark, "docs"),
-                        spark.read.parquet(args.corpus), width=args.width,
+                        read_corpus(spark, args.corpus, args.format), width=args.width,
                     ).collect()
                 }
                 for o in out:
