@@ -225,3 +225,32 @@ def test_stream_sessionize_stateful_matches_batch(spark, tmp_path):
                           max_files_per_trigger=1)
     q.awaitTermination()
     assert spark.read.parquet(out).count() == len(got), "replay emitted rows"
+
+
+def test_stream_index_jsonl_source(spark, tmp_path):
+    """Streaming ingest from a JSONL directory: two micro-batches
+    (bootstrap + append) must produce a one-shot-equivalent index —
+    the same exactly-once file-tracking contract as the parquet source."""
+    from pyspark.sql import functions as F
+
+    from yase_spark.config import IndexConfig
+    from yase_spark.query import IndexReader
+    from yase_spark.sources import write_corpus
+    from yase_spark.streaming import stream_index
+    from yase_spark.synth import corpus_df
+
+    corpus = corpus_df(spark, 200, partitions=2)
+    in_dir = str(tmp_path / "in")
+    even = F.pmod(F.xxhash64("path"), F.lit(2)) == 0
+    corpus.filter(even).coalesce(1).write.mode("append").json(in_dir)
+    corpus.filter(~even).coalesce(1).write.mode("append").json(in_dir)
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, hot_term_df=10**9)
+    q = stream_index(
+        spark, in_dir, str(tmp_path / "idx"), str(tmp_path / "ckpt"), cfg,
+        max_files_per_trigger=1, fmt="jsonl",
+    )
+    q.awaitTermination()
+    rd = IndexReader(spark, str(tmp_path / "idx"), cfg)
+    assert rd.n_docs == 200
+    rows = rd.topk("json getPage", 5)
+    assert len(rows) == 5 and rows[0][2] > 0

@@ -35,16 +35,20 @@ def stream_index(
     checkpoint_dir: str,
     cfg: IndexConfig | None = None,
     max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
 ):
     """Start (and in availableNow mode: run to completion) a streaming
-    index over parquet files arriving in ``input_dir``. Returns the
+    index over corpus files arriving in ``input_dir``. Returns the
     StreamingQuery; callers use ``.awaitTermination()`` — the
     availableNow trigger makes it double as a batch catch-up run.
 
     ``max_files_per_trigger`` bounds micro-batch size (availableNow
     respects it, so a backlog drains in multiple delta-sized appends
     instead of one giant batch — the knob that keeps per-batch COW
-    merge cost flat at scale).
+    merge cost flat at scale). ``fmt`` is ``parquet`` (default) or
+    ``jsonl`` — the file-source streaming readers share the exactly-
+    once file-tracking checkpoint semantics, so the ingest guarantees
+    are format-independent.
     """
     cfg = cfg or IndexConfig()
 
@@ -54,7 +58,12 @@ def stream_index(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_dir)
+    if fmt in ("jsonl", "json", "ndjson"):
+        stream = reader.json(input_dir)
+    elif fmt == "parquet":
+        stream = reader.parquet(input_dir)
+    else:
+        raise ValueError(f"unsupported streaming corpus format {fmt!r}")
 
     def ingest(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -260,7 +260,8 @@ def main(argv=None) -> int:
 
         ckpt = args.ckpt or args.index.rstrip("/") + "_ckpt"
         cfg = IndexConfig(build_groups=args.groups) if args.groups else IndexConfig()
-        q = stream_index(spark, args.corpus, args.index, ckpt, cfg)
+        q = stream_index(spark, args.corpus, args.index, ckpt, cfg,
+                         fmt=args.format or "parquet")
         q.awaitTermination()
         rd = IndexReader(spark, args.index)
         print(json.dumps({"index": args.index, "checkpoint": ckpt,
