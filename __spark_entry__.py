@@ -1517,7 +1517,41 @@ def _q_score_explain(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order is driver-iteration order and the driver's CORRECTNESS
+    # window covers ~50 entries/round (VERDICT r3). The entries below,
+    # up to the "twice-verified core" marker, lead because they have
+    # never had a driver row (the 25 late-round-3 additions) or are new
+    # this round; the core entries that already carry green r2/r3 rows
+    # follow.
     return {
+        # --- round-4 additions (no driver row yet) ---
+        # --- never driver-checked (late round-3 additions) ---
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
+        "stream_event_windows": _q_stream_event_windows,
+        "stream_sessionize": _q_stream_sessionize,
+        "image_resize": _q_image_resize,
+        "frame_sample": _q_frame_sample,
+        "highlight_topk": _q_highlight_topk,
+        "more_like_this": _q_more_like_this,
+        "prefix_expand": _q_prefix_expand,
+        "multi_term_search": _q_multi_term_search,
+        "multi_term_topk": _q_multi_term_topk,
+        "facet_counts": _q_facet_counts,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "chunk_docs": _q_chunk_docs,
+        "pack_sequences": _q_pack_sequences,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
+        "tfidf_vectors": _q_tfidf_vectors,
+        "spell_suggest": _q_spell_suggest,
+        "related_terms": _q_related_terms,
+        "collocations": _q_collocations,
+        "significant_terms": _q_significant_terms,
+        "score_explain": _q_score_explain,
+        # --- twice-verified core (green driver rows in r2/r3) ---
         "tf_agg": _q_tf,
         "df_agg": _q_df,
         "cf_agg": _q_cf,
@@ -1573,14 +1607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_lsh": _q_near_dup_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_pq_topk": _q_ann_pq_topk,
-        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "event_windows": _q_event_windows,
-        "stream_event_windows": _q_stream_event_windows,
         "sessionize": _q_sessionize,
-        "stream_sessionize": _q_stream_sessionize,
         "props_extract": _q_props_extract,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "token_stats": _q_token_stats,
@@ -1588,32 +1617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "doc_fingerprint": _q_fingerprint,
         "media_features": _q_media_features,
-        "image_resize": _q_image_resize,
-        "frame_sample": _q_frame_sample,
         "append_df_agg": _q_append_df_agg,
         "stream_df_agg": _q_stream_df_agg,
         "bool_and_distributed": _q_bool_and_distributed,
-        # multi-term expansion + facets (round 3): expand.py
-        "highlight_topk": _q_highlight_topk,
-        "more_like_this": _q_more_like_this,
-        "prefix_expand": _q_prefix_expand,
-        "multi_term_search": _q_multi_term_search,
-        "multi_term_topk": _q_multi_term_topk,
-        "facet_counts": _q_facet_counts,
-        # curation stages (round 3): curation.py
-        "decontaminate": _q_decontaminate,
-        "stratified_sample": _q_stratified_sample,
-        "chunk_docs": _q_chunk_docs,
-        "pack_sequences": _q_pack_sequences,
-        "pii_scrub": _q_pii_scrub,
-        "repetition_stats": _q_repetition_stats,
-        "tfidf_vectors": _q_tfidf_vectors,
-        # spell suggestion + co-occurrence mining + score explain
-        "spell_suggest": _q_spell_suggest,
-        "related_terms": _q_related_terms,
-        "collocations": _q_collocations,
-        "significant_terms": _q_significant_terms,
-        "score_explain": _q_score_explain,
     }
 
 
