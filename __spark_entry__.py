@@ -190,6 +190,13 @@ def _appended_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
         corpus = _corpus_shape(spark, sf_dir)
         even = F.pmod(F.col("path").cast("long"), F.lit(2)) == 0
         build_index(spark, corpus.filter(even), root, cfg)
+        # pre-append snapshot versions: the VERSION AS OF handles the
+        # snapshot_read entry time-travels back to after the append
+        from yase_spark.catalog import Catalog
+
+        _CACHE[("append_prever", sf_dir)] = Catalog(root).current_version(
+            "segments"
+        )
         IndexBuilder(spark, root, cfg).append(corpus.filter(~even))
         _CACHE[key] = (root, cfg)
     root, cfg = _CACHE[key]
@@ -1061,6 +1068,20 @@ def _q_append_df_agg(spark, sf_dir):
     return segs.groupBy("term").agg(F.sum(F.col("n")).alias("df"))
 
 
+def _q_snapshot_read(spark, sf_dir):
+    # Iceberg time travel (VERSION AS OF): the appended index's CURRENT
+    # segments give full-corpus df (append_df_agg); reading the
+    # pre-append snapshot version must reproduce the even-half index
+    # exactly — the bucket-COW append commits partition-replacing
+    # snapshots, and time travel resolves the OLD manifest with no
+    # exclusions, so any leakage of appended data into prior snapshots
+    # breaks the hash
+    rd = _appended_reader(spark, sf_dir)
+    pre_v = _CACHE[("append_prever", sf_dir)]
+    segs = rd.cat.read(spark, "segments", version=pre_v)
+    return segs.groupBy("term").agg(F.sum(F.col("n")).alias("df"))
+
+
 def _q_stream_df_agg(spark, sf_dir):
     # Structured-Streaming ingest correctness under the oracle: per-term
     # df of the streamed (build + append micro-batches) index vs
@@ -1434,6 +1455,36 @@ def _q_facet_counts(spark, sf_dir):
     return rd.facet_counts(tree, "lang", topn=10)
 
 
+FACET_EDGES = [0.0, 25.0, 50.0, 75.0, 100.0]  # uniform: oracle uses
+# width_bucket; sf0.01 doc_len spans 10..99 so all four buckets bind
+FACET_INTERVAL = 20.0
+
+
+def _q_facet_ranges(spark, sf_dir):
+    # range facets (round 4): matching-doc counts per [lo, hi) doc_len
+    # bucket, zeros emitted — ES range aggregation over the same
+    # executor-side match-set lane as facet_counts
+    from yase_spark.query import And, Term
+
+    rd = _reader(spark, sf_dir)
+    tree = And([Term(AND_TERMS[0]), Term(AND_TERMS[1])])
+    return rd.facet_ranges(tree, "doc_len", FACET_EDGES).select(
+        "lo", "hi", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def _q_facet_histogram(spark, sf_dir):
+    # fixed-interval histogram facet (round 4): floor(dl/20)*20 buckets
+    # over the match set, non-empty only — ES histogram aggregation
+    from yase_spark.query import And, Term
+
+    rd = _reader(spark, sf_dir)
+    tree = And([Term(AND_TERMS[0]), Term(AND_TERMS[1])])
+    return rd.facet_histogram(tree, "doc_len", FACET_INTERVAL).select(
+        "bucket", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
 # --------------- spell suggestion, co-occurrence, explain (round 3:
 # suggest.py, cooccur.py, IndexReader.explain)
 SPELL_PROBES = ["spak", "tble", "hast", "xyzq"]  # ->spark, ->table,
@@ -1525,6 +1576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow.
     return {
         # --- round-4 additions (no driver row yet) ---
+        "snapshot_read": _q_snapshot_read,
+        "facet_ranges": _q_facet_ranges,
+        "facet_histogram": _q_facet_histogram,
         # --- never driver-checked (late round-3 additions) ---
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_pq_topk": _q_ann_pq_topk,
@@ -2232,6 +2286,17 @@ WHERE session_seq < mx_seq OR epoch_us(end_ts) + 1800000000 < mx.m
             f"{_T_SQL}, tf AS (SELECT term, doc_id FROM t GROUP BY 1, 2) "
             "SELECT term, count(*) AS df FROM tf GROUP BY 1"
         ),
+        # snapshot_read: time travel to the pre-append snapshot of the
+        # SAME appended index — the oracle is the even-half-only df,
+        # while append_df_agg's oracle on the same index is full-corpus
+        "snapshot_read": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "lower(text), '[^a-z0-9]+')) AS term FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "t AS (SELECT * FROM tok WHERE term <> ''), "
+            "tf AS (SELECT term, doc_id FROM t GROUP BY 1, 2) "
+            "SELECT term, count(*) AS df FROM tf GROUP BY 1"
+        ),
         # stream_df_agg: same one-shot oracle, Spark side is the
         # exactly-once Structured-Streaming ingest (2 micro-batches)
         "stream_df_agg": (
@@ -2383,6 +2448,35 @@ ORDER BY score DESC, doc_id LIMIT 10
             f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_b}') "
             "SELECT d.lang, count(*) AS cnt FROM m JOIN documents d "
             "USING (doc_id) GROUP BY 1 ORDER BY cnt DESC, lang LIMIT 10"
+        ),
+        # facet_ranges: width_bucket over the match set's doc_len (the
+        # engine's doc_len == the simple-split token count, proven by
+        # the bitwise bm25 oracles); every bucket emitted with zeros
+        "facet_ranges": (
+            f"{_T_SQL}, m AS ("
+            f"SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}' "
+            f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_b}'), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1), "
+            f"b AS (SELECT CAST(floor((dl.dl - {FACET_EDGES[0]}) / "
+            f"{FACET_EDGES[1] - FACET_EDGES[0]}) AS INT) AS bidx "
+            "FROM m JOIN dl USING (doc_id) "
+            f"WHERE dl.dl >= {FACET_EDGES[0]} AND dl.dl < {FACET_EDGES[-1]}), "
+            "cnts AS (SELECT bidx, count(*) AS cnt FROM b GROUP BY 1), "
+            "buckets AS (SELECT i::INT AS bidx, "
+            f"{FACET_EDGES[0]} + i * {FACET_EDGES[1] - FACET_EDGES[0]} AS lo, "
+            f"{FACET_EDGES[0]} + (i + 1) * {FACET_EDGES[1] - FACET_EDGES[0]} AS hi "
+            f"FROM (SELECT unnest(range(0, {len(FACET_EDGES) - 1})) AS i)) "
+            "SELECT lo, hi, coalesce(cnt, 0)::BIGINT AS cnt "
+            "FROM buckets LEFT JOIN cnts USING (bidx) ORDER BY lo"
+        ),
+        "facet_histogram": (
+            f"{_T_SQL}, m AS ("
+            f"SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}' "
+            f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_b}'), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1) "
+            f"SELECT floor(dl.dl / {FACET_INTERVAL}) * {FACET_INTERVAL} AS bucket, "
+            "count(*)::BIGINT AS cnt FROM m JOIN dl USING (doc_id) "
+            "GROUP BY 1 ORDER BY 1"
         ),
         # curation stages (round 3, curation.py) — closed-form SQL for
         # decontaminate/stratified_sample/chunk_docs; pack_sequences

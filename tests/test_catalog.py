@@ -91,3 +91,41 @@ def test_compact_collapses_dirs_and_preserves_tags(spark, tmp_path):
         spark.createDataFrame(delta, schema=schema)
     )
     assert s["noop"]
+
+
+def test_snapshot_history_and_time_travel(spark, tmp_path):
+    """Iceberg snapshots + VERSION/TIMESTAMP AS OF parity: appends and
+    partition-replace commits each add a history row; reading an old
+    version reproduces the table exactly as of that commit (including
+    BEFORE a partition replace — the old manifest has no exclusions);
+    version_as_of resolves a wall-clock timestamp to the right id."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from yase_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path))
+    df = spark.range(10).withColumn("b", F.pmod("id", F.lit(2)).cast("int"))
+    v1 = cat.write("t", df, partition_by=["b"])
+    t1 = time.time()
+    v2 = cat.write("t", spark.range(10, 15).withColumn(
+        "b", F.lit(0).cast("int")), mode="append", partition_by=["b"])
+    v3 = cat.write("t", spark.range(100, 103).withColumn(
+        "b", F.lit(1).cast("int")), mode="append", partition_by=["b"],
+        replace_partitions={"b": [1]})
+
+    hist = cat.snapshots("t")
+    assert [s["version"] for s in hist] == [v1, v2, v3]
+    assert [s["operation"] for s in hist] == ["overwrite", "append", "replace"]
+
+    ids = lambda v=None: sorted(
+        r["id"] for r in cat.read(spark, "t", version=v).collect())
+    assert ids(v1) == list(range(10))
+    assert ids(v2) == list(range(15))
+    # current: b=1 partition replaced by 100..102; b=0 rows survive
+    assert ids() == [0, 2, 4, 6, 8] + list(range(10, 15)) + [100, 101, 102]
+    # time travel back across the replace sees the pre-replace rows
+    assert ids(v2) == list(range(15))
+    assert cat.version_as_of("t", t1) == v1
+    assert cat.version_as_of("t", time.time()) == v3

@@ -219,3 +219,42 @@ def test_facet_counts(spark, rd):
         counts[docs[d]] = counts.get(docs[d], 0) + 1
     ref = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(r["lang"], r["cnt"]) for r in got] == ref
+
+
+def test_facet_ranges_and_histogram(spark, rd):
+    """Range + histogram facets (round 4) == pandas recounts of the
+    match set's doc_len: every range bucket emitted (zeros included),
+    out-of-range values in no bucket; histogram emits non-empty
+    buckets only, floor(dl/interval)*interval keyed."""
+    from yase_spark.query import And, Term
+
+    tree = And([Term("get"), Term("page")])
+    matched = rd.search(tree).tolist()
+    dls = {
+        r["doc_id"]: r["doc_len"]
+        for r in rd.cat.read(spark, "docs").select("doc_id", "doc_len").collect()
+    }
+    vals = [dls[d] for d in matched]
+    assert vals, "empty match set makes the gate vacuous"
+
+    edges = [0.0, 50.0, 100.0, 200.0, 400.0]
+    got = rd.facet_ranges(tree, "doc_len", edges).collect()
+    assert [(r["lo"], r["hi"]) for r in got] == list(zip(edges, edges[1:]))
+    for r in got:
+        ref = sum(1 for v in vals if r["lo"] <= v < r["hi"])
+        assert r["cnt"] == ref
+    # out-of-range values fall in no bucket
+    assert sum(r["cnt"] for r in got) == sum(
+        1 for v in vals if edges[0] <= v < edges[-1]
+    )
+    # a deliberately clipped edge list must under-count (proves the
+    # bounds bind)
+    clipped = rd.facet_ranges(tree, "doc_len", [0.0, 1.0]).collect()
+    assert sum(r["cnt"] for r in clipped) == sum(1 for v in vals if v < 1)
+
+    hist = rd.facet_histogram(tree, "doc_len", 100.0).collect()
+    ref_h: dict[float, int] = {}
+    for v in vals:
+        b = float(v // 100 * 100)
+        ref_h[b] = ref_h.get(b, 0) + 1
+    assert [(r["bucket"], r["cnt"]) for r in hist] == sorted(ref_h.items())

@@ -287,6 +287,45 @@ class Catalog:
             out = out.unionByName(d)
         return out
 
+    def snapshots(self, name: str) -> list[dict]:
+        """Snapshot history of ``name``, oldest first (Iceberg: the
+        ``.snapshots`` metadata table). Each row carries the version id
+        usable with ``read(..., version=)`` — the ``VERSION AS OF``
+        time-travel handle — plus operation, commit wall time, and tag.
+        Walks the parent chain of the current manifest, so versions
+        orphaned by a crashed commit never appear."""
+        out: list[dict] = []
+        v = self.current_version(name)
+        while v > 0:
+            m = self._manifest(name, v)
+            out.append(
+                {
+                    "version": v,
+                    "snapshot": m["snapshot"],
+                    "operation": m["operation"],
+                    "committed_at": m["committed_at"],
+                    "parent_version": m["parent_version"],
+                    "tag": m.get("tag", {}),
+                }
+            )
+            v = m["parent_version"]
+        out.reverse()
+        return out
+
+    def version_as_of(self, name: str, ts: float) -> int:
+        """Latest snapshot version committed at or before wall time
+        ``ts`` (Iceberg: ``TIMESTAMP AS OF``). Raises if the table has
+        no snapshot that old."""
+        best = 0
+        for s in self.snapshots(name):
+            if s["committed_at"] <= ts:
+                best = s["version"]
+        if best == 0:
+            raise FileNotFoundError(
+                f"table {name} has no snapshot committed at or before {ts}"
+            )
+        return best
+
     def read_tagged_commit(self, spark: SparkSession, name: str, unit: str) -> DataFrame:
         """Read ONLY the data committed by the snapshot tagged ``unit``
         (Iceberg: incremental read between snapshot ids)."""

@@ -1989,6 +1989,61 @@ class IndexReader:
             .limit(topn)
         )
 
+    def facet_ranges(self, tree, col: str, edges: list[float]) -> DataFrame:
+        """Range facets (the ES ``range`` aggregation): matching-doc
+        counts per ``[edges[i], edges[i+1])`` bucket of a numeric docs
+        column, every bucket emitted (count 0 included), ordered by
+        bucket start. Same executor-side shape as ``facet_counts`` —
+        the heavy side is one scan + count aggregation over the
+        ``search_df`` match set; the bucket table is len(edges)-1 rows,
+        broadcast by Catalyst. Values outside [edges[0], edges[-1])
+        fall in no bucket (ES semantics for bounded ranges)."""
+        assert len(edges) >= 2 and list(edges) == sorted(edges)
+        matched = self.search_df(tree)
+        c = F.col(col).cast("double")
+        bidx = F.when(c < float(edges[0]), F.lit(None).cast("int"))
+        for i in range(len(edges) - 1):
+            bidx = bidx.when(c < float(edges[i + 1]), F.lit(i))
+        docs = self.cat.read(self.spark, "docs").select("doc_id", col)
+        counts = (
+            matched.join(docs, "doc_id")
+            .select(bidx.alias("bidx"))
+            .filter(F.col("bidx").isNotNull())
+            .groupBy("bidx")
+            .agg(F.count("*").alias("cnt"))
+        )
+        buckets = self.spark.createDataFrame(
+            [(i, float(edges[i]), float(edges[i + 1]))
+             for i in range(len(edges) - 1)],
+            "bidx int, lo double, hi double",
+        )
+        return (
+            buckets.join(counts, "bidx", "left")
+            .select("lo", "hi", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+            .orderBy("lo")
+        )
+
+    def facet_histogram(self, tree, col: str, interval: float) -> DataFrame:
+        """Fixed-interval histogram facet (the ES ``histogram``
+        aggregation, min_doc_count=1): bucket = floor(col/interval) *
+        interval over the boolean match set, non-empty buckets only,
+        ordered by bucket. One scan + one count aggregation; bucket
+        arithmetic is a JVM expression (WholeStageCodegen), so the
+        plan is identical to a plain groupBy at any scale."""
+        assert interval > 0
+        matched = self.search_df(tree)
+        docs = self.cat.read(self.spark, "docs").select("doc_id", col)
+        bucket = (
+            F.floor(F.col(col).cast("double") / F.lit(float(interval)))
+            * F.lit(float(interval))
+        ).alias("bucket")
+        return (
+            matched.join(docs, "doc_id")
+            .groupBy(bucket)
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("bucket")
+        )
+
     def bool_and(self, query: str) -> np.ndarray:
         """Driver boolean AND (sorted doc_id array). Dispatches to the
         cluster kernel when the dictionary-estimated postings exceed
