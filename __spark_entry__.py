@@ -1387,6 +1387,39 @@ def _q_multi_term_topk(spark, sf_dir):
     )
 
 
+SYN_GROUPS = [["table", "row"], ["merge", "scan"]]  # vocab terms at sf0.01
+SYN_QUERY = "table merge"  # expands to table row merge scan (doc order,
+# variants ASC) — the oracle scores exactly that disjunction
+
+
+def _syn_reader(spark, sf_dir) -> IndexReader:
+    """Main index plus the analyzer-applied synonyms sibling table."""
+    rd = _reader(spark, sf_dir)
+    key = ("synonyms", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.expand import build_synonyms
+
+        build_synonyms(spark, rd.cat.root, SYN_GROUPS)
+        _CACHE[key] = True
+    return rd
+
+
+def _q_synonym_topk(spark, sf_dir):
+    # query-time synonym rewrite (round 4): each query term expands
+    # through the synonyms table into a BM25 disjunction on the same
+    # block-max WAND executor; the oracle recomputes the expanded
+    # ranking from raw tokens with the static expansion set
+    rd = _syn_reader(spark, sf_dir)
+    rows = rd.synonym_topk(SYN_QUERY, k=10)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r")
+    )
+
+
 HL_WIDTH = 10
 
 
@@ -1579,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_read": _q_snapshot_read,
         "facet_ranges": _q_facet_ranges,
         "facet_histogram": _q_facet_histogram,
+        "synonym_topk": _q_synonym_topk,
         # --- never driver-checked (late round-3 additions) ---
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_pq_topk": _q_ann_pq_topk,
@@ -2441,6 +2475,14 @@ ORDER BY score DESC, doc_id LIMIT 10
             "SELECT doc_id, round(score, 5) AS score_r FROM sc "
             "ORDER BY score DESC, doc_id LIMIT 10",
             term_pred=f"levenshtein(term, '{EXP_FUZZ}') <= 1",
+        ),
+        # synonym_topk: the ranking the EXPANDED disjunction produces —
+        # the Spark side derives the set from its own synonyms table,
+        # the oracle pins it statically (SYN_GROUPS are constants)
+        "synonym_topk": _bm25_oracle_sql(
+            "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+            "ORDER BY score DESC, doc_id LIMIT 10",
+            term_pred="term IN ('table', 'row', 'merge', 'scan')",
         ),
         "facet_counts": (
             f"{_T_SQL}, m AS ("

@@ -258,3 +258,60 @@ def test_facet_ranges_and_histogram(spark, rd):
         b = float(v // 100 * 100)
         ref_h[b] = ref_h.get(b, 0) + 1
     assert [(r["bucket"], r["cnt"]) for r in hist] == sorted(ref_h.items())
+
+
+def test_synonyms(spark, rd, tiny_index, all_terms):
+    """Synonym expansion (round 4): analyzer-applied build (multi-token
+    entries rejected), Solr expand=true pair semantics, deterministic
+    query-order-then-variant-ASC rewrite with first-occurrence dedup,
+    boolean OR == the verified search kernel on the same set, ranked
+    rewrite bitwise == a naive fixed-order BM25 disjunction, and the
+    max_expansions cap binds."""
+    from yase_spark.expand import build_synonyms
+    from yase_spark.query import Or, Term
+
+    root, _, _ = tiny_index
+
+    # no synonyms table yet: the rewrite is the identity
+    assert rd.synonym_expand("get page") == ["get", "page"]
+
+    # a camelCase entry analyzes to several parts -> loud rejection
+    with pytest.raises(ValueError, match="analyzes to"):
+        build_synonyms(spark, root, [["getUserName", "json"]])
+
+    # analyzer-applied: case folds to the index terms; 2-group -> 2
+    # ordered pairs, 3-group -> 6
+    n = build_synonyms(spark, root, [["JSON", "Page"], ["get", "load", "sync"]])
+    assert n == 8
+
+    assert rd.synonym_expand("get json") == ["get", "load", "sync", "json", "page"]
+    # dedup keeps the first occurrence across overlapping groups
+    assert rd.synonym_expand("page json get") == ["page", "json", "get", "load", "sync"]
+
+    terms = rd.synonym_expand("get json")
+    ids = rd.synonym_search("get json")
+    ref_ids = rd.search(Or([Term(t) for t in terms]))
+    assert np.array_equal(ids, ref_ids)
+    # the expansion can only widen the match set
+    base = rd.search(Or([Term("get"), Term("json")]))
+    assert set(base.tolist()) <= set(ids.tolist())
+
+    got = rd.synonym_topk("get json", k=10)
+    fetched = rd.fetch_terms(terms)
+    scores: dict[int, float] = {}
+    for t in terms:
+        tp = fetched.get(t)
+        if tp is None:
+            continue
+        contrib = tp.idf * (tp.tfs.astype("float64") * (rd.cfg.k1 + 1.0)) / (
+            tp.tfs.astype("float64")
+            + rd.cfg.k1
+            * (1.0 - rd.cfg.b + rd.cfg.b * (tp.dls.astype("float64") / rd.avgdl))
+        )
+        for d, c in zip(tp.doc_ids.tolist(), contrib.tolist()):
+            scores[d] = scores.get(d, 0.0) + c
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(d, s) for _, d, s in got] == ref  # bitwise
+
+    with pytest.raises(ValueError, match="max_expansions"):
+        rd.synonym_expand("get json", limit=3)

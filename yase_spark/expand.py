@@ -79,6 +79,51 @@ def build_term_dictionary(
     return int(obs.get["n"] or 0)
 
 
+def build_synonyms(
+    spark: SparkSession, index_root: str, groups: list[list[str]]
+) -> int:
+    """Publish the ``synonyms(term, variant)`` sibling table from
+    synonym GROUPS (Solr ``expand=true`` semantics: every member of a
+    group maps to every other member, symmetric, identity excluded).
+
+    Analyzer-applied: each entry is run through the index's own
+    analyzer and must yield exactly ONE term — analyzer parity is what
+    keeps query-time expansion consistent with what the build indexed
+    (an entry that analyzes to several parts, e.g. a camelCase
+    identifier or a phrase, is rejected loudly; the rewrite is
+    term-level and silently dropping or splitting entries would be
+    invisible recall loss. Multi-word synonyms are a SynonymGraph
+    feature, out of scope here).
+
+    The table is vocabulary-sized, written sorted by ``term`` so a
+    query's ``isin`` lookup prunes on Parquet min/max. Returns the
+    number of (term, variant) rows committed."""
+    from .tokenize import tokenize_text
+
+    cat = Catalog(index_root)
+    pairs: set[tuple[str, str]] = set()
+    for group in groups:
+        analyzed: list[str] = []
+        for word in group:
+            toks = tokenize_text(word, ngrams=False)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"synonym entry {word!r} analyzes to {toks!r}; each "
+                    "entry must analyze to exactly one index term"
+                )
+            analyzed.append(toks[0])
+        for a in analyzed:
+            for b in analyzed:
+                if a != b:
+                    pairs.add((a, b))
+    rows = sorted(pairs)
+    df = spark.createDataFrame(
+        rows or [], schema="term string, variant string"
+    ).coalesce(1).sortWithinPartitions("term", "variant")
+    cat.write("synonyms", df, mode="overwrite", tag={"unit": "synonyms"})
+    return len(rows)
+
+
 def _prefix_range(col, prefix: str):
     """term-range predicate for a literal prefix (pushed to Parquet
     min/max). ``prefix + chr(0x10FFFF)`` upper-bounds every extension."""

@@ -1899,6 +1899,74 @@ class IndexReader:
         tps = [got[t] for t in terms if got[t] is not None]
         return wand_topk(tps, k, self.cfg.k1, self.cfg.b, self.avgdl)
 
+    # ---------------------------------------------------- synonyms
+    def synonyms_for(self, terms: list[str]) -> dict[str, list[str]]:
+        """Variants per analyzed query term from the ``synonyms``
+        sibling table (build_synonyms). One vocabulary-sized scan with
+        the term list pushed as an ``isin`` predicate (Parquet min/max
+        pruning — the table is written term-sorted); an index without
+        a synonyms table expands to nothing."""
+        if not terms or not self.cat.exists("synonyms"):
+            return {}
+        rows = (
+            self.cat.read(self.spark, "synonyms")
+            .filter(F.col("term").isin(sorted(set(terms))))
+            .collect()
+        )
+        out: dict[str, list[str]] = {}
+        for r in rows:
+            out.setdefault(r["term"], []).append(r["variant"])
+        return {t: sorted(vs) for t, vs in out.items()}
+
+    def synonym_expand(self, query: str, limit: int | None = None) -> list[str]:
+        """Query-time synonym rewrite: each analyzed query term is
+        followed by its variants (variant ASC — deterministic),
+        first-occurrence dedup, capped at ``max_expansions`` like every
+        other expansion (Lucene maxClauseCount)."""
+        from .expand import MAX_EXPANSIONS
+
+        limit = MAX_EXPANSIONS if limit is None else limit
+        qterms = analyze_query(query)
+        syn = self.synonyms_for(qterms)
+        out: list[str] = []
+        seen: set[str] = set()
+        for t in qterms:
+            for c in [t] + syn.get(t, []):
+                if c not in seen:
+                    seen.add(c)
+                    out.append(c)
+        if len(out) > limit:
+            raise ValueError(
+                f"synonym expansion yields {len(out)} clauses > "
+                f"max_expansions={limit}; shrink the groups or the query"
+            )
+        return out
+
+    def synonym_search(self, query: str) -> np.ndarray:
+        """Boolean OR over the synonym-expanded term set (the
+        constant-score rewrite) -> sorted doc ids."""
+        terms = self.synonym_expand(query)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        got = self.fetch_terms(terms)
+        tps = [tp for tp in got.values() if tp is not None]
+        return bool_or(tps) if tps else np.empty(0, dtype=np.int64)
+
+    def synonym_topk(self, query: str, k: int = 10):
+        """BM25-ranked disjunction over the synonym-expanded set: the
+        expansion feeds the ordinary block-max WAND executor in the
+        deterministic synonym_expand order (each variant scores as its
+        own term with its own df — the expansion rewrite, not Lucene's
+        blended-df SynonymQuery, and the oracle replays exactly that)."""
+        terms = self.synonym_expand(query)
+        if not terms or k <= 0:
+            return []
+        got = self.fetch_terms(terms)
+        tps = [got[t] for t in terms if got[t] is not None]
+        if not tps:
+            return []
+        return wand_topk(tps, k, self.cfg.k1, self.cfg.b, self.avgdl)
+
     # ------------------------------------------------ more-like-this
     def mlt_terms(self, text: str, m: int = 25, min_df: int = 1) -> list[str]:
         """Lucene-MoreLikeThis term selection: re-analyze the source

@@ -44,8 +44,19 @@ def main(argv=None) -> int:
         choices=[
             "build", "positions", "trigrams", "dictionary", "query", "synth",
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
-            "info",
+            "info", "synonyms",
         ],
+    )
+    p.add_argument(
+        "--groups-file",
+        help="synonyms: JSON file of synonym groups [[\"a\",\"b\"],...] "
+        "(Solr expand=true semantics; entries are analyzer-applied)",
+    )
+    p.add_argument(
+        "--synonyms", action="store_true",
+        help="query: expand each query term through the index's synonyms "
+        "table; --kind topk ranks the expanded disjunction, --kind or "
+        "returns the match set, --kind terms the expansion list",
     )
     p.add_argument(
         "--regex", action="store_true",
@@ -306,6 +317,18 @@ def main(argv=None) -> int:
         }
         print(json.dumps(out, default=float))
 
+    elif args.cmd == "synonyms":
+        # analyzer-applied synonym groups -> synonyms(term, variant)
+        # sibling table (Solr expand=true semantics)
+        from yase_spark.expand import build_synonyms
+
+        if not args.groups_file:
+            raise SystemExit("synonyms: pass --groups-file")
+        with open(args.groups_file) as f:
+            groups = json.load(f)
+        n = build_synonyms(spark, args.index, groups)
+        print(json.dumps({"index": args.index, "pairs": n}))
+
     elif args.cmd == "dictionary":
         # sorted (term, df) sibling table: prefix/wildcard lookups become
         # Parquet row-group range pruning (Lucene term-index analogue)
@@ -346,6 +369,17 @@ def main(argv=None) -> int:
                 parse(json.loads(args.tree)), args.facet, topn=args.k
             ).collect()
             out = [r.asDict() for r in rows]
+        elif args.synonyms:
+            # query-time synonym rewrite over the synonyms sibling table
+            if args.kind == "topk":
+                out = [
+                    {"rank": r, "doc_id": d, "score": s}
+                    for r, d, s in rd.synonym_topk(args.q, args.k)
+                ]
+            elif args.kind == "or":
+                out = rd.synonym_search(args.q).tolist()
+            else:
+                out = rd.synonym_expand(args.q)
         elif args.expand:
             # MultiTermQuery rewrites over the dictionary expansion
             kw = {"max_edits": args.max_edits} if args.expand == "fuzzy" else {}
