@@ -173,3 +173,19 @@ def test_ivfpq_materialized_roundtrip(spark, emb, tmp_path):
         have.setdefault(r["query_id"], set()).add(r["vec_id"])
     rec = sum(len(want[q] & have.get(q, set())) / 10 for q in want) / len(want)
     assert rec >= 0.5
+
+
+def test_bounded_collect_guard(spark):
+    """The 100-TB driver-collect contract (round 4): every codebook/
+    centroid/query-vector collect goes through bounded_collect, whose
+    plan-level limit caps what reaches the driver and whose bound
+    check raises instead of silently materializing a corpus-sized
+    result."""
+    import pytest
+
+    from yase_spark.similarity import bounded_collect
+
+    ok = bounded_collect(spark.range(10), 10, "fits")
+    assert len(ok) == 10
+    with pytest.raises(RuntimeError, match="exceeded its 10-row bound"):
+        bounded_collect(spark.range(1000), 10, "overflow")

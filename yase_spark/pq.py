@@ -36,6 +36,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import MAX_PARTIAL_ROWS, bounded_collect
+
 
 def _norm_rows(X: np.ndarray) -> np.ndarray:
     return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -105,10 +107,12 @@ def train_pq_codebooks(
                         rows["vsum"].append(Xs[msk].sum(axis=0).tolist())
                 yield pd.DataFrame(rows)
 
-        got = (
-            emb.select(col)
-            .mapInPandas(partials, schema="sub int, cid int, n long, vsum array<double>")
-            .collect()
+        got = bounded_collect(
+            emb.select(col).mapInPandas(
+                partials, schema="sub int, cid int, n long, vsum array<double>"
+            ),
+            MAX_PARTIAL_ROWS,
+            "train_pq_codebooks partial sums",
         )
         sums = np.zeros((m, ks, dsub))
         counts = np.zeros((m, ks), dtype=np.int64)
@@ -188,11 +192,12 @@ def pq_ann_topk(
     codes = pq_encode(emb, C)
     mq, ksq, dsub = C.shape
 
-    qrows = (
+    qrows = bounded_collect(
         emb.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+        .orderBy("vec_id"),
+        n_queries,
+        "pq query vectors",
     )
     qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
     Q = _norm_rows(
@@ -341,11 +346,12 @@ def ivf_pq_topk(
         nprobe = n_centroids
     nprobe = min(nprobe, n_centroids)
 
-    qrows = (
+    qrows = bounded_collect(
         emb.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+        .orderBy("vec_id"),
+        n_queries,
+        "pq query vectors",
     )
     qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
     Q = _norm_rows(
@@ -461,11 +467,12 @@ def ivfpq_read_topk(
         nprobe = K
     nprobe = min(nprobe, K)
 
-    qrows = (
+    qrows = bounded_collect(
         emb.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+        .orderBy("vec_id"),
+        n_queries,
+        "pq query vectors",
     )
     qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
     Q = _norm_rows(

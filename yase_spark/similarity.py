@@ -132,6 +132,28 @@ def cosine_dup_pairs(
     )
 
 
+MAX_PARTIAL_ROWS = 1 << 20  # codebook/centroid training reduces: rows
+# ∝ (arrow batches × k), NEVER ∝ vectors — the bound makes the 100-TB
+# contract explicit and turns a future regression (collecting anything
+# corpus-sized here) into a loud error instead of a driver OOM
+
+
+def bounded_collect(df: DataFrame, bound: int, what: str) -> list:
+    """``collect()`` with an enforced row cap: the plan is limited to
+    ``bound + 1`` rows BEFORE anything reaches the driver (CollectLimit,
+    no full materialization), and exceeding the bound raises. Use for
+    every driver-side reduce that is codebook/centroid/query-sized by
+    design."""
+    rows = df.limit(bound + 1).collect()
+    if len(rows) > bound:
+        raise RuntimeError(
+            f"{what}: driver collect exceeded its {bound}-row bound; "
+            "this path must stay codebook/centroid-sized — repartition "
+            "the input or add an intermediate combine"
+        )
+    return rows
+
+
 def train_ivf_centroids(
     emb: DataFrame, n_centroids: int = 16, iters: int = 5
 ):
@@ -180,10 +202,12 @@ def train_ivf_centroids(
                     rows["vsum"].append(Xn[m].sum(axis=0).tolist())
                 yield pd.DataFrame(rows)
 
-        got = (
-            emb.select("embedding")
-            .mapInPandas(partials, schema="cid int, n long, vsum array<double>")
-            .collect()
+        got = bounded_collect(
+            emb.select("embedding").mapInPandas(
+                partials, schema="cid int, n long, vsum array<double>"
+            ),
+            MAX_PARTIAL_ROWS,
+            "train_ivf_centroids partial sums",
         )
         sums = np.zeros((n_centroids, dim))
         counts = np.zeros(n_centroids, dtype=np.int64)
@@ -255,10 +279,10 @@ def ivf_ann_topk(
         nprobe = n_centroids
     nprobe = min(nprobe, n_centroids)
 
-    qrows = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()
+    qrows = bounded_collect(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding"),
+        n_queries,
+        "ivf_ann_topk query vectors",
     )
     probes = {"query_id": [], "cid": []}
     for r in qrows:
@@ -332,10 +356,10 @@ def ivf_read_topk(
         nprobe = C.shape[0]
     nprobe = min(nprobe, C.shape[0])
 
-    qrows = (
-        vecs.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()
+    qrows = bounded_collect(
+        vecs.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding"),
+        n_queries,
+        "ivf_read_topk query vectors",
     )
     pairs = []
     for r in qrows:
