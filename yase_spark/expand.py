@@ -191,6 +191,24 @@ class TermExpander:
             self._dic.filter(_prefix_range(F.col("term"), prefix)), limit
         )
 
+    def complete(self, prefix: str, k: int = 10) -> DataFrame:
+        """ES-style completion suggester: the top-``k`` dictionary terms
+        extending ``prefix``, weighted by document frequency (weight
+        DESC, term ASC — deterministic). Unlike ``prefix()`` this is a
+        RANKED suggest surface (autocomplete dropdown), not a query
+        rewrite, so it returns (term, weight) rows and never raises on
+        a broad prefix — the cap IS the answer size.
+
+        Scale shape: the sorted dictionary turns the prefix predicate
+        into Parquet min/max row-group pruning; orderBy().limit(k)
+        compiles to TakeOrderedAndProject (per-partition heaps, P·k at
+        the driver) — never a global sort, never payload IO."""
+        d = self._dic.filter(_prefix_range(F.col("term"), prefix))
+        return (
+            d.orderBy(F.desc("df"), F.asc("term")).limit(k)
+            .select("term", F.col("df").alias("weight"))
+        )
+
     def wildcard(self, pattern: str, limit: int = MAX_EXPANSIONS) -> list[str]:
         rx = wildcard_to_regex(pattern)
         lead = literal_prefix(pattern)

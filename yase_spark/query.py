@@ -193,6 +193,43 @@ FETCH_JOB_CAP = 8
 _FETCH_SEM = threading.BoundedSemaphore(FETCH_JOB_CAP)
 
 
+class _SharedIndexMeta:
+    """Process-wide DICTIONARY-SIZED reader state for ONE index version.
+
+    What a cold query used to pay per fresh ``IndexReader`` was one
+    Spark job for the stats row, one for tombstones, one for the
+    dictionary df pre-check and (block-selected lane) one more for block
+    metadata — all over data that is dictionary-sized, identical for
+    every reader of the same index version, and tiny next to payloads.
+    This registry keeps exactly that state resident per
+    ``(root, segments/stats/deletes versions)`` key — the Lucene
+    terms-index-in-RAM posture (VERDICT round-3 item 2: "cache the
+    dictionary/block-meta driver-side across queries") — so a dispatched
+    cold query costs exactly ONE Spark job (its payload or slice fetch).
+
+    Never cached here: posting payloads or decoded postings (index-sized
+    — they stay in the per-reader caches). Invalidation is by key: any
+    append/delete/compact bumps a catalog VERSION and lands on a fresh
+    entry. ``meta`` is bounded by ``IndexReader.META_CACHE_MAX_BLOCKS``
+    (compact numpy first/last/max_score arrays, ~24 B/block)."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.stats_row: dict | None = None
+        self.deleted_loaded = False
+        self.deleted = None                      # np.ndarray | None
+        self.df: dict[str, int] = {}
+        self.meta: dict[str, list | None] = {}   # term -> shard entries
+        self.meta_blocks = 0
+        self.spark_ref = None                    # session the cached df binds to
+        self.segments_df = None
+
+
+_META_REGISTRY: dict[tuple, _SharedIndexMeta] = {}
+_META_REGISTRY_LOCK = threading.Lock()
+_META_REGISTRY_MAX = 8
+
+
 class LazyTermPostings:
     """Block-lazy cursor over one term's postings, built from segment
     rows WITHOUT decoding payloads (SURVEY.md §2.6 Q6, VERDICT round 1
@@ -719,7 +756,8 @@ class IndexReader:
     cached driver-side for p95 latency (Q9 warm path).
     """
 
-    def __init__(self, spark: SparkSession, index_root: str, cfg: IndexConfig | None = None):
+    def __init__(self, spark: SparkSession, index_root: str,
+                 cfg: IndexConfig | None = None, shared_meta: bool = True):
         self.spark = spark
         self.cat = Catalog(index_root)
         # adopt the build's persisted config (catalog properties): a reader
@@ -744,13 +782,58 @@ class IndexReader:
             self.cfg = IndexConfig(**known)
         else:
             self.cfg = cfg or IndexConfig()
-        srow = self.cat.read(spark, "stats").collect()[0]
+        # shared dictionary-sized state keyed by index VERSION (see
+        # _SharedIndexMeta): any catalog commit bumps a version and lands
+        # on a fresh entry, so staleness is structurally impossible
+        self._shared: _SharedIndexMeta | None = None
+        if shared_meta:
+            import os as _os
+
+            key = (
+                _os.path.realpath(index_root),
+                self.cat.current_version("segments"),
+                self.cat.current_version("stats"),
+                self.cat.current_version("deletes")
+                if self.cat.exists("deletes") else -1,
+            )
+            with _META_REGISTRY_LOCK:
+                sh = _META_REGISTRY.get(key)
+                if sh is None:
+                    sh = _SharedIndexMeta()
+                    _META_REGISTRY[key] = sh
+                    while len(_META_REGISTRY) > _META_REGISTRY_MAX:
+                        _META_REGISTRY.pop(next(iter(_META_REGISTRY)))
+            self._shared = sh
+        if self._shared is not None and self._shared.stats_row is not None:
+            srow = self._shared.stats_row
+        else:
+            r = self.cat.read(spark, "stats").collect()[0]
+            srow = {"n_docs": r["n_docs"], "total_tokens": r["total_tokens"]}
+            if self._shared is not None:
+                self._shared.stats_row = srow
         self.n_docs = int(srow["n_docs"])
         self.avgdl = (srow["total_tokens"] / srow["n_docs"]) if srow["n_docs"] else 0.0
-        self._segments = self.cat.read(spark, "segments")
+        if (
+            self._shared is not None
+            and self._shared.segments_df is not None
+            and self._shared.spark_ref is spark
+        ):
+            self._segments = self._shared.segments_df
+        else:
+            self._segments = self.cat.read(spark, "segments")
+            if self._shared is not None:
+                self._shared.spark_ref = spark
+                self._shared.segments_df = self._segments
         self._cache: dict[str, TermPostings | None] = {}
         self._row_cache: dict[str, list | None] = {}   # term -> shard rows
-        self._df_cache: dict[str, int] = {}            # term -> global df
+        # df + block-meta caches alias the shared entry when enabled, so
+        # every reader of this index version sees one dictionary
+        self._df_cache: dict[str, int] = (
+            self._shared.df if self._shared is not None else {}
+        )
+        self._meta_cache: dict[str, list | None] = (
+            self._shared.meta if self._shared is not None else {}
+        )
         # above this many total postings across the query's terms, topk()
         # dispatches to the cluster-side path instead of materializing
         # posting payloads on the driver (VERDICT round 1 item 3) — df is
@@ -773,25 +856,43 @@ class IndexReader:
         # tombstone exists — compaction restores them, exactly as a
         # Lucene merge re-enables its skip optimizations.
         self._deleted: np.ndarray | None = None
-        if self.cat.exists("deletes"):
-            darr = np.unique(
-                np.asarray(
-                    self.cat.read(spark, "deletes")
-                    .toArrow().column("doc_id").to_pylist(),
-                    dtype=np.int64,
+        if self._shared is not None and self._shared.deleted_loaded:
+            self._deleted = self._shared.deleted
+        else:
+            if self.cat.exists("deletes"):
+                darr = np.unique(
+                    np.asarray(
+                        self.cat.read(spark, "deletes")
+                        .toArrow().column("doc_id").to_pylist(),
+                        dtype=np.int64,
+                    )
                 )
-            )
-            if darr.size > self.DELETE_DRIVER_CAP:
-                raise ValueError(
-                    f"{darr.size} tombstones exceed the reader cap "
-                    f"({self.DELETE_DRIVER_CAP}); run "
-                    "IndexBuilder.apply_deletes() first"
-                )
-            self._deleted = darr if darr.size else None
+                if darr.size > self.DELETE_DRIVER_CAP:
+                    raise ValueError(
+                        f"{darr.size} tombstones exceed the reader cap "
+                        f"({self.DELETE_DRIVER_CAP}); run "
+                        "IndexBuilder.apply_deletes() first"
+                    )
+                self._deleted = darr if darr.size else None
+            if self._shared is not None:
+                self._shared.deleted = self._deleted
+                self._shared.deleted_loaded = True
+
+    @classmethod
+    def clear_shared_meta(cls) -> None:
+        """Drop the process-wide shared metadata registry (benchmark
+        lanes and tests that need a metadata-cold reader)."""
+        with _META_REGISTRY_LOCK:
+            _META_REGISTRY.clear()
 
     # readers materialize the tombstone set (it rides every decode);
     # beyond this, physical compaction is overdue and cheaper
     DELETE_DRIVER_CAP = 50_000_000
+    # shared block-meta cache bound: compact numpy arrays, ~24 B/block
+    # -> ~100 MB ceiling. Dictionary-sized by construction (blocks of
+    # QUERIED terms only, payloads never cached); wipes wholesale when
+    # exceeded rather than tracking LRU — refetch is one metadata job.
+    META_CACHE_MAX_BLOCKS = 4_000_000
 
     def _mask_deleted(self, ids: np.ndarray) -> np.ndarray:
         """Boolean keep-mask over ``ids`` (True = not tombstoned)."""
@@ -932,6 +1033,61 @@ class IndexReader:
             for t in missing:
                 self._df_cache[t] = got.get(t, 0)
         return {t: self._df_cache[t] for t in dict.fromkeys(terms)}
+
+    def term_block_meta(self, terms: list[str]) -> dict[str, list | None]:
+        """Per-term block METADATA (no payload bytes): for each term a
+        shard-sorted list of ``{shard, df, idf, avgdl, first, last,
+        max_score}`` entries with compact numpy block arrays, or None
+        for absent terms. Shared process-wide across readers of the same
+        index version (``_SharedIndexMeta``), so a fresh reader's cold
+        block-selected query skips the metadata hop entirely — the fused
+        replacement for hop 1 (VERDICT round-3 item 2). Also settles df,
+        so the dispatch pre-check and this fetch are one job, not two.
+        Bounded by ``META_CACHE_MAX_BLOCKS``; parquet column pruning
+        keeps payload bytes unread (same scan shape as ``term_dfs``)."""
+        missing = [t for t in dict.fromkeys(terms) if t not in self._meta_cache]
+        if missing:
+            tbl = self._collect_segments(
+                missing, ["term", "shard", "df", "block_meta", "idf", "avgdl"]
+            )
+            cols = {
+                n: tbl.column(n).to_pylist()
+                for n in ("term", "shard", "df", "idf", "avgdl")
+            }
+            metas_col = tbl.column("block_meta").to_pylist()
+            by_term: dict[str, list] = {}
+            n_new = 0
+            for i in range(tbl.num_rows):
+                ms = metas_col[i]
+                nb = len(ms)
+                n_new += nb
+                by_term.setdefault(cols["term"][i], []).append({
+                    "shard": int(cols["shard"][i]),
+                    "df": int(cols["df"][i]),
+                    "idf": float(cols["idf"][i]),
+                    "avgdl": float(cols["avgdl"][i]),
+                    "first": np.fromiter(
+                        (m["block_first"] for m in ms), dtype=np.int64, count=nb
+                    ),
+                    "last": np.fromiter(
+                        (m["block_last"] for m in ms), dtype=np.int64, count=nb
+                    ),
+                    "max_score": np.fromiter(
+                        (m["max_score"] for m in ms), dtype=np.float64, count=nb
+                    ),
+                })
+            sh = self._shared
+            if sh is not None:
+                with sh.lock:
+                    sh.meta_blocks += n_new
+                    if sh.meta_blocks > self.META_CACHE_MAX_BLOCKS:
+                        sh.meta.clear()
+                        sh.meta_blocks = n_new
+            for t in missing:
+                rs = sorted(by_term.get(t, []), key=lambda r: r["shard"])
+                self._meta_cache[t] = rs or None
+                self._df_cache[t] = int(rs[0]["df"]) if rs else 0
+        return {t: self._meta_cache[t] for t in dict.fromkeys(terms)}
 
     def fetch_term_rows(self, terms: list[str]) -> dict[str, list | None]:
         """Q1 lazy variant: fetch segment rows (payload + block skip
@@ -1077,31 +1233,16 @@ class IndexReader:
                 return res, dict(empty_stats, tombstone_fallback=True)
             return res
 
-        # ---- hop 1: metadata only ---------------------------------------
-        tbl = self._collect_segments(
-            qterms, ["term", "shard", "df", "n", "block_meta", "idf", "avgdl"]
-        )
-        cols = {
-            n: tbl.column(n).to_pylist()
-            for n in ("term", "shard", "df", "block_meta", "idf", "avgdl")
-        }
-        rows_by_term: dict[str, list] = {}
-        for i in range(tbl.num_rows):
-            rows_by_term.setdefault(cols["term"][i], []).append(
-                {"shard": int(cols["shard"][i]), "df": int(cols["df"][i]),
-                 "metas": cols["block_meta"][i], "idf": float(cols["idf"][i]),
-                 "avgdl": float(cols["avgdl"][i])}
-            )
-        terms = [t for t in qterms if rows_by_term.get(t)]
+        # ---- hop 1: metadata only (process-shared, so usually free) ------
+        meta = self.term_block_meta(qterms)
+        terms = [t for t in qterms if meta.get(t)]
         if not terms:
             return ([], empty_stats) if return_stats else []
-        for t in terms:
-            rows_by_term[t].sort(key=lambda r: r["shard"])
 
         info: dict[str, dict] = {}
         blocks_total = 0
         for t in terms:
-            rs = rows_by_term[t]
+            rs = meta[t]
             df_g = rs[0]["df"]
             idf_now = math.log(1.0 + (self.n_docs - df_g + 0.5) / (df_g + 0.5))
             firsts, lasts, ubs, lbs, row_of, idx_in_row = [], [], [], [], [], []
@@ -1110,22 +1251,21 @@ class IndexReader:
                 ar = (self.avgdl / r["avgdl"]) if r["avgdl"] > 0.0 else 1.0
                 up = ir * max(1.0, ar)
                 dn = ir * min(1.0, ar)
-                for bi, m in enumerate(r["metas"]):
-                    firsts.append(m["block_first"])
-                    lasts.append(m["block_last"])
-                    s = m["max_score"]
-                    ubs.append(np.nextafter(s * up * (1.0 + 1e-12), np.inf))
-                    lbs.append(np.nextafter(s * dn * (1.0 - 1e-12), -np.inf))
-                    row_of.append(ri)
-                    idx_in_row.append(bi)
+                nb = r["first"].size
+                firsts.append(r["first"])
+                lasts.append(r["last"])
+                ubs.append(np.nextafter(r["max_score"] * up * (1.0 + 1e-12), np.inf))
+                lbs.append(np.nextafter(r["max_score"] * dn * (1.0 - 1e-12), -np.inf))
+                row_of.append(np.full(nb, ri, dtype=np.int64))
+                idx_in_row.append(np.arange(nb, dtype=np.int64))
             info[t] = {
                 "df": df_g, "idf_now": idf_now, "rows": rs,
-                "first": np.asarray(firsts, dtype=np.int64),
-                "last": np.asarray(lasts, dtype=np.int64),
-                "ub": np.asarray(ubs), "lb": np.asarray(lbs),
-                "row_of": np.asarray(row_of), "idx": np.asarray(idx_in_row),
+                "first": np.concatenate(firsts),
+                "last": np.concatenate(lasts),
+                "ub": np.concatenate(ubs), "lb": np.concatenate(lbs),
+                "row_of": np.concatenate(row_of), "idx": np.concatenate(idx_in_row),
             }
-            blocks_total += len(firsts)
+            blocks_total += int(info[t]["first"].size)
 
         theta0 = -math.inf
         for t in terms:
@@ -2175,7 +2315,8 @@ class IndexReader:
         )
 
     def contrib_df(
-        self, qterms: list[str], weight: float | dict = 1.0
+        self, qterms: list[str], weight: float | dict = 1.0,
+        include_term: bool = False,
     ) -> DataFrame:
         """Executor-side per-term BM25 contributions for ``qterms`` as a
         (doc_id, contrib) DataFrame — the building block of the
@@ -2184,7 +2325,11 @@ class IndexReader:
         row per (term, doc) posting. ``weight`` scales every
         contribution — a float applies uniformly (multi-field
         composition, fields.py), a {term: w} dict applies per term
-        (query-time term boosts; missing terms default to 1)."""
+        (query-time term boosts; missing terms default to 1).
+        ``include_term`` adds the term column (one row per (term, doc)
+        across shards — shards split a term by disjoint doc ranges, so
+        no (term, doc) pair ever repeats) for consumers that need
+        per-doc matched-term counts (``topk_msm``)."""
         buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in qterms})
         segs = self._segments.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
@@ -2203,7 +2348,7 @@ class IndexReader:
             import pandas as pd
 
             for pdf in batches:
-                out_doc, out_sc = [], []
+                out_doc, out_sc, out_t = [], [], []
                 for r in pdf.itertuples():
                     ids, tfs, dls = decode_postings(bytes(r.payload), int(r.n))
                     if bdel_d is not None:
@@ -2214,15 +2359,82 @@ class IndexReader:
                     w = per_term.get(r.term, 1.0) if per_term is not None else wgt
                     out_doc.append(ids)
                     out_sc.append(sc if w == 1.0 else sc * w)
+                    if include_term:
+                        out_t.append(np.full(ids.size, r.term, dtype=object))
                 if out_doc:
-                    yield pd.DataFrame(
-                        {
-                            "doc_id": np.concatenate(out_doc),
-                            "contrib": np.concatenate(out_sc),
-                        }
-                    )
+                    cols = {
+                        "doc_id": np.concatenate(out_doc),
+                        "contrib": np.concatenate(out_sc),
+                    }
+                    if include_term:
+                        cols["term"] = np.concatenate(out_t)
+                    yield pd.DataFrame(cols)
 
-        return segs.mapInPandas(contribs, schema="doc_id long, contrib double")
+        schema = "doc_id long, contrib double"
+        if include_term:
+            schema += ", term string"
+        return segs.mapInPandas(contribs, schema=schema)
+
+    def topk_msm(self, query: str, min_match: int, k: int = 10) -> DataFrame:
+        """Ranked top-k with ``minimum_should_match`` (the ES/Lucene
+        BooleanQuery knob): only docs matching at least ``min_match``
+        DISTINCT query terms are eligible; eligible docs rank by the
+        standard BM25 sum over their matched terms. ``min_match =
+        len(terms)`` degenerates to pure AND, ``1`` to pure OR.
+
+        Scale shape: the cluster contribution lane with the term column
+        kept through the per-doc aggregation — ONE shuffle keyed by
+        doc_id computes both the score and the distinct-matched count
+        (shards split a term by disjoint doc ranges, so count(term) ==
+        count of matched terms), then TakeOrdered merges P·k rows."""
+        qterms = list(dict.fromkeys(analyze_query(query)))
+        if not qterms or k <= 0 or min_match <= 0:
+            return self.spark.createDataFrame(
+                [], schema="rank long, doc_id long, score double, matched long"
+            )
+        per_doc = (
+            self.contrib_df(qterms, include_term=True)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.count("term").alias("matched"),
+            )
+            .filter(F.col("matched") >= min_match)
+        )
+        top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).select("rank", "doc_id", "score", "matched")
+
+    def topk_rescore(
+        self, query: str, phrase: str, k: int = 10,
+        window: int = 30, bonus: float = 2.0, slop: int = 0,
+    ) -> list[tuple[int, int, float]]:
+        """Two-pass window rescoring (the ES ``rescore`` contract): the
+        cheap BM25 ranker selects the top ``window`` candidates; only
+        those are re-scored by the expensive second signal — here an
+        exact-phrase (or slop-``slop`` proximity) bonus from the
+        positional sibling index — and re-ranked; the final top ``k``
+        come from the rescored window ONLY (a doc outside the window can
+        never enter, even with the bonus — exactly ES semantics, which
+        trades global exactness for bounding the expensive scorer to
+        ``window`` docs).
+
+        Scale shape: pass 1 is the standard dispatched top-k (pruned /
+        sharded as its size demands); pass 2 touches ``window`` doc ids
+        against the phrase lane — never corpus-sized."""
+        cand = self.topk(query, window)
+        if not cand:
+            return []
+        hits = set(int(d) for d in self.phrase(phrase, slop=slop))
+        rescored = [
+            (d, s + (bonus if d in hits else 0.0)) for _r, d, s in cand
+        ]
+        rescored.sort(key=lambda x: (-x[1], x[0]))
+        return [(i + 1, d, s) for i, (d, s) in enumerate(rescored[:k])]
 
     @staticmethod
     def _take_ranked(per_doc: DataFrame, k: int, score_col: str = "score") -> DataFrame:
@@ -2508,6 +2720,20 @@ class IndexReader:
             if kernel_mode == "dense":
                 use_dense = True
             elif kernel_mode == "wand" or (hi - lo) > dense_cap:
+                use_dense = False
+            elif len(term_rows) > 1 and max(
+                r[2] for r in term_rows
+            ) >= 2.0 * (sum(r[2] for r in term_rows) - max(r[2] for r in term_rows)):
+                # spiky regime (round-3 VERDICT item 3): one term's idf
+                # towers over the rest (rare needle + stopword list).
+                # The block-certified estimator below can't see this —
+                # a df~10^2 needle fits in ONE block, which certifies
+                # only one doc, never k — but the REAL threshold passes
+                # the needle's contribution after k needle hits and then
+                # every stopword block without a needle doc is skipped.
+                # Same dominance test as the driver dispatch
+                # (topk(): idf[0] >= 2 * sum(rest)); advisory only —
+                # kernels are bitwise-identical.
                 use_dense = False
             else:
                 # "auto" (round-3 open item 3): estimate the pruning
