@@ -1,0 +1,174 @@
+"""Round-4 operators: minimum_should_match ranking, completion
+suggester, rescore window, unigram-LM perplexity, composite paging,
+exact cardinality (query.topk_msm / topk_rescore, expand.complete,
+textstats.unigram_perplexity, aggs.py).
+
+Gates: msm == a naive driver recount over the decoded postings at every
+min_match level (AND and OR as the degenerate ends); completion == a
+pure-Python dictionary scan; composite pages tile the full bucket list
+exactly (no gap, no overlap, ES after-semantics); rescore respects the
+window (a doc outside the top-``window`` candidates never enters, even
+with the bonus); perplexity matches a closed-form hand computation.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from yase_spark.aggs import composite_agg, distinct_counts
+from yase_spark.query import IndexReader
+from yase_spark.textstats import unigram_perplexity
+
+
+@pytest.fixture(scope="module")
+def rd(spark, tiny_index):
+    root, cfg, _ = tiny_index
+    return IndexReader(spark, root, cfg)
+
+
+def _naive_msm(rd, terms, min_match, k):
+    got = rd.fetch_terms(terms)
+    per_doc: dict[int, list] = {}
+    for t in terms:
+        tp = got.get(t)
+        if tp is None:
+            continue
+        from yase_spark.query import bm25_scores_np
+
+        sc = bm25_scores_np(tp.tfs, tp.dls, tp.idf, rd.cfg.k1, rd.cfg.b, rd.avgdl)
+        for d, s in zip(tp.doc_ids.tolist(), sc.tolist()):
+            per_doc.setdefault(d, []).append(s)
+    rows = [
+        (d, sum(ss), len(ss)) for d, ss in per_doc.items() if len(ss) >= min_match
+    ]
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return rows[:k]
+
+
+QTERMS = ["json", "get", "page", "sync"]
+
+
+@pytest.mark.parametrize("min_match", [1, 2, 3, 4])
+def test_msm_matches_naive(rd, min_match):
+    got = [
+        (r["doc_id"], round(r["score"], 9), r["matched"])
+        for r in rd.topk_msm(" ".join(QTERMS), min_match, k=10).collect()
+    ]
+    want = [(d, round(s, 9), m) for d, s, m in _naive_msm(rd, QTERMS, min_match, 10)]
+    assert got == want
+
+
+def test_msm_ends_are_and_or(rd):
+    """min_match == n degenerates to AND, == 1 to OR (same doc sets as
+    the boolean lanes; ranking is BM25 over matched terms)."""
+    n = len(QTERMS)
+    and_docs = set(rd.bool_and(" ".join(QTERMS)).tolist())
+    all_and = {
+        r["doc_id"] for r in rd.topk_msm(" ".join(QTERMS), n, k=10**6).collect()
+    }
+    assert all_and == and_docs
+    or_docs = set(rd.bool_or(" ".join(QTERMS)).tolist())
+    all_or = {
+        r["doc_id"] for r in rd.topk_msm(" ".join(QTERMS), 1, k=10**6).collect()
+    }
+    assert all_or == or_docs
+
+
+def test_completion_matches_dictionary_scan(spark, rd):
+    from yase_spark.expand import TermExpander, build_term_dictionary
+
+    build_term_dictionary(spark, rd.cat.root)
+    ex = TermExpander(spark, rd.cat.root)
+    dic = {r["term"]: r["df"] for r in rd.cat.read(spark, "dictionary").collect()}
+    for prefix in ("ge", "s", "zzz"):
+        got = [(r["term"], r["weight"]) for r in ex.complete(prefix, k=7).collect()]
+        want = sorted(
+            ((t, df) for t, df in dic.items() if t.startswith(prefix)),
+            key=lambda x: (-x[1], x[0]),
+        )[:7]
+        assert got == want, prefix
+
+
+def test_composite_pages_tile_exactly(spark, tiny_corpus):
+    docs = tiny_corpus.select("repo", "lang").withColumnRenamed("repo", "source")
+    full = sorted(
+        (
+            (r["lang"], r["source"], r["count"])
+            for r in docs.groupBy("lang", "source")
+            .agg(F.count("*").alias("count"))
+            .collect()
+        )
+    )
+    pages, after = [], None
+    while True:
+        rows = composite_agg(
+            docs, ["lang", "source"], size=7, after=after
+        ).collect()
+        if not rows:
+            break
+        pages.extend((r["lang"], r["source"], r["doc_count"]) for r in rows)
+        after = (rows[-1]["lang"], rows[-1]["source"])
+        assert len(rows) <= 7
+    assert pages == full  # no gap, no overlap, full ordered tiling
+
+
+def test_composite_after_validation(spark, tiny_corpus):
+    with pytest.raises(ValueError):
+        composite_agg(tiny_corpus, ["lang"], after=("a", "b"))
+    with pytest.raises(ValueError):
+        composite_agg(tiny_corpus, [])
+
+
+def test_distinct_counts_exact(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "lang": ["py", "py", "go", "go"],
+        "text": ["a b c", "b c d", "x y", "y z z"],
+    })
+    docs = spark.createDataFrame(pdf)
+    got = {
+        r["lang"]: (r["n_terms"], r["n_docs"])
+        for r in distinct_counts(docs, "lang", "[^a-z0-9]+").collect()
+    }
+    assert got == {"py": (4, 2), "go": (3, 2)}
+
+
+def test_unigram_perplexity_closed_form(spark):
+    # corpus: doc1 = "a a b", doc2 = "b"; counts a=2, b=2, T=4, V=2
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a a b", "b"]})
+    )
+    got = {
+        r["doc_id"]: (r["dl"], r["ppl"])
+        for r in unigram_perplexity(docs, alpha=1.0).collect()
+    }
+    p = (2 + 1.0) / (4 + 1.0 * 2)  # = 0.5 for both terms
+    want_ppl = math.exp(-math.log(p))  # = 2.0
+    assert got[1][0] == 3 and got[2][0] == 1
+    assert abs(got[1][1] - want_ppl) < 1e-9
+    assert abs(got[2][1] - want_ppl) < 1e-9
+
+
+def test_rescore_window_semantics(spark, pos_index):
+    """The bonus re-ranks WITHIN the window only: with window=k the
+    result is a permutation-with-bonus of the plain top-k, and a
+    phrase-matching doc ranked below the window never enters."""
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    q, phrase = "json get page", "json get"
+    base = rd.topk(q, 30)
+    hits = set(int(d) for d in rd.phrase(phrase))
+
+    got = rd.topk_rescore(q, phrase, k=10, window=30, bonus=2.0)
+    # recompute from the window definition
+    rescored = [(d, s + (2.0 if d in hits else 0.0)) for _r, d, s in base]
+    rescored.sort(key=lambda x: (-x[1], x[0]))
+    want = [(i + 1, d, s) for i, (d, s) in enumerate(rescored[:10])]
+    assert got == want
+
+    # window=k: candidate SET is exactly the plain top-k's docs
+    got_k = rd.topk_rescore(q, phrase, k=10, window=10, bonus=2.0)
+    assert {d for _r, d, _s in got_k} == {d for _r, d, _s in rd.topk(q, 10)}

