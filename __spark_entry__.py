@@ -1694,6 +1694,48 @@ def _q_distinct_counts(spark, sf_dir):
     return distinct_counts(_docs(spark, sf_dir), "lang", SPLIT)
 
 
+ANN_WHERE = "label IN (1, 3, 5)"
+
+
+def _q_ann_topk_where(spark, sf_dir):
+    # metadata-filtered exact ANN (filter-then-search): only vectors
+    # matching the label predicate are candidates — the vector-DB
+    # filtered-query contract; predicate pushed into the candidate scan
+    from yase_spark.similarity import cosine_topk_where
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_where(emb, ANN_WHERE, n_queries=8, k=10)
+
+
+PCTL_PS = [0.5, 0.9, 0.99]
+
+
+def _q_length_percentiles(spark, sf_dir):
+    # exact discrete percentiles of n_chars per lang (percentile_disc
+    # rank definition — deterministic under value ties); the 10^12-row
+    # swap-out is percentile_approx (mergeable t-digest sketch)
+    from yase_spark.aggs import group_percentiles
+
+    return group_percentiles(_docs(spark, sf_dir), "lang", "n_chars", PCTL_PS)
+
+
+def _q_term_vectors(spark, sf_dir):
+    # Lucene term-vectors API over the top-10 BM25 hits: the forward
+    # read is a content scan with the 10 ids pushed as isin (content
+    # never lives in the index) — O(k docs), never corpus-sized
+    from yase_spark.textstats import term_vectors
+
+    rd = _reader(spark, sf_dir)
+    rows = rd.topk(" ".join(BM25_TERMS), 10)
+    m = _orig_ids(rd, spark)
+    eng_ids = [d for _r, d, _s in rows]
+    orig = [
+        int(r["orig_doc_id"])
+        for r in m.filter(F.col("doc_id").isin(eng_ids)).collect()
+    ]
+    return term_vectors(_docs(spark, sf_dir), orig, SPLIT)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is driver-iteration order and the driver's CORRECTNESS
     # window covers ~50 entries/round (VERDICT r3). The entries below,
@@ -1709,6 +1751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl": _q_unigram_ppl,
         "composite_agg": _q_composite_agg,
         "distinct_counts": _q_distinct_counts,
+        "ann_topk_where": _q_ann_topk_where,
+        "length_percentiles": _q_length_percentiles,
+        "term_vectors": _q_term_vectors,
         "snapshot_read": _q_snapshot_read,
         "facet_ranges": _q_facet_ranges,
         "facet_histogram": _q_facet_histogram,
@@ -2009,6 +2054,48 @@ GROUP BY 1, 2 ORDER BY 1, 2 LIMIT {COMPOSITE_SIZE} OFFSET {COMPOSITE_SIZE}
 SELECT d.lang, count(DISTINCT t.term) AS n_terms,
        count(DISTINCT t.doc_id) AS n_docs
 FROM t JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1
+""",
+        "ann_topk_where": f"""
+WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 8),
+sc AS (SELECT q.query_id, e.vec_id,
+              round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) sim_r
+       FROM q CROSS JOIN embeddings e
+       WHERE e.vec_id != q.query_id AND e.{ANN_WHERE})
+SELECT query_id, vec_id, sim_r, rank FROM (
+  SELECT query_id, vec_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, vec_id) rank
+  FROM sc)
+WHERE rank <= 10
+""",
+        "length_percentiles": f"""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) rn,
+         count(*) OVER (PARTITION BY lang) n
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT lang, p, n_chars AS value
+FROM ranked CROSS JOIN (VALUES (0.5), (0.9), (0.99)) ps(p)
+WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))
+ORDER BY lang, p
+""",
+        "term_vectors": f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf0 AS (SELECT term, doc_id, count(*) AS tf FROM t
+        WHERE term IN ({", ".join(f"'{x}'" for x in BM25_TERMS)}) GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+sc AS (
+  SELECT tf0.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf0.tf * {K1 + 1.0}) / (tf0.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tf0 JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+),
+hits AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id LIMIT 10)
+SELECT t.doc_id, t.term, count(*) AS tf
+FROM t JOIN hits USING (doc_id) GROUP BY 1, 2
 """,
         "tf_agg": f"{_T_SQL} SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2",
         "df_agg": (

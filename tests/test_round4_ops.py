@@ -172,3 +172,75 @@ def test_rescore_window_semantics(spark, pos_index):
     # window=k: candidate SET is exactly the plain top-k's docs
     got_k = rd.topk_rescore(q, phrase, k=10, window=10, bonus=2.0)
     assert {d for _r, d, _s in got_k} == {d for _r, d, _s in rd.topk(q, 10)}
+
+
+def test_filtered_ann_matches_naive(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim = 60, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = (np.arange(n) % 4).astype(int)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]], int(labels[i])) for i in range(n)],
+        schema="vec_id long, embedding array<float>, label int",
+    )
+    from yase_spark.similarity import cosine_topk_where
+
+    got = cosine_topk_where(emb, "label = 2", n_queries=3, k=5).collect()
+    # naive: filter then exact cosine, same rounding/tie-break
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for qid in range(3):
+        cand = [
+            (round(cos(vecs[qid].astype(np.float64), vecs[j].astype(np.float64)), 6), j)
+            for j in range(n) if labels[j] == 2 and j != qid
+        ]
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        want = [(j, s) for s, j in cand[:5]]
+        mine = [
+            (r["vec_id"], r["sim_r"])
+            for r in sorted(
+                (x for x in got if x["query_id"] == qid), key=lambda x: x["rank"]
+            )
+        ]
+        assert mine == want, qid
+    # every hit satisfies the filter
+    assert all(labels[r["vec_id"]] == 2 for r in got)
+
+
+def test_group_percentiles_closed_form(spark):
+    from yase_spark.aggs import group_percentiles
+
+    pdf = pd.DataFrame({
+        "g": ["a"] * 10 + ["b"] * 4,
+        "v": list(range(10, 110, 10)) + [5, 5, 5, 5],
+    })
+    docs = spark.createDataFrame(pdf)
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in group_percentiles(docs, "g", "v", [0.5, 0.9, 1.0]).collect()
+    }
+    # group a: n=10 -> ranks ceil(.5*10)=5, ceil(.9*10)=9, 10
+    assert got[("a", 0.5)] == 50 and got[("a", 0.9)] == 90 and got[("a", 1.0)] == 100
+    # group b: all ties -> every quantile is 5 regardless of tie order
+    assert got[("b", 0.5)] == 5 and got[("b", 0.9)] == 5 and got[("b", 1.0)] == 5
+    with pytest.raises(ValueError):
+        group_percentiles(docs, "g", "v", [])
+
+
+def test_term_vectors_bounded_recount(spark):
+    from yase_spark.textstats import term_vectors
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a", "b c", "z z z"],
+    }))
+    got = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in term_vectors(docs, [1, 2]).collect()
+    }
+    assert got == {(1, "a"): 2, (1, "b"): 1, (2, "b"): 1, (2, "c"): 1}
+    with pytest.raises(ValueError):
+        term_vectors(docs, [])

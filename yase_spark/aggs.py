@@ -54,6 +54,50 @@ def composite_agg(
     return g.orderBy(*[F.asc(c) for c in keys]).limit(size)
 
 
+def group_percentiles(
+    docs: DataFrame, group_col: str, value_col: str, ps: list[float]
+) -> DataFrame:
+    """ES ``percentiles`` aggregation, EXACT discrete flavor: per
+    ``group_col`` bucket, the value at ascending rank
+    ``max(1, ceil(p·n))`` for each requested quantile p — the
+    percentile_disc definition, chosen over interpolation because the
+    picked value is an actual data point and is deterministic under
+    value ties regardless of tie ordering (any permutation of equal
+    values puts the same value at a fixed rank), which makes it exactly
+    oracle-replayable. Output (group, p, value), ordered.
+
+    Scale shape: ONE shuffle (the per-group sort window); the tiny p
+    list broadcast-cross-joins the ranked rows and only the matching
+    ranks survive. At 10^12 rows swap the exact window for
+    ``percentile_approx`` (t-digest-style mergeable sketch, same output
+    shape) — the exact flavor is the oracle anchor."""
+    from pyspark.sql import Window
+
+    if not ps:
+        raise ValueError("group_percentiles needs at least one quantile")
+    w = Window.partitionBy(group_col).orderBy(F.asc(value_col))
+    wn = Window.partitionBy(group_col)
+    d = (
+        docs.select(group_col, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    ps_df = docs.sparkSession.createDataFrame(
+        [(float(p),) for p in ps], schema="p double"
+    )
+    return (
+        d.crossJoin(F.broadcast(ps_df))
+        .filter(
+            F.col("rn")
+            == F.greatest(F.lit(1).cast("long"),
+                          F.ceil(F.col("p") * F.col("n")).cast("long"))
+        )
+        .select(group_col, "p", F.col(value_col).alias("value"))
+        .orderBy(group_col, "p")
+    )
+
+
 def distinct_counts(docs: DataFrame, group_col: str, split: str) -> DataFrame:
     """ES ``cardinality`` aggregation (exact flavor): the number of
     DISTINCT terms per ``group_col`` bucket over the tokenized text.

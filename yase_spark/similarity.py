@@ -52,6 +52,33 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
     return _ranked(joined, k)
 
 
+def cosine_topk_where(
+    emb: DataFrame, predicate: str, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Metadata-FILTERED exact ANN (the vector-DB filtered-search
+    contract, e.g. FAISS IDSelector / Milvus expr / pgvector WHERE):
+    only candidate vectors matching the SQL ``predicate`` over the
+    embeddings table's metadata columns are eligible; query vectors
+    come from the unfiltered table (a query needn't satisfy its own
+    filter). PRE-filtering (filter-then-search) keeps the result exact
+    at any selectivity — the post-filter alternative (search-then-drop)
+    silently returns < k under selective predicates.
+
+    Scale shape: the predicate pushes into the candidate Parquet scan
+    (row-group pruning on metadata columns); the broadcast query side
+    and per-query TakeOrdered window are unchanged from
+    :func:`cosine_topk`. Composes with the IVF/PQ lanes the same way —
+    filter the codes/list scan before ADC."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.filter(F.expr(predicate))
+    joined = cand.select("vec_id", "embedding").join(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return _ranked(joined, k)
+
+
 def lsh_buckets(
     emb: DataFrame, planes: int = 4, tables: int = 16, seed: int = 42
 ) -> DataFrame:

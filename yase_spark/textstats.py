@@ -139,6 +139,34 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def term_vectors(docs: DataFrame, doc_ids: list[int],
+                 split: str = "[^a-z0-9]+") -> DataFrame:
+    """Per-document term vectors for a BOUNDED doc set — the Lucene
+    term-vectors API (per-doc (term, tf) for hit inspection, MLT
+    seeding, keyword extraction). Output (doc_id, term, tf).
+
+    Design note: the inverted index cannot serve this cheaply (a per-doc
+    read keyed by term would scan every posting list), which is exactly
+    why Lucene stores term vectors as a FORWARD structure at index
+    time. This engine keeps content out of the index entirely, so the
+    forward read is a content-scan with the k doc ids PUSHED as an
+    ``isin`` predicate (Parquet row-group pruning) + one map-only
+    tokenize + a k-doc-sized aggregation — O(requested docs), never
+    corpus-sized. The caller bounds ``doc_ids`` (typically the k hits
+    of a query)."""
+    if not doc_ids:
+        raise ValueError("term_vectors needs a non-empty doc_id list")
+    toks = (
+        docs.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), split)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
 def unigram_perplexity(docs: DataFrame, alpha: float = 1.0,
                        split: str = "[^a-z0-9]+") -> DataFrame:
     """Per-document perplexity under an add-α-smoothed unigram LM fit

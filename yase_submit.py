@@ -44,7 +44,7 @@ def main(argv=None) -> int:
         choices=[
             "build", "positions", "trigrams", "dictionary", "query", "synth",
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
-            "info", "synonyms",
+            "info", "synonyms", "aggs", "suggest",
         ],
     )
     p.add_argument(
@@ -121,8 +121,48 @@ def main(argv=None) -> int:
     p.add_argument(
         "--kind",
         choices=["topk", "and", "or", "phrase", "phrase_topk", "terms",
-                 "highlight", "mlt", "hybrid"],
+                 "highlight", "mlt", "hybrid", "msm", "rescore"],
         default="topk",
+    )
+    p.add_argument(
+        "--min-match", type=int, default=1,
+        help="query --kind msm: minimum number of distinct query terms "
+        "a doc must match (ES minimum_should_match)",
+    )
+    p.add_argument(
+        "--rescore-phrase",
+        help="query --kind rescore: phrase whose positional match adds "
+        "--rescore-bonus within the top --rescore-window candidates",
+    )
+    p.add_argument("--rescore-window", type=int, default=50)
+    p.add_argument("--rescore-bonus", type=float, default=2.0)
+    p.add_argument(
+        "--op",
+        choices=["composite", "cardinality", "percentiles", "ppl",
+                 "term_vectors", "complete"],
+        help="aggs/suggest: which aggregation / suggest surface to run",
+    )
+    p.add_argument(
+        "--keys", default="lang,source",
+        help="aggs --op composite: comma-separated bucket key columns",
+    )
+    p.add_argument(
+        "--group-col", default="lang",
+        help="aggs: bucket column for cardinality/percentiles",
+    )
+    p.add_argument(
+        "--value-col", default="n_chars",
+        help="aggs --op percentiles: numeric column",
+    )
+    p.add_argument(
+        "--ps", default="0.5,0.9,0.99",
+        help="aggs --op percentiles: comma-separated quantiles",
+    )
+    p.add_argument(
+        "--ids", help="aggs --op term_vectors: comma-separated doc ids",
+    )
+    p.add_argument(
+        "--prefix", help="suggest --op complete: completion prefix",
     )
     p.add_argument(
         "--mlt-terms", type=int, default=25,
@@ -468,6 +508,25 @@ def main(argv=None) -> int:
                 }
                 for o in out:
                     o["snippet"] = snips.get(o["doc_id"], "")
+        elif args.kind == "msm":
+            # minimum_should_match ranking (ES BooleanQuery knob)
+            out = [
+                r.asDict()
+                for r in rd.topk_msm(args.q, args.min_match, args.k).collect()
+            ]
+        elif args.kind == "rescore":
+            # ES rescore window: BM25 top --rescore-window candidates,
+            # phrase bonus from the positional sibling, re-ranked
+            if not args.rescore_phrase:
+                raise SystemExit("query --kind rescore needs --rescore-phrase")
+            out = [
+                {"rank": r, "doc_id": d, "score": s}
+                for r, d, s in rd.topk_rescore(
+                    args.q, args.rescore_phrase, k=args.k,
+                    window=args.rescore_window, bonus=args.rescore_bonus,
+                    slop=args.slop,
+                )
+            ]
         elif args.kind == "phrase":
             out = [int(x) for x in rd.phrase(args.q, slop=args.slop)]
         elif args.kind == "phrase_topk":
@@ -480,6 +539,62 @@ def main(argv=None) -> int:
         else:
             out = rd.bool_or(args.q).tolist()
         print(json.dumps(out))
+
+    elif args.cmd == "aggs":
+        # search-engine aggregations over a documents-shaped table
+        # (--corpus): composite paging, exact cardinality, exact
+        # discrete percentiles, unigram-LM perplexity, term vectors
+        from yase_spark.aggs import (
+            composite_agg,
+            distinct_counts,
+            group_percentiles,
+        )
+        from yase_spark.textstats import term_vectors, unigram_perplexity
+
+        docs = spark.read.parquet(args.corpus)
+        if args.op == "composite":
+            keys = args.keys.split(",")
+            after = tuple(args.after.split(",")) if args.after else None
+            out_df = composite_agg(docs, keys, size=args.k, after=after)
+        elif args.op == "cardinality":
+            out_df = distinct_counts(docs, args.group_col, "[^a-z0-9]+")
+        elif args.op == "percentiles":
+            ps = [float(x) for x in args.ps.split(",")]
+            out_df = group_percentiles(docs, args.group_col, args.value_col, ps)
+        elif args.op == "ppl":
+            out_df = unigram_perplexity(docs)
+        elif args.op == "term_vectors":
+            if not args.ids:
+                raise SystemExit("aggs --op term_vectors needs --ids")
+            out_df = term_vectors(docs, [int(x) for x in args.ids.split(",")])
+        else:
+            raise SystemExit("aggs needs --op")
+        if args.out:
+            out_df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"written": args.out, "rows": out_df.count()}))
+        else:
+            print(json.dumps([r.asDict() for r in out_df.limit(100).collect()]))
+
+    elif args.cmd == "suggest":
+        # suggest surfaces off the dictionary siblings: --op complete
+        # (autocomplete) or spell (did-you-mean, default)
+        if args.op == "complete":
+            from yase_spark.expand import TermExpander
+
+            if not args.prefix:
+                raise SystemExit("suggest --op complete needs --prefix")
+            rows = TermExpander(spark, args.index).complete(
+                args.prefix, k=args.k
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        else:
+            from yase_spark.suggest import build_deletion_index, spell_suggest
+
+            build_deletion_index(spark, args.index)
+            rows = spell_suggest(
+                spark, args.index, args.q.split(), k=args.k
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
 
     elif args.cmd == "neardup":
         from yase_spark.neardup import (
@@ -517,14 +632,20 @@ def main(argv=None) -> int:
         )
 
         emb = spark.read.parquet(args.corpus)
-        fn = {
-            "lsh": lsh_ann_topk,
-            "ivf": ivf_ann_topk,
-            "pq": lambda e, k: pq_ann_topk(e, k=k, m=16, ks=32, refine=3 * k),
-            "ivfpq": lambda e, k: ivf_pq_topk(e, k=k, m=16, ks=32, refine=3 * k),
-            "exact": cosine_topk,
-        }[args.method]
-        out = fn(emb, k=args.k)
+        if args.predicate:
+            # metadata-filtered exact ANN (filter-then-search)
+            from yase_spark.similarity import cosine_topk_where
+
+            out = cosine_topk_where(emb, args.predicate, k=args.k)
+        else:
+            fn = {
+                "lsh": lsh_ann_topk,
+                "ivf": ivf_ann_topk,
+                "pq": lambda e, k: pq_ann_topk(e, k=k, m=16, ks=32, refine=3 * k),
+                "ivfpq": lambda e, k: ivf_pq_topk(e, k=k, m=16, ks=32, refine=3 * k),
+                "exact": cosine_topk,
+            }[args.method]
+            out = fn(emb, k=args.k)
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"written": args.out, "rows": out.count()}))
