@@ -1177,6 +1177,32 @@ def _q_stream_event_windows(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _q_stream_dedup(spark, sf_dir):
+    # streaming exactly-once dedup (dropDuplicatesWithinWatermark): the
+    # input PLANTS duplicates — every even event_id arrives twice, once
+    # in each micro-batch — and the output must carry each event_id
+    # exactly once (the oracle is the duplicate-free source itself)
+    import tempfile
+
+    key = ("sdedup", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.streaming import stream_dedup
+
+        base = tempfile.mkdtemp(prefix="yase_sdedup_")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.coalesce(1).write.mode("append").parquet(f"{base}/in")
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{base}/in")
+        q = stream_dedup(
+            spark, f"{base}/in", f"{base}/out", f"{base}/ck",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        _CACHE[key] = f"{base}/out"
+    return spark.read.parquet(_CACHE[key])
+
+
 def _q_stream_sessionize(spark, sf_dir):
     # custom STATEFUL streaming operator (applyInPandasWithState): over
     # a drained time-ordered stream, emitted sessions are exactly the
@@ -1754,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_where": _q_ann_topk_where,
         "length_percentiles": _q_length_percentiles,
         "term_vectors": _q_term_vectors,
+        "stream_dedup": _q_stream_dedup,
         "snapshot_read": _q_snapshot_read,
         "facet_ranges": _q_facet_ranges,
         "facet_histogram": _q_facet_histogram,
@@ -2078,6 +2105,10 @@ FROM ranked CROSS JOIN (VALUES (0.5), (0.9), (0.99)) ps(p)
 WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))
 ORDER BY lang, p
 """,
+        "stream_dedup": (
+            "SELECT event_id, event_type, round(value, 6) AS value_r "
+            "FROM events"
+        ),
         "term_vectors": f"""
 {_T_SQL},
 dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
