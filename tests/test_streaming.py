@@ -254,3 +254,38 @@ def test_stream_index_jsonl_source(spark, tmp_path):
     assert rd.n_docs == 200
     rows = rd.topk("json getPage", 5)
     assert len(rows) == 5 and rows[0][2] > 0
+
+
+def test_stream_dedup_exactly_once(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates planted BOTH within a
+    micro-batch and across micro-batches must all collapse — each
+    event_id exactly once in the sink, carrying one consistent payload."""
+    import pandas as pd
+
+    from yase_spark.streaming import stream_dedup
+
+    base = pd.DataFrame({
+        "event_id": list(range(20)),
+        "ts": pd.to_datetime("2026-01-01") + pd.to_timedelta(range(20), "min"),
+        "user_id": [i % 3 for i in range(20)],
+        "event_type": [f"t{i % 2}" for i in range(20)],
+        "value": [float(i) for i in range(20)],
+        "props": ["{}"] * 20,
+    })
+    ev = spark.createDataFrame(base)
+    inbox = str(tmp_path / "in")
+    # batch 1: all events PLUS in-batch duplicates of ids 0..4
+    ev.unionByName(ev.filter("event_id < 5")).coalesce(1) \
+        .write.mode("append").parquet(inbox)
+    # batch 2: cross-batch duplicates of the even ids
+    ev.filter("event_id % 2 = 0").coalesce(1) \
+        .write.mode("append").parquet(inbox)
+    q = stream_dedup(
+        spark, inbox, str(tmp_path / "out"), str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 20
+    got = sorted((r["event_id"], r["event_type"], r["value_r"]) for r in rows)
+    assert got == [(i, f"t{i % 2}", float(i)) for i in range(20)]
