@@ -1720,6 +1720,25 @@ def _q_distinct_counts(spark, sf_dir):
     return distinct_counts(_docs(spark, sf_dir), "lang", SPLIT)
 
 
+TOPHITS_PER, TOPHITS_GROUPS = 3, 4
+
+
+def _q_top_hits(spark, sf_dir):
+    # ES terms+top_hits: best 3 docs per lang for the 4 best-matching
+    # langs — one field-partitioned window, output groups*k rows
+    rd = _reader(spark, sf_dir)
+    res = rd.topk_grouped(
+        " ".join(BM25_TERMS), "lang", k_per_group=TOPHITS_PER,
+        groups=TOPHITS_GROUPS,
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        "lang", "group_rank", "hit_rank",
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 ANN_WHERE = "label IN (1, 3, 5)"
 
 
@@ -1777,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl": _q_unigram_ppl,
         "composite_agg": _q_composite_agg,
         "distinct_counts": _q_distinct_counts,
+        "top_hits": _q_top_hits,
         "ann_topk_where": _q_ann_topk_where,
         "length_percentiles": _q_length_percentiles,
         "term_vectors": _q_term_vectors,
@@ -2081,6 +2101,39 @@ GROUP BY 1, 2 ORDER BY 1, 2 LIMIT {COMPOSITE_SIZE} OFFSET {COMPOSITE_SIZE}
 SELECT d.lang, count(DISTINCT t.term) AS n_terms,
        count(DISTINCT t.doc_id) AS n_docs
 FROM t JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1
+""",
+        "top_hits": f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+       WHERE term IN ({", ".join(f"'{x}'" for x in BM25_TERMS)}) GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+),
+hits AS (
+  SELECT d.lang, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY sc.score DESC, sc.doc_id) AS hit_rank
+  FROM sc JOIN documents d USING (doc_id)
+),
+kept AS (SELECT * FROM hits WHERE hit_rank <= {TOPHITS_PER}),
+best AS (
+  SELECT lang, max(score) AS best,
+         min(CASE WHEN hit_rank = 1 THEN doc_id END) AS best_doc
+  FROM kept GROUP BY 1 ORDER BY best DESC, best_doc LIMIT {TOPHITS_GROUPS}
+),
+rg AS (SELECT lang, row_number() OVER (ORDER BY best DESC, best_doc) AS group_rank
+       FROM best)
+SELECT kept.lang, rg.group_rank, kept.hit_rank, kept.doc_id,
+       round(kept.score, 5) AS score_r
+FROM kept JOIN rg USING (lang)
 """,
         "ann_topk_where": f"""
 WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 8),

@@ -244,3 +244,79 @@ def test_term_vectors_bounded_recount(spark):
     assert got == {(1, "a"): 2, (1, "b"): 1, (2, "b"): 1, (2, "c"): 1}
     with pytest.raises(ValueError):
         term_vectors(docs, [])
+
+
+def test_doclens_residency_bitwise(spark, tiny_index, monkeypatch):
+    """The resident doc-length array path (norms posture: skip the dls
+    varint stream, gather from the docs table instead) must produce
+    bitwise-identical TermPostings to the payload-decode path, and the
+    array itself must equal every decoded dls stream value."""
+    root, cfg, _ = tiny_index
+    IndexReader.clear_shared_meta()
+    rd_norm = IndexReader(spark, root, cfg)
+    monkeypatch.setattr(IndexReader, "DOCLENS_MIN_DF", 1)  # force gather
+    terms = ["json", "get", "page", "zzz_absent"]
+    got_n = rd_norm.fetch_terms(terms)
+    assert rd_norm._shared.doclens_state == 1  # array actually loaded
+
+    rd_pay = IndexReader(spark, root, cfg, shared_meta=False)  # payload path
+    got_p = rd_pay.fetch_terms(terms)
+    for t in terms:
+        a, b = got_n[t], got_p[t]
+        assert (a is None) == (b is None), t
+        if a is None:
+            continue
+        assert np.array_equal(a.doc_ids, b.doc_ids)
+        assert np.array_equal(a.tfs, b.tfs)
+        assert np.array_equal(a.dls, b.dls)          # the gather == stream
+        assert np.array_equal(a.block_max, b.block_max)
+        assert np.array_equal(a.block_last, b.block_last)
+    IndexReader.clear_shared_meta()
+
+
+def test_topk_grouped_matches_naive(spark, rd):
+    """Grouped top hits == a pandas recount: per-field windows of the
+    fully-scored doc set, groups ranked by best hit; k_per_group=1
+    degenerates to the collapse contract."""
+    q = "json get page"
+    per_doc = {
+        r["doc_id"]: r["score"]
+        for r in rd.contrib_df(["json", "get", "page"])
+        .groupBy("doc_id").agg(F.sum("contrib").alias("score")).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in rd.cat.read(spark, "docs").select("doc_id", "lang").collect()
+    }
+    by_lang: dict[str, list] = {}
+    for d, s in per_doc.items():
+        by_lang.setdefault(langs[d], []).append((d, s))
+    kept = {}
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        kept[lang] = rows[:3]
+    order = sorted(
+        kept, key=lambda g: (-kept[g][0][1], kept[g][0][0])
+    )[:2]
+    want = []
+    for gr, lang in enumerate(order, 1):
+        for hr, (d, s) in enumerate(kept[lang], 1):
+            want.append((lang, gr, hr, d, round(s, 9)))
+
+    got = [
+        (r["lang"], r["group_rank"], r["hit_rank"], r["doc_id"],
+         round(r["score"], 9))
+        for r in rd.topk_grouped(q, "lang", k_per_group=3, groups=2).collect()
+    ]
+    assert got == want
+
+    # degenerate: k_per_group=1 == collapse representatives
+    col = [
+        (r["lang"], r["doc_id"])
+        for r in rd.topk_collapse(q, "lang", k=2).collect()
+    ]
+    g1 = [
+        (r["lang"], r["doc_id"])
+        for r in rd.topk_grouped(q, "lang", k_per_group=1, groups=2).collect()
+    ]
+    assert col == g1

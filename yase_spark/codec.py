@@ -293,3 +293,19 @@ def decode_postings(payload: bytes, n: int):
         tfs.astype(np.int64),
         dls.astype(np.int64),
     )
+
+
+def decode_postings_nodl(payload: bytes, n: int):
+    """Decode doc_ids + tfs ONLY, never touching the dls stream's bytes
+    -> (doc_ids, tfs) int64 arrays. For readers holding the resident
+    per-doc length array (the Lucene-norms posture — see
+    IndexReader._get_doclens): dl is per-DOC data that the payload
+    duplicates per posting, and its varint stream is the most expensive
+    of the three to decode (multi-byte values; measured ~60% of
+    decode_postings wall), while a doclens[ids] gather is one numpy
+    pass. Byte-compatible with the standard payload — this is a reader
+    choice, not an encoding variant."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    gaps, used1 = varint_decode(buf, 0, n)
+    tfs, _ = varint_decode(buf, used1, n)
+    return delta_decode(gaps), tfs.astype(np.int64)

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import Catalog
-from .codec import decode_postings
+from .codec import decode_postings, decode_postings_nodl
 from .config import IndexConfig
 from .postings import term_bucket
 from .tokenize import analyze_phrase, analyze_query
@@ -223,6 +223,10 @@ class _SharedIndexMeta:
         self.meta_blocks = 0
         self.spark_ref = None                    # session the cached df binds to
         self.segments_df = None
+        # per-doc length array (Lucene norms posture): 0 = unloaded,
+        # 1 = loaded, -1 = unavailable/too big for residency
+        self.doclens = None                      # np.int32[n_docs + 1] | None
+        self.doclens_state = 0
 
 
 _META_REGISTRY: dict[tuple, _SharedIndexMeta] = {}
@@ -946,6 +950,49 @@ class IndexReader:
             .toArrow()
         )
 
+    # doc-length residency bounds (the Lucene norms analogue): the array
+    # is int32[n_docs + 1] -> 256 MB at the 64M-doc cap; beyond it the
+    # dls stream decodes from the payload as always. The gather only
+    # pays for itself on big lists, so small terms skip it too.
+    DOCLENS_MAX_DOCS = 64_000_000
+    DOCLENS_MIN_DF = 500_000
+
+    def _get_doclens(self) -> np.ndarray | None:
+        """Resident per-doc length array shared across readers of this
+        index version (loaded once from the docs table's (doc_id,
+        doc_len) projection — doc ids are minted dense 1..n, so the
+        array indexes by doc_id directly). Why: dl is per-DOC data that
+        payloads duplicate per posting, and its varint stream is ~60%
+        of decode wall; with the array resident the eager decode skips
+        those bytes entirely and gathers instead (codec
+        decode_postings_nodl). Returns None when residency is off
+        (non-shared reader, > DOCLENS_MAX_DOCS, or no docs table)."""
+        sh = self._shared
+        if sh is None:
+            return None
+        if sh.doclens_state == 0:
+            with sh.lock:
+                if sh.doclens_state == 0:
+                    sh.doclens_state = -1  # sticky on any failure path
+                    if self.n_docs <= self.DOCLENS_MAX_DOCS and self.cat.exists("docs"):
+                        tbl = (
+                            self.cat.read(self.spark, "docs")
+                            .select("doc_id", "doc_len")
+                            .toArrow()
+                        )
+                        ids = tbl.column("doc_id").combine_chunks().to_numpy(
+                            zero_copy_only=False
+                        )
+                        dls = tbl.column("doc_len").combine_chunks().to_numpy(
+                            zero_copy_only=False
+                        )
+                        if ids.size and int(ids.max()) <= self.n_docs:
+                            arr = np.zeros(self.n_docs + 1, dtype=np.int32)
+                            arr[ids] = dls
+                            sh.doclens = arr
+                            sh.doclens_state = 1
+        return sh.doclens
+
     def _rows_to_postings(self, t: str, rs: list) -> TermPostings | None:
         """Decode shard rows (shard-sorted) into one TermPostings.
 
@@ -960,17 +1007,29 @@ class IndexReader:
         executors that decode lazily per block."""
         if not rs:
             return None
-        ids_l, tfs_l, dls_l = [], [], []
         df_g = int(rs[0]["df"])
+        dl_arr = (
+            self._get_doclens() if df_g >= self.DOCLENS_MIN_DF else None
+        )
+        ids_l, tfs_l, dls_l = [], [], []
         for r in rs:
-            ids, tfs, dls = decode_postings(r["payload"], int(r["n"]))
+            if dl_arr is not None:
+                ids, tfs = decode_postings_nodl(r["payload"], int(r["n"]))
+            else:
+                ids, tfs, dls = decode_postings(r["payload"], int(r["n"]))
+                dls_l.append(dls)
             ids_l.append(ids)
             tfs_l.append(tfs)
-            dls_l.append(dls)
         idf = math.log(1.0 + (self.n_docs - df_g + 0.5) / (df_g + 0.5))
         ids = np.concatenate(ids_l)
         tfs = np.concatenate(tfs_l)
-        dls = np.concatenate(dls_l)
+        if dl_arr is not None:
+            # per-doc lengths gathered from the resident array — equal
+            # by construction to the payload's dls stream (same build
+            # pipeline wrote both; bitwise-gated in tests)
+            dls = dl_arr[ids].astype(np.int64)
+        else:
+            dls = np.concatenate(dls_l)
         if self._deleted is not None:
             # tombstone mask (Lucene-liveDocs): the doc stops
             # matching; df/idf stay encode-time until compaction
@@ -1566,7 +1625,15 @@ class IndexReader:
             )
             if self._deleted is None and idfs and (
                 len(idfs) == 1
-                or idfs[0] >= 2.0 * sum(idfs[1:])
+                # dominance alone stopped being enough once the eager
+                # lane got 3x cheaper (doclens residency + pipelined
+                # decode): a merely-RELATIVELY-dominant common term
+                # (e.g. df = n/2 towering over stopwords) certifies a
+                # weak theta0, and the slice/probe jobs cost more than
+                # the now-0.4s eager fetch (measured: 1.9s vs 0.45s on
+                # the 1.6M study's q004). Require the dominant term to
+                # be genuinely selective too.
+                or (idfs[0] >= 2.0 * sum(idfs[1:]) and idfs[0] >= math.log(33.0))
                 or idfs[-1] >= math.log(33.0)   # every df <= ~n_docs/32
             ):
                 return self.topk_block_selected(query, k)
@@ -2518,6 +2585,67 @@ class IndexReader:
             .agg(F.sum("contrib").alias("score"))
         )
         return self._take_ranked(per_doc, k)
+
+    def topk_grouped(
+        self, query: str, field: str, k_per_group: int = 3, groups: int = 10
+    ) -> DataFrame:
+        """Grouped top hits (the ES ``terms`` aggregation with a
+        ``top_hits`` sub-aggregation; Lucene grouping with
+        groupDocsLimit > 1): the best ``k_per_group`` docs per distinct
+        value of the docs-table column ``field``, for the top ``groups``
+        values ranked by their best hit — "show me the 3 best matches
+        per repo, for the 10 most relevant repos". ``k_per_group=1``
+        degenerates to ``topk_collapse``. Output (field value,
+        group_rank, hit_rank, doc_id, score), deterministic
+        (score DESC, doc_id ASC everywhere).
+
+        Scale shape: contribution lane → per-doc agg → join to the docs
+        dimension → ONE field-partitioned window keeps k_per_group rows
+        per group (state per task = k_per_group rows per group key),
+        then groups rank by their max score and TakeOrdered caps —
+        output is groups·k_per_group rows, never corpus-sized."""
+        from pyspark.sql import Window
+
+        qterms = analyze_query(query)
+        empty = self.spark.createDataFrame(
+            [],
+            schema=f"{field} string, group_rank long, hit_rank long, "
+            "doc_id long, score double",
+        )
+        if not qterms or k_per_group <= 0 or groups <= 0:
+            return empty
+        per_doc = (
+            self.contrib_df(qterms)
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        docs = self.cat.read(self.spark, "docs").select("doc_id", field)
+        scored = per_doc.join(docs, "doc_id")
+        wg = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+        hits = scored.withColumn("hit_rank", F.row_number().over(wg)).filter(
+            F.col("hit_rank") <= k_per_group
+        )
+        best = (
+            hits.groupBy(field)
+            .agg(F.max("score").alias("best"), F.min(
+                F.when(F.col("hit_rank") == 1, F.col("doc_id"))
+            ).alias("best_doc"))
+            .orderBy(F.desc("best"), F.asc("best_doc"))
+            .limit(groups)
+        )
+        wr = Window.orderBy(F.desc("best"), F.asc("best_doc"))
+        ranked_groups = best.withColumn(
+            "group_rank", F.row_number().over(wr).cast("long")
+        ).select(field, "group_rank")
+        return (
+            hits.join(F.broadcast(ranked_groups), field)
+            .select(
+                field, "group_rank",
+                F.col("hit_rank").cast("long").alias("hit_rank"),
+                "doc_id", "score",
+            )
+            .orderBy("group_rank", "hit_rank")
+        )
 
     def topk_collapse(self, query: str, field: str, k: int = 10) -> DataFrame:
         """Field-collapsed ranked search (the ES ``collapse`` /
