@@ -1720,6 +1720,35 @@ def _q_distinct_counts(spark, sf_dir):
     return distinct_counts(_docs(spark, sf_dir), "lang", SPLIT)
 
 
+def _q_federated_topk(spark, sf_dir):
+    # dfs_query_then_fetch: the corpus split into TWO independent shard
+    # indexes (even/odd doc ids), ranked with GLOBAL df/avgdl and
+    # merged — the oracle is the ordinary FULL-corpus BM25 ranking, so
+    # any local-stats leakage or merge defect breaks the hash
+    from yase_spark.federate import dfs_query_then_fetch
+
+    key = ("fed", sf_dir)
+    if key not in _CACHE:
+        roots = []
+        for parity in (0, 1):
+            root = tempfile.mkdtemp(prefix=f"yase_fed{parity}_")
+            cfg = IndexConfig(
+                build_groups=2, shuffle_partitions=16, hot_term_df=10**9
+            )
+            corpus = _corpus_shape(spark, sf_dir).filter(
+                F.pmod(F.col("path").cast("long"), F.lit(2)) == parity
+            )
+            build_index(spark, corpus, root, cfg)
+            roots.append((root, cfg))
+        _CACHE[key] = roots
+    readers = [IndexReader(spark, root, cfg) for root, cfg in _CACHE[key]]
+    rows = dfs_query_then_fetch(readers, " ".join(BM25_TERMS), k=10)
+    return spark.createDataFrame(
+        [(int(p), round(s, 5)) for _r, _repo, p, _c, s in rows] or [],
+        schema="doc_id long, score_r double",
+    )
+
+
 TOPHITS_PER, TOPHITS_GROUPS = 3, 4
 
 
@@ -1796,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl": _q_unigram_ppl,
         "composite_agg": _q_composite_agg,
         "distinct_counts": _q_distinct_counts,
+        "federated_topk": _q_federated_topk,
         "top_hits": _q_top_hits,
         "ann_topk_where": _q_ann_topk_where,
         "length_percentiles": _q_length_percentiles,
@@ -2102,6 +2132,7 @@ SELECT d.lang, count(DISTINCT t.term) AS n_terms,
        count(DISTINCT t.doc_id) AS n_docs
 FROM t JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1
 """,
+        "federated_topk": _bm25_oracle_sql(topk_select),
         "top_hits": f"""
 {_T_SQL},
 dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),

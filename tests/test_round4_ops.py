@@ -320,3 +320,42 @@ def test_topk_grouped_matches_naive(spark, rd):
         for r in rd.topk_grouped(q, "lang", k_per_group=1, groups=2).collect()
     ]
     assert col == g1
+
+
+def test_federated_equals_single_index(spark, tiny_corpus, tiny_index, tmp_path):
+    """dfs_query_then_fetch over two shard indexes must reproduce the
+    single-index ranking BITWISE (global integer stats -> identical idf/
+    avgdl; per-doc postings shard-independent; natural-key tie-break)."""
+    from yase_spark.config import IndexConfig
+    from yase_spark.federate import dfs_query_then_fetch
+    from yase_spark.index import build_index
+
+    root_full, cfg, _ = tiny_index
+    readers = []
+    for parity in (0, 1):
+        shard = tiny_corpus.filter(
+            F.pmod(F.abs(F.xxhash64("path")), F.lit(2)) == parity
+        )
+        root = str(tmp_path / f"shard{parity}")
+        build_index(spark, shard, root, cfg)
+        readers.append(IndexReader(spark, root, cfg))
+
+    full = IndexReader(spark, root_full, cfg)
+    keys = {
+        r["doc_id"]: (r["repo"], r["path"], r["commit"])
+        for r in full.cat.read(spark, "docs")
+        .select("doc_id", "repo", "path", "commit").collect()
+    }
+    for q in ["json", "json get page", "sync_list user name", "zzz_absent"]:
+        want = [
+            (i + 1, *keys[d], s)
+            for i, (_r, d, s) in enumerate(full.topk(q, 10, use_wand=False))
+        ]
+        got = dfs_query_then_fetch(readers, q, k=10)
+        assert got == want, q
+
+    with pytest.raises(ValueError):
+        bad = IndexReader(spark, readers[0].cat.root,
+                          IndexConfig(**{**cfg.__dict__}))
+        object.__setattr__(bad.cfg, "k1", 9.9)
+        dfs_query_then_fetch([readers[0], bad], "json")

@@ -1,0 +1,99 @@
+"""Federated multi-shard ranked search with GLOBAL statistics — the
+ES ``dfs_query_then_fetch`` contract (SURVEY.md §2.6 Q41).
+
+The 1000-executor serving architecture IS this shape: the corpus is
+sharded into independent indexes (by doc range, tenant, time, …), and a
+query must rank ACROSS shards exactly as one big index would. Plain
+query-then-fetch scores each shard with its LOCAL df/avgdl — a term
+rare in one shard but common elsewhere gets inflated there, and merged
+rankings disagree with the single-index truth. DFS mode fixes it with
+two phases:
+
+1. **DFS phase**: collect per-shard term dfs and (n_docs, total_tokens)
+   — dictionary-sized per shard (the shared-registry df cache makes
+   repeats free) — and combine into global idf / avgdl. Integer sums,
+   so the globals are BITWISE the single-index values.
+2. **Query phase**: every shard scores its own postings with the
+   GLOBAL stats (same contribution expression, same analyzer-order
+   summation), returns its local top-k, and the coordinator merges
+   ≤ shards·k rows by (score DESC, natural key ASC).
+
+Exactness: each doc lives in exactly one shard and its (tf, dl) are
+shard-independent, so its score under global stats is bit-identical to
+the single-index score; a doc in the global top-k ranks ≤ k within its
+own shard under the same total order (shard-local tie-break = natural
+key order = the global tie-break restricted to the shard), so the
+per-shard top-k union is a superset of the global top-k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+from pyspark.sql import functions as F
+
+from .query import IndexReader, dense_topk
+from .tokenize import analyze_query
+
+
+def dfs_query_then_fetch(
+    readers: list[IndexReader], query: str, k: int = 10
+) -> list[tuple[int, str, str, str, float]]:
+    """Exact global-stats ranked top-k across shard indexes. Returns
+    ``(rank, repo, path, commit, score)`` rows — natural keys, because
+    shard-local doc ids collide across shards by construction (each
+    shard mints its own dense 1..n space).
+
+    Scale shape: phase 1 moves O(q terms × shards) integers; phase 2 is
+    each shard's ordinary eager/dense evaluation (every shard lane —
+    pruned, sharded, block-selected — applies per shard unchanged since
+    only idf/avgdl constants differ); the coordinator merges
+    shards·k rows and hydrates k natural keys per shard via the
+    k-row-isin docs join. Nothing corpus-sized anywhere."""
+    if not readers:
+        return []
+    k1, b = readers[0].cfg.k1, readers[0].cfg.b
+    for r in readers[1:]:
+        if (r.cfg.k1, r.cfg.b) != (k1, b):
+            raise ValueError("shards disagree on k1/b — rankings undefined")
+    qterms = analyze_query(query)
+    if not qterms or k <= 0:
+        return []
+
+    # ---- DFS phase: global collection statistics ----------------------
+    shard_dfs = [r.term_dfs(qterms) for r in readers]
+    g_df = {t: sum(int(d.get(t, 0)) for d in shard_dfs) for t in set(qterms)}
+    g_n = sum(r.n_docs for r in readers)
+    g_tok = sum(r._total_postings_upper for r in readers)
+    g_avgdl = (g_tok / g_n) if g_n else 0.0
+
+    # ---- query phase: per-shard top-k under the GLOBAL stats ----------
+    merged: list[tuple[float, tuple[str, str, str]]] = []
+    for r in readers:
+        got = r.fetch_terms(qterms)
+        tps = []
+        for t in qterms:
+            tp = got.get(t)
+            if tp is None:
+                continue
+            gidf = math.log(1.0 + (g_n - g_df[t] + 0.5) / (g_df[t] + 0.5))
+            tps.append(dataclasses.replace(tp, idf=gidf))
+        local = dense_topk(tps, k, k1, b, g_avgdl, r.n_docs)
+        if not local:
+            continue
+        ids = [d for _rk, d, _s in local]
+        keys = {
+            row["doc_id"]: (row["repo"], row["path"], row["commit"])
+            for row in r.cat.read(r.spark, "docs")
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "repo", "path", "commit")
+            .collect()
+        }
+        merged.extend((s, keys[d]) for _rk, d, s in local)
+
+    merged.sort(key=lambda x: (-x[0], x[1]))
+    return [
+        (i + 1, key[0], key[1], key[2], s)
+        for i, (s, key) in enumerate(merged[:k])
+    ]
