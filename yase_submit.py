@@ -121,7 +121,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "--kind",
         choices=["topk", "and", "or", "phrase", "phrase_topk", "terms",
-                 "highlight", "mlt", "hybrid", "msm", "rescore"],
+                 "highlight", "mlt", "hybrid", "msm", "rescore",
+                 "federated"],
         default="topk",
     )
     p.add_argument(
@@ -163,6 +164,11 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--prefix", help="suggest --op complete: completion prefix",
+    )
+    p.add_argument(
+        "--shards",
+        help="query --kind federated: comma-separated shard index roots "
+        "(DFS_QUERY_THEN_FETCH — global df/avgdl, exact cross-shard merge)",
     )
     p.add_argument(
         "--mlt-terms", type=int, default=25,
@@ -380,7 +386,8 @@ def main(argv=None) -> int:
     elif args.cmd == "query":
         from yase_spark.query import And, IndexReader, Not, Or, Phrase, Term, TopK
 
-        rd = IndexReader(spark, args.index)
+        # federated mode has no single --index — shard readers only
+        rd = IndexReader(spark, args.index) if args.kind != "federated" else None
 
         # boolean AST as JSON: "term" | {"and": [...]} | {"or": [...]}
         # | {"not": "x"} (valid only beside a positive "and" sibling)
@@ -508,6 +515,21 @@ def main(argv=None) -> int:
                 }
                 for o in out:
                     o["snippet"] = snips.get(o["doc_id"], "")
+        elif args.kind == "federated":
+            # multi-shard DFS_QUERY_THEN_FETCH across --shards roots
+            from yase_spark.federate import dfs_query_then_fetch
+
+            if not args.shards:
+                raise SystemExit("query --kind federated needs --shards")
+            shards = [
+                IndexReader(spark, root) for root in args.shards.split(",")
+            ]
+            out = [
+                {"rank": r, "repo": rp, "path": pa, "commit": c, "score": s2}
+                for r, rp, pa, c, s2 in dfs_query_then_fetch(
+                    shards, args.q, k=args.k
+                )
+            ]
         elif args.kind == "msm":
             # minimum_should_match ranking (ES BooleanQuery knob)
             out = [
