@@ -1749,6 +1749,22 @@ def _q_federated_topk(spark, sf_dir):
     )
 
 
+def _q_federated_facets(spark, sf_dir):
+    # cross-shard facet merge: per-shard FULL value counts summed (the
+    # ES shard_size=unbounded accuracy mode) — exact because counts are
+    # additive over disjoint shards; oracle = the full-corpus facet SQL
+    from yase_spark.federate import federated_facet_counts
+    from yase_spark.query import And, Term
+
+    _q_federated_topk(spark, sf_dir)  # ensure the shard pair is built
+    readers = [IndexReader(spark, root, cfg) for root, cfg in _CACHE[("fed", sf_dir)]]
+    tree = And([Term(AND_TERMS[0]), Term(AND_TERMS[1])])
+    rows = federated_facet_counts(readers, tree, "lang", topn=10)
+    return spark.createDataFrame(
+        [(v, int(c)) for v, c in rows] or [], schema="lang string, cnt long"
+    )
+
+
 TOPHITS_PER, TOPHITS_GROUPS = 3, 4
 
 
@@ -1826,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_agg": _q_composite_agg,
         "distinct_counts": _q_distinct_counts,
         "federated_topk": _q_federated_topk,
+        "federated_facets": _q_federated_facets,
         "top_hits": _q_top_hits,
         "ann_topk_where": _q_ann_topk_where,
         "length_percentiles": _q_length_percentiles,
@@ -2133,6 +2150,13 @@ SELECT d.lang, count(DISTINCT t.term) AS n_terms,
 FROM t JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1
 """,
         "federated_topk": _bm25_oracle_sql(topk_select),
+        "federated_facets": (
+            f"{_T_SQL}, m AS ("
+            f"SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}' "
+            f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_b}') "
+            "SELECT d.lang, count(*) AS cnt FROM m JOIN documents d "
+            "USING (doc_id) GROUP BY 1 ORDER BY cnt DESC, lang LIMIT 10"
+        ),
         "top_hits": f"""
 {_T_SQL},
 dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),

@@ -359,3 +359,26 @@ def test_federated_equals_single_index(spark, tiny_corpus, tiny_index, tmp_path)
                           IndexConfig(**{**cfg.__dict__}))
         object.__setattr__(bad.cfg, "k1", 9.9)
         dfs_query_then_fetch([readers[0], bad], "json")
+
+
+def test_federated_facets_equal_single_index(spark, tiny_corpus, tiny_index, tmp_path):
+    from yase_spark.federate import federated_facet_counts
+    from yase_spark.index import build_index
+    from yase_spark.query import And, Term
+
+    root_full, cfg, _ = tiny_index
+    readers = []
+    for parity in (0, 1):
+        shard = tiny_corpus.filter(
+            F.pmod(F.abs(F.xxhash64("path")), F.lit(2)) == parity
+        )
+        root = str(tmp_path / f"fshard{parity}")
+        build_index(spark, shard, root, cfg)
+        readers.append(IndexReader(spark, root, cfg))
+    full = IndexReader(spark, root_full, cfg)
+    tree = And([Term("json"), Term("get")])
+    want = [
+        (r["lang"], r["cnt"]) for r in full.facet_counts(tree, "lang").collect()
+    ]
+    got = federated_facet_counts(readers, tree, "lang")
+    assert got == want

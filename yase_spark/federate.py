@@ -97,3 +97,25 @@ def dfs_query_then_fetch(
         (i + 1, key[0], key[1], key[2], s)
         for i, (s, key) in enumerate(merged[:k])
     ]
+
+
+def federated_facet_counts(
+    readers: list[IndexReader], tree, col: str, topn: int = 10
+) -> list[tuple[str, int]]:
+    """Facet counts across shard indexes — exact, because per-value
+    match counts are ADDITIVE over disjoint shards. Each shard runs its
+    ordinary executor-side facet lane and returns its FULL value->count
+    map (facet columns are low-cardinality by definition — this is ES
+    ``shard_size`` set to unbounded, the accuracy-over-wire-bytes
+    choice; a per-shard top-N would silently undercount values that
+    straddle shard popularity, the classic distributed-terms-agg error
+    this function exists to avoid). The coordinator sums and takes the
+    global top-N (count DESC, value ASC)."""
+    from collections import defaultdict
+
+    acc: dict = defaultdict(int)
+    for r in readers:
+        for row in r.facet_counts(tree, col, topn=2**31 - 1).collect():
+            acc[row[col]] += int(row["cnt"])
+    out = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
+    return [(v, c) for v, c in out]
