@@ -129,3 +129,33 @@ def test_snapshot_history_and_time_travel(spark, tmp_path):
     assert ids(v2) == list(range(15))
     assert cat.version_as_of("t", t1) == v1
     assert cat.version_as_of("t", time.time()) == v3
+
+
+def test_rollback_restores_snapshot_and_keeps_history(spark, tmp_path):
+    """Iceberg rollback_to_snapshot: after append(s), rolling back to v1
+    must serve exactly v1's rows under the CURRENT version, move history
+    forward (new version, old ones still time-travelable), and a
+    rollback to a never-existing version must refuse."""
+    import pytest as _pytest
+
+    from yase_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    v1 = cat.write("t", df1, mode="overwrite")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    v2 = cat.write("t", df2, mode="append")
+    assert {r["id"] for r in cat.read(spark, "t").collect()} == {1, 2, 3}
+
+    v3 = cat.rollback("t", v1)
+    assert v3 == v2 + 1 and cat.current_version("t") == v3
+    assert {r["id"] for r in cat.read(spark, "t").collect()} == {1, 2}
+    # history intact: the rolled-back-over append still time-travels
+    assert {r["id"] for r in cat.read(spark, "t", version=v2).collect()} == {1, 2, 3}
+    # roll FORWARD again (rollback is just another commit)
+    v4 = cat.rollback("t", v2)
+    assert {r["id"] for r in cat.read(spark, "t").collect()} == {1, 2, 3}
+    assert v4 == v3 + 1
+
+    with _pytest.raises(FileNotFoundError):
+        cat.rollback("t", 99)

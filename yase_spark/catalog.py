@@ -356,6 +356,39 @@ class Catalog:
             v = m["parent_version"]
         return tags
 
+    def rollback(self, name: str, version: int) -> int:
+        """Iceberg ``rollback_to_snapshot``: commit a NEW version whose
+        file listing is exactly the target snapshot's — history moves
+        FORWARD (the rolled-back-over versions stay readable via
+        ``read(version=)``; nothing is deleted), and the flip is the
+        same atomic VERSION pointer swap as every other commit. Data
+        dirs are immutable once committed, so re-listing them is safe.
+
+        Returns the new current version. Raises FileNotFoundError if
+        ``version`` never existed."""
+        with self._commit_lock:
+            target = self._manifest(name, version)  # validates existence
+            prev = self.current_version(name)
+            v = prev + 1
+            manifest = {
+                "table": name,
+                "snapshot": target["snapshot"],
+                "parent_version": prev,
+                "committed_at": time.time(),
+                "operation": "rollback",
+                "rolled_back_to": version,
+                "partition_by": target.get("partition_by", []),
+                "data_dirs": target["data_dirs"],
+                "tag": {"unit": f"rollback-{version}"},
+            }
+            with open(self._manifest_path(name, v), "w") as f:
+                json.dump(manifest, f, indent=1)
+            tmp = os.path.join(self._tdir(name), f"VERSION.tmp.rb{v}")
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, os.path.join(self._tdir(name), "VERSION"))
+            return v
+
     def compact(self, spark: SparkSession, name: str) -> int:
         """Maintenance: rewrite the CURRENT snapshot into a single data
         dir (Iceberg: ``rewrite_data_files`` + snapshot expiry). After
