@@ -382,3 +382,48 @@ def test_federated_facets_equal_single_index(spark, tiny_corpus, tiny_index, tmp
     ]
     got = federated_facet_counts(readers, tree, "lang")
     assert got == want
+
+
+def test_federated_overcap_shard_uses_sharded_lane(spark, tiny_corpus, tiny_index, tmp_path, monkeypatch):
+    """A shard whose query postings exceed its driver-fetch cap must be
+    served through topk_sharded with the GLOBAL stats override — and the
+    merged result must still be bitwise the single-index ranking."""
+    from yase_spark.federate import dfs_query_then_fetch
+    from yase_spark.index import build_index
+
+    root_full, cfg, _ = tiny_index
+    readers = []
+    for parity in (0, 1):
+        shard = tiny_corpus.filter(
+            F.pmod(F.abs(F.xxhash64("path")), F.lit(2)) == parity
+        )
+        root = str(tmp_path / f"oshard{parity}")
+        build_index(spark, shard, root, cfg)
+        readers.append(IndexReader(spark, root, cfg))
+    # force BOTH shards over-cap for any real query
+    for r in readers:
+        r.driver_fetch_max_postings = 1
+    calls = {"sharded": 0}
+    orig = IndexReader.topk_sharded
+
+    def counting(self, *a, **kw):
+        calls["sharded"] += 1
+        assert kw.get("stats_override") is not None
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(IndexReader, "topk_sharded", counting)
+
+    full = IndexReader(spark, root_full, cfg)
+    keys = {
+        r["doc_id"]: (r["repo"], r["path"], r["commit"])
+        for r in full.cat.read(spark, "docs")
+        .select("doc_id", "repo", "path", "commit").collect()
+    }
+    q = "json get page"
+    want = [
+        (i + 1, *keys[d], s)
+        for i, (_r, d, s) in enumerate(full.topk(q, 10, use_wand=False))
+    ]
+    got = dfs_query_then_fetch(readers, q, k=10)
+    assert got == want
+    assert calls["sharded"] == 2  # both shards took the cluster lane

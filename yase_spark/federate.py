@@ -70,16 +70,26 @@ def dfs_query_then_fetch(
 
     # ---- query phase: per-shard top-k under the GLOBAL stats ----------
     merged: list[tuple[float, tuple[str, str, str]]] = []
-    for r in readers:
-        got = r.fetch_terms(qterms)
-        tps = []
-        for t in qterms:
-            tp = got.get(t)
-            if tp is None:
-                continue
-            gidf = math.log(1.0 + (g_n - g_df[t] + 0.5) / (g_df[t] + 0.5))
-            tps.append(dataclasses.replace(tp, idf=gidf))
-        local = dense_topk(tps, k, k1, b, g_avgdl, r.n_docs)
+    for r, sdfs in zip(readers, shard_dfs):
+        # honor the shard's own driver-fetch cap (a df~10^11 term must
+        # never be driver-fetched here either): over-cap shards serve
+        # cluster-side through topk_sharded with the global scoring
+        # stats overridden — same contribution expression, exact
+        if sum(int(v) for v in sdfs.values()) > r.driver_fetch_max_postings:
+            local = r.topk_sharded(
+                query, k,
+                stats_override=(g_n, g_avgdl, {t: g_df[t] for t in qterms}),
+            )
+        else:
+            got = r.fetch_terms(qterms)
+            tps = []
+            for t in qterms:
+                tp = got.get(t)
+                if tp is None:
+                    continue
+                gidf = math.log(1.0 + (g_n - g_df[t] + 0.5) / (g_df[t] + 0.5))
+                tps.append(dataclasses.replace(tp, idf=gidf))
+            local = dense_topk(tps, k, k1, b, g_avgdl, r.n_docs)
         if not local:
             continue
         ids = [d for _rk, d, _s in local]
@@ -100,7 +110,8 @@ def dfs_query_then_fetch(
 
 
 def federated_facet_counts(
-    readers: list[IndexReader], tree, col: str, topn: int = 10
+    readers: list[IndexReader], tree, col: str, topn: int = 10,
+    max_values: int = 100_000,
 ) -> list[tuple[str, int]]:
     """Facet counts across shard indexes — exact, because per-value
     match counts are ADDITIVE over disjoint shards. Each shard runs its
@@ -110,12 +121,24 @@ def federated_facet_counts(
     choice; a per-shard top-N would silently undercount values that
     straddle shard popularity, the classic distributed-terms-agg error
     this function exists to avoid). The coordinator sums and takes the
-    global top-N (count DESC, value ASC)."""
+    global top-N (count DESC, value ASC).
+
+    ``max_values`` bounds the per-shard collect (similarity.
+    bounded_collect's contract): faceting on a doc-unique column would
+    otherwise drag a corpus-sized map to the driver — that is a loud
+    error, not an OOM."""
     from collections import defaultdict
+
+    from .similarity import bounded_collect
 
     acc: dict = defaultdict(int)
     for r in readers:
-        for row in r.facet_counts(tree, col, topn=2**31 - 1).collect():
+        rows = bounded_collect(
+            r.facet_counts(tree, col, topn=max_values + 1),
+            max_values,
+            f"federated_facet_counts({col})",
+        )
+        for row in rows:
             acc[row[col]] += int(row["cnt"])
     out = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
     return [(v, c) for v, c in out]

@@ -211,7 +211,15 @@ class _SharedIndexMeta:
     — they stay in the per-reader caches). Invalidation is by key: any
     append/delete/compact bumps a catalog VERSION and lands on a fresh
     entry. ``meta`` is bounded by ``IndexReader.META_CACHE_MAX_BLOCKS``
-    (compact numpy first/last/max_score arrays, ~24 B/block)."""
+    (compact numpy first/last/max_score arrays, ~24 B/block).
+
+    Total registry budget: ``_META_REGISTRY_MAX`` (8) live versions ×
+    (block-meta cap ~100 MB + doclens int32[n_docs+1], 256 MB at the
+    64M-doc residency cap) — worst case ~2.8 GB driver RSS under
+    append-heavy serving where stale versions linger until FIFO
+    eviction; an evicted entry drops its doclens with it. Dictionary-
+    sized per version by construction, but the MULTIPLIER is the
+    registry depth — lower ``_META_REGISTRY_MAX`` on thin drivers."""
 
     def __init__(self):
         self.lock = threading.Lock()
@@ -1141,7 +1149,20 @@ class IndexReader:
         so the dispatch pre-check and this fetch are one job, not two.
         Bounded by ``META_CACHE_MAX_BLOCKS``; parquet column pruning
         keeps payload bytes unread (same scan shape as ``term_dfs``)."""
-        missing = [t for t in dict.fromkeys(terms) if t not in self._meta_cache]
+        # grab references to already-cached entries FIRST: the shared
+        # cache may be wiped wholesale (by this call's own over-bound
+        # eviction or by a concurrent reader's) between here and the
+        # return, and the local references survive the wipe — indexing
+        # the cache at return time would KeyError on evicted terms
+        _absent = object()
+        out: dict[str, list | None] = {}
+        missing: list[str] = []
+        for t in dict.fromkeys(terms):
+            v = self._meta_cache.get(t, _absent)
+            if v is _absent:
+                missing.append(t)
+            else:
+                out[t] = v
         if missing:
             tbl = self._collect_segments(
                 missing, ["term", "shard", "df", "block_meta", "idf", "avgdl"]
@@ -1183,9 +1204,10 @@ class IndexReader:
                         sh.meta_blocks = n_new
             for t in missing:
                 rs = sorted(by_term.get(t, []), key=lambda r: r["shard"])
-                self._meta_cache[t] = rs or None
+                out[t] = rs or None
+                self._meta_cache[t] = out[t]
                 self._df_cache[t] = int(rs[0]["df"]) if rs else 0
-        return {t: self._meta_cache[t] for t in dict.fromkeys(terms)}
+        return out
 
     def fetch_term_rows(self, terms: list[str]) -> dict[str, list | None]:
         """Q1 lazy variant: fetch segment rows (payload + block skip
@@ -2735,7 +2757,8 @@ class IndexReader:
     SHARD_WAND_MAX_SURVIVING = 0.4
 
     def topk_sharded(self, query: str, k: int = 10, n_ranges: int | None = None,
-                     return_stats: bool = False, kernel: str = "auto"):
+                     return_stats: bool = False, kernel: str = "auto",
+                     stats_override: tuple | None = None):
         """Exact ranked top-k for ONE huge query, cluster-side AND pruned
         (VERDICT round 2 item 1 — the missing lane): doc-id space is cut
         into R ranges; a slicing kernel ships each stored block (bytes
@@ -2862,7 +2885,17 @@ class IndexReader:
             ),
         )
 
-        n_docs_, avgdl_ = self.n_docs, self.avgdl
+        # stats_override = (n_docs, avgdl, {term: df}) lets a FEDERATION
+        # coordinator score this shard's postings under GLOBAL collection
+        # statistics (federate.dfs_query_then_fetch's over-cap path).
+        # Only the SCORING constants change: doc-id ranges stay in the
+        # local id space, and the stored-bound rescale (idf_now /
+        # idf_stored) upper-bounds correctly for ANY idf_now, so every
+        # kernel stays exact under the override.
+        if stats_override is not None:
+            n_docs_, avgdl_, gdf_ = stats_override
+        else:
+            n_docs_, avgdl_, gdf_ = self.n_docs, self.avgdl, None
         k1, b = self.cfg.k1, self.cfg.b
         order = {t: i for i, t in enumerate(qterms)}
         kernel_mode = kernel
@@ -2881,6 +2914,8 @@ class IndexReader:
                     _bf=[m[0]["block_first"] for m in rs["block_meta"]]
                 ).sort_values(["shard", "_bf"])
                 df_g = int(rs["df"].iloc[0])
+                if gdf_ is not None:
+                    df_g = int(gdf_.get(t, df_g))
                 idf_now = math.log(1.0 + (n_docs_ - df_g + 0.5) / (df_g + 0.5))
                 term_rows.append((t, df_g, idf_now, rs))
 
@@ -2890,7 +2925,13 @@ class IndexReader:
                 use_dense = False
             elif len(term_rows) > 1 and max(
                 r[2] for r in term_rows
-            ) >= 2.0 * (sum(r[2] for r in term_rows) - max(r[2] for r in term_rows)):
+            ) >= max(
+                2.0 * (sum(r[2] for r in term_rows) - max(r[2] for r in term_rows)),
+                math.log(33.0),  # absolute selectivity floor (df <= n/32),
+                # mirroring the driver dispatch: RELATIVE dominance of a
+                # merely-common term routes to WAND's per-pivot Python
+                # loop with nothing to prune
+            ):
                 # spiky regime (round-3 VERDICT item 3): one term's idf
                 # towers over the rest (rare needle + stopword list).
                 # The block-certified estimator below can't see this —
