@@ -366,6 +366,13 @@ class Catalog:
 
         Returns the new current version. Raises FileNotFoundError if
         ``version`` never existed."""
+        if version <= 0:
+            # _manifest treats a falsy version as "current" — without
+            # this guard rollback(name, 0) would silently commit a no-op
+            # duplicate of the current snapshot instead of refusing
+            raise FileNotFoundError(
+                f"table {name} has no version {version} to roll back to"
+            )
         with self._commit_lock:
             target = self._manifest(name, version)  # validates existence
             prev = self.current_version(name)
