@@ -39,14 +39,28 @@ def _ranked(joined: DataFrame, k: int) -> DataFrame:
     )
 
 
-def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 8, k: int = 10,
+    predicate: str | None = None,
+) -> DataFrame:
     """EXACT brute-force cosine top-k: the first ``n_queries`` vectors
     query the full table (self excluded). Output
-    (query_id, rank, vec_id, sim_r)."""
+    (query_id, rank, vec_id, sim_r).
+
+    ``predicate`` (optional) is the vector-DB metadata filter (FAISS
+    IDSelector / Milvus expr / pgvector WHERE): only candidates
+    matching the SQL expression are eligible, while query vectors come
+    from the unfiltered table (a query needn't satisfy its own filter).
+    PRE-filtering (filter-then-search) keeps the result exact at any
+    selectivity — post-filtering silently returns < k under selective
+    predicates — and the predicate pushes into the candidate Parquet
+    scan (row-group pruning). Composes with the IVF/PQ lanes the same
+    way — filter the codes/list scan before ADC."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    joined = emb.select("vec_id", "embedding").join(F.broadcast(q)).filter(
+    cand = emb if predicate is None else emb.filter(F.expr(predicate))
+    joined = cand.select("vec_id", "embedding").join(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     return _ranked(joined, k)
@@ -55,28 +69,9 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
 def cosine_topk_where(
     emb: DataFrame, predicate: str, n_queries: int = 8, k: int = 10
 ) -> DataFrame:
-    """Metadata-FILTERED exact ANN (the vector-DB filtered-search
-    contract, e.g. FAISS IDSelector / Milvus expr / pgvector WHERE):
-    only candidate vectors matching the SQL ``predicate`` over the
-    embeddings table's metadata columns are eligible; query vectors
-    come from the unfiltered table (a query needn't satisfy its own
-    filter). PRE-filtering (filter-then-search) keeps the result exact
-    at any selectivity — the post-filter alternative (search-then-drop)
-    silently returns < k under selective predicates.
-
-    Scale shape: the predicate pushes into the candidate Parquet scan
-    (row-group pruning on metadata columns); the broadcast query side
-    and per-query TakeOrdered window are unchanged from
-    :func:`cosine_topk`. Composes with the IVF/PQ lanes the same way —
-    filter the codes/list scan before ADC."""
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    cand = emb.filter(F.expr(predicate))
-    joined = cand.select("vec_id", "embedding").join(F.broadcast(q)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    return _ranked(joined, k)
+    """Metadata-filtered exact ANN — see :func:`cosine_topk`'s
+    ``predicate`` parameter (this name is the contract surface)."""
+    return cosine_topk(emb, n_queries=n_queries, k=k, predicate=predicate)
 
 
 def lsh_buckets(

@@ -418,6 +418,10 @@ def main(argv=None) -> int:
             out = [r.asDict() for r in rows]
         elif args.synonyms:
             # query-time synonym rewrite over the synonyms sibling table
+            if args.kind not in ("topk", "or", "terms"):
+                raise SystemExit(
+                    f"--synonyms supports --kind topk/or/terms, not {args.kind}"
+                )
             if args.kind == "topk":
                 out = [
                     {"rank": r, "doc_id": d, "score": s}
@@ -610,9 +614,19 @@ def main(argv=None) -> int:
             ).collect()
             print(json.dumps([r.asDict() for r in rows]))
         else:
-            from yase_spark.suggest import build_deletion_index, spell_suggest
+            from yase_spark.catalog import Catalog
+            from yase_spark.suggest import (
+                build_deletion_index,
+                deletions_are_fresh,
+                spell_suggest,
+            )
 
-            build_deletion_index(spark, args.index)
+            if not args.q:
+                raise SystemExit("suggest needs --q (words to correct)")
+            # rebuild the deletion index only when stale — every build
+            # is a vocabulary-sized shuffle plus a catalog commit
+            if not deletions_are_fresh(Catalog(args.index)):
+                build_deletion_index(spark, args.index)
             rows = spell_suggest(
                 spark, args.index, args.q.split(), k=args.k
             ).collect()
