@@ -542,6 +542,37 @@ def _q_near_match(spark, sf_dir):
     )
 
 
+SPAN_NEAR = (["merge", "group", "query"], 3)  # unordered, span <= 2+3
+SPAN_FIRST = ("customer", 6)                  # 0-based position < 6
+
+
+def _q_span_near(spark, sf_dir):
+    # Lucene span_near, UNORDERED: one occurrence of each clause in any
+    # arrangement within span (n-1)+slop — strictly more docs than the
+    # ordered matcher (near_match) on the same clauses
+    terms, slop = SPAN_NEAR
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.span_near_df(terms, slop=slop, in_order=False)
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
+def _q_span_first(spark, sf_dir):
+    # Lucene span_first: the term within the first `end` tokens of the
+    # doc's parts stream (span end <= end)
+    term, end = SPAN_FIRST
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.span_first_df(term, end)
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
 PERC_QUERIES = [
     (1, [["customer", "supplier"], ["query"]]),
     (2, [["window"], ["stream", "batch"]]),
@@ -1835,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # follow.
     return {
         # --- round-4 additions (no driver row yet) ---
+        "span_near": _q_span_near,
+        "span_first": _q_span_first,
         "topk_msm": _q_topk_msm,
         "complete_prefix": _q_complete_prefix,
         "topk_rescore": _q_topk_rescore,
@@ -2291,6 +2324,27 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "JOIN f b ON b.doc_id = a.doc_id AND b.p > a.p "
             f"AND b.p <= a.p + 1 + {NEAR[2]} "
             f"WHERE a.term = '{NEAR[0]}' AND b.term = '{NEAR[1]}'"
+        ),
+        # unordered span_near: one position per clause, any arrangement,
+        # span (max-min) <= (n-1)+slop; p is 1-based but the span is a
+        # difference, so the base cancels
+        "span_near": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT a.doc_id FROM f a "
+            "JOIN f b ON b.doc_id = a.doc_id "
+            "JOIN f c ON c.doc_id = a.doc_id "
+            f"WHERE a.term = '{SPAN_NEAR[0][0]}' "
+            f"AND b.term = '{SPAN_NEAR[0][1]}' "
+            f"AND c.term = '{SPAN_NEAR[0][2]}' "
+            "AND greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) "
+            f"<= {len(SPAN_NEAR[0]) - 1 + SPAN_NEAR[1]}"
+        ),
+        # span_first: engine positions are 0-based, the CTE's p is
+        # 1-based row_number -> pos < end  <=>  p <= end
+        "span_first": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT doc_id FROM f "
+            f"WHERE term = '{SPAN_FIRST[0]}' AND p <= {SPAN_FIRST[1]}"
         ),
         # percolation: CNF satisfaction replayed relationally
         "percolate": (

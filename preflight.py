@@ -39,6 +39,13 @@ def main() -> int:
         if os.path.exists(p):
             con.sql(f"create view {t} as select * from '{p}'")
     qs, oracles = mod.queries(), mod.oracle_sql()
+    only = set(sys.argv[2:])  # optional entry-name filter
+    if only:
+        unknown = only - qs.keys()
+        if unknown:
+            print("unknown entries:", sorted(unknown))
+            return 1
+        qs = {n: f for n, f in qs.items() if n in only}
     bad = []
     for name, fn in qs.items():
         t0 = time.time()

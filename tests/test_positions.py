@@ -281,3 +281,120 @@ def test_phrase_in_boolean_ast(spark, tiny_corpus, pos_index):
 
     with _pytest.raises(ValueError, match="Phrase"):
         rd.search_df(And([Phrase(ph), Term("value")]))
+
+
+# ------------------------------------------------------------- span queries
+def brute_span_near(docs: dict, terms, slop: int, in_order: bool) -> list[int]:
+    """All-combinations oracle for span_near: one occurrence per clause,
+    ordered (strictly increasing) or any arrangement, span
+    max-min <= (n-1)+slop."""
+    hits = []
+    for d, text in docs.items():
+        pos = {}
+        for i, t in enumerate(parts_stream(text)):
+            pos.setdefault(t, []).append(i)
+        if any(t not in pos for t in terms):
+            continue
+        found = False
+        for combo in itertools.product(*(pos[t] for t in terms)):
+            if in_order and not all(b > a for a, b in zip(combo, combo[1:])):
+                continue
+            if max(combo) - min(combo) <= len(terms) - 1 + slop:
+                found = True
+                break
+        if found:
+            hits.append(d)
+    return sorted(hits)
+
+
+SPANS = [
+    (["get", "page"], 0, False),
+    (["page", "get"], 0, False),          # clause order must not matter
+    (["json", "exec"], 2, False),
+    (["copy", "zone", "lock"], 1, False),
+    (["get", "zone"], 2, True),           # ordered == the phrase path
+    (["count", "utc", "infer"], 3, False),
+    (["nosuchtoken", "page"], 0, False),  # absent clause -> empty
+]
+
+
+def test_span_near_matches_brute_force(spark, pos_index, doc_texts):
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    nonzero = 0
+    for terms, slop, in_order in SPANS:
+        eng = rd.span_near(terms, slop=slop, in_order=in_order).tolist()
+        ref = brute_span_near(doc_texts, terms, slop, in_order)
+        assert eng == ref, (terms, slop, in_order)
+        nonzero += bool(eng)
+    assert nonzero >= 5
+
+
+def test_span_near_unordered_vs_ordered(spark, pos_index, doc_texts):
+    """Unordered is clause-order-invariant and a superset of ordered;
+    on this corpus the containment is STRICT for a common pair (some doc
+    matches only in reverse order) — the semantics actually differ."""
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    a = rd.span_near(["json", "exec"], slop=1).tolist()
+    b = rd.span_near(["exec", "json"], slop=1).tolist()
+    assert a == b
+    ordered = set(rd.span_near(["json", "exec"], slop=1, in_order=True).tolist())
+    assert ordered <= set(a)
+    assert ordered < set(a), "corpus should contain a reverse-order-only hit"
+
+
+def test_span_near_slop_boundary(spark, tiny_corpus, tmp_path):
+    """Deterministic boundary doc: 'alpha x beta' — unordered
+    (beta, alpha) needs slop >= 2 at distance 2 (limit = 1 + slop)."""
+    from pyspark.sql import Row
+
+    from yase_spark.positions import build_positions
+
+    df = tiny_corpus.limit(1).select(
+        F.lit("r").alias("repo"), F.lit("p").alias("path"),
+        F.lit("c").alias("commit"), F.lit("py").alias("lang"),
+        F.lit("spanalpha filler spanbeta").alias("content"),
+    )
+    root = str(tmp_path / "spanidx")
+    cfg = IndexConfig(block_size=16)
+    build_index(spark, df, root, cfg)
+    build_positions(spark, root, df, cfg)
+    rd = IndexReader(spark, root, cfg)
+    assert rd.span_near(["spanbeta", "spanalpha"], slop=0).size == 0
+    assert rd.span_near(["spanbeta", "spanalpha"], slop=1).size == 1
+    # ordered in the written order needs the same slop; reversed never
+    assert rd.span_near(["spanalpha", "spanbeta"], slop=1, in_order=True).size == 1
+    assert rd.span_near(["spanbeta", "spanalpha"], slop=9, in_order=True).size == 0
+    # span_first: 0-based position < end
+    assert rd.span_first("spanbeta", 2).size == 0
+    assert rd.span_first("spanbeta", 3).size == 1
+    assert rd.span_first("spanalpha", 1).size == 1
+
+
+def test_span_first_matches_brute_force(spark, pos_index, doc_texts):
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    nonzero = 0
+    for term, end in [("get", 1), ("page", 5), ("zone", 30), ("json", 2)]:
+        eng = rd.span_first(term, end).tolist()
+        ref = sorted(
+            d for d, text in doc_texts.items()
+            if any(p < end for p, t in enumerate(parts_stream(text)) if t == term)
+        )
+        assert eng == ref, (term, end)
+        nonzero += bool(eng)
+    assert nonzero >= 2
+
+
+def test_span_rejects_bad_clauses(spark, pos_index):
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    with pytest.raises(ValueError, match="single-term"):
+        rd.span_near(["getUserName", "page"])
+    with pytest.raises(ValueError, match="distinct"):
+        rd.span_near(["get", "get"])
+    with pytest.raises(ValueError, match="single-term"):
+        rd.span_first("get page", 3)
+    # duplicates ARE legal ordered (strictly-increasing chain)
+    assert rd.span_near(["get", "get"], slop=5, in_order=True).size >= 0

@@ -640,7 +640,9 @@ class PositionsReader:
         """Sorted doc ids whose parts stream contains the query's parts
         stream as an ordered window of span ≤ (n-1)+slop (exact phrase
         at slop=0). Single-part queries degenerate to term lookup."""
-        qparts = analyze_phrase(query)
+        return self._ordered_docs(analyze_phrase(query), slop)
+
+    def _ordered_docs(self, qparts: list[str], slop: int) -> np.ndarray:
         if not qparts:
             return np.empty(0, dtype=np.int64)
         got = self.fetch(qparts)
@@ -671,6 +673,126 @@ class PositionsReader:
             )
         hit_ranks = match_ordered_window(key_lists, slop)
         return cand[hit_ranks]
+
+    def span_near_docs(
+        self, terms: list[str], slop: int = 0, in_order: bool = False
+    ) -> np.ndarray:
+        """Lucene/ES ``span_near`` over single-term clauses: sorted doc
+        ids where one occurrence of EACH clause fits in a window of span
+        ``max(p) - min(p) <= (n-1) + slop`` — exactly Lucene's
+        ``matchWidth - totalLength <= slop`` with unit-length term spans
+        (``NearSpansOrdered``/``Unordered``). ``in_order=True`` is the
+        ordered matcher ``phrase_docs`` uses (duplicated clauses allowed
+        — the greedy chain demands strictly-increasing positions);
+        ``in_order=False`` is the unordered variant: any arrangement,
+        checked by a per-doc minimal-cover two-pointer over the merged
+        (position, clause) stream (O(hits) per candidate doc, candidates
+        = the clause posting intersection — the Lucene spans-enumeration
+        cost shape).
+
+        Clauses must analyze to ONE part each (``span_term`` contract;
+        a multi-part identifier like ``getUserName`` is a phrase, not a
+        span clause) and, unordered, must be distinct — Lucene demands
+        n DISTINCT occurrences for duplicated unordered clauses, a
+        contract this vectorized matcher does not implement; rejecting
+        loudly beats silently matching one occurrence twice."""
+        parts: list[str] = []
+        for t in terms:
+            ps = analyze_phrase(t)
+            if len(ps) != 1:
+                raise ValueError(
+                    f"span clause {t!r} analyzes to {ps} — span_near "
+                    "takes single-term clauses; use phrase_docs for "
+                    "multi-part sequences"
+                )
+            parts.append(ps[0])
+        if in_order:
+            return self._ordered_docs(parts, slop)
+        if len(set(parts)) != len(parts):
+            raise ValueError(
+                "unordered span_near requires distinct clauses "
+                f"(got {parts}); duplicate-clause distinct-occurrence "
+                "semantics are not implemented"
+            )
+        if not parts or slop < 0:
+            return np.empty(0, dtype=np.int64)
+        got = self.fetch(parts)
+        if any(got[t] is None for t in parts):
+            return np.empty(0, dtype=np.int64)
+        if len(parts) == 1:
+            return got[parts[0]].doc_ids.copy()
+        uniq = sorted(parts, key=lambda t: got[t].doc_ids.size)
+        cand = got[uniq[0]].doc_ids
+        for t in uniq[1:]:
+            cand = np.intersect1d(cand, got[t].doc_ids, assume_unique=True)
+            if cand.size == 0:
+                return cand
+        nt = len(parts)
+        limit = nt - 1 + slop
+        doc_l, pos_l, tid_l = [], [], []
+        for ti, t in enumerate(parts):
+            pp = got[t]
+            mask = np.isin(pp.doc_ids, cand, assume_unique=True)
+            cnts = pp.counts[mask]
+            doc_l.append(np.repeat(pp.doc_ids[mask], cnts))
+            pos_l.append(pp.pos[np.repeat(mask, pp.counts)])
+            tid_l.append(np.full(int(cnts.sum()), ti, dtype=np.int64))
+        d = np.concatenate(doc_l)
+        p = np.concatenate(pos_l)
+        t = np.concatenate(tid_l)
+        order = np.lexsort((p, d))
+        d, p, t = d[order], p[order], t[order]
+        bounds = np.append(
+            np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1]))), d.size
+        )
+        hits = []
+        counts = np.zeros(nt, dtype=np.int64)
+        for si in range(bounds.size - 1):
+            lo, hi = bounds[si], bounds[si + 1]
+            dp, dt = p[lo:hi], t[lo:hi]
+            counts[:] = 0
+            have = 0
+            l = 0
+            ok = False
+            # minimal-cover two-pointer: r extends until every clause is
+            # inside [l, r]; then l shrinks while coverage holds — the
+            # narrowest cover ending at r. Any window of span <= limit
+            # covering all clauses contains such a cover.
+            for r in range(dp.size):
+                if counts[dt[r]] == 0:
+                    have += 1
+                counts[dt[r]] += 1
+                while have == nt:
+                    if dp[r] - dp[l] <= limit:
+                        ok = True
+                        break
+                    counts[dt[l]] -= 1
+                    if counts[dt[l]] == 0:
+                        have -= 1
+                    l += 1
+                if ok:
+                    break
+            if ok:
+                hits.append(int(d[lo]))
+        return np.asarray(hits, dtype=np.int64)
+
+    def span_first_docs(self, term: str, end: int) -> np.ndarray:
+        """Lucene ``span_first``: sorted doc ids where ``term`` occurs
+        with span end ≤ ``end`` — a unit-length term span at 0-based
+        position p has end p+1, so the condition is ``p < end`` (ES
+        ``span_first(match, end)`` counts the same way: end=1 means
+        "the very first token"). Single scan of the term's positional
+        postings, no candidate join."""
+        ps = analyze_phrase(term)
+        if len(ps) != 1:
+            raise ValueError(
+                f"span_first takes a single-term match, got {ps}"
+            )
+        pp = self.fetch(ps)[ps[0]]
+        if pp is None or end <= 0:
+            return np.empty(0, dtype=np.int64)
+        mask = pp.pos < end
+        return np.unique(np.repeat(pp.doc_ids, pp.counts)[mask])
 
     def best_windows(
         self, terms: list[str], doc_ids, width: int = 30

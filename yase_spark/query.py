@@ -1922,6 +1922,36 @@ class IndexReader:
             [(int(d),) for d in ids], schema="doc_id long"
         )
 
+    def span_near(
+        self, terms: list[str], slop: int = 0, in_order: bool = False
+    ) -> np.ndarray:
+        """Lucene/ES ``span_near`` over single-term clauses (ordered or
+        unordered window, span ≤ (n-1)+slop) — see
+        ``PositionsReader.span_near_docs``. Tombstone-masked like every
+        positional lane."""
+        return self._positions().span_near_docs(
+            terms, slop=slop, in_order=in_order
+        )
+
+    def span_first(self, term: str, end: int) -> np.ndarray:
+        """Lucene ``span_first``: docs where ``term`` occurs at 0-based
+        position < ``end`` — see ``PositionsReader.span_first_docs``."""
+        return self._positions().span_first_docs(term, end)
+
+    def span_near_df(
+        self, terms: list[str], slop: int = 0, in_order: bool = False
+    ) -> DataFrame:
+        ids = self.span_near(terms, slop=slop, in_order=in_order)
+        return self.spark.createDataFrame(
+            [(int(d),) for d in ids], schema="doc_id long"
+        )
+
+    def span_first_df(self, term: str, end: int) -> DataFrame:
+        ids = self.span_first(term, end)
+        return self.spark.createDataFrame(
+            [(int(d),) for d in ids], schema="doc_id long"
+        )
+
     def rank_doc_set(
         self, matched, query: str, k: int = 10,
         tokens: list[str] | None = None,

@@ -122,8 +122,18 @@ def main(argv=None) -> int:
         "--kind",
         choices=["topk", "and", "or", "phrase", "phrase_topk", "terms",
                  "highlight", "mlt", "hybrid", "msm", "rescore",
-                 "federated"],
+                 "federated", "span_near", "span_first"],
         default="topk",
+    )
+    p.add_argument(
+        "--in-order", action="store_true",
+        help="query --kind span_near: clauses must appear in the given "
+        "order (default unordered)",
+    )
+    p.add_argument(
+        "--end", type=int, default=1,
+        help="query --kind span_first: match spans ending at or before "
+        "this 0-based token boundary (pos < end)",
     )
     p.add_argument(
         "--min-match", type=int, default=1,
@@ -553,6 +563,14 @@ def main(argv=None) -> int:
                     slop=args.slop,
                 )
             ]
+        elif args.kind == "span_near":
+            out = [
+                int(x) for x in rd.span_near(
+                    args.q.split(), slop=args.slop, in_order=args.in_order
+                )
+            ]
+        elif args.kind == "span_first":
+            out = [int(x) for x in rd.span_first(args.q, args.end)]
         elif args.kind == "phrase":
             out = [int(x) for x in rd.phrase(args.q, slop=args.slop)]
         elif args.kind == "phrase_topk":
