@@ -735,6 +735,46 @@ def _deleted_reader(spark, sf_dir, compact):
     return IndexReader(spark, root, cfg)
 
 
+def _merged_reader(spark, sf_dir):
+    """Index built with a tiny merge_cap (hot terms shard-split into
+    multiple segment rows), then force-merged back to one row per term
+    (index.force_merge — Lucene forceMerge(1)). The split must actually
+    happen for the row to verify anything, so a no-op merge raises."""
+    key = ("forcemerged", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.index import IndexBuilder
+
+        root = tempfile.mkdtemp(prefix="yase_ixm_")
+        cfg = IndexConfig(build_groups=2, shuffle_partitions=16, merge_cap=40)
+        b = IndexBuilder(spark, root, cfg)
+        b.build(_corpus_shape(spark, sf_dir))
+        s = b.force_merge()
+        if s.get("merged_terms", 0) == 0:
+            raise RuntimeError(
+                "force_merge setup found no shard-split terms — the "
+                "oracle would verify nothing"
+            )
+        _CACHE[key] = (root, cfg)
+    root, cfg = _CACHE[key]
+    return IndexReader(spark, root, cfg)
+
+
+def _q_topk_after_merge(spark, sf_dir):
+    # forceMerge(1): shard-split rows byte-concatenated to one row per
+    # term; the merged index must reproduce the full-corpus BM25 ranking
+    # (same oracle as bm25_topk_sql) exactly
+    rd = _merged_reader(spark, sf_dir)
+    rows = rd.topk(" ".join(BM25_TERMS), 10)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return (
+        res.join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r"))
+    )
+
+
 def _q_topk_after_delete(spark, sf_dir):
     # tombstone semantics: deleted docs stop matching IMMEDIATELY while
     # collection stats stay encode-time (the Lucene rule) — the oracle
@@ -1868,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 additions (no driver row yet) ---
         "span_near": _q_span_near,
         "span_first": _q_span_first,
+        "topk_after_merge": _q_topk_after_merge,
         "topk_msm": _q_topk_msm,
         "complete_prefix": _q_complete_prefix,
         "topk_rescore": _q_topk_rescore,
@@ -2309,6 +2350,8 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         ),
         "bm25_topk_sql": _bm25_oracle_sql(topk_select),
         "wand_topk": _bm25_oracle_sql(topk_select),
+        # force-merged index == the ordinary full-corpus ranking
+        "topk_after_merge": _bm25_oracle_sql(topk_select),
         # positional index: token positions = ordinality in the filtered
         # (empties-dropped) stream — identical to the engine's parts-
         # stream positions on this corpus (pure lowercase words)

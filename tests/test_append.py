@@ -4,6 +4,7 @@ stats as a from-scratch build over A∪B (doc_ids may differ: append ids
 extend the old range instead of re-sorting the union, which is the point
 — old ids never change)."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -149,3 +150,85 @@ def test_append_bucket_cow_preserves_unaffected_files(spark, tmp_path):
         .select("term", "df", "cf").collect()
     }
     assert segs_i == segs_f
+
+
+def test_force_merge_coalesces_rows_bitwise(spark, tmp_path):
+    """force_merge (Lucene forceMerge(1) analogue): under a tiny
+    merge_cap hot terms shard-split into multiple segment rows; the
+    merge coalesces every split term to ONE row by byte concatenation,
+    query results stay bitwise identical on both the eager and the lazy
+    WAND lanes, untouched buckets keep byte-identical parquet files, and
+    a second call is a commit-free noop."""
+    schema = "repo string, path string, commit string, lang string, content string"
+    base = [
+        ("r", f"{i:04d}", "c", "python",
+         f"alpha{i % 37} beta{i % 11} gamma delta{i % 5}")
+        for i in range(400)
+    ]
+    root = str(tmp_path / "fm")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, term_buckets=32,
+                      ngrams=False, merge_cap=50, block_size=16)
+    b = IndexBuilder(spark, root, cfg)
+    b.build(spark.createDataFrame(base, schema=schema))
+    cat = Catalog(root)
+
+    def files_by_bucket():
+        out = {}
+        for r in (
+            cat.read(spark, "segments")
+            .select("bucket", F.input_file_name().alias("f"))
+            .distinct().collect()
+        ):
+            out.setdefault(int(r["bucket"]), set()).add(r["f"])
+        return out
+
+    segs = cat.read(spark, "segments")
+    split_terms = {
+        r["term"]
+        for r in segs.groupBy("term").count()
+        .filter(F.col("count") > 1).select("term").collect()
+    }
+    assert "gamma" in split_terms and len(split_terms) > 1
+    totals_before = {
+        r["term"]: (int(r["n"]), int(r["df"]))
+        for r in segs.groupBy("term")
+        .agg(F.sum("n").alias("n"), F.first("df").alias("df")).collect()
+    }
+    rd = IndexReader(spark, root, cfg)
+    q = "gamma alpha3"
+    want = rd.topk(q, 10, use_wand=False)
+    assert rd.topk(q, 10, use_wand=True) == want
+    before = files_by_bucket()
+
+    s = b.force_merge()
+    assert s["noop"] is False
+    assert s["merged_terms"] == len(split_terms)
+
+    segs2 = cat.read(spark, "segments")
+    assert segs2.groupBy("term").count().filter(F.col("count") > 1).count() == 0
+    totals_after = {
+        r["term"]: (int(r["n"]), int(r["df"]))
+        for r in segs2.groupBy("term")
+        .agg(F.sum("n").alias("n"), F.first("df").alias("df")).collect()
+    }
+    assert totals_after == totals_before
+
+    rd2 = IndexReader(spark, root, cfg)
+    assert rd2.topk(q, 10, use_wand=False) == want
+    assert rd2.topk(q, 10, use_wand=True) == want
+    # a merged term decodes to the same postings as the pre-merge concat
+    pp_old, pp_new = rd.fetch_terms(["gamma"]), rd2.fetch_terms(["gamma"])
+    assert np.array_equal(pp_old["gamma"].doc_ids, pp_new["gamma"].doc_ids)
+    assert np.array_equal(pp_old["gamma"].tfs, pp_new["gamma"].tfs)
+
+    from yase_spark.postings import term_bucket
+    affected = {term_bucket(t, cfg.term_buckets) for t in split_terms}
+    after = files_by_bucket()
+    changed = {bk for bk in after if after[bk] != before.get(bk)}
+    assert changed == affected
+    for bk in set(before) - changed:
+        assert after[bk] == before[bk], f"bucket {bk} files changed paths"
+
+    v = cat.current_version("segments")
+    assert b.force_merge()["noop"] is True
+    assert cat.current_version("segments") == v  # noop commits nothing

@@ -282,6 +282,83 @@ def slice_blocks(payload: bytes, metas: list, sel) -> tuple[bytes, list[dict]]:
     return new_payload, new_metas
 
 
+def concat_segment_rows(parts: list[tuple[bytes, list]]) -> tuple[bytes, list[dict]]:
+    """Concatenate the doc-ordered shard rows of ONE term into a single
+    self-contained (payload, block_meta) — the force-merge kernel. Pure
+    byte surgery like ``slice_blocks``: each row's three sections are
+    spliced into combined [gaps | tfs | dls] sections and block_meta
+    offsets are rebuilt; the ONLY varint rewritten is each subsequent
+    row's very first gap (stored as the row's first ``block_first`` —
+    the per-row chain restarts at 0 — rewritten to
+    ``block_first - previous row's block_last`` so the merged chain is
+    continuous). No posting is decoded; cost is O(total payload bytes).
+
+    Requires rows in doc order with disjoint, increasing id ranges
+    (shard rows of one term are doc_id-range shards — postings.py
+    module docstring); violated input raises rather than corrupting."""
+    gap_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    dl_parts: list[bytes] = []
+    g_lens: list[int] = []
+    t_lens: list[int] = []
+    d_lens: list[int] = []
+    all_metas: list = []
+    prev_last = 0
+    for payload, metas in parts:
+        if not metas:
+            continue
+        first = int(metas[0]["block_first"])
+        if all_metas and first <= prev_last:
+            raise ValueError(
+                f"shard rows out of doc order: block_first {first} <= "
+                f"previous row's block_last {prev_last}"
+            )
+        mv = memoryview(payload)
+        g_end = int(metas[0]["tf_off"])
+        t_end = int(metas[0]["dl_off"])
+        offs = [int(m["byte_offset"]) for m in metas] + [g_end]
+        toffs = [int(m["tf_off"]) for m in metas] + [t_end]
+        doffs = [int(m["dl_off"]) for m in metas] + [len(payload)]
+        for b in range(len(metas)):
+            gb = bytes(mv[offs[b]:offs[b + 1]])
+            if b == 0 and prev_last != 0:
+                j = 0
+                while gb[j] & 0x80:
+                    j += 1
+                gb = varint_one(first - prev_last) + gb[j + 1:]
+            gap_parts.append(gb)
+            g_lens.append(len(gb))
+            tb = bytes(mv[toffs[b]:toffs[b + 1]])
+            tf_parts.append(tb)
+            t_lens.append(len(tb))
+            db = bytes(mv[doffs[b]:doffs[b + 1]])
+            dl_parts.append(db)
+            d_lens.append(len(db))
+            all_metas.append(metas[b])
+        prev_last = int(metas[-1]["block_last"])
+    G, T = sum(g_lens), sum(t_lens)
+    new_payload = b"".join(gap_parts + tf_parts + dl_parts)
+    new_metas = []
+    go = to = do = 0
+    for i, m in enumerate(all_metas):
+        new_metas.append(
+            {
+                "block_first": int(m["block_first"]),
+                "block_last": int(m["block_last"]),
+                "max_tf": int(m["max_tf"]),
+                "max_score": float(m["max_score"]),
+                "byte_offset": go,
+                "tf_off": G + to,
+                "dl_off": G + T + do,
+                "n_docs": int(m["n_docs"]),
+            }
+        )
+        go += g_lens[i]
+        to += t_lens[i]
+        do += d_lens[i]
+    return new_payload, new_metas
+
+
 def decode_postings(payload: bytes, n: int):
     """Inverse of encode_postings -> (doc_ids, tfs, dls) int64 arrays."""
     buf = np.frombuffer(payload, dtype=np.uint8)

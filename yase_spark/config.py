@@ -71,6 +71,12 @@ class IndexConfig:
     # changes bytes-at-rest layout, never query results.
     pos_row_docs: int = 1 << 20
 
+    # postings above which a term's merged segment stays split into one
+    # row per doc-range shard (postings.py MERGE_CAP). Layout-only, like
+    # pos_row_docs: splitting changes bytes-at-rest, never query results
+    # (the reader concatenates shard rows; force_merge re-coalesces them)
+    merge_cap: int = 50_000_000
+
     # target raw-content bytes per sort partition in the ingest shuffle.
     # DATA-derived (never core-derived): the partition count fixes
     # runs-per-term in the merge, so it must be identical across cluster

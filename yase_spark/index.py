@@ -416,7 +416,8 @@ class IndexBuilder:
                 & (F.col("term") != DOCMETA_TERM)
             ).drop("grp")
             segs = merge_segments(
-                local, n_docs, stats["avgdl"], cfg, shard_offsets=merge_offsets
+                local, n_docs, stats["avgdl"], cfg,
+                merge_cap=cfg.merge_cap, shard_offsets=merge_offsets,
             )
             # totals ride along with the write action (Observation —
             # accumulator-backed, zero extra pass); per-bucket skew comes
@@ -707,6 +708,109 @@ class IndexBuilder:
         )
         return {"applied": int(dels.size), "n_docs": n_docs2}
 
+    # -------------------------------------------------------- force merge
+    def force_merge(self) -> dict:
+        """Lucene ``forceMerge(1)`` at segment-ROW granularity: coalesce
+        every term's shard-split segment rows (terms above ``merge_cap``
+        postings keep one row per doc-range shard — postings.py
+        ``MERGE_CAP``) into ONE row per term. Pure byte concatenation
+        (``codec.concat_segment_rows``): no posting is decoded, one gap
+        varint is rewritten per row boundary, block bounds/idf/avgdl are
+        carried unchanged (rows of one term share encode-time stats by
+        construction — every path that writes multi-row terms re-encodes
+        the whole term under one (idf, avgdl); asserted executor-side).
+
+        Serving wins: the per-term metadata/payload fetch returns one
+        row instead of R, the reader's shard-ordered concat disappears,
+        and the dictionary shrinks — the read-optimize step a serving
+        fleet runs after heavy append traffic, exactly Lucene's use.
+
+        Bucket-level COW like ``append``: only buckets holding a
+        multi-row term are rewritten (their single-row terms ride
+        through verbatim); untouched buckets keep their committed
+        parquet files byte-identical. Idempotent: a second call finds no
+        multi-row terms and no-ops without a commit."""
+        import pandas as pd
+
+        from .codec import concat_segment_rows
+        from .postings import SEGMENT_SCHEMA
+
+        cfg, cat, spark = self.cfg, self.cat, self.spark
+        t0 = time.time()
+        if not cat.exists("segments"):
+            raise ValueError("force_merge requires an existing index")
+        segs = cat.read(spark, "segments")
+        multi = (
+            segs.groupBy("bucket", "term")
+            .agg(F.count("*").alias("rows"))
+            .filter(F.col("rows") > 1)
+        )
+        # dictionary-sized collect: (bucket, term) pairs of split terms
+        pairs = multi.select("bucket", "term").collect()
+        if not pairs:
+            return {"run_id": self.run_id, "merged_terms": 0, "noop": True}
+        affected_buckets = sorted({int(r["bucket"]) for r in pairs})
+        mterms = spark.createDataFrame(
+            [(r["term"],) for r in pairs], schema="term string"
+        )
+        in_aff = segs.filter(F.col("bucket").isin(affected_buckets))
+        to_merge = in_aff.join(F.broadcast(mterms), "term", "left_semi")
+
+        def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("shard")
+            idf0 = float(pdf["idf"].iloc[0])
+            av0 = float(pdf["avgdl"].iloc[0])
+            if not ((pdf["idf"] == idf0).all() and (pdf["avgdl"] == av0).all()):
+                raise ValueError(
+                    f"term {pdf['term'].iloc[0]!r}: shard rows carry "
+                    "mixed encode-time stats; refusing a bound-corrupting "
+                    "merge"
+                )
+            parts = [
+                (bytes(p), list(m))
+                for p, m in zip(pdf["payload"], pdf["block_meta"])
+            ]
+            payload, metas = concat_segment_rows(parts)
+            return pd.DataFrame(
+                [
+                    {
+                        "term": pdf["term"].iloc[0],
+                        "shard": 0,
+                        "df": int(pdf["df"].iloc[0]),
+                        "cf": int(pdf["cf"].iloc[0]),
+                        "n": int(pdf["n"].sum()),
+                        "payload": payload,
+                        "block_meta": metas,
+                        "idf": idf0,
+                        "avgdl": av0,
+                        "bucket": int(pdf["bucket"].iloc[0]),
+                    }
+                ]
+            )
+
+        merged = to_merge.groupBy("term").applyInPandas(
+            merge_rows, schema=SEGMENT_SCHEMA
+        )
+        passthrough = in_aff.join(
+            F.broadcast(mterms), "term", "left_anti"
+        ).select(*merged.columns)
+        final = merged.unionByName(passthrough)
+        unit = f"forcemerge-v{cat.current_version('segments')}"
+        cat.write(
+            "segments", final, mode="append", partition_by=["bucket"],
+            replace_partitions={"bucket": affected_buckets},
+            tag={"unit": unit},
+        )
+        wall = time.time() - t0
+        self._ckpt(unit, "-", rows_in=len(pairs), wall_ms=wall * 1000)
+        return {
+            "run_id": self.run_id,
+            "merged_terms": len(pairs),
+            "affected_buckets": len(affected_buckets),
+            "wall_s": wall,
+            "noop": False,
+        }
+
     # ------------------------------------------------------------- append
     def append(self, delta: DataFrame) -> dict:
         """Incremental corpus append (SURVEY.md §2.9: "incremental
@@ -874,6 +978,7 @@ class IndexBuilder:
         # rows are already global, so the keyed offsets leave them alone
         merged = merge_segments(
             delta_runs.unionByName(old_runs), stats["n_docs"], stats["avgdl"], cfg,
+            merge_cap=cfg.merge_cap,
             shard_offsets={(1, s): o + old_max for s, o in offsets_local.items()},
         )
         # untouched terms co-resident in affected buckets ride through the

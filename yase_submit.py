@@ -44,7 +44,7 @@ def main(argv=None) -> int:
         choices=[
             "build", "positions", "trigrams", "dictionary", "query", "synth",
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
-            "info", "synonyms", "aggs", "suggest",
+            "info", "synonyms", "aggs", "suggest", "force-merge",
         ],
     )
     p.add_argument(
@@ -317,6 +317,14 @@ def main(argv=None) -> int:
         if not out:
             raise SystemExit("delete: pass --predicate and/or --apply")
         print(json.dumps(out))
+
+    elif args.cmd == "force-merge":
+        # read-optimize after heavy append traffic: coalesce shard-split
+        # segment rows to one row per term (Lucene forceMerge(1); pure
+        # byte concat, bucket-level COW, idempotent)
+        from yase_spark.index import IndexBuilder
+
+        print(json.dumps(IndexBuilder(spark, args.index).force_merge()))
 
     elif args.cmd == "stream":
         # exactly-once incremental indexing of a growing corpus
