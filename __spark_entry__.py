@@ -1697,6 +1697,27 @@ def _q_score_explain(spark, sf_dir):
     )
 
 
+QS_QUERY = "(window OR spark) AND table NOT merge"
+
+
+def _q_qs_topk(spark, sf_dir):
+    # Lucene/ES query_string surface (qparse.py): the typed string is
+    # parsed to And([Or(window, spark), table, Not(merge)]) and ranked
+    # exactly like TopK — match set filters, positive leaves score; the
+    # oracle replays parse-free boolean SQL + BM25 from raw tokens
+    from yase_spark.qparse import parse_topk
+
+    rd = _reader(spark, sf_dir)
+    rows = rd.search_topk(parse_topk(QS_QUERY, k=10))
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r")
+    )
+
+
 # --------------- round-4 additions: minimum_should_match, completion
 # suggest, rescore window, unigram-LM perplexity, composite paging,
 # cardinality (query.py topk_msm/topk_rescore, expand.py complete,
@@ -1952,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _q_collocations,
         "significant_terms": _q_significant_terms,
         "score_explain": _q_score_explain,
+        "qs_topk": _q_qs_topk,
         # --- twice-verified core (green driver rows in r2/r3) ---
         "tf_agg": _q_tf,
         "df_agg": _q_df,
@@ -3236,6 +3258,36 @@ JOIN dl ON dl.doc_id = r.doc_id
 CROSS JOIN st
 """
         ),
+        # query_string: '(window OR spark) AND table NOT merge' — the
+        # oracle never parses; it restates the fixed boolean algebra
+        # and scores positive leaves (window, spark, table) with BM25
+        "qs_topk": f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+       WHERE term IN ('{OR_TERMS[0]}', '{OR_TERMS[1]}', '{AND_TERMS[0]}') GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+match AS (
+  SELECT doc_id FROM (
+    SELECT doc_id FROM (
+      SELECT DISTINCT doc_id FROM t WHERE term = '{OR_TERMS[0]}'
+      UNION SELECT DISTINCT doc_id FROM t WHERE term = '{OR_TERMS[1]}')
+    INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{AND_TERMS[0]}')
+  EXCEPT SELECT DISTINCT doc_id FROM t WHERE term = '{BM25_TERMS[2]}'
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+       JOIN match USING (doc_id) CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 5) AS score_r FROM sc
+ORDER BY score DESC, doc_id LIMIT 10
+""",
         # ann_lsh_topk: rows-only (approximate by design; recall gated
         # in tests/test_pipeline_ops.py). codec_roundtrip, checkpoints:
         # rows-only (engine-internal — real gates are in tests/).

@@ -122,7 +122,7 @@ def main(argv=None) -> int:
         "--kind",
         choices=["topk", "and", "or", "phrase", "phrase_topk", "terms",
                  "highlight", "mlt", "hybrid", "msm", "rescore",
-                 "federated", "span_near", "span_first"],
+                 "federated", "span_near", "span_first", "qs"],
         default="topk",
     )
     p.add_argument(
@@ -472,6 +472,15 @@ def main(argv=None) -> int:
                 ]
             else:
                 out = [int(x) for x in rd.search(tree)]
+        elif args.kind == "qs":
+            # Lucene/ES query_string: --q is parsed ('a AND (b OR c)
+            # -d', quoted phrases with ~slop) and ranked like TopK
+            from yase_spark.qparse import parse_topk
+
+            out = [
+                {"rank": r, "doc_id": d, "score": s}
+                for r, d, s in rd.search_topk(parse_topk(args.q, args.k))
+            ]
         elif args.kind == "topk":
             if args.after:
                 sc, did = args.after.split(",")
