@@ -1857,6 +1857,37 @@ def _q_federated_facets(spark, sf_dir):
     )
 
 
+def _q_federated_complete(spark, sf_dir):
+    # cross-shard completion suggest: per-shard FULL (term, df) maps
+    # under the prefix, dfs summed (additive over disjoint shards),
+    # global rank — oracle = the full-corpus completion SQL, so any
+    # shard-local truncation or double count breaks the hash
+    from yase_spark.federate import federated_complete
+
+    _q_federated_topk(spark, sf_dir)  # ensure the shard pair is built
+    readers = [IndexReader(spark, root, cfg) for root, cfg in _CACHE[("fed", sf_dir)]]
+    rows = federated_complete(readers, COMPLETE_PREFIX, k=COMPLETE_K)
+    return spark.createDataFrame(
+        [(t, int(w)) for t, w in rows] or [], schema="term string, weight long"
+    )
+
+
+def _q_federated_suggest(spark, sf_dir):
+    # cross-shard did-you-mean: per-shard full distance-1 candidate
+    # sets (these shards have no deletion sibling, so this also
+    # exercises the exact banded-levenshtein fallback), dfs summed,
+    # re-ranked per word — oracle = the full-corpus spell SQL
+    from yase_spark.federate import federated_spell_suggest
+
+    _q_federated_topk(spark, sf_dir)  # ensure the shard pair is built
+    readers = [IndexReader(spark, root, cfg) for root, cfg in _CACHE[("fed", sf_dir)]]
+    rows = federated_spell_suggest(readers, SPELL_PROBES, k=SPELL_K)
+    return spark.createDataFrame(
+        [(w, r, s, int(d)) for w, r, s, d in rows] or [],
+        schema="word string, rank int, suggestion string, df long",
+    )
+
+
 TOPHITS_PER, TOPHITS_GROUPS = 3, 4
 
 
@@ -1974,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": _q_significant_terms,
         "score_explain": _q_score_explain,
         "qs_topk": _q_qs_topk,
+        "federated_complete": _q_federated_complete,
+        "federated_suggest": _q_federated_suggest,
         # --- twice-verified core (green driver rows in r2/r3) ---
         "tf_agg": _q_tf,
         "df_agg": _q_df,
@@ -2162,7 +2195,7 @@ FROM b
 _LANG_ID_SQL, _QUALITY_SQL = _sw_sql()
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     and_a, and_b = AND_TERMS
     or_a, or_b = OR_TERMS
     topk_select = (
@@ -3292,3 +3325,14 @@ ORDER BY score DESC, doc_id LIMIT 10
         # in tests/test_pipeline_ops.py). codec_roundtrip, checkpoints:
         # rows-only (engine-internal — real gates are in tests/).
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    o = _oracle_sql_base()
+    # federated suggest surfaces: two disjoint shards must reproduce
+    # the FULL-corpus completion / spell rankings exactly (df is
+    # additive over disjoint shards) — same oracles as the single-index
+    # entries by construction
+    o["federated_complete"] = o["complete_prefix"]
+    o["federated_suggest"] = o["spell_suggest"]
+    return o

@@ -427,3 +427,47 @@ def test_federated_overcap_shard_uses_sharded_lane(spark, tiny_corpus, tiny_inde
     got = dfs_query_then_fetch(readers, q, k=10)
     assert got == want
     assert calls["sharded"] == 2  # both shards took the cluster lane
+
+
+def test_federated_suggest_equal_single_index(spark, tiny_corpus, tiny_index, tmp_path):
+    """federated_complete / federated_spell_suggest over two disjoint
+    shards must reproduce the single-index rankings exactly — dfs are
+    additive over disjoint shards, so every weight is the single-index
+    weight bit-for-bit. Also gates max_values: an over-bound per-shard
+    candidate set raises instead of flooding the coordinator."""
+    import pytest as _pytest
+
+    from yase_spark.expand import TermExpander
+    from yase_spark.federate import federated_complete, federated_spell_suggest
+    from yase_spark.index import build_index
+    from yase_spark.suggest import spell_suggest
+
+    root_full, cfg, _ = tiny_index
+    readers = []
+    for parity in (0, 1):
+        shard = tiny_corpus.filter(
+            F.pmod(F.abs(F.xxhash64("path")), F.lit(2)) == parity
+        )
+        root = str(tmp_path / f"sshard{parity}")
+        build_index(spark, shard, root, cfg)
+        readers.append(IndexReader(spark, root, cfg))
+    full = IndexReader(spark, root_full, cfg)
+
+    for prefix in ("ge", "s", "zzz"):
+        want = [
+            (r["term"], r["weight"])
+            for r in TermExpander(spark, full.cat.root)
+            .complete(prefix, k=7).collect()
+        ]
+        assert federated_complete(readers, prefix, k=7) == want, prefix
+
+    words = ["jsonn", "gte", "zzzzz"]
+    want = [
+        (r["word"], r["rank"], r["suggestion"], r["df"])
+        for r in spell_suggest(spark, full.cat.root, words, k=3)
+        .orderBy("word", "rank").collect()
+    ]
+    assert federated_spell_suggest(readers, words, k=3) == want
+
+    with _pytest.raises(RuntimeError, match="exceeded its 1-row bound"):
+        federated_complete(readers, "s", k=5, max_values=1)

@@ -142,3 +142,75 @@ def federated_facet_counts(
             acc[row[col]] += int(row["cnt"])
     out = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
     return [(v, c) for v, c in out]
+
+
+def federated_complete(
+    readers: list[IndexReader], prefix: str, k: int = 10,
+    max_values: int = 100_000,
+) -> list[tuple[str, int]]:
+    """Completion suggest across shard indexes — exact, for the same
+    reason as ``federated_facet_counts``: a term's document frequency
+    is ADDITIVE over disjoint shards. Each shard range-prunes its
+    sorted dictionary under the prefix and returns its FULL
+    (term, df) map under that prefix (a per-shard top-k would
+    undercount terms popular everywhere but dominant nowhere — the
+    distributed-terms-agg error again); the coordinator sums and ranks
+    (weight DESC, term ASC). ``max_values`` bounds the per-shard
+    collect: a one-letter prefix over a 10^9-term dictionary must fail
+    loudly, not OOM the coordinator."""
+    from collections import defaultdict
+
+    from .expand import TermExpander
+    from .similarity import bounded_collect
+
+    acc: dict = defaultdict(int)
+    for r in readers:
+        rows = bounded_collect(
+            TermExpander(r.spark, r.cat.root).complete(
+                prefix, k=max_values + 1
+            ),
+            max_values,
+            f"federated_complete({prefix!r})",
+        )
+        for row in rows:
+            acc[row["term"]] += int(row["weight"])
+    out = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(t, w) for t, w in out]
+
+
+def federated_spell_suggest(
+    readers: list[IndexReader], words: list[str], k: int = 5,
+    max_candidates: int = 100_000,
+) -> list[tuple[str, int, str, int]]:
+    """Did-you-mean across shard indexes: per-shard distance-1
+    candidate sets (the deletion-neighborhood join when the shard's
+    deletion index is fresh, the exact banded-levenshtein fallback
+    otherwise — either way the FULL candidate set per word, never a
+    shard-local top-k), dfs summed over shards, re-ranked per word by
+    (df DESC, suggestion ASC). Exact: edit distance is
+    shard-independent and df is additive; a correction indexed in only
+    one shard still surfaces with its true global weight. Returns
+    (word, rank, suggestion, df) rows like single-index
+    ``spell_suggest``."""
+    from collections import defaultdict
+
+    from .similarity import bounded_collect
+    from .suggest import spell_suggest
+
+    acc: dict = defaultdict(int)
+    for r in readers:
+        rows = bounded_collect(
+            spell_suggest(r.spark, r.cat.root, words, k=max_candidates),
+            max_candidates,
+            "federated_spell_suggest",
+        )
+        for row in rows:
+            acc[(row["word"], row["suggestion"])] += int(row["df"])
+    out: list[tuple[str, int, str, int]] = []
+    for w in sorted({wd for wd, _ in acc}):
+        cands = sorted(
+            ((s, d) for (wd, s), d in acc.items() if wd == w),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        out.extend((w, i + 1, s, d) for i, (s, d) in enumerate(cands))
+    return out

@@ -177,8 +177,9 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--shards",
-        help="query --kind federated: comma-separated shard index roots "
-        "(DFS_QUERY_THEN_FETCH — global df/avgdl, exact cross-shard merge)",
+        help="comma-separated shard index roots: query --kind federated "
+        "(DFS_QUERY_THEN_FETCH — global df/avgdl, exact cross-shard "
+        "merge) or suggest --op complete/spell (additive-df merge)",
     )
     p.add_argument(
         "--mlt-terms", type=int, default=25,
@@ -638,8 +639,38 @@ def main(argv=None) -> int:
 
     elif args.cmd == "suggest":
         # suggest surfaces off the dictionary siblings: --op complete
-        # (autocomplete) or spell (did-you-mean, default)
-        if args.op == "complete":
+        # (autocomplete) or spell (did-you-mean, default); --shards
+        # a,b,c federates either op exactly (additive dfs)
+        if args.shards:
+            from yase_spark.federate import (
+                federated_complete,
+                federated_spell_suggest,
+            )
+            from yase_spark.query import IndexReader
+
+            readers = [
+                IndexReader(spark, r) for r in args.shards.split(",")
+            ]
+            if args.op == "complete":
+                if not args.prefix:
+                    raise SystemExit("suggest --op complete needs --prefix")
+                out = [
+                    {"term": t, "weight": w}
+                    for t, w in federated_complete(
+                        readers, args.prefix, k=args.k
+                    )
+                ]
+            else:
+                if not args.q:
+                    raise SystemExit("suggest needs --q (words to correct)")
+                out = [
+                    {"word": w, "rank": r, "suggestion": s, "df": d}
+                    for w, r, s, d in federated_spell_suggest(
+                        readers, args.q.split(), k=args.k
+                    )
+                ]
+            print(json.dumps(out))
+        elif args.op == "complete":
             from yase_spark.expand import TermExpander
 
             if not args.prefix:
