@@ -1888,6 +1888,18 @@ def _q_federated_suggest(spark, sf_dir):
     )
 
 
+def _q_topk_sort_field(spark, sf_dir):
+    # ES sort-by-field: docs matching the query ordered by doc_len
+    # instead of relevance — flag-lane match set, docs join, TakeOrdered
+    # (internal tie order == orig-id order because path is lpad(orig))
+    rd = _reader(spark, sf_dir)
+    res = rd.topk_sort_field(" ".join(BM25_TERMS), "doc_len", k=10)
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        "rank", F.col("orig_doc_id").alias("doc_id"), "doc_len"
+    )
+
+
 TOPHITS_PER, TOPHITS_GROUPS = 3, 4
 
 
@@ -2007,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_topk": _q_qs_topk,
         "federated_complete": _q_federated_complete,
         "federated_suggest": _q_federated_suggest,
+        "topk_sort_field": _q_topk_sort_field,
         # --- twice-verified core (green driver rows in r2/r3) ---
         "tf_agg": _q_tf,
         "df_agg": _q_df,
@@ -3335,4 +3348,17 @@ def oracle_sql() -> dict[str, str]:
     # entries by construction
     o["federated_complete"] = o["complete_prefix"]
     o["federated_suggest"] = o["spell_suggest"]
+    # sort-by-field: OR match set, ordered by token count (== engine
+    # doc_len on this corpus), doc_id tiebreak (== internal tie order)
+    bm = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    o["topk_sort_field"] = f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+match AS (SELECT DISTINCT doc_id FROM t WHERE term IN ({bm})),
+top AS (SELECT doc_id, dl FROM match JOIN dl USING (doc_id)
+        ORDER BY dl DESC, doc_id LIMIT 10)
+SELECT row_number() OVER (ORDER BY dl DESC, doc_id) AS rank,
+       doc_id, dl AS doc_len
+FROM top
+"""
     return o

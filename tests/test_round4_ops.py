@@ -471,3 +471,49 @@ def test_federated_suggest_equal_single_index(spark, tiny_corpus, tiny_index, tm
 
     with _pytest.raises(RuntimeError, match="exceeded its 1-row bound"):
         federated_complete(readers, "s", k=5, max_values=1)
+
+
+def test_topk_sort_field_matches_naive(spark, rd):
+    """ES sort-by-field: (a) equals a pandas recount over the match set
+    ∪ docs dimension, desc and asc; (b) a string query means OR of its
+    tokens (parity with an explicit Or tree); (c) non-dimension fields
+    are rejected loudly."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from yase_spark.query import Or, Term
+    from yase_spark.tokenize import analyze_query
+
+    q = "json getPage"
+    docs = rd.cat.read(spark, "docs").select("doc_id", "doc_len").toPandas()
+    toks = analyze_query(q)
+    match = sorted(
+        {int(x) for t in toks for x in rd.fetch_terms([t]).get(t, None).doc_ids}
+        if all(rd.fetch_terms([t]).get(t) is not None for t in toks)
+        else set().union(
+            *[
+                set(map(int, tp.doc_ids))
+                for tp in rd.fetch_terms(toks).values()
+            ]
+        )
+    )
+    m = docs[docs.doc_id.isin(match)]
+    for asc in (False, True):
+        want = m.sort_values(
+            ["doc_len", "doc_id"], ascending=[asc, True]
+        ).head(5)
+        got = rd.topk_sort_field(q, "doc_len", k=5, ascending=asc).collect()
+        assert [(r["doc_id"], r["doc_len"]) for r in got] == list(
+            map(tuple, want[["doc_id", "doc_len"]].itertuples(index=False))
+        ), f"asc={asc}"
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+    tree = Or([Term(t) for t in toks])
+    a = rd.topk_sort_field(q, "doc_len", k=5).collect()
+    b = rd.topk_sort_field(tree, "doc_len", k=5).collect()
+    assert a == b
+
+    with _pytest.raises(ValueError, match="docs-dimension"):
+        rd.topk_sort_field(q, "content_sha256", k=5)
+    with _pytest.raises(ValueError, match="docs-dimension"):
+        rd.topk_sort_field(q, "nope", k=5)

@@ -2737,6 +2737,51 @@ class IndexReader:
             "rank", F.row_number().over(w).cast("long")
         ).select("rank", field, "doc_id", "score")
 
+    def topk_sort_field(
+        self, tree, field: str, k: int = 10, ascending: bool = False
+    ) -> DataFrame:
+        """Sort-by-field search (the ES ``sort`` API): docs matching the
+        query ordered by a docs-dimension column instead of relevance —
+        "newest matches", "longest matches". ``tree`` is a boolean AST
+        node or a query string (analyzed to an OR over its tokens, the
+        match-anything-scored semantics of ranked search). Output:
+        (rank, doc_id, <field>), doc_id ASC tiebreak.
+
+        Scale shape: the match set comes from ``search_df`` (the
+        corpus-sized-result flag lane — one executor-side decode, one
+        shuffle), joins the docs dimension on doc_id, and
+        ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
+        (per-partition heaps, P·k rows at the driver) — never a global
+        sort, exactly the collapse/grouped lane shape. The rank window
+        runs on the k-row result only."""
+        from pyspark.sql import Window
+
+        docs = self.cat.read(self.spark, "docs")
+        if field not in docs.columns or field == "content_sha256":
+            raise ValueError(
+                f"sort field {field!r} is not a docs-dimension column"
+            )
+        if isinstance(tree, str):
+            toks = analyze_query(tree)
+            if not toks:
+                return self.spark.createDataFrame(
+                    [], schema=f"rank long, doc_id long, {field} string"
+                )
+            # tokens are analyzer output, and the analyzer is idempotent
+            # on its own output — each Term leaf stays a single token
+            tree = Or([Term(t) for t in toks]) if len(toks) > 1 else Term(toks[0])
+        ordcol = F.col(field).asc() if ascending else F.col(field).desc()
+        top = (
+            self.search_df(tree)
+            .join(docs.select("doc_id", field), "doc_id")
+            .orderBy(ordcol, F.col("doc_id").asc())
+            .limit(k)
+        )
+        w = Window.orderBy(ordcol, F.col("doc_id").asc())
+        return top.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).select("rank", "doc_id", field)
+
     def topk_function_score(
         self, query: str, boost_expr: str, k: int = 10
     ) -> DataFrame:

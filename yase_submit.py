@@ -122,7 +122,7 @@ def main(argv=None) -> int:
         "--kind",
         choices=["topk", "and", "or", "phrase", "phrase_topk", "terms",
                  "highlight", "mlt", "hybrid", "msm", "rescore",
-                 "federated", "span_near", "span_first", "qs"],
+                 "federated", "span_near", "span_first", "qs", "sort"],
         default="topk",
     )
     p.add_argument(
@@ -180,6 +180,14 @@ def main(argv=None) -> int:
         help="comma-separated shard index roots: query --kind federated "
         "(DFS_QUERY_THEN_FETCH — global df/avgdl, exact cross-shard "
         "merge) or suggest --op complete/spell (additive-df merge)",
+    )
+    p.add_argument(
+        "--sort-field", default="doc_len",
+        help="query --kind sort: docs-dimension column to order by",
+    )
+    p.add_argument(
+        "--asc", action="store_true",
+        help="query --kind sort: ascending order (default descending)",
     )
     p.add_argument(
         "--mlt-terms", type=int, default=25,
@@ -473,6 +481,13 @@ def main(argv=None) -> int:
                 ]
             else:
                 out = [int(x) for x in rd.search(tree)]
+        elif args.kind == "sort":
+            # ES sort API: --q selects (query string via qparse when it
+            # contains operators, else OR-of-tokens), --sort-field orders
+            rows = rd.topk_sort_field(
+                args.q, args.sort_field, k=args.k, ascending=args.asc
+            ).collect()
+            out = [r.asDict() for r in rows]
         elif args.kind == "qs":
             # Lucene/ES query_string: --q is parsed ('a AND (b OR c)
             # -d', quoted phrases with ~slop) and ranked like TopK
