@@ -775,6 +775,35 @@ def _q_topk_after_merge(spark, sf_dir):
     )
 
 
+def _q_topk_after_vacuum(spark, sf_dir):
+    # expireSnapshots must never change current reads: the force-merged
+    # index vacuumed to keep_last=1 (expired manifests dropped, COW-
+    # superseded bucket partition dirs physically reclaimed) must still
+    # reproduce the full-corpus BM25 ranking exactly. The first vacuum
+    # must actually reclaim something or the row verifies nothing.
+    from yase_spark.index import IndexBuilder
+
+    rd = _merged_reader(spark, sf_dir)
+    key = ("vacuumed", sf_dir)
+    st = IndexBuilder(spark, rd.cat.root, rd.cfg).vacuum(keep_last=1)
+    if key not in _CACHE:
+        if st["deleted_partitions"] == 0 and st["freed_bytes"] == 0:
+            raise RuntimeError(
+                "vacuum reclaimed nothing on the force-merged index — "
+                "the oracle would verify nothing"
+            )
+        _CACHE[key] = True
+    rows = rd.topk(" ".join(BM25_TERMS), 10)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return (
+        res.join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r"))
+    )
+
+
 def _q_topk_after_delete(spark, sf_dir):
     # tombstone semantics: deleted docs stop matching IMMEDIATELY while
     # collection stats stay encode-time (the Lucene rule) — the oracle
@@ -1973,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": _q_span_near,
         "span_first": _q_span_first,
         "topk_after_merge": _q_topk_after_merge,
+        "topk_after_vacuum": _q_topk_after_vacuum,
         "topk_msm": _q_topk_msm,
         "complete_prefix": _q_complete_prefix,
         "topk_rescore": _q_topk_rescore,
@@ -2420,6 +2450,8 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         "wand_topk": _bm25_oracle_sql(topk_select),
         # force-merged index == the ordinary full-corpus ranking
         "topk_after_merge": _bm25_oracle_sql(topk_select),
+        # ... and vacuuming it reclaims storage without changing reads
+        "topk_after_vacuum": _bm25_oracle_sql(topk_select),
         # positional index: token positions = ordinality in the filtered
         # (empties-dropped) stream — identical to the engine's parts-
         # stream positions on this corpus (pure lowercase words)

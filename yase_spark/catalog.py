@@ -348,10 +348,12 @@ class Catalog:
         while v > 0:
             m = self._manifest(name, v)
             tags.append(m.get("tag", {}))
+            # a compaction or snapshot-expiry manifest carries the tags
+            # of the history it collapsed/expired (Iceberg: retained
+            # snapshot metadata) — collect them on ANY operation, since
+            # expire_snapshots can leave them on an append manifest
+            tags.extend(m.get("carried_tags", []))
             if m["operation"] == "overwrite":
-                # a compaction snapshot carries the tags of the history
-                # it collapsed (Iceberg: retained snapshot metadata)
-                tags.extend(m.get("carried_tags", []))
                 break
             v = m["parent_version"]
         return tags
@@ -426,6 +428,141 @@ class Catalog:
                 json.dump(mm, f, indent=1)
             os.replace(tmp, self._manifest_path(name, v))
         return v
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
+        """Iceberg ``expireSnapshots`` + ``remove_orphan_files``: retain
+        the newest ``keep_last`` snapshots of the current lineage,
+        delete every other manifest (time-travel to an expired version
+        now raises, like Iceberg), and physically remove data that no
+        retained snapshot can read:
+
+        * whole data dirs referenced only by expired manifests — plus
+          orphan dirs from crashed commits (written but never listed);
+        * partition SUBDIRS excluded by EVERY retained manifest that
+          lists their dir — the bucket-level copy-on-write path
+          (append / force_merge) supersedes whole partition dirs, and
+          without this they accumulate forever.
+
+        Resume safety: unit/fingerprint tags of the expired ancestors
+        are carried onto the oldest retained manifest (the same
+        retained-metadata trick ``compact`` uses) and its parent link
+        is cut, so ``committed_tags``/``snapshots`` walks stop cleanly
+        instead of chasing deleted manifests. Current reads are
+        bit-identical before and after by construction — nothing a
+        retained manifest references is touched. Idempotent: a second
+        call finds nothing to delete."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+
+        def _dir_bytes(path: str) -> int:
+            total = 0
+            for dirpath, _dirs, files in os.walk(path):
+                for fn in files:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, fn))
+                    except OSError:
+                        pass
+            return total
+
+        with self._commit_lock:
+            lineage = self.snapshots(name)  # raises if table absent
+            retained = [s["version"] for s in lineage[-keep_last:]]
+            expired = [s["version"] for s in lineage[:-keep_last]]
+            rset = set(retained)
+
+            # live dirs + per-dir exclude sets across retained manifests
+            live: dict[str, list[dict]] = {}
+            for v in retained:
+                for e in self._manifest(name, v)["data_dirs"]:
+                    p = os.path.normpath(self._entry_path(e))
+                    live.setdefault(p, []).append(self._entry_exclude(e))
+
+            tdir = self._tdir(name)
+            deleted_dirs = deleted_partitions = 0
+            freed = 0
+
+            data_root = os.path.join(tdir, "data")
+            if os.path.isdir(data_root):
+                for entry in os.scandir(data_root):
+                    p = os.path.normpath(entry.path)
+                    if not entry.is_dir():
+                        continue
+                    if p not in live:
+                        freed += _dir_bytes(p)
+                        shutil.rmtree(p, ignore_errors=True)
+                        deleted_dirs += 1
+                        continue
+                    # a partition subdir is dead iff every retained
+                    # manifest listing this dir excludes its value
+                    excl_sets = live[p]
+                    dead = None
+                    for ex in excl_sets:
+                        names = {
+                            f"{col}={v}" for col, vals in ex.items()
+                            for v in vals
+                        }
+                        dead = names if dead is None else (dead & names)
+                        if not dead:
+                            break
+                    for part in sorted(dead or ()):
+                        pp = os.path.join(p, part)
+                        if os.path.isdir(pp):
+                            freed += _dir_bytes(pp)
+                            shutil.rmtree(pp, ignore_errors=True)
+                            deleted_partitions += 1
+
+            if expired:
+                # carry expired history's tags onto the oldest retained
+                # manifest and cut its parent link BEFORE deleting the
+                # expired manifests, so a crash between the two steps
+                # still leaves every walk consistent
+                oldest = retained[0]
+                m = self._manifest(name, oldest)
+                carried = list(m.get("carried_tags", []))
+                for v in reversed(expired):
+                    em = self._manifest(name, v)
+                    carried.append(em.get("tag", {}))
+                    carried.extend(em.get("carried_tags", []))
+                m["carried_tags"] = carried
+                m["parent_version"] = 0
+                m["history_expired_below"] = oldest
+                tmp = self._manifest_path(name, oldest) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(m, f, indent=1)
+                os.replace(tmp, self._manifest_path(name, oldest))
+                for v in expired:
+                    try:
+                        os.remove(self._manifest_path(name, v))
+                    except FileNotFoundError:
+                        pass
+            # manifests outside the current lineage (rolled-back-over
+            # branches) are unreadable history too once expiry runs
+            for fn in os.listdir(tdir):
+                if fn.startswith("manifest-") and fn.endswith(".json"):
+                    v = int(fn[len("manifest-"):-len(".json")])
+                    if v not in rset:
+                        os.remove(os.path.join(tdir, fn))
+                        if v not in expired:
+                            expired.append(v)
+
+            return {
+                "table": name,
+                "expired_versions": sorted(expired),
+                "retained_versions": retained,
+                "deleted_dirs": deleted_dirs,
+                "deleted_partitions": deleted_partitions,
+                "freed_bytes": freed,
+            }
+
+    def tables(self) -> list[str]:
+        """Names of every committed table under this catalog root."""
+        out = []
+        for entry in os.scandir(self.root):
+            if entry.is_dir() and os.path.exists(
+                os.path.join(entry.path, "VERSION")
+            ):
+                out.append(entry.name)
+        return sorted(out)
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)

@@ -811,6 +811,33 @@ class IndexBuilder:
             "noop": False,
         }
 
+    # -------------------------------------------------------------- vacuum
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Iceberg ``expireSnapshots`` over every table of this index
+        (segments, docs, stats, positions/trigram/dictionary siblings,
+        checkpoints, …): retain the newest ``keep_last`` snapshots per
+        table, drop expired manifests, physically delete data no
+        retained snapshot can read — including bucket partition dirs
+        superseded by copy-on-write appends / force-merges, the main
+        space leak of a long-lived index under write traffic. Current
+        reads are bit-identical before/after; resume tags are carried
+        (catalog.expire_snapshots). Returns per-table stats plus
+        totals."""
+        per_table = {
+            t: self.cat.expire_snapshots(t, keep_last=keep_last)
+            for t in self.cat.tables()
+        }
+        return {
+            "run_id": self.run_id,
+            "keep_last": keep_last,
+            "tables": per_table,
+            "freed_bytes": sum(s["freed_bytes"] for s in per_table.values()),
+            "deleted_dirs": sum(s["deleted_dirs"] for s in per_table.values()),
+            "deleted_partitions": sum(
+                s["deleted_partitions"] for s in per_table.values()
+            ),
+        }
+
     # ------------------------------------------------------------- append
     def append(self, delta: DataFrame) -> dict:
         """Incremental corpus append (SURVEY.md §2.9: "incremental

@@ -44,7 +44,7 @@ def main(argv=None) -> int:
         choices=[
             "build", "positions", "trigrams", "dictionary", "query", "synth",
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
-            "info", "synonyms", "aggs", "suggest", "force-merge",
+            "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
         ],
     )
     p.add_argument(
@@ -118,6 +118,10 @@ def main(argv=None) -> int:
         "the tree's positive tokens",
     )
     p.add_argument("--k", type=int, default=10)
+    p.add_argument(
+        "--keep", type=int, default=1,
+        help="vacuum: newest snapshots to retain per table",
+    )
     p.add_argument(
         "--kind",
         choices=["topk", "and", "or", "phrase", "phrase_topk", "terms",
@@ -326,6 +330,16 @@ def main(argv=None) -> int:
         if not out:
             raise SystemExit("delete: pass --predicate and/or --apply")
         print(json.dumps(out))
+
+    elif args.cmd == "vacuum":
+        # Iceberg expireSnapshots: retain --keep newest snapshots per
+        # table, reclaim unreferenced data (incl. COW-superseded bucket
+        # dirs); current reads identical before/after
+        from yase_spark.index import IndexBuilder
+
+        print(json.dumps(IndexBuilder(spark, args.index).vacuum(
+            keep_last=args.keep
+        )))
 
     elif args.cmd == "force-merge":
         # read-optimize after heavy append traffic: coalesce shard-split
