@@ -804,6 +804,40 @@ def _q_topk_after_vacuum(spark, sf_dir):
     )
 
 
+def _q_reindex_topk(spark, sf_dir):
+    # content-free reindex (ES _reindex/_split + Lucene IndexUpgrader,
+    # reindex.py): rewrite the physical layout — skip-block size and
+    # term-bucket partitioning — in ONE pass over segment bytes, corpus
+    # never read, payloads carried byte-identically. Reads on the new
+    # layout must match the plain full-corpus BM25 oracle exactly. The
+    # layout change is asserted so the row can't pass vacuously.
+    _reader(spark, sf_dir)                  # ensure the source exists
+    src_root, src_cfg = _CACHE[sf_dir]
+    key = ("reindexed", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.reindex import reindex
+
+        dst = tempfile.mkdtemp(prefix="yase_ixr_") + "/idx"
+        st = reindex(spark, src_root, dst, block_size=32, term_buckets=8)
+        if st["changed"] != {"block_size": 32, "term_buckets": 8}:
+            raise RuntimeError(f"reindex changed nothing: {st}")
+        _CACHE[key] = dst
+    rd = IndexReader(spark, _CACHE[key])    # adopts dst persisted config
+    if (rd.cfg.block_size, rd.cfg.term_buckets) == (
+        src_cfg.block_size, src_cfg.term_buckets
+    ) or (rd.cfg.block_size, rd.cfg.term_buckets) != (32, 8):
+        raise RuntimeError("reindexed layout equals the source layout")
+    rows = rd.topk(" ".join(BM25_TERMS), 10)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return (
+        res.join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r"))
+    )
+
+
 def _q_topk_after_delete(spark, sf_dir):
     # tombstone semantics: deleted docs stop matching IMMEDIATELY while
     # collection stats stay encode-time (the Lucene rule) — the oracle
@@ -2003,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": _q_span_first,
         "topk_after_merge": _q_topk_after_merge,
         "topk_after_vacuum": _q_topk_after_vacuum,
+        "reindex_topk": _q_reindex_topk,
         "topk_msm": _q_topk_msm,
         "complete_prefix": _q_complete_prefix,
         "topk_rescore": _q_topk_rescore,
@@ -2452,6 +2487,9 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         "topk_after_merge": _bm25_oracle_sql(topk_select),
         # ... and vacuuming it reclaims storage without changing reads
         "topk_after_vacuum": _bm25_oracle_sql(topk_select),
+        # content-free physical re-layout (new block_size/term_buckets)
+        # leaves the ranking bitwise-identical
+        "reindex_topk": _bm25_oracle_sql(topk_select),
         # positional index: token positions = ordinality in the filtered
         # (empties-dropped) stream — identical to the engine's parts-
         # stream positions on this corpus (pure lowercase words)

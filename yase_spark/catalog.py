@@ -101,6 +101,7 @@ class Catalog:
         partition_by: list[str] | None = None,
         tag: dict | None = None,
         replace_partitions: dict | None = None,
+        carried_tags: list[dict] | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot.
 
@@ -160,6 +161,13 @@ class Catalog:
                 "data_dirs": dirs + [data_dir],
                 "tag": tag or {},
             }
+            if carried_tags:
+                # snapshot-metadata carry (same mechanism compact /
+                # expire_snapshots use): tags of history this commit
+                # subsumes — e.g. a reindex cloning a multi-commit table
+                # into ONE commit keeps every unit/fingerprint visible
+                # to committed_tags, so resume/noop detection survives
+                manifest["carried_tags"] = list(carried_tags)
             v = prev + 1
             with open(self._manifest_path(name, v), "w") as f:
                 json.dump(manifest, f, indent=1)
@@ -177,6 +185,7 @@ class Catalog:
         schema: "pyarrow.Schema | None" = None,
         mode: str = "append",
         tag: dict | None = None,
+        carried_tags: list[dict] | None = None,
     ) -> int:
         """Commit small METADATA tables (checkpoints, stats) driver-side
         via pyarrow — no Spark job. Iceberg writes its metadata/manifest
@@ -211,6 +220,8 @@ class Catalog:
                 "data_dirs": dirs + [data_dir],
                 "tag": tag or {},
             }
+            if carried_tags:
+                manifest["carried_tags"] = list(carried_tags)
             v = prev + 1
             with open(self._manifest_path(name, v), "w") as f:
                 json.dump(manifest, f, indent=1)

@@ -45,6 +45,7 @@ def main(argv=None) -> int:
             "build", "positions", "trigrams", "dictionary", "query", "synth",
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
             "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
+            "reindex",
         ],
     )
     p.add_argument(
@@ -122,6 +123,18 @@ def main(argv=None) -> int:
         "--keep", type=int, default=1,
         help="vacuum: newest snapshots to retain per table",
     )
+    p.add_argument(
+        "--block-size", type=int, default=None,
+        help="reindex: new skip-block size (None = keep source's)",
+    )
+    p.add_argument(
+        "--buckets", type=int, default=None,
+        help="reindex: new term_buckets partitioning (None = keep source's)",
+    )
+    p.add_argument("--k1", type=float, default=None,
+                   help="reindex: new BM25 k1 (None = keep source's)")
+    p.add_argument("--b", type=float, default=None,
+                   help="reindex: new BM25 b (None = keep source's)")
     p.add_argument(
         "--kind",
         choices=["topk", "and", "or", "phrase", "phrase_topk", "terms",
@@ -339,6 +352,20 @@ def main(argv=None) -> int:
 
         print(json.dumps(IndexBuilder(spark, args.index).vacuum(
             keep_last=args.keep
+        )))
+
+    elif args.cmd == "reindex":
+        # rewrite the index's physical layout (block_size/term_buckets)
+        # or scoring params (k1/b) WITHOUT re-reading the corpus: one
+        # pass over segment bytes, payloads carried byte-identically
+        from yase_spark.reindex import reindex
+
+        if not args.out:
+            raise SystemExit("reindex: pass --out for the destination root")
+        print(json.dumps(reindex(
+            spark, args.index, args.out,
+            block_size=args.block_size, term_buckets=args.buckets,
+            k1=args.k1, b=args.b,
         )))
 
     elif args.cmd == "force-merge":
