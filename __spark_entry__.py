@@ -1311,6 +1311,39 @@ def _q_stream_event_windows(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+def _q_stream_percolate(spark, sf_dir):
+    # continuous percolation (ES percolator/Watcher as a stream): the
+    # documents table arrives as two parquet micro-batches; the appended
+    # (doc_id, query_id) alert rows must equal batch percolation of the
+    # FULL corpus. The registry compiles to a stateless per-row boolean
+    # expression — no join, no state store, no watermark — so nothing
+    # can leak or double across the micro-batch boundary
+    import tempfile
+
+    key = ("sperc", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.streaming import stream_percolate
+
+        base = tempfile.mkdtemp(prefix="yase_sperc_")
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{base}/in")
+        d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{base}/in")
+        q = stream_percolate(
+            spark, f"{base}/in", f"{base}/out", f"{base}/ck",
+            PERC_QUERIES, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        _CACHE[key] = (f"{base}/out", None)
+    out, _ = _CACHE[key]
+    return spark.read.parquet(out)
+
+
 def _q_stream_dedup(spark, sf_dir):
     # streaming exactly-once dedup (dropDuplicatesWithinWatermark): the
     # input PLANTS duplicates — every even event_id arrives twice, once
@@ -2051,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": _q_length_percentiles,
         "term_vectors": _q_term_vectors,
         "stream_dedup": _q_stream_dedup,
+        "stream_percolate": _q_stream_percolate,
         "snapshot_read": _q_snapshot_read,
         "facet_ranges": _q_facet_ranges,
         "facet_histogram": _q_facet_histogram,
@@ -3418,6 +3452,9 @@ def oracle_sql() -> dict[str, str]:
     # entries by construction
     o["federated_complete"] = o["complete_prefix"]
     o["federated_suggest"] = o["spell_suggest"]
+    # streaming percolation over two micro-batches == batch percolation
+    # of the full corpus (stateless compiled-expression lane)
+    o["stream_percolate"] = o["percolate"]
     # sort-by-field: OR match set, ordered by token count (== engine
     # doc_len on this corpus), doc_id tiebreak (== internal tie order)
     bm = ", ".join(f"'{t}'" for t in BM25_TERMS)

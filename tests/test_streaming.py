@@ -289,3 +289,58 @@ def test_stream_dedup_exactly_once(spark, tmp_path):
     assert len(rows) == 20
     got = sorted((r["event_id"], r["event_type"], r["value_r"]) for r in rows)
     assert got == [(i, f"t{i % 2}", float(i)) for i in range(20)]
+
+
+def test_stream_percolate_matches_batch(spark, tmp_path):
+    """Streaming percolation (compiled stateless expression lane) must
+    emit exactly the batch relational lane's (doc_id, query_id) pairs
+    when the same corpus arrives as two micro-batches — and a replay of
+    the availableNow run appends nothing (sink checkpoint)."""
+    from yase_spark.percolate import percolate
+    from yase_spark.streaming import stream_percolate
+
+    queries = [
+        (1, [["spark", "flink"], ["stream"]]),
+        (2, [["alpha"]]),
+        (3, [["alpha", "beta"], ["gamma"], ["delta"]]),
+    ]
+    rows = [
+        (1, "spark stream processing"),          # q1
+        (2, "flink Stream!"),                    # q1 (case/punct)
+        (3, "spark batch only"),                 # none (group 2 unmet)
+        (4, "alpha beta gamma delta"),           # q2, q3
+        (5, "beta gamma"),                       # none (delta missing)
+        (6, "ALPHA"),                            # q2
+        (7, "stream without engines"),           # none (group 1 unmet)
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    want = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in percolate(docs, queries).collect()
+    )
+    assert want  # planted matches must exist or the test is vacuous
+
+    inbox, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    docs.filter("doc_id <= 3").coalesce(1).write.mode("append").parquet(inbox)
+    docs.filter("doc_id > 3").coalesce(1).write.mode("append").parquet(inbox)
+    q = stream_percolate(spark, inbox, out, ck, queries, max_files_per_trigger=1)
+    q.awaitTermination()
+    got = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == want
+
+    # replay: nothing new arrives -> nothing appended (exactly-once)
+    q2 = stream_percolate(spark, inbox, out, ck, queries, max_files_per_trigger=1)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == len(want)
+
+    # registry contract shared with the batch lane: loud rejection
+    with pytest.raises(ValueError, match="single"):
+        stream_percolate(spark, inbox, out, ck, [(9, [["two words"]])])
+    with pytest.raises(ValueError, match="registry_cap"):
+        stream_percolate(
+            spark, inbox, out, ck,
+            [(i, [["a"]]) for i in range(5)], registry_cap=3,
+        )

@@ -40,6 +40,31 @@ from pyspark.sql import functions as F
 SPLIT = "[^a-z0-9]+"
 
 
+def registry_rows(queries) -> list[tuple[int, int, str]]:
+    """Validate + flatten a stored-query registry to (query_id, gid,
+    term) rows — the ONE registry contract shared by the batch
+    relational lane (below) and the streaming compiled-expression lane
+    (streaming.stream_percolate)."""
+    import re
+
+    rows = []
+    for qid, groups in queries:
+        if not groups:
+            raise ValueError(f"query {qid}: empty CNF (matches everything)")
+        for gid, group in enumerate(groups):
+            if not group:
+                raise ValueError(f"query {qid} group {gid}: empty OR-group")
+            for term in group:
+                low = str(term).lower()
+                if not low or re.search(SPLIT, low):
+                    raise ValueError(
+                        f"query {qid}: term {term!r} is not a single "
+                        "analyzed token"
+                    )
+                rows.append((int(qid), int(gid), low))
+    return rows
+
+
 def percolate(
     docs: DataFrame, queries: list[tuple[int, list[list[str]]]]
 ) -> DataFrame:
@@ -50,23 +75,7 @@ def percolate(
     lowercased; a term containing separator characters raises (see
     module docstring).
     """
-    rows = []
-    for qid, groups in queries:
-        if not groups:
-            raise ValueError(f"query {qid}: empty CNF (matches everything)")
-        for gid, group in enumerate(groups):
-            if not group:
-                raise ValueError(f"query {qid} group {gid}: empty OR-group")
-            for term in group:
-                low = str(term).lower()
-                import re
-
-                if not low or re.search(SPLIT, low):
-                    raise ValueError(
-                        f"query {qid}: term {term!r} is not a single "
-                        "analyzed token"
-                    )
-                rows.append((int(qid), int(gid), low))
+    rows = registry_rows(queries)
     spark = docs.sparkSession
     qdf = spark.createDataFrame(rows, schema="query_id long, gid int, term string")
     need = qdf.groupBy("query_id").agg(

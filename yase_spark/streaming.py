@@ -21,6 +21,8 @@ via the engine's own COW merge, never via streaming state stores.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -328,6 +330,93 @@ def stream_dedup(
     )
     return (
         deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_percolate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    queries,
+    max_files_per_trigger: int | None = None,
+    registry_cap: int = 1000,
+):
+    """Continuous percolation — the ES percolator / Watcher and Lucene
+    Monitor capability as a STREAM: every arriving document is matched
+    against the stored-query registry and (doc_id, query_id) alert rows
+    are appended downstream. The serving shape of alerting, routing and
+    saved-search notification over a live feed.
+
+    Plan shape (the part that matters at 100 TB/day): the registry
+    COMPILES to a per-row boolean expression — tokenize once
+    (array_distinct over the split stream), then per stored query an
+    AND over its OR-groups of ``arrays_overlap`` against literal
+    arrays, stacked as an array of (query_id, matched) structs,
+    filtered and exploded. Fully STATELESS map-only streaming: no
+    stream-static join, no aggregation, no watermark, no state store —
+    append mode trivially, exactly-once via the sink checkpoint, and a
+    1000-executor stream scales linearly with input because each row is
+    O(registry) work with zero shuffle. The registry side is
+    driver-compiled and therefore bounded (``registry_cap``, default
+    1000 rules — Catalyst expression size, the honest constraint);
+    beyond that use the batch relational lane (percolate.percolate,
+    broadcast-join shaped) on micro-batches via foreachBatch.
+
+    Same registry contract (CNF, single-token terms, loud rejection)
+    and bitwise-identical match semantics as the batch lane —
+    pytest-gated equality on a planted corpus.
+    """
+    from .percolate import SPLIT, registry_rows
+
+    if len(queries) > registry_cap:
+        raise ValueError(
+            f"{len(queries)} stored queries > registry_cap={registry_cap}; "
+            "use percolate.percolate in foreachBatch for large registries"
+        )
+    rows = registry_rows(queries)
+    groups: dict[int, dict[int, list[str]]] = {}
+    for qid, gid, term in rows:
+        groups.setdefault(qid, {}).setdefault(gid, []).append(term)
+
+    reader = spark.readStream.schema("doc_id long, text string")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), SPLIT), lambda t: t != "")
+    )
+    matched = [
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            functools.reduce(
+                lambda a, c: a & c,
+                [
+                    F.arrays_overlap(
+                        toks, F.array(*[F.lit(t) for t in terms])
+                    )
+                    for terms in sorted_groups
+                ],
+            ).alias("m"),
+        )
+        for qid, gs in sorted(groups.items())
+        for sorted_groups in [[gs[g] for g in sorted(gs)]]
+    ]
+    out = stream.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.array(*matched), lambda s: s["m"])
+        ).alias("hit"),
+    ).select("doc_id", F.col("hit.query_id").alias("query_id"))
+
+    return (
+        out.writeStream.outputMode("append")
         .format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
