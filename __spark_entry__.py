@@ -1742,6 +1742,25 @@ def _q_spell_suggest(spark, sf_dir):
     return spell_suggest(spark, rd.cat.root, SPELL_PROBES, k=SPELL_K)
 
 
+PSUG_Q, PSUG_K, PSUG_PW, PSUG_A = "spak tble", 3, 3, 0.4
+
+
+def _q_phrase_suggest(spark, sf_dir):
+    # ES phrase suggester: per-token distance<=1 candidates (df-capped)
+    # re-ranked as WHOLE phrases by a Stupid-Backoff bigram LM over the
+    # corpus word stream — corrections that are individually plausible
+    # but never said together lose to the phrase the corpus actually
+    # contains. Oracle recomputes candidates (brute levenshtein), the
+    # bigram/unigram counts, and the same log10 backoff score in SQL.
+    from yase_spark.suggest import phrase_suggest
+
+    rd = _suggest_reader(spark, sf_dir)
+    return phrase_suggest(
+        spark, rd.cat.root, _docs(spark, sf_dir), PSUG_Q,
+        k=PSUG_K, per_word=PSUG_PW, alpha=PSUG_A,
+    )
+
+
 def _q_related_terms(spark, sf_dir):
     # significant-terms: doc-level PMI vs the seed; the background df
     # column comes from the index's published dictionary (no second
@@ -2111,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "tfidf_vectors": _q_tfidf_vectors,
         "spell_suggest": _q_spell_suggest,
+        "phrase_suggest": _q_phrase_suggest,
         "related_terms": _q_related_terms,
         "collocations": _q_collocations,
         "significant_terms": _q_significant_terms,
@@ -3327,6 +3347,44 @@ SELECT word,
        row_number() OVER (PARTITION BY word ORDER BY df DESC, suggestion) AS rank,
        suggestion, df
 FROM cand QUALIFY rank <= {SPELL_K}
+""",
+        # phrase suggester: per-word levenshtein<=1 candidates capped by
+        # df, whole phrases scored by Stupid-Backoff bigram LM over the
+        # word stream; unseen-term phrases dropped (inner unigram joins)
+        "phrase_suggest": f"""
+{_T_SQL},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+c1 AS (SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+    FROM d WHERE levenshtein('{PSUG_Q.split()[0]}', term) <= 1)
+  WHERE rn <= {PSUG_PW}),
+c2 AS (SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn
+    FROM d WHERE levenshtein('{PSUG_Q.split()[1]}', term) <= 1)
+  WHERE rn <= {PSUG_PW}),
+w AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w FROM documents),
+tot AS (SELECT sum(len(w)) AS n FROM w),
+uni AS (SELECT term, count(*) AS c
+        FROM (SELECT unnest(w) AS term FROM w) GROUP BY 1),
+big AS (
+  SELECT w[i.i] AS t1, w[i.i+1] AS t2, count(*) AS c
+  FROM w CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(len(w), 1))) AS i) i
+  GROUP BY 1, 2),
+sc AS (
+  SELECT c1.term AS w1, c2.term AS w2,
+         log10(u1.c / tot.n) +
+         CASE WHEN coalesce(b.c, 0) > 0 THEN log10(b.c / u1.c)
+              ELSE log10({PSUG_A} * u2.c / tot.n) END AS score
+  FROM c1 CROSS JOIN c2
+  JOIN uni u1 ON u1.term = c1.term
+  JOIN uni u2 ON u2.term = c2.term
+  LEFT JOIN big b ON b.t1 = c1.term AND b.t2 = c2.term
+  CROSS JOIN tot)
+SELECT row_number() OVER (ORDER BY score DESC, w1 || ' ' || w2) AS rank,
+       w1 || ' ' || w2 AS phrase, round(score, 6) AS score_r
+FROM sc QUALIFY rank <= {PSUG_K}
 """,
         # related terms: doc-level PMI vs the seed over distinct tokens
         "significant_terms": f"""

@@ -292,3 +292,93 @@ def test_significant_terms_vs_python(spark):
     top = {r["term"] for r in out[:3]}
     assert top <= {"der", "die", "das"}
     assert all(r["term"] != "common" for r in out)
+
+
+def test_phrase_suggest_bigram_overrides_unigram(spark, tmp_path):
+    """The phrase-LM point: 'cable' is the more frequent unigram
+    correction for 'gable' (both at plain levenshtein 1), but 'data table' is what the corpus says —
+    the Stupid-Backoff bigram score must rank 'data table' first. Also:
+    exact match against an independent pure-Python recompute, unknown
+    tokens give no rows, over-cap lattice raises."""
+    import itertools
+    import math
+    import re
+
+    from yase_spark.config import IndexConfig
+    from yase_spark.index import build_index
+    from yase_spark.suggest import build_deletion_index, phrase_suggest
+
+    texts = (
+        ["data table join"] * 6
+        + ["cable news", "cable car", "cable tv", "cable cut",
+           "cable drum", "cable tie", "cable long", "cable short"]
+        + ["data point"] * 3
+    )
+    root = str(tmp_path / "pix")
+    corpus = spark.createDataFrame(
+        [("r", f"{i:04d}", "h", "py", t) for i, t in enumerate(texts)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    cfg = IndexConfig(build_groups=1, shuffle_partitions=4, hot_term_df=10**9)
+    build_index(spark, corpus, root, cfg)
+    build_deletion_index(spark, root)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # sanity of the plant: cable strictly more frequent than table
+    toks = [w for t in texts for w in re.split("[^a-z0-9]+", t.lower()) if w]
+    assert toks.count("cable") > toks.count("table")
+
+    got = phrase_suggest(spark, root, docs, "data gable", k=3, per_word=3)
+    rows = [(r["rank"], r["phrase"], r["score_r"]) for r in got.collect()]
+    assert rows and rows[0][1] == "data table"
+
+    # independent recompute of the whole spec
+    dic = _dict_terms(spark, root)
+    def cands(word, pw=3):
+        c = [(t, df) for t, df in dic.items()
+             if _brute_lev(t, word) <= 1]
+        c.sort(key=lambda x: (-x[1], x[0]))
+        return [t for t, _ in c[:pw]]
+    uni = {}
+    for w in toks:
+        uni[w] = uni.get(w, 0) + 1
+    bi = {}
+    for t in texts:
+        ws = [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n = len(toks)
+    exp = []
+    for p in itertools.product(cands("data"), cands("gable")):
+        if any(uni.get(t, 0) == 0 for t in p):
+            continue
+        s = math.log10(uni[p[0]] / n)
+        cb = bi.get((p[0], p[1]), 0)
+        s += (math.log10(cb / uni[p[0]]) if cb > 0
+              else math.log10(0.4 * uni[p[1]] / n))
+        exp.append((" ".join(p), s))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    want = [(i + 1, ph, round(s, 6)) for i, (ph, s) in enumerate(exp[:3])]
+    assert rows == want
+
+    # a token with no neighborhood anywhere -> no suggestion rows
+    assert phrase_suggest(spark, root, docs, "zzqqxx table").count() == 0
+
+    # over-cap lattice is a loud error, never a silent truncation
+    with pytest.raises(ValueError, match="max_phrases"):
+        phrase_suggest(spark, root, docs, "data gable", per_word=3,
+                       max_phrases=1)
+
+
+def _brute_lev(a, b):
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            prev, d[j] = d[j], min(
+                d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+    return d[n]

@@ -213,3 +213,169 @@ def did_you_mean(
             if r["rank"] == 1:
                 best[r["word"]] = r["suggestion"]
     return [(w, w if w in known else best.get(w, w)) for w in words]
+
+
+def phrase_suggest(
+    spark: SparkSession,
+    index_root: str,
+    docs: DataFrame,
+    query: str,
+    k: int = 3,
+    per_word: int = 5,
+    alpha: float = 0.4,
+    max_phrases: int = 2000,
+) -> DataFrame:
+    """Whole-query did-you-mean — the ES *phrase suggester* (Lucene
+    ``PhraseSuggester``): per-token candidate generation + a bigram
+    language-model re-rank of entire candidate phrases, so corrections
+    that are individually plausible but nonsense together lose to the
+    phrase the corpus actually says.
+
+    Candidate generation (per query token, ``suggest_mode=always``):
+    every dictionary term at levenshtein distance <= 1 (the token
+    itself included when known), ranked df DESC / term ASC, capped at
+    ``per_word`` — the SymSpell deletion-index probe when fresh (exact:
+    the deletion join only over-generates, JVM levenshtein verifies),
+    else the banded live-scan fallback, same contract as
+    ``spell_suggest``.
+
+    Re-rank (Stupid Backoff, the Lucene default for this suggester)::
+
+        score(p) = log10(c(w1)/N)
+                 + sum_i  log10(c(w_{i-1} w_i) / c(w_{i-1}))   if seen
+                          log10(alpha * c(w_i) / N)            else
+
+    with counts from the documents word stream (unigram counts filtered
+    to the candidate vocabulary, adjacent-bigram counts filtered to the
+    candidate transitions, total token count N). Phrases containing a
+    term the stream never saw are dropped (their backoff is -inf). Top
+    ``k`` by score DESC, phrase ASC.
+
+    Scale shape: the phrase lattice is per-position-capped so it is
+    <= per_word^n rows, bounded by ``max_phrases`` (loud error, never a
+    silent truncation) and lives driver-side; the corpus-sized work is
+    ONE pass over ``docs`` with candidate-vocabulary ``isin`` filters,
+    aggregated map-side — only vocabulary-sized counts are collected.
+    At 100 TB the same counts would come from a published bigram
+    sibling table; the query-side contract is unchanged.
+    """
+    import itertools
+    import math
+    import re
+
+    from .percolate import SPLIT
+
+    words = [w for w in re.split(SPLIT, query.lower()) if w]
+    if not words:
+        raise ValueError("empty query")
+
+    cat = Catalog(index_root)
+    if deletions_are_fresh(cat):
+        probes = [(w, v) for w in set(words) for v in py_deletion_variants(w)]
+        probe_df = spark.createDataFrame(probes, "word string, variant string")
+        variants = sorted({v for _, v in probes})
+        dels = cat.read(spark, DELETIONS_TABLE).filter(
+            F.col("variant").isin(variants)
+        )
+        cand = (
+            dels.join(F.broadcast(probe_df), "variant")
+            .select("word", "term", "df")
+            .distinct()
+            .filter(F.levenshtein("word", "term") <= 1)
+        )
+    else:
+        from .expand import dictionary_is_fresh
+
+        live = (
+            cat.read(spark, "dictionary")
+            if dictionary_is_fresh(cat)
+            else cat.read(spark, "segments").select("term", "df").distinct()
+        )
+        probe_df = spark.createDataFrame(
+            [(w,) for w in set(words)], "word string"
+        )
+        cand = (
+            live.crossJoin(F.broadcast(probe_df))
+            .filter(F.abs(F.length("term") - F.length("word")) <= 1)
+            .filter(F.levenshtein("word", "term") <= 1)
+            .select("word", "term", "df")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_word)
+        .collect()
+    )
+    by_word: dict[str, list[str]] = {}
+    for r in rows:
+        by_word.setdefault(r["word"], []).append(r["term"])
+    cands = [by_word.get(wd, []) for wd in words]
+    if any(not c for c in cands):
+        # a token with NO neighborhood anywhere in the vocabulary kills
+        # every phrase — same "no suggestion" contract as spell_suggest
+        return spark.createDataFrame(
+            [], schema="rank long, phrase string, score_r double"
+        )
+    n_phrases = math.prod(len(c) for c in cands)
+    if n_phrases > max_phrases:
+        raise ValueError(
+            f"{n_phrases} candidate phrases > max_phrases={max_phrases}; "
+            "lower per_word or raise max_phrases"
+        )
+    phrases = [list(p) for p in itertools.product(*cands)]
+
+    vocab = sorted({t for c in cands for t in c})
+    pairs = sorted(
+        {(p[i], p[i + 1]) for p in phrases for i in range(len(p) - 1)}
+    )
+
+    warr = F.filter(
+        F.split(F.lower(F.col("text")), SPLIT), lambda t: t != ""
+    )
+    base = docs.select(warr.alias("ws"))
+    n_total = base.select(F.sum(F.size("ws"))).collect()[0][0] or 0
+    uni = {
+        r["t"]: r["c"]
+        for r in base.select(F.explode("ws").alias("t"))
+        .filter(F.col("t").isin(vocab))
+        .groupBy("t").agg(F.count("*").alias("c")).collect()
+    }
+    bi: dict[str, int] = {}
+    if pairs:
+        # tokens are [a-z0-9]+ so a space-joined key is unambiguous
+        pair_keys = [f"{a} {b}" for a, b in pairs]
+        nm1 = F.greatest(F.size("ws") - 1, F.lit(0))
+        bi = {
+            r["p"]: r["c"]
+            for r in base.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("ws"), 1, nm1),
+                        F.slice(F.col("ws"), 2, nm1),
+                        lambda a_, b_: F.concat_ws(" ", a_, b_),
+                    )
+                ).alias("p")
+            )
+            .filter(F.col("p").isin(pair_keys))
+            .groupBy("p").agg(F.count("*").alias("c")).collect()
+        }
+
+    scored = []
+    for p in phrases:
+        if any(uni.get(t, 0) == 0 for t in p):
+            continue
+        s = math.log10(uni[p[0]] / n_total)
+        for i in range(1, len(p)):
+            cb = bi.get(f"{p[i - 1]} {p[i]}", 0)
+            if cb > 0:
+                s += math.log10(cb / uni[p[i - 1]])
+            else:
+                s += math.log10(alpha * uni[p[i]] / n_total)
+        scored.append((" ".join(p), s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    out = [(i + 1, ph, round(s, 6)) for i, (ph, s) in enumerate(scored[:k])]
+    return spark.createDataFrame(
+        out, schema="rank long, phrase string, score_r double"
+    )

@@ -167,7 +167,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--op",
         choices=["composite", "cardinality", "percentiles", "ppl",
-                 "term_vectors", "complete"],
+                 "term_vectors", "complete", "phrase"],
         help="aggs/suggest: which aggregation / suggest surface to run",
     )
     p.add_argument(
@@ -733,6 +733,29 @@ def main(argv=None) -> int:
                 raise SystemExit("suggest --op complete needs --prefix")
             rows = TermExpander(spark, args.index).complete(
                 args.prefix, k=args.k
+            ).collect()
+            print(json.dumps([r.asDict() for r in rows]))
+        elif args.op == "phrase":
+            # whole-query did-you-mean: per-token distance-1 candidates
+            # re-ranked as phrases by a Stupid-Backoff bigram LM over
+            # the corpus word stream (needs --corpus for the LM counts)
+            from yase_spark.catalog import Catalog
+            from yase_spark.sources import read_corpus
+            from yase_spark.suggest import (
+                build_deletion_index,
+                deletions_are_fresh,
+                phrase_suggest,
+            )
+
+            if not args.q or not args.corpus:
+                raise SystemExit("suggest --op phrase needs --q and --corpus")
+            if not deletions_are_fresh(Catalog(args.index)):
+                build_deletion_index(spark, args.index)
+            docs = read_corpus(spark, args.corpus, args.format).selectExpr(
+                "monotonically_increasing_id() AS doc_id", "content AS text"
+            )
+            rows = phrase_suggest(
+                spark, args.index, docs, args.q, k=args.k
             ).collect()
             print(json.dumps([r.asDict() for r in rows]))
         else:
