@@ -2106,7 +2106,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_percolate": _q_stream_percolate,
         "snapshot_read": _q_snapshot_read,
         "facet_ranges": _q_facet_ranges,
-        "facet_histogram": _q_facet_histogram,
         "synonym_topk": _q_synonym_topk,
         # --- never driver-checked (late round-3 additions) ---
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2115,12 +2114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_event_windows": _q_stream_event_windows,
         "stream_sessionize": _q_stream_sessionize,
         "image_resize": _q_image_resize,
-        "frame_sample": _q_frame_sample,
         "highlight_topk": _q_highlight_topk,
         "more_like_this": _q_more_like_this,
         "prefix_expand": _q_prefix_expand,
         "multi_term_search": _q_multi_term_search,
-        "multi_term_topk": _q_multi_term_topk,
         "facet_counts": _q_facet_counts,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
@@ -2139,6 +2136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_complete": _q_federated_complete,
         "federated_suggest": _q_federated_suggest,
         "topk_sort_field": _q_topk_sort_field,
+        "multi_term_topk": _q_multi_term_topk,
+        "facet_histogram": _q_facet_histogram,
+        "frame_sample": _q_frame_sample,
         # --- twice-verified core (green driver rows in r2/r3) ---
         "tf_agg": _q_tf,
         "df_agg": _q_df,
