@@ -465,6 +465,23 @@ def _q_fields_topk(spark, sf_dir):
     )
 
 
+def _q_fields_cross(spark, sf_dir):
+    # cross_fields multi-match (Lucene BlendedTermQuery): per-term
+    # BLENDED df (max across fields — a term rare in one field can't
+    # manufacture idf), per-term dis-max across fields, terms sum.
+    # Field-local length norms, like Lucene.
+    from yase_spark.fields import fields_cross_topk
+
+    rd1 = _reader(spark, sf_dir)
+    rd2 = _fields_reader(spark, sf_dir)
+    res = fields_cross_topk([(rd1, 1.0), (rd2, FIELD_W)], FIELD_QUERY, k=10)
+    m = _orig_ids(rd1, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 DISMAX_TIE = 0.3
 
 
@@ -2136,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_complete": _q_federated_complete,
         "federated_suggest": _q_federated_suggest,
         "topk_sort_field": _q_topk_sort_field,
+        "fields_cross": _q_fields_cross,
         "multi_term_topk": _q_multi_term_topk,
         "facet_histogram": _q_facet_histogram,
         "frame_sample": _q_frame_sample,
@@ -3513,6 +3531,44 @@ def oracle_sql() -> dict[str, str]:
     # streaming percolation over two micro-batches == batch percolation
     # of the full corpus (stateless compiled-expression lane)
     o["stream_percolate"] = o["percolate"]
+    # cross_fields: per-term blended df (max across fields), per-term
+    # dis-max of the weighted per-field contributions, sum over terms;
+    # per-field length norms — mirrors fields.fields_cross_topk exactly
+    _cf_terms = ", ".join(f"'{t}'" for t in FIELD_QUERY.split())
+    o["fields_cross"] = f"""
+{_T_SQL},
+dl1 AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf1 AS (SELECT term, doc_id, count(*) AS tf FROM t WHERE term IN ({_cf_terms}) GROUP BY 1, 2),
+df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+st1 AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl1),
+tok2 AS (SELECT doc_id, unnest(regexp_split_to_array(
+           lower(source || ' ' || lang), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT * FROM tok2 WHERE term <> ''),
+dl2 AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+tf2 AS (SELECT term, doc_id, count(*) AS tf FROM t2 WHERE term IN ({_cf_terms}) GROUP BY 1, 2),
+df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+bdf AS (SELECT coalesce(a.term, b.term) AS term,
+               greatest(coalesce(a.df, 0), coalesce(b.df, 0)) AS df
+        FROM df1 a FULL JOIN df2 b ON a.term = b.term),
+c1 AS (
+  SELECT tf1.doc_id, tf1.term,
+         ln(1.0 + (st1.n - bdf.df + 0.5) / (bdf.df + 0.5))
+           * (tf1.tf * {K1 + 1.0}) / (tf1.tf + {K1} * (1.0 - {B} + {B} * (dl1.dl / st1.avgdl)))
+           * 1.0 AS c
+  FROM tf1 JOIN bdf USING (term) JOIN dl1 USING (doc_id) CROSS JOIN st1),
+st2 AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl2),
+c2 AS (
+  SELECT tf2.doc_id, tf2.term,
+         ln(1.0 + (st2.n - bdf.df + 0.5) / (bdf.df + 0.5))
+           * (tf2.tf * {K1 + 1.0}) / (tf2.tf + {K1} * (1.0 - {B} + {B} * (dl2.dl / st2.avgdl)))
+           * {FIELD_W} AS c
+  FROM tf2 JOIN bdf USING (term) JOIN dl2 USING (doc_id) CROSS JOIN st2),
+u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+pm AS (SELECT doc_id, term, max(c) AS c FROM u GROUP BY 1, 2),
+sc AS (SELECT doc_id, sum(c) AS score FROM pm GROUP BY 1)
+SELECT doc_id, round(score, 5) AS score_r FROM sc
+ORDER BY score DESC, doc_id LIMIT 10
+"""
     # sort-by-field: OR match set, ordered by token count (== engine
     # doc_len on this corpus), doc_id tiebreak (== internal tie order)
     bm = ", ".join(f"'{t}'" for t in BM25_TERMS)

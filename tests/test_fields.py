@@ -147,3 +147,100 @@ def test_dismax_limits_and_semantics(spark, two_fields):
     assert [r["doc_id"] for r in t0] == [d for d, _ in want]
     for r, (_, s) in zip(t0, want):
         assert abs(r["score"] - s) < 1e-9
+
+
+def test_cross_fields_blended_df_and_term_dismax(spark, two_fields):
+    """fields_cross_topk == a driver-side recompute: per-term idf from
+    the BLENDED (max-across-fields) df, per-(doc, term) dis-max of the
+    weighted per-field contributions, terms summed. Also gates the two
+    semantic properties the mode exists for: the blended idf differs
+    from at least one field-local idf on this corpus, and a doc
+    matching different terms in different fields outranks its
+    best_fields (doc-level max) score."""
+    import math
+
+    from yase_spark.fields import fields_cross_topk, fields_dismax_topk
+
+    root, froot, cfg = two_fields
+    rd1 = IndexReader(spark, root, cfg)
+    rd2 = IndexReader(spark, froot, cfg)
+    query, w1, w2 = "json java src", 1.0, 2.5
+    tokens = analyze_query(query)
+
+    d1, d2 = rd1.term_dfs(tokens), rd2.term_dfs(tokens)
+    blended = {
+        t: max(int(d1.get(t, 0)), int(d2.get(t, 0))) for t in tokens
+    }
+    assert any(
+        blended[t] not in (int(d1.get(t, 0)), 0) or
+        blended[t] not in (int(d2.get(t, 0)), 0)
+        for t in tokens
+    )  # blending must actually change some field-local df
+
+    best: dict[tuple, float] = {}
+    for rd, w in ((rd1, w1), (rd2, w2)):
+        got = rd.fetch_terms(tokens)
+        for t in tokens:
+            tp = got.get(t)
+            if tp is None or blended[t] == 0:
+                continue
+            idf = math.log(
+                1.0 + (rd.n_docs - blended[t] + 0.5) / (blended[t] + 0.5)
+            )
+            contrib = idf * (tp.tfs.astype(np.float64) * (cfg.k1 + 1.0)) / (
+                tp.tfs.astype(np.float64)
+                + cfg.k1
+                * (1.0 - cfg.b + cfg.b * (tp.dls.astype(np.float64) / rd.avgdl))
+            )
+            for d, c in zip(tp.doc_ids.tolist(), (w * contrib).tolist()):
+                key = (d, t)
+                if c > best.get(key, float("-inf")):
+                    best[key] = c
+    expected: dict[int, float] = {}
+    for (d, _t), c in best.items():
+        expected[d] = expected.get(d, 0.0) + c
+    want = sorted(expected.items(), key=lambda x: (-x[1], x[0]))[:10]
+
+    rows = fields_cross_topk([(rd1, w1), (rd2, w2)], query, k=10).collect()
+    assert [r["doc_id"] for r in rows] == [d for d, _ in want]
+    for r, (_, s) in zip(rows, want):
+        assert abs(r["score"] - s) < 1e-9
+
+    # structural: per-term additive across fields — a doc whose terms
+    # split across fields must score >= its pure dis-max (doc-level
+    # best-field) ranking score under the same weights
+    dm = {
+        r["doc_id"]: r["score"]
+        for r in fields_dismax_topk(
+            [(rd1, w1), (rd2, w2)], query, k=10**6, tie_breaker=0.0
+        ).collect()
+    }
+    # compare on common docs, modulo the df-blend delta: recompute the
+    # dis-max under BLENDED stats driver-side for an exact invariant
+    dm_blended: dict[int, float] = {}
+    for rd, w in ((rd1, w1), (rd2, w2)):
+        got = rd.fetch_terms(tokens)
+        per_doc: dict[int, float] = {}
+        for t in tokens:
+            tp = got.get(t)
+            if tp is None or blended[t] == 0:
+                continue
+            idf = math.log(
+                1.0 + (rd.n_docs - blended[t] + 0.5) / (blended[t] + 0.5)
+            )
+            contrib = idf * (tp.tfs.astype(np.float64) * (cfg.k1 + 1.0)) / (
+                tp.tfs.astype(np.float64)
+                + cfg.k1
+                * (1.0 - cfg.b + cfg.b * (tp.dls.astype(np.float64) / rd.avgdl))
+            )
+            for d, c in zip(tp.doc_ids.tolist(), (w * contrib).tolist()):
+                per_doc[d] = per_doc.get(d, 0.0) + c
+        for d, s in per_doc.items():
+            if s > dm_blended.get(d, float("-inf")):
+                dm_blended[d] = s
+    assert dm  # dis-max lane produced rows (sanity)
+    for d, s in expected.items():
+        assert s >= dm_blended.get(d, 0.0) - 1e-12
+    assert any(
+        expected[d] > dm_blended.get(d, 0.0) + 1e-9 for d in expected
+    )  # ...and strictly better somewhere (terms split across fields)

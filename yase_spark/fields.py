@@ -126,3 +126,70 @@ def fields_dismax_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "score"
     )
+
+
+def fields_cross_topk(
+    fields: list[tuple], query: str, k: int = 10
+) -> DataFrame:
+    """Term-centric multi-field ranking — the ES ``multi_match``
+    ``cross_fields`` mode (Lucene ``BlendedTermQuery``): treat the
+    fields as ONE logical field per term. Two differences from the
+    field-centric modes above:
+
+    * **Blended df.** A term's idf uses ``max`` of its per-field dfs,
+      so a term that is merely RARE IN ONE FIELD (every author name is
+      rare in the body) cannot manufacture a huge idf — the classic
+      cross_fields failure this mode exists to fix. Per-field length
+      normalization (dl/avgdl) stays field-local, like Lucene.
+    * **Per-term dis-max, then sum.** score(d) = sum_t max_f
+      w_f*BM25_f(t, d): each query term counts once at its best field,
+      terms combine additively — "first name matches the title, last
+      name matches the body" scores like a full match, which
+      best_fields (doc-level max) structurally cannot do.
+
+    Scale shape: per-field dfs are a dictionary-sized metadata fetch
+    (``term_dfs``); the blended dict broadcasts into the contribution
+    kernels (``contrib_df(df_override=...)``); the per-field frames
+    union (partition concat, no shuffle) and ONE aggregation keyed by
+    (doc_id, term) -> partial re-agg by doc_id feeds TakeOrdered — the
+    same one-shuffle budget as ``fields_topk``.
+    """
+    if not fields:
+        raise ValueError("fields_cross_topk needs at least one (reader, weight)")
+    readers = [r for r, _ in fields]
+    n0 = readers[0].n_docs
+    for r in readers[1:]:
+        if r.n_docs != n0:
+            raise ValueError(
+                f"field indexes cover different corpora: n_docs {n0} != "
+                f"{r.n_docs} — every field must be built from the same rows"
+            )
+    spark = readers[0].spark
+    qterms = list(dict.fromkeys(analyze_query(query)))
+    if not qterms:
+        return spark.createDataFrame(
+            [], schema="rank long, doc_id long, score double"
+        )
+    per_field_dfs = [rd.term_dfs(qterms) for rd in readers]
+    blended = {
+        t: max(int(d.get(t, 0)) for d in per_field_dfs) for t in qterms
+    }
+    blended = {t: v for t, v in blended.items() if v > 0}
+    contribs = [
+        rd.contrib_df(qterms, weight=w, include_term=True, df_override=blended)
+        for rd, w in fields
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    per_doc = (
+        allc.groupBy("doc_id", "term")
+        .agg(F.max("contrib").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score"
+    )

@@ -2475,6 +2475,7 @@ class IndexReader:
     def contrib_df(
         self, qterms: list[str], weight: float | dict = 1.0,
         include_term: bool = False,
+        df_override: dict | None = None,
     ) -> DataFrame:
         """Executor-side per-term BM25 contributions for ``qterms`` as a
         (doc_id, contrib) DataFrame — the building block of the
@@ -2487,7 +2488,11 @@ class IndexReader:
         ``include_term`` adds the term column (one row per (term, doc)
         across shards — shards split a term by disjoint doc ranges, so
         no (term, doc) pair ever repeats) for consumers that need
-        per-doc matched-term counts (``topk_msm``)."""
+        per-doc matched-term counts (``topk_msm``). ``df_override``
+        replaces a term's stored df in the idf (missing terms keep
+        their own) — the BLENDED-statistics hook of cross-field
+        scoring (fields.fields_cross_topk), mirroring the federation
+        lane's global-stats override."""
         buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in qterms})
         segs = self._segments.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
@@ -2496,6 +2501,7 @@ class IndexReader:
         k1, b = self.cfg.k1, self.cfg.b
         per_term = dict(weight) if isinstance(weight, dict) else None
         wgt = 1.0 if per_term is not None else float(weight)
+        dfo = dict(df_override) if df_override else None
         bdel_d = (
             self.spark.sparkContext.broadcast(self._deleted)
             if self._deleted is not None
@@ -2512,7 +2518,8 @@ class IndexReader:
                     if bdel_d is not None:
                         keep = ~np.isin(ids, bdel_d.value, assume_unique=True)
                         ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-                    idf = math.log(1.0 + (n_docs - int(r.df) + 0.5) / (int(r.df) + 0.5))
+                    dfv = dfo.get(r.term, int(r.df)) if dfo is not None else int(r.df)
+                    idf = math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
                     sc = bm25_scores_np(tfs, dls, idf, k1, b, avgdl)
                     w = per_term.get(r.term, 1.0) if per_term is not None else wgt
                     out_doc.append(ids)
