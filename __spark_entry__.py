@@ -2103,7 +2103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-4 additions (no driver row yet) ---
         "span_near": _q_span_near,
-        "span_first": _q_span_first,
         "topk_after_merge": _q_topk_after_merge,
         "topk_after_vacuum": _q_topk_after_vacuum,
         "reindex_topk": _q_reindex_topk,
@@ -2154,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_suggest": _q_federated_suggest,
         "topk_sort_field": _q_topk_sort_field,
         "fields_cross": _q_fields_cross,
+        "span_first": _q_span_first,
         "multi_term_topk": _q_multi_term_topk,
         "facet_histogram": _q_facet_histogram,
         "frame_sample": _q_frame_sample,
