@@ -1769,11 +1769,21 @@ def _q_phrase_suggest(spark, sf_dir):
     # but never said together lose to the phrase the corpus actually
     # contains. Oracle recomputes candidates (brute levenshtein), the
     # bigram/unigram counts, and the same log10 backoff score in SQL.
-    from yase_spark.suggest import phrase_suggest
+    from yase_spark.suggest import (
+        bigrams_are_fresh,
+        build_bigram_table,
+        phrase_suggest,
+    )
 
     rd = _suggest_reader(spark, sf_dir)
+    # exercise the SCALE lane: publish the bigram/unigram LM sibling
+    # tables once, then serve from vocabulary-sized probes — the docs
+    # frame passed empty proves the corpus is not rescanned at query
+    # time (the scan fallback would return no rows)
+    if not bigrams_are_fresh(rd.cat):
+        build_bigram_table(spark, rd.cat.root, _docs(spark, sf_dir))
     return phrase_suggest(
-        spark, rd.cat.root, _docs(spark, sf_dir), PSUG_Q,
+        spark, rd.cat.root, _docs(spark, sf_dir).limit(0), PSUG_Q,
         k=PSUG_K, per_word=PSUG_PW, alpha=PSUG_A,
     )
 

@@ -363,6 +363,19 @@ def test_phrase_suggest_bigram_overrides_unigram(spark, tmp_path):
     want = [(i + 1, ph, round(s, 6)) for i, (ph, s) in enumerate(exp[:3])]
     assert rows == want
 
+    # published-LM lane: build the bigram/unigram sibling tables and
+    # re-run — bitwise-identical output, corpus no longer scanned
+    from yase_spark.catalog import Catalog
+    from yase_spark.suggest import bigrams_are_fresh, build_bigram_table
+
+    st = build_bigram_table(spark, root, docs)
+    assert st["bigram_rows"] > 0 and st["n_tokens"] == len(toks)
+    assert bigrams_are_fresh(Catalog(root))
+    got2 = phrase_suggest(spark, root, docs.limit(0), "data gable",
+                          k=3, per_word=3)
+    rows2 = [(r["rank"], r["phrase"], r["score_r"]) for r in got2.collect()]
+    assert rows2 == rows  # docs.limit(0): the table lane truly served
+
     # a token with no neighborhood anywhere -> no suggestion rows
     assert phrase_suggest(spark, root, docs, "zzqqxx table").count() == 0
 

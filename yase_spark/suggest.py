@@ -331,36 +331,58 @@ def phrase_suggest(
         {(p[i], p[i + 1]) for p in phrases for i in range(len(p) - 1)}
     )
 
-    warr = F.filter(
-        F.split(F.lower(F.col("text")), SPLIT), lambda t: t != ""
-    )
-    base = docs.select(warr.alias("ws"))
-    n_total = base.select(F.sum(F.size("ws"))).collect()[0][0] or 0
-    uni = {
-        r["t"]: r["c"]
-        for r in base.select(F.explode("ws").alias("t"))
-        .filter(F.col("t").isin(vocab))
-        .groupBy("t").agg(F.count("*").alias("c")).collect()
-    }
-    bi: dict[str, int] = {}
-    if pairs:
-        # tokens are [a-z0-9]+ so a space-joined key is unambiguous
-        pair_keys = [f"{a} {b}" for a, b in pairs]
-        nm1 = F.greatest(F.size("ws") - 1, F.lit(0))
-        bi = {
-            r["p"]: r["c"]
-            for r in base.select(
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("ws"), 1, nm1),
-                        F.slice(F.col("ws"), 2, nm1),
-                        lambda a_, b_: F.concat_ws(" ", a_, b_),
-                    )
-                ).alias("p")
-            )
-            .filter(F.col("p").isin(pair_keys))
-            .groupBy("p").agg(F.count("*").alias("c")).collect()
+    if bigrams_are_fresh(cat):
+        # the published-LM lane (build_bigram_table): vocabulary-sized
+        # probes against the key-sorted sibling tables — the corpus is
+        # NOT touched at query time. Counts are definitionally the
+        # scan lane's (same stream, same aggregation), so the output
+        # is bitwise-identical (pytest-gated).
+        st = (cat.get_properties() or {})["bigrams_state"]
+        n_total = int(st["n_tokens"])
+        uni = {
+            r["term"]: r["c"]
+            for r in cat.read(spark, UNIGRAMS_TABLE)
+            .filter(F.col("term").isin(vocab)).collect()
         }
+        bi = {
+            f'{r["t1"]} {r["t2"]}': r["c"]
+            for r in cat.read(spark, BIGRAMS_TABLE)
+            .filter(
+                F.col("t1").isin([a for a, _ in pairs])
+                & F.col("t2").isin([b for _, b in pairs])
+            ).collect()
+        } if pairs else {}
+    else:
+        warr = F.filter(
+            F.split(F.lower(F.col("text")), SPLIT), lambda t: t != ""
+        )
+        base = docs.select(warr.alias("ws"))
+        n_total = base.select(F.sum(F.size("ws"))).collect()[0][0] or 0
+        uni = {
+            r["t"]: r["c"]
+            for r in base.select(F.explode("ws").alias("t"))
+            .filter(F.col("t").isin(vocab))
+            .groupBy("t").agg(F.count("*").alias("c")).collect()
+        }
+        bi = {}
+        if pairs:
+            # tokens are [a-z0-9]+ so a space-joined key is unambiguous
+            pair_keys = [f"{a} {b}" for a, b in pairs]
+            nm1 = F.greatest(F.size("ws") - 1, F.lit(0))
+            bi = {
+                r["p"]: r["c"]
+                for r in base.select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice(F.col("ws"), 1, nm1),
+                            F.slice(F.col("ws"), 2, nm1),
+                            lambda a_, b_: F.concat_ws(" ", a_, b_),
+                        )
+                    ).alias("p")
+                )
+                .filter(F.col("p").isin(pair_keys))
+                .groupBy("p").agg(F.count("*").alias("c")).collect()
+            }
 
     scored = []
     for p in phrases:
@@ -379,3 +401,93 @@ def phrase_suggest(
     return spark.createDataFrame(
         out, schema="rank long, phrase string, score_r double"
     )
+
+
+BIGRAMS_TABLE = "bigrams"
+UNIGRAMS_TABLE = "unigrams"
+
+
+def bigrams_are_fresh(cat: Catalog) -> bool:
+    """The published LM tables cover the CURRENT docs snapshot."""
+    props = cat.get_properties() or {}
+    st = props.get("bigrams_state")
+    return (
+        st is not None
+        and cat.exists(BIGRAMS_TABLE)
+        and cat.exists(UNIGRAMS_TABLE)
+        and int(st.get("docs_version", -1)) == cat.current_version("docs")
+    )
+
+
+def build_bigram_table(
+    spark: SparkSession, index_root: str, docs: DataFrame
+) -> dict:
+    """Publish the bigram/unigram language-model sibling tables the
+    phrase suggester serves from: ``bigrams(t1, t2, c)`` (adjacent-pair
+    counts over the documents word stream) and ``unigrams(term, c)``,
+    plus the stream's total token count in ``bigrams_state``.
+
+    This is what makes the suggester's 100-TB story real: the corpus
+    is scanned ONCE at publish time (two map-side-combinable hash
+    aggregations over the split stream — the same cost class as the
+    index build's stats pass), and every later suggestion is a
+    vocabulary-sized probe. Both tables are written sorted by their
+    keys so a probe's ``isin`` filter prunes Parquet row groups; the
+    bigram table is ~O(unique adjacent pairs), vocabulary-squared in
+    the worst case but Zipf-bounded in practice — and never
+    corpus-sized. Staleness follows the sibling-table convention
+    (docs-version stamp; ``phrase_suggest`` falls back to the direct
+    scan when stale, bitwise-identical output either way)."""
+    import time as _time
+
+    from .percolate import SPLIT
+
+    t0 = _time.time()
+    cat = Catalog(index_root)
+    if not cat.exists("docs"):
+        raise ValueError("build the main index first (docs table missing)")
+    warr = F.filter(
+        F.split(F.lower(F.col("text")), SPLIT), lambda t: t != ""
+    )
+    base = docs.select(warr.alias("ws"))
+    n_total = int(base.select(F.sum(F.size("ws"))).collect()[0][0] or 0)
+    uni = (
+        base.select(F.explode("ws").alias("term"))
+        .groupBy("term").agg(F.count("*").alias("c"))
+        .orderBy("term")
+    )
+    nm1 = F.greatest(F.size("ws") - 1, F.lit(0))
+    big = (
+        base.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ws"), 1, nm1).alias("t1"),
+                    F.slice(F.col("ws"), 2, nm1).alias("t2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .groupBy("t1", "t2").agg(F.count("*").alias("c"))
+        .orderBy("t1", "t2")
+    )
+    from pyspark.sql import Observation
+
+    ob_u, ob_b = Observation("uni"), Observation("big")
+    uni = uni.observe(ob_u, F.count("*").alias("n"))
+    big = big.observe(ob_b, F.count("*").alias("n"))
+    cat.write(UNIGRAMS_TABLE, uni, mode="overwrite",
+              tag={"unit": "unigrams"})
+    cat.write(BIGRAMS_TABLE, big, mode="overwrite",
+              tag={"unit": "bigrams"})
+    props = cat.get_properties() or {}
+    props["bigrams_state"] = {
+        "docs_version": cat.current_version("docs"),
+        "n_tokens": n_total,
+    }
+    cat.set_properties(props)
+    return {
+        "n_tokens": n_total,
+        "unigram_rows": int(ob_u.get["n"] or 0),
+        "bigram_rows": int(ob_b.get["n"] or 0),
+        "wall_s": round(_time.time() - t0, 2),
+    }
