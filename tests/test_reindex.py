@@ -41,6 +41,13 @@ def src_index(spark, tmp_path_factory):
     full = _corpus(spark, 0, 400)
     build_positions(spark, root, full, cfg)
     build_trigrams(spark, root, full, cfg)
+    from yase_spark.suggest import build_bigram_table
+
+    build_bigram_table(
+        spark, root,
+        full.selectExpr("monotonically_increasing_id() AS doc_id",
+                        "content AS text"),
+    )
     return root, cfg, full
 
 
@@ -100,6 +107,12 @@ def test_layout_reindex_is_bitwise_read_invariant(spark, src_index, tmp_path):
     # without carried_tags a reindex would double-index every re-run
     s = IndexBuilder(spark, dst, rd.cfg).append(_corpus(spark, 300, 400))
     assert s.get("noop") is True
+
+    # LM sibling tables carried with a re-stamped docs version: the
+    # phrase suggester's published lane stays fresh on the destination
+    from yase_spark.suggest import bigrams_are_fresh
+
+    assert bigrams_are_fresh(Catalog(dst))
 
     # destination-exists guard
     with pytest.raises(ValueError, match="already exists"):

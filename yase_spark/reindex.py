@@ -255,7 +255,7 @@ def reindex(
     dst_props = dict(props)
     dst_props["index_config"] = asdict(dst_cfg)
     for stale in ("dictionary_state", "positions_state", "trigrams_state",
-                  "deletions_state"):
+                  "deletions_state", "bigrams_state"):
         dst_props.pop(stale, None)
     dst.set_properties(dst_props)
 
@@ -270,7 +270,8 @@ def reindex(
         carried_tags=stats_tags[1:] if len(stats_tags) > 1 else None,
     )
     copied = ["docs", "stats"]
-    for name in ("deletes", "dictionary", "synonyms"):
+    for name in ("deletes", "dictionary", "synonyms", "deletions",
+                 "unigrams", "bigrams"):
         if src.exists(name):
             _copy_table(spark, src, dst, name)
             copied.append(name)
@@ -334,6 +335,14 @@ def reindex(
         copied.append("tri_segments")
     if "dictionary" in copied and props.get("dictionary_state"):
         dst_props["dictionary_state"] = {"segments_version": seg_ver}
+    if "deletions" in copied and props.get("deletions_state"):
+        dst_props["deletions_state"] = {
+            "dictionary_version": dst.current_version("dictionary")
+        }
+    if "bigrams" in copied and props.get("bigrams_state"):
+        st = dict(props["bigrams_state"])
+        st["docs_version"] = dst.current_version("docs")
+        dst_props["bigrams_state"] = st
     dst.set_properties(dst_props)
 
     fp = ""
