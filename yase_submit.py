@@ -45,7 +45,7 @@ def main(argv=None) -> int:
             "build", "positions", "trigrams", "dictionary", "query", "synth",
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
             "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
-            "reindex",
+            "reindex", "alias",
         ],
     )
     p.add_argument(
@@ -242,7 +242,43 @@ def main(argv=None) -> int:
         help="neardup: emit (doc_id, cluster_id, keep) dup groups instead of pairs",
     )
     p.add_argument("--local-cpus", type=int, default=None)
+    p.add_argument("--warehouse", help="alias: registry directory")
+    p.add_argument("--set", dest="alias_set", metavar="NAME",
+                   help="alias: create/atomically re-point NAME (needs "
+                   "--target)")
+    p.add_argument("--target", help="alias --set: index root to point at")
+    p.add_argument("--drop", dest="alias_drop", metavar="NAME",
+                   help="alias: remove NAME (index untouched)")
     args = p.parse_args(argv)
+
+    # alias indirection: any index ref may be alias://WH/NAME (plain
+    # paths pass through) — the blue/green cutover surface of reindex
+    from yase_spark.alias import resolve_alias
+
+    if args.index:
+        args.index = resolve_alias(args.index)
+    if getattr(args, "shards", None):
+        args.shards = ",".join(
+            resolve_alias(s) for s in args.shards.split(",")
+        )
+
+    if args.cmd == "alias":
+        from yase_spark.alias import drop_alias, list_aliases, set_alias
+
+        if not args.warehouse:
+            raise SystemExit("alias: pass --warehouse")
+        if args.alias_set:
+            if not args.target:
+                raise SystemExit("alias --set needs --target")
+            print(json.dumps(set_alias(args.warehouse, args.alias_set,
+                                       args.target)))
+        elif args.alias_drop:
+            print(json.dumps(
+                {"dropped": drop_alias(args.warehouse, args.alias_drop)}
+            ))
+        else:
+            print(json.dumps(list_aliases(args.warehouse)))
+        return 0
 
     from yase_spark.config import IndexConfig
 
