@@ -129,7 +129,7 @@ def test_append_bucket_cow_preserves_unaffected_files(spark, tmp_path):
 
     # cost class: the new commit dir holds ONLY the affected buckets
     m = cat._manifest("segments")
-    new_dir = cat._entry_path(m["data_dirs"][-1])
+    new_dir = cat._entry_path("segments", m["data_dirs"][-1])
     new_parts = {d for d in os.listdir(new_dir) if d.startswith("bucket=")}
     assert new_parts == {f"bucket={bk}" for bk in changed}
 

@@ -159,3 +159,37 @@ def test_rollback_restores_snapshot_and_keeps_history(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         cat.rollback("t", 99)
+
+
+def test_index_root_is_relocatable(spark, tmp_path):
+    """Manifests store table-relative data paths, so a moved (backed
+    up / restored) index root reads identically at its new location —
+    including time-travel and partitioned (bucket) tables."""
+    import os
+    import shutil
+
+    from yase_spark.config import IndexConfig
+    from yase_spark.index import IndexBuilder
+    from yase_spark.query import IndexReader
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    rows = [("r", f"{i:03d}", "c", "py", f"alpha{i % 7} beta gamma")
+            for i in range(80)]
+    corpus = spark.createDataFrame(rows, schema=schema)
+    old = str(tmp_path / "a" / "ix")
+    cfg = IndexConfig(build_groups=1, shuffle_partitions=4, ngrams=False)
+    b = IndexBuilder(spark, old, cfg)
+    b.build(corpus.filter("path < '060'"))
+    b.append(corpus.filter("path >= '060'"))
+    want = IndexReader(spark, old, cfg).topk("alpha3 gamma", 5)
+    v1 = Catalog(old).read(spark, "segments", version=1).count()
+
+    new = str(tmp_path / "b" / "moved")
+    os.makedirs(os.path.dirname(new), exist_ok=True)
+    shutil.move(old, new)
+
+    IndexReader.clear_shared_meta()
+    assert IndexReader(spark, new, cfg).topk("alpha3 gamma", 5) == want
+    cat = Catalog(new)
+    assert cat.read(spark, "segments", version=1).count() == v1  # time-travel
+    assert cat.read(spark, "docs").count() == 80

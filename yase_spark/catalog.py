@@ -71,9 +71,14 @@ class Catalog:
     # (Iceberg: a REPLACE snapshot's deleted data files; here whole
     # partition dirs are superseded, so the exclusion is expressible as a
     # partition predicate and read-time pruning makes it zero-IO).
-    @staticmethod
-    def _entry_path(entry) -> str:
-        return entry if isinstance(entry, str) else entry["path"]
+    def _entry_path(self, name: str, entry) -> str:
+        """Absolute data-dir path of a manifest entry. New manifests
+        store table-RELATIVE paths ("data/<snapshot>") so an index root
+        can be moved, backed up, or restored anywhere and still read —
+        absolute entries from older manifests pass through unchanged
+        (backward compatible, resolved nowhere)."""
+        p = entry if isinstance(entry, str) else entry["path"]
+        return p if os.path.isabs(p) else os.path.join(self._tdir(name), p)
 
     @staticmethod
     def _entry_exclude(entry) -> dict:
@@ -127,6 +132,7 @@ class Catalog:
         os.makedirs(os.path.join(tdir, "data"), exist_ok=True)
         snap = str(uuid.uuid4())
         data_dir = os.path.join(tdir, "data", snap)
+        rel_dir = os.path.join("data", snap)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -149,7 +155,7 @@ class Catalog:
                     ex = dict(self._entry_exclude(e))
                     for col, vals in replace_partitions.items():
                         ex[col] = sorted(set(ex.get(col, [])) | set(vals))
-                    new_dirs.append({"path": self._entry_path(e), "exclude": ex})
+                    new_dirs.append({"path": (e if isinstance(e, str) else e["path"]), "exclude": ex})
                 dirs = new_dirs
             manifest = {
                 "table": name,
@@ -158,7 +164,7 @@ class Catalog:
                 "committed_at": time.time(),
                 "operation": "replace" if replace_partitions else mode,
                 "partition_by": partition_by or [],
-                "data_dirs": dirs + [data_dir],
+                "data_dirs": dirs + [rel_dir],
                 "tag": tag or {},
             }
             if carried_tags:
@@ -199,6 +205,7 @@ class Catalog:
         tdir = self._tdir(name)
         snap = str(uuid.uuid4())
         data_dir = os.path.join(tdir, "data", snap)
+        rel_dir = os.path.join("data", snap)
         os.makedirs(data_dir, exist_ok=True)
         cols = {k: [r[k] for r in rows] for k in rows[0]} if rows else {}
         table = pa.table(cols, schema=schema)
@@ -217,7 +224,7 @@ class Catalog:
                 "committed_at": time.time(),
                 "operation": mode,
                 "partition_by": [],
-                "data_dirs": dirs + [data_dir],
+                "data_dirs": dirs + [rel_dir],
                 "tag": tag or {},
             }
             if carried_tags:
@@ -237,7 +244,7 @@ class Catalog:
         instead of a dedicated aggregation pass."""
         m = self._manifest(name, version)
         out: dict[str, int] = {}
-        root = self._entry_path(m["data_dirs"][-1])
+        root = self._entry_path(name, m["data_dirs"][-1])
         for entry in os.scandir(root):
             if entry.is_dir():
                 total = 0
@@ -259,14 +266,14 @@ class Catalog:
 
         m = self._manifest(name, version)
         entries = [
-            e for e in m["data_dirs"] if self._has_data_files(self._entry_path(e))
+            e for e in m["data_dirs"] if self._has_data_files(self._entry_path(name, e))
         ]
         if not entries:
             raise FileNotFoundError(
                 f"table {name} has no data files in any committed dir"
             )
         if len(entries) == 1 and not self._entry_exclude(entries[0]):
-            return spark.read.parquet(self._entry_path(entries[0]))
+            return spark.read.parquet(self._entry_path(name, entries[0]))
         # appended snapshots: one scan per commit dir, unioned — keeps
         # Hive-style partition-column inference (and pruning) per dir.
         # Partition-replaced values are filtered out of superseded dirs;
@@ -275,7 +282,7 @@ class Catalog:
         # partitions are ALL excluded is skipped entirely (no scan node).
         dfs = []
         for e in entries:
-            path, ex = self._entry_path(e), self._entry_exclude(e)
+            path, ex = self._entry_path(name, e), self._entry_exclude(e)
             if ex:
                 try:
                     live = [
@@ -344,7 +351,7 @@ class Catalog:
         while v > 0:
             m = self._manifest(name, v)
             if m.get("tag", {}).get("unit") == unit:
-                return spark.read.parquet(self._entry_path(m["data_dirs"][-1]))
+                return spark.read.parquet(self._entry_path(name, m["data_dirs"][-1]))
             v = m["parent_version"]
         raise FileNotFoundError(f"no commit tagged unit={unit} in table {name}")
 
@@ -485,7 +492,7 @@ class Catalog:
             live: dict[str, list[dict]] = {}
             for v in retained:
                 for e in self._manifest(name, v)["data_dirs"]:
-                    p = os.path.normpath(self._entry_path(e))
+                    p = os.path.normpath(self._entry_path(name, e))
                     live.setdefault(p, []).append(self._entry_exclude(e))
 
             tdir = self._tdir(name)
