@@ -398,3 +398,57 @@ def test_span_rejects_bad_clauses(spark, pos_index):
         rd.span_first("get page", 3)
     # duplicates ARE legal ordered (strictly-increasing chain)
     assert rd.span_near(["get", "get"], slop=5, in_order=True).size >= 0
+
+
+def test_positions_repair_after_props_crash(spark, tiny_corpus, tmp_path, monkeypatch):
+    """A crash BETWEEN the pos_segments commit (durable, tag carries
+    max_doc) and the props update leaves positions_state behind the
+    committed high-water mark. The next build_positions must repair
+    from the tags and NO-OP — never re-append covered docs."""
+    from yase_spark.catalog import Catalog
+
+    root = str(tmp_path / "ix")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, hot_term_df=10**9)
+    full = tiny_corpus.limit(200).persist()
+    even = F.pmod(F.xxhash64("path"), F.lit(2)) == 0
+    build_index(spark, full.filter(even), root, cfg)
+    build_positions(spark, root, full.filter(even), cfg)
+    b = IndexBuilder(spark, root, cfg)
+    b.append(full.filter(~even))
+    covered0 = int(Catalog(root).get_properties()["positions_state"]["max_doc"])
+
+    real = Catalog.set_properties
+    tripped = []
+
+    def boom(self, props):
+        st = props.get("positions_state")
+        if st and int(st["max_doc"]) > covered0 and not tripped:
+            tripped.append(1)
+            raise RuntimeError("simulated crash before props update")
+        return real(self, props)
+
+    monkeypatch.setattr(Catalog, "set_properties", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_positions(spark, root, full, cfg)
+    assert tripped  # the extension DID commit data before "crashing"
+
+    out = build_positions(spark, root, full, cfg)  # replay
+    assert out.get("noop") is True
+
+    # repaired state serves, and postings are NOT duplicated: the total
+    # (term, doc) pair count matches a fresh single-shot sibling build
+    root2 = str(tmp_path / "ix2")
+    build_index(spark, full, root2, cfg)
+    build_positions(spark, root2, full, cfg)
+    cat, cat2 = Catalog(root), Catalog(root2)
+    n_a = cat.read(spark, "pos_segments").agg(F.sum("df")).collect()[0][0]
+    n_b = cat2.read(spark, "pos_segments").agg(F.sum("df")).collect()[0][0]
+    assert n_a == n_b
+    rd, rd2 = IndexReader(spark, root, cfg), IndexReader(spark, root2, cfg)
+    key = {r["doc_id"]: r["path"] for r in cat.read(spark, "docs").collect()}
+    key2 = {r["doc_id"]: r["path"] for r in cat2.read(spark, "docs").collect()}
+    for q in ("get page", "json exec"):
+        a = sorted(key[int(d)] for d in rd.phrase(q))
+        want = sorted(key2[int(d)] for d in rd2.phrase(q))
+        assert a == want, q
+    full.unpersist()

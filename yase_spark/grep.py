@@ -420,6 +420,21 @@ def build_trigrams(
     src = corpus.select("repo", "path", "commit", "lang", "content")
     if state is not None:
         covered = int(state["max_doc"])
+        # crash-window repair (same contract as build_positions): the
+        # tri_segments tag is durable with the data commit, the props
+        # update is not — extend from the committed high-water mark,
+        # never the possibly-stale props, so a replayed micro-batch
+        # cannot re-append covered docs.
+        cmax = max(
+            (int(t.get("max_doc", 0)) for t in cat.committed_tags("tri_segments")),
+            default=0,
+        )
+        if cmax > covered:
+            covered = cmax
+            state = {**state, "max_doc": cmax,
+                     "docs_version": cat.current_version("docs")}
+            props["trigrams_state"] = state
+            cat.set_properties(props)
         old_keys = docs.filter(F.col("doc_id") <= covered).select(*KEY)
         src = src.join(old_keys, KEY, "left_anti")
         id_offset = covered

@@ -371,6 +371,24 @@ def build_positions(
     src = corpus.select("repo", "path", "commit", "lang", "content")
     if state is not None:
         covered = int(state["max_doc"])
+        # crash-window repair: the pos_segments tag commits ATOMICALLY
+        # with the data (one manifest), the props update is a separate
+        # later write — a crash between them leaves state["max_doc"]
+        # behind the durable high-water mark. Extending from the stale
+        # mark would re-append covered docs (duplicate postings), so
+        # trust the committed tags and repair the props first. This is
+        # what makes per-micro-batch sibling extension (stream_index
+        # ``siblings=``) idempotent under foreachBatch replay.
+        cmax = max(
+            (int(t.get("max_doc", 0)) for t in cat.committed_tags("pos_segments")),
+            default=0,
+        )
+        if cmax > covered:
+            covered = cmax
+            state = {**state, "max_doc": cmax,
+                     "docs_version": cat.current_version("docs")}
+            props["positions_state"] = state
+            cat.set_properties(props)
         old_keys = docs.filter(F.col("doc_id") <= covered).select(*KEY)
         src = src.join(old_keys, KEY, "left_anti")
         id_offset = covered

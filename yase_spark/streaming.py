@@ -38,6 +38,7 @@ def stream_index(
     cfg: IndexConfig | None = None,
     max_files_per_trigger: int | None = None,
     fmt: str = "parquet",
+    siblings: tuple[str, ...] = (),
 ):
     """Start (and in availableNow mode: run to completion) a streaming
     index over corpus files arriving in ``input_dir``. Returns the
@@ -51,8 +52,27 @@ def stream_index(
     ``jsonl`` — the file-source streaming readers share the exactly-
     once file-tracking checkpoint semantics, so the ingest guarantees
     are format-independent.
+
+    ``siblings`` — subset of ``("positions", "trigrams")``: extend the
+    named sibling indexes with each micro-batch, so phrase/proximity
+    and grep queries stay live under streaming ingest instead of going
+    loudly stale at the first append. Per batch this calls the
+    ordinary incremental ``build_positions`` / ``build_trigrams`` with
+    the batch as the corpus delta — the builders' left-anti join
+    against covered doc keys makes that equivalent to passing the full
+    corpus (cost ∝ delta), and their committed-tag high-water repair
+    makes a replayed micro-batch a no-op even if the previous attempt
+    crashed between the sibling commit and its props update. The
+    suggester siblings (unigrams/bigrams/deletions/synonyms) are
+    dictionary-derived rebuilds, not delta-extendable — refresh those
+    on a schedule, not per batch.
     """
     cfg = cfg or IndexConfig()
+    bad = set(siblings) - {"positions", "trigrams"}
+    if bad:
+        raise ValueError(
+            f"unknown siblings {sorted(bad)}; supported: positions, trigrams"
+        )
 
     schema = (
         "repo string, path string, commit string, lang string, content string"
@@ -91,6 +111,20 @@ def stream_index(
             b.build(batch_df)
         else:
             b.append(batch_df)
+        # sibling extension runs INSIDE the same foreachBatch: if it
+        # fails, the checkpoint does not advance and the whole batch
+        # replays — the main append no-ops on its fingerprint and the
+        # sibling builders no-op on (or resume from) their committed
+        # high-water marks, so siblings can never silently lag the
+        # docs table by more than the in-flight batch.
+        if "positions" in siblings:
+            from .positions import build_positions
+
+            build_positions(spark, index_root, batch_df, cfg)
+        if "trigrams" in siblings:
+            from .grep import build_trigrams
+
+            build_trigrams(spark, index_root, batch_df, cfg)
 
     return (
         stream.writeStream.foreachBatch(ingest)
