@@ -2030,6 +2030,42 @@ def _q_federated_suggest(spark, sf_dir):
     )
 
 
+def _q_federated_mlt(spark, sf_dir):
+    # cross-shard More-Like-This: term selection under GLOBAL tf*ln(N/df)
+    # (dictionary-sized df probes, integer-additive) and per-shard dense
+    # ranking under global idf/avgdl, seed excluded by natural key —
+    # oracle = the full-corpus MLT SQL, so a shard-local selection or
+    # stats leak breaks the hash
+    from yase_spark.federate import federated_more_like_this
+
+    _q_federated_topk(spark, sf_dir)  # ensure the shard pair is built
+    readers = [IndexReader(spark, root, cfg) for root, cfg in _CACHE[("fed", sf_dir)]]
+    src_row = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") == MLT_SRC)
+        .select("text").collect()
+    )
+    seed_key = ("docs", str(MLT_SRC).rjust(10, "0"), "head")
+    rows = federated_more_like_this(
+        readers, src_row[0]["text"], k=10, m=MLT_M, exclude_key=seed_key
+    )
+    return spark.createDataFrame(
+        [(int(p), round(s, 5)) for _r, _repo, p, _c, s in rows] or [],
+        schema="doc_id long, score_r double",
+    )
+
+
+def _q_federated_sigterms(spark, sf_dir):
+    # cross-shard significant_terms: per-shard (term, fg_df, df) tallies
+    # merged by a cluster-side union + re-aggregation (tally cardinality
+    # = dictionary size — never a coordinator collect), JLH-scored once
+    # on the merged integers — oracle = the full-corpus sig-terms SQL
+    from yase_spark.cooccur import significant_terms_federated
+
+    d = _docs(spark, sf_dir)
+    shards = [d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == p) for p in (0, 1)]
+    return significant_terms_federated(shards, SIG_PRED, k=SIG_K)
+
+
 def _q_topk_sort_field(spark, sf_dir):
     # ES sort-by-field: docs matching the query ordered by doc_len
     # instead of relevance — flag-lane match set, docs join, TakeOrdered
@@ -2167,6 +2203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_term_topk": _q_multi_term_topk,
         "facet_histogram": _q_facet_histogram,
         "frame_sample": _q_frame_sample,
+        # --- round-4 continuation (outside the ~50 window; preflight +
+        # pytest gated, candidates for the r5 window rotation) ---
+        "federated_mlt": _q_federated_mlt,
+        "federated_sigterms": _q_federated_sigterms,
         # --- twice-verified core (green driver rows in r2/r3) ---
         "tf_agg": _q_tf,
         "df_agg": _q_df,
@@ -3592,4 +3632,9 @@ SELECT row_number() OVER (ORDER BY dl DESC, doc_id) AS rank,
        doc_id, dl AS doc_len
 FROM top
 """
+    # federated MLT / significant_terms: two disjoint shards must
+    # reproduce the FULL-corpus answers exactly (global selection stats,
+    # additive tallies) — the single-corpus oracles ARE the spec
+    o["federated_mlt"] = o["more_like_this"]
+    o["federated_sigterms"] = o["significant_terms"]
     return o

@@ -473,6 +473,81 @@ def test_federated_suggest_equal_single_index(spark, tiny_corpus, tiny_index, tm
         federated_complete(readers, "s", k=5, max_values=1)
 
 
+def test_federated_mlt_equals_single_index(spark, tiny_corpus, tiny_index, tmp_path):
+    """federated_more_like_this over two disjoint shards must reproduce
+    the single-index MLT EXACTLY: global tf*ln(N/df) selection picks the
+    same term set (integer-additive dfs), and per-shard dense ranking
+    under global idf/avgdl yields bit-identical per-doc scores (same
+    per-doc summation order = selection order)."""
+    from yase_spark.federate import federated_more_like_this
+    from yase_spark.index import build_index
+
+    root_full, cfg, _ = tiny_index
+    readers = []
+    for parity in (0, 1):
+        shard = tiny_corpus.filter(
+            F.pmod(F.abs(F.xxhash64("path")), F.lit(2)) == parity
+        )
+        root = str(tmp_path / f"mshard{parity}")
+        build_index(spark, shard, root, cfg)
+        readers.append(IndexReader(spark, root, cfg))
+    full = IndexReader(spark, root_full, cfg)
+    keys = {
+        r["doc_id"]: (r["repo"], r["path"], r["commit"])
+        for r in full.cat.read(spark, "docs")
+        .select("doc_id", "repo", "path", "commit").collect()
+    }
+
+    seeds = (
+        tiny_corpus.orderBy("repo", "path", "commit")
+        .select("repo", "path", "commit", "content").limit(3).collect()
+    )
+    inv = {v: k for k, v in keys.items()}
+    for srow in seeds:
+        seed_key = (srow["repo"], srow["path"], srow["commit"])
+        for m in (5, 25):
+            want = [
+                (i + 1, *keys[d], s)
+                for i, (_r, d, s) in enumerate(
+                    full.more_like_this(
+                        srow["content"], k=10, m=m, exclude=inv[seed_key]
+                    )
+                )
+            ]
+            got = federated_more_like_this(
+                readers, srow["content"], k=10, m=m, exclude_key=seed_key
+            )
+            assert got == want, (seed_key, m)
+
+    assert federated_more_like_this(readers, "", k=10) == []
+    assert federated_more_like_this(readers, seeds[0]["content"], k=0) == []
+
+
+def test_federated_sigterms_equal_single_corpus(spark, tiny_corpus):
+    """significant_terms_federated over a disjoint split must equal the
+    single-corpus aggregation bitwise (every JLH input is an additive
+    integer), and the merge plan must stay cluster-side (union +
+    re-aggregation — no Python row transfer)."""
+    from yase_spark.cooccur import significant_terms, significant_terms_federated
+
+    docs = tiny_corpus.select(
+        F.col("path").alias("doc_id"), F.col("lang"),
+        F.col("content").alias("text"),
+    )
+    shards = [
+        docs.filter(F.pmod(F.abs(F.xxhash64("doc_id")), F.lit(3)) == p)
+        for p in range(3)
+    ]
+    pred = "lang = 'python'"
+    want = significant_terms(docs, pred, k=15).collect()
+    fed = significant_terms_federated(shards, pred, k=15)
+    assert fed.collect() == want
+    assert "BatchEvalPython" not in fed._jdf.queryExecution().executedPlan().toString()
+
+    with pytest.raises(ValueError):
+        significant_terms_federated([], pred)
+
+
 def test_topk_sort_field_matches_naive(spark, rd):
     """ES sort-by-field: (a) equals a pandas recount over the match set
     ∪ docs dimension, desc and asc; (b) a string query means OR of its

@@ -179,6 +179,14 @@ def significant_terms(
     a plain df aggregation; the two scalar totals are broadcast. The
     ranking cap is TakeOrderedAndProject (per-partition heaps).
     """
+    tallies, totals = _sig_tallies(docs, predicate)
+    return _sig_rank(tallies, totals, k, min_fg_df)
+
+
+def _sig_tallies(docs: DataFrame, predicate: str):
+    """Per-corpus (term, fg_df, df) tallies and (n_docs, n_fg) totals —
+    the additive pieces both the single-corpus and the federated
+    significant-terms paths aggregate."""
     flagged = docs.select(
         "doc_id", "text", F.expr(f"({predicate})").cast("boolean").alias("fg")
     )
@@ -203,6 +211,12 @@ def significant_terms(
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("fg"), 1).otherwise(0)).alias("n_fg"),
     )
+    return tallies, totals
+
+
+def _sig_rank(
+    tallies: DataFrame, totals: DataFrame, k: int, min_fg_df: int
+) -> DataFrame:
     fg_rate = F.col("fg_df") / F.col("n_fg")
     bg_rate = F.col("df") / F.col("n_docs")
     scored = (
@@ -221,3 +235,33 @@ def significant_terms(
         scored, [F.desc("score_r"), F.asc("term")], k,
         ["rank", "term", "fg_df", "df", "score_r"],
     )
+
+
+def significant_terms_federated(
+    shards: list[DataFrame], predicate: str, k: int = 20, min_fg_df: int = 2
+) -> DataFrame:
+    """Cross-shard ``significant_terms`` — exact, because every input to
+    the JLH score is an INTEGER count additive over disjoint shards:
+    per-term fg_df and df, and the n_docs/n_fg totals. Each shard runs
+    its local one-pass conditional aggregate (the same kernel as the
+    single-corpus operator); the merge is a cluster-side union +
+    re-aggregation — the term-keyed tally table is dictionary-cardinality
+    (far too big for a coordinator collect at 100 TB, unlike the facet
+    merge whose value space is small by definition), so it NEVER touches
+    the driver. Scoring and ranking then run once on the merged tallies,
+    bitwise the single-corpus result."""
+    from functools import reduce
+
+    if not shards:
+        raise ValueError("significant_terms_federated: no shards")
+    parts = [_sig_tallies(d, predicate) for d in shards]
+    tallies = (
+        reduce(DataFrame.unionByName, [t for t, _ in parts])
+        .groupBy("term")
+        .agg(F.sum("fg_df").alias("fg_df"), F.sum("df").alias("df"))
+    )
+    totals = (
+        reduce(DataFrame.unionByName, [tot for _, tot in parts])
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("n_fg").alias("n_fg"))
+    )
+    return _sig_rank(tallies, totals, k, min_fg_df)

@@ -109,6 +109,110 @@ def dfs_query_then_fetch(
     ]
 
 
+def federated_more_like_this(
+    readers: list[IndexReader],
+    text: str,
+    k: int = 10,
+    m: int = 25,
+    exclude_key: tuple[str, str, str] | None = None,
+    min_df: int = 1,
+) -> list[tuple[int, str, str, str, float]]:
+    """Cross-shard More-Like-This — exact vs the single-index operator.
+
+    MLT has TWO places local statistics can leak, and both are fixed
+    with the same DFS-phase trick as :func:`dfs_query_then_fetch`:
+
+    1. **Term selection**: the Lucene interestingness ``tf * ln(N/df)``
+       must use GLOBAL N and df, or a term common corpus-wide but rare
+       in the seed's shard gets selected there and nowhere else — the
+       shards would then rank against *different* term sets. One
+       dictionary-sized ``term_dfs`` probe per shard (integer-additive)
+       reproduces the single-index selection bit-for-bit.
+    2. **Scoring**: the selected disjunction is ranked per shard under
+       global idf/avgdl (same per-doc summation order = selection
+       order), merged ≤ shards·(k+1) rows, seed excluded by natural key
+       (shard-local doc ids collide across shards), top-k cut.
+
+    Each shard fetches k+1 local hits so the merge stays a superset of
+    the global top-k even after the seed — which lives in exactly one
+    shard — is dropped. Returns (rank, repo, path, commit, score)."""
+    from collections import Counter
+
+    from .tokenize import tokenize_text
+
+    if not readers or k <= 0:
+        return []
+    k1, b = readers[0].cfg.k1, readers[0].cfg.b
+    ngrams = readers[0].cfg.ngrams
+    for r in readers[1:]:
+        if (r.cfg.k1, r.cfg.b, r.cfg.ngrams) != (k1, b, ngrams):
+            raise ValueError("shards disagree on k1/b/analyzer — MLT undefined")
+
+    tf = Counter(tokenize_text(text, ngrams=ngrams))
+    if not tf:
+        return []
+
+    # ---- DFS phase: global df over the candidate terms ---------------
+    cands = sorted(tf)
+    shard_dfs = [r.term_dfs(cands) for r in readers]
+    g_df = {t: sum(int(d.get(t, 0)) for d in shard_dfs) for t in cands}
+    g_n = sum(r.n_docs for r in readers)
+    g_tok = sum(r._total_postings_upper for r in readers)
+    g_avgdl = (g_tok / g_n) if g_n else 0.0
+
+    # single-index selection rule (query.IndexReader.mlt_terms), global
+    # stats substituted: tf * ln(N/df), (score DESC, term ASC), top-m
+    scored = [
+        (t, tf[t] * math.log(float(g_n) / g_df[t]))
+        for t in cands
+        if g_df.get(t, 0) >= max(min_df, 1)
+    ]
+    scored.sort(key=lambda kv: (-kv[1], kv[0]))
+    terms = [t for t, _ in scored[:m]]
+    if not terms:
+        return []
+
+    # ---- query phase: per-shard dense ranking under global stats -----
+    merged: list[tuple[float, tuple[str, str, str]]] = []
+    for r in readers:
+        sdfs = r.term_dfs(terms)
+        local_k = k + 1  # seed exclusion happens at the merge
+        if sum(int(v) for v in sdfs.values()) > r.driver_fetch_max_postings:
+            local = r.topk_sharded(
+                " ".join(terms), local_k,
+                stats_override=(g_n, g_avgdl, {t: g_df[t] for t in terms}),
+            )
+        else:
+            got = r.fetch_terms(terms)
+            tps = []
+            for t in terms:  # selection order = per-doc summation order
+                tp = got.get(t)
+                if tp is None:
+                    continue
+                gidf = math.log(1.0 + (g_n - g_df[t] + 0.5) / (g_df[t] + 0.5))
+                tps.append(dataclasses.replace(tp, idf=gidf))
+            local = dense_topk(tps, local_k, k1, b, g_avgdl, r.n_docs)
+        if not local:
+            continue
+        ids = [d for _rk, d, _s in local]
+        keys = {
+            row["doc_id"]: (row["repo"], row["path"], row["commit"])
+            for row in r.cat.read(r.spark, "docs")
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "repo", "path", "commit")
+            .collect()
+        }
+        merged.extend((s, keys[d]) for _rk, d, s in local)
+
+    if exclude_key is not None:
+        merged = [(s, key) for s, key in merged if key != tuple(exclude_key)]
+    merged.sort(key=lambda x: (-x[0], x[1]))
+    return [
+        (i + 1, key[0], key[1], key[2], s)
+        for i, (s, key) in enumerate(merged[:k])
+    ]
+
+
 def federated_facet_counts(
     readers: list[IndexReader], tree, col: str, topn: int = 10,
     max_values: int = 100_000,
