@@ -2066,6 +2066,18 @@ def _q_federated_sigterms(spark, sf_dir):
     return significant_terms_federated(shards, SIG_PRED, k=SIG_K)
 
 
+def _q_ann_sq_topk(spark, sf_dir):
+    # int8 scalar-quantized ANN (SQ8): uint8-code scan proposes, exact
+    # float re-rank disposes — full-rescore config, so the result must
+    # equal brute force exactly (the candidate set has to be complete
+    # and well-formed for that to hold); pruned-rescore recall is
+    # pytest-gated in tests/test_round4_ops.py
+    from yase_spark.similarity import sq_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq_ann_topk(emb, n_queries=8, k=10, rescore=None)
+
+
 def _q_topk_sort_field(spark, sf_dir):
     # ES sort-by-field: docs matching the query ordered by doc_len
     # instead of relevance — flag-lane match set, docs join, TakeOrdered
@@ -2207,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest gated, candidates for the r5 window rotation) ---
         "federated_mlt": _q_federated_mlt,
         "federated_sigterms": _q_federated_sigterms,
+        "ann_sq_topk": _q_ann_sq_topk,
         # --- twice-verified core (green driver rows in r2/r3) ---
         "tf_agg": _q_tf,
         "df_agg": _q_df,
@@ -2993,6 +3006,9 @@ WHERE g.doc_id = g.cluster_id AND q.quality_r >= 0.45
         # re-rank == brute force; see tests/test_pq.py for the
         # compressed regime
         "ann_pq_topk": _ANN_SQL,
+        # SQ8 full-rescore == brute force (the exact re-rank sees every
+        # candidate); pruned-rescore recall is pytest-gated
+        "ann_sq_topk": _ANN_SQL,
         # full-probe IVF + saturated residual PQ + exact re-rank ==
         # brute force (see _q_ann_ivf_pq_topk)
         "ann_ivf_pq_topk": _ANN_SQL,

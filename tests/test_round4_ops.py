@@ -548,6 +548,66 @@ def test_federated_sigterms_equal_single_corpus(spark, tiny_corpus):
         significant_terms_federated([], pred)
 
 
+def test_sq_ann_full_rescore_is_brute_force(spark):
+    """SQ8 with rescore=None must equal exact cosine_topk row-for-row:
+    the exact re-rank sees every candidate, so quantization error can
+    only vanish — this is the oracle identity the driver row leans on."""
+    from yase_spark.similarity import cosine_topk, sq_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = sorted(map(tuple, cosine_topk(emb, n_queries=4, k=10).collect()))
+    got = sorted(map(tuple, sq_ann_topk(emb, n_queries=4, k=10).collect()))
+    assert got == want
+
+
+def test_sq_ann_pruned_rescore_recall(spark):
+    """The scale configuration (rescore << N): the uint8 scan proposes a
+    bounded candidate pool and recall@10 vs brute force stays high —
+    the quantizer's 255-step grid on normalized dims keeps approximate
+    and exact rankings close."""
+    from yase_spark.similarity import cosine_topk, sq_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    rescore = 64
+    assert rescore < n, "fixture must exercise real pruning"
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, n_queries=4, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in sq_ann_topk(emb, n_queries=4, k=10, rescore=rescore).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_sq_codes_are_one_byte_per_dim(spark):
+    """The bandwidth claim: a code cell is exactly dim bytes (8x less
+    than the float64 array the oracle scans, 4x less than float32), and
+    dequantization error is bounded by half a grid step per dim."""
+    import numpy as np
+
+    from yase_spark.similarity import sq_encode, sq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    mn, mx = sq_train(emb)
+    assert mn.shape == (dim,) and np.all(mx >= mn)
+    rows = (
+        sq_encode(emb, mn, mx).join(emb, "vec_id")
+        .select("code", "embedding").limit(20).collect()
+    )
+    span = np.maximum(mx - mn, 1e-12)
+    for r in rows:
+        code = np.frombuffer(r["code"], dtype=np.uint8)
+        assert code.shape == (dim,)
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        xn = x / max(float(np.linalg.norm(x)), 1e-12)
+        deq = code.astype(np.float64) * span / 255.0 + mn
+        assert np.max(np.abs(deq - xn)) <= np.max(span) / 255.0 / 2 + 1e-9
+
+
 def test_topk_sort_field_matches_naive(spark, rd):
     """ES sort-by-field: (a) equals a pandas recount over the match set
     ∪ docs dimension, desc and asc; (b) a string query means OR of its

@@ -405,6 +405,169 @@ def ivf_read_topk(
     return _ranked(cand.join(F.broadcast(qe), "query_id"), k)
 
 
+def sq_train(emb: DataFrame):
+    """Scalar-quantizer training: per-dimension (min, max) of the
+    L2-NORMALIZED vectors — cosine similarity only sees directions, so
+    the quantization grid lives on the unit sphere. ONE Arrow-batched
+    pass emits a (mn, mx) row per batch (dim-sized each); the driver
+    reduce is over batch-count rows, never vector-count. Returns
+    (mn, mx) float64 arrays of length dim."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {"mn": [Xn.min(axis=0).tolist()], "mx": [Xn.max(axis=0).tolist()]}
+            )
+
+    rows = bounded_collect(
+        emb.select("embedding").mapInPandas(
+            partials, schema="mn array<double>, mx array<double>"
+        ),
+        MAX_PARTIAL_ROWS,
+        "sq_train per-batch extrema",
+    )
+    if not rows:
+        raise ValueError("sq_train: empty embeddings table")
+    mn = np.min(np.stack([np.asarray(r["mn"]) for r in rows]), axis=0)
+    mx = np.max(np.stack([np.asarray(r["mx"]) for r in rows]), axis=0)
+    return mn, mx
+
+
+def sq_encode(emb: DataFrame, mn, mx) -> DataFrame:
+    """(vec_id, code binary): each normalized vector quantized to one
+    uint8 per dimension on the trained per-dim grid —
+    ``code = round(255 * (x - mn) / (mx - mn))`` — and packed into a
+    single contiguous ``binary`` cell. This is the bandwidth story: a
+    float32 corpus scans 4·dim bytes per vector, the code table scans
+    dim (8× vs the float64 oracle representation); at 100 TB the code
+    table IS the hot scan set and the float table is only touched for
+    the top-C rescore."""
+    import numpy as np
+    import pandas as pd
+
+    mn64 = np.asarray(mn, dtype=np.float64)
+    span = np.maximum(np.asarray(mx, dtype=np.float64) - mn64, 1e-12)
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            q = np.clip(np.rint(255.0 * (Xn - mn64) / span), 0, 255).astype(
+                np.uint8
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "code": [row.tobytes() for row in q],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, schema="vec_id long, code binary"
+    )
+
+
+def sq_ann_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    rescore: int | None = None,
+) -> DataFrame:
+    """int8 scalar-quantized ANN (the Lucene/FAISS ``SQ8`` lane):
+    approximate scores from a uint8-code scan pick the top-``rescore``
+    candidates per query, then ONLY those are exactly re-ranked from
+    the float table. Same output schema as :func:`cosine_topk`.
+
+    ``rescore = None`` (the default) rescores EVERY vector — since the
+    exact pass then ranks the full candidate set, the result is exactly
+    brute force regardless of quantization error, and the driver-
+    contract oracle row runs this configuration against the brute-force
+    SQL (the train/encode/scan machinery must still produce a complete,
+    well-formed candidate set to pass — same identity as IVF's full
+    probe). Pruned recall (rescore << N) is pytest-gated.
+
+    Scale shape: the code scan emits at most ``rescore`` rows per query
+    PER ARROW BATCH (per-batch top-C trim), the global cut is a window
+    over those partials, and the float table is touched through a
+    ``rescore``-row-per-query join — never a full second scan."""
+    import numpy as np
+    import pandas as pd
+
+    mn, mx = sq_train(emb)
+    codes = sq_encode(emb, mn, mx)
+
+    qrows = bounded_collect(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding"),
+        n_queries,
+        "sq_ann_topk query vectors",
+    )
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], schema="query_id long, rank int, vec_id long, sim_r double"
+        )
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray([int(r["vec_id"]) for r in qrows])
+    span = np.maximum(np.asarray(mx) - np.asarray(mn), 1e-12)
+    # dequantized dot = sum_d (code*span/255 + mn) * q_d
+    #                 = (codes @ (q*span))/255 + mn·q   — one uint8 GEMM
+    W = (Q * span[None, :]).T  # (dim, n_q)
+    bias = Q @ np.asarray(mn)  # (n_q,)
+    cap = int(rescore) if rescore is not None else (1 << 62)
+
+    def scan(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["code"]]
+            ).astype(np.float64)
+            scores = (C @ W) / 255.0 + bias[None, :]  # (n, n_q)
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for j in range(scores.shape[1]):
+                s = scores[:, j]
+                keep = ids != qids[j]  # self never a candidate
+                idx = np.nonzero(keep)[0]
+                if idx.size > cap:
+                    part = np.argpartition(-s[idx], cap - 1)[:cap]
+                    idx = idx[part]
+                out_q.extend([int(qids[j])] * idx.size)
+                out_v.extend(int(v) for v in ids[idx])
+                out_s.extend(float(x) for x in s[idx])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "ascore": out_s}
+            )
+
+    partial = codes.mapInPandas(
+        scan, schema="query_id long, vec_id long, ascore double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ascore"), F.asc("vec_id")
+    )
+    cand = (
+        partial.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= cap)
+        .select("query_id", "vec_id")
+    )
+    qe = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    joined = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qe), "query_id")
+    )
+    return _ranked(joined, k)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     n_queries: int = 8,

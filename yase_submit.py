@@ -97,7 +97,7 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--method",
-        choices=["exact", "lsh", "simhash", "ivf", "pq", "ivfpq"],
+        choices=["exact", "lsh", "simhash", "ivf", "pq", "ivfpq", "sq"],
         default="lsh",
         help="neardup/ann variant (ivf/pq/ivfpq are ann-only)",
     )
@@ -846,6 +846,7 @@ def main(argv=None) -> int:
             cosine_topk,
             ivf_ann_topk,
             lsh_ann_topk,
+            sq_ann_topk,
         )
 
         emb = spark.read.parquet(args.corpus)
@@ -860,6 +861,7 @@ def main(argv=None) -> int:
                 "ivf": ivf_ann_topk,
                 "pq": lambda e, k: pq_ann_topk(e, k=k, m=16, ks=32, refine=3 * k),
                 "ivfpq": lambda e, k: ivf_pq_topk(e, k=k, m=16, ks=32, refine=3 * k),
+                "sq": lambda e, k: sq_ann_topk(e, k=k, rescore=8 * k),
                 "exact": cosine_topk,
             }[args.method]
             out = fn(emb, k=args.k)
