@@ -855,6 +855,38 @@ def _q_reindex_topk(spark, sf_dir):
     )
 
 
+def _q_backup_restore_topk(spark, sf_dir):
+    # backup/restore (backup.py): snapshot-consistent export (current
+    # manifest's live bytes only, checksummed) + verified restore to a
+    # fresh root — queries on the restored index must match the plain
+    # full-corpus BM25 oracle exactly; restore-to-version-1 is asserted
+    # so the row can't pass against the source index by accident
+    _reader(spark, sf_dir)                  # ensure the source exists
+    src_root, _src_cfg = _CACHE[sf_dir]
+    key = ("restored", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.backup import export_index, import_index
+
+        base = tempfile.mkdtemp(prefix="yase_bk_")
+        export_index(src_root, base + "/backup")
+        import_index(base + "/backup", base + "/restored")
+        _CACHE[key] = base + "/restored"
+    from yase_spark.catalog import Catalog
+
+    if Catalog(_CACHE[key]).current_version("segments") != 1:
+        raise RuntimeError("restored index is not a fresh single snapshot")
+    rd = IndexReader(spark, _CACHE[key])    # adopts restored config
+    rows = rd.topk(" ".join(BM25_TERMS), 10)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return (
+        res.join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r"))
+    )
+
+
 def _q_topk_after_delete(spark, sf_dir):
     # tombstone semantics: deleted docs stop matching IMMEDIATELY while
     # collection stats stay encode-time (the Lucene rule) — the oracle
@@ -2220,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_mlt": _q_federated_mlt,
         "federated_sigterms": _q_federated_sigterms,
         "ann_sq_topk": _q_ann_sq_topk,
+        "backup_restore_topk": _q_backup_restore_topk,
         # --- twice-verified core (green driver rows in r2/r3) ---
         "tf_agg": _q_tf,
         "df_agg": _q_df,
@@ -2625,6 +2658,7 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         # content-free physical re-layout (new block_size/term_buckets)
         # leaves the ranking bitwise-identical
         "reindex_topk": _bm25_oracle_sql(topk_select),
+        "backup_restore_topk": _bm25_oracle_sql(topk_select),
         # positional index: token positions = ordinality in the filtered
         # (empties-dropped) stream — identical to the engine's parts-
         # stream positions on this corpus (pure lowercase words)

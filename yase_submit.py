@@ -45,7 +45,7 @@ def main(argv=None) -> int:
             "build", "positions", "trigrams", "dictionary", "query", "synth",
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
             "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
-            "reindex", "alias",
+            "reindex", "alias", "export", "restore",
         ],
     )
     p.add_argument(
@@ -235,6 +235,7 @@ def main(argv=None) -> int:
     )
     p.add_argument("--docs", type=int, default=50000)
     p.add_argument("--out")
+    p.add_argument("--src", help="restore: the backup directory to restore from")
     p.add_argument("--ckpt", help="stream: checkpoint dir (default <index>_ckpt)")
     p.add_argument("--groups", type=int, default=None)
     p.add_argument(
@@ -403,6 +404,31 @@ def main(argv=None) -> int:
             block_size=args.block_size, term_buckets=args.buckets,
             k1=args.k1, b=args.b,
         )))
+
+    elif args.cmd == "export":
+        # snapshot-consistent backup: current manifests' live bytes only
+        # (COW-superseded partitions and expired history never copied),
+        # per-file sha256 manifest for restore-time verification
+        from yase_spark.backup import export_index
+
+        if not args.out:
+            raise SystemExit("export: pass --out for the backup directory")
+        s = export_index(args.index, args.out)
+        print(json.dumps({k: s[k] for k in
+                          ("source_root", "tables", "n_files", "total_bytes")}))
+
+    elif args.cmd == "restore":
+        # verified restore: re-hashes every file against the backup
+        # manifest (a drifted backup fails HERE, not at query time), then
+        # materializes a fresh single-snapshot index root
+        from yase_spark.backup import import_index
+
+        if not args.src or not args.out:
+            raise SystemExit("restore: pass --src (backup) and --out (new root)")
+        s = import_index(args.src, args.out)
+        print(json.dumps({"restored": args.out,
+                          "source_root": s.get("source_root"),
+                          "n_files": s.get("n_files")}))
 
     elif args.cmd == "force-merge":
         # read-optimize after heavy append traffic: coalesce shard-split
