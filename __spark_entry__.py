@@ -1519,6 +1519,80 @@ def _q_chunk_docs(spark, sf_dir):
     return chunk_docs(_docs(spark, sf_dir), chunk=CHUNK, stride=STRIDE)
 
 
+HC_TERMS = ["merge", "batch", "window"]  # has_child query
+HP_PRED = "lang = 'de'"                  # has_parent parent filter
+
+# rank_eval: synthetic qrels from a pure-integer grade expression
+# shared VERBATIM with the oracle (evaluates identically in Spark SQL
+# and DuckDB; the % 100003 cap keeps the product far from BIGINT
+# overflow). RE_QUERIES is defined next to MSM_TERMS below.
+RE_K = 10
+_RE_M = "((doc_id % 100003) * 2654435761 + query_id * 7919) % 97"
+RE_GRADE_SQL = f"CASE WHEN {_RE_M} < 15 THEN 1 + ({_RE_M}) % 3 ELSE 0 END"
+
+
+def _q_rank_eval(spark, sf_dir):
+    # ES _rank_eval: run the three queries through the real serving
+    # lane (block-max WAND top-k), map to original doc ids, grade
+    # against the synthetic qrels, and compute P@k/recall@k/MRR/DCG/
+    # nDCG per query — the oracle replays retrieval AND metrics
+    from functools import reduce
+
+    from yase_spark.rankeval import rank_eval
+
+    rd = _reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    frames = []
+    for qid, terms in enumerate(RE_QUERIES):
+        rows = rd.topk(" ".join(terms), RE_K)
+        frames.append(
+            spark.createDataFrame(
+                [(qid, d, s) for _, d, s in rows] or [],
+                schema="query_id int, doc_id long, score double",
+            )
+        )
+    results = (
+        reduce(DataFrame.unionByName, frames)
+        .join(m, "doc_id")
+        .select("query_id", F.col("orig_doc_id").alias("doc_id"), "score")
+    )
+    qids = spark.range(len(RE_QUERIES)).select(
+        F.col("id").cast("int").alias("query_id")
+    )
+    judgments = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .crossJoin(qids)
+        .withColumn("grade", F.expr(RE_GRADE_SQL))
+        .filter(F.col("grade") > 0)
+    )
+    return rank_eval(results, judgments, k=RE_K)
+
+
+def _q_has_child_topk(spark, sf_dir):
+    # ES has_child: parents ranked by the SUM of their matching chunks'
+    # BM25 scores under CHILD-corpus statistics — the chunk derivation,
+    # child scoring, and parent aggregation are all replayed by the
+    # oracle from raw text
+    from yase_spark.curation import chunk_docs
+    from yase_spark.nested import has_child_topk
+
+    kids = chunk_docs(_docs(spark, sf_dir), chunk=CHUNK, stride=STRIDE)
+    return has_child_topk(kids, HC_TERMS, k=10, score_mode="sum")
+
+
+def _q_has_parent_children(spark, sf_dir):
+    # ES has_parent: children of parents matching a metadata predicate,
+    # parent field carried — filtered parent dimension broadcasts, the
+    # child table never shuffles
+    from yase_spark.curation import chunk_docs
+    from yase_spark.nested import has_parent_children
+
+    d = _docs(spark, sf_dir)
+    kids = chunk_docs(d, chunk=CHUNK, stride=STRIDE)
+    return has_parent_children(d, kids, HP_PRED)
+
+
 def _q_pack_sequences(spark, sf_dir):
     from yase_spark.curation import pack_sequences
 
@@ -1899,6 +1973,9 @@ def _q_qs_topk(spark, sf_dir):
 MSM_TERMS = ["table", "hash", "merge", "sort"]
 MSM_MIN = 3
 
+# rank_eval query set: term sets already proven on the ranked lane
+RE_QUERIES = [BM25_TERMS, MSM_TERMS, OR_TERMS]
+
 
 def _q_topk_msm(spark, sf_dir):
     # minimum_should_match: docs matching >= 3 of the 4 terms, ranked
@@ -2243,6 +2320,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_suggest": _q_federated_suggest,
         "topk_sort_field": _q_topk_sort_field,
         "fields_cross": _q_fields_cross,
+        # parent/child lead the overflow zone: a NEW operator family
+        # (vs the parked sibling variants below whose core lanes are
+        # in-window), so they take the first slots past 50 in case the
+        # driver window runs a little long
+        "has_child_topk": _q_has_child_topk,
+        "has_parent_children": _q_has_parent_children,
+        "rank_eval": _q_rank_eval,
         "span_first": _q_span_first,
         "multi_term_topk": _q_multi_term_topk,
         "facet_histogram": _q_facet_histogram,
@@ -3687,4 +3771,107 @@ FROM top
     # additive tallies) — the single-corpus oracles ARE the spec
     o["federated_mlt"] = o["more_like_this"]
     o["federated_sigterms"] = o["significant_terms"]
+    # parent/child: the chunk derivation (same window math as the
+    # chunk_docs oracle), child-level BM25, and the parent score_mode
+    # aggregation all replayed from raw text
+    hc = ", ".join(f"'{t}'" for t in HC_TERMS)
+    chunk_cte = f"""
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents),
+ch AS (SELECT doc_id, w,
+        unnest(range(0, CASE WHEN len(w) > 0
+          THEN 1 + ((greatest(len(w) - {CHUNK}, 0) + {STRIDE} - 1) // {STRIDE}) ELSE 0 END)) AS chunk_id
+      FROM w),
+kids AS (SELECT doc_id, chunk_id,
+       least({CHUNK}, len(w) - chunk_id * {STRIDE}) AS n_tokens,
+       array_to_string(w[chunk_id*{STRIDE}+1 : chunk_id*{STRIDE}+{CHUNK}], ' ') AS chunk_text
+FROM ch)"""
+    o["has_child_topk"] = f"""
+WITH {chunk_cte},
+t AS (SELECT doc_id, chunk_id,
+             unnest(regexp_split_to_array(chunk_text, '[^a-z0-9_]+')) AS term
+      FROM kids),
+tt AS (SELECT * FROM t WHERE term <> ''),
+cdl AS (SELECT doc_id, chunk_id, count(*) AS dl FROM tt GROUP BY 1, 2),
+ctf AS (SELECT doc_id, chunk_id, term, count(*) AS tf FROM tt
+        WHERE term IN ({hc}) GROUP BY 1, 2, 3),
+cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+tot AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM cdl),
+csc AS (
+  SELECT ctf.doc_id, ctf.chunk_id,
+         sum(ln(1.0 + (tot.n - cdf.df + 0.5) / (cdf.df + 0.5))
+             * (ctf.tf * {K1 + 1.0}) / (ctf.tf + {K1} * (1.0 - {B} + {B} * (cdl.dl / tot.avgdl)))
+         ) AS cscore
+  FROM ctf JOIN cdf USING (term) JOIN cdl USING (doc_id, chunk_id) CROSS JOIN tot
+  GROUP BY 1, 2),
+par AS (SELECT doc_id, count(*) AS n_matched, round(sum(cscore), 6) AS score_r
+        FROM csc GROUP BY 1),
+top AS (SELECT * FROM par ORDER BY score_r DESC, doc_id LIMIT 10)
+SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,
+       doc_id, n_matched, score_r
+FROM top
+"""
+    o["has_parent_children"] = f"""
+WITH {chunk_cte}
+SELECT k.doc_id, k.chunk_id, d.lang, k.n_tokens
+FROM kids k JOIN documents d USING (doc_id)
+WHERE {HP_PRED}
+"""
+    # rank_eval: the full retrieval (multi-query BM25 top-k via a
+    # qterms-join variant of the standard CTE chain), the synthetic
+    # qrels (same arithmetic grade expression, shared verbatim), and
+    # every metric (P@k, recall@k, MRR, DCG, nDCG) replayed in SQL
+    re_all = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in RE_QUERIES for t in ts})
+    )
+    re_qt = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in enumerate(RE_QUERIES) for t in ts
+    )
+    re_qids = ", ".join(f"({qid})" for qid in range(len(RE_QUERIES)))
+    o["rank_eval"] = f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t WHERE term IN ({re_all}) GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt(query_id, term) AS (VALUES {re_qt}),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tf JOIN qt USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1, 2),
+res AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM sc),
+topk AS (SELECT * FROM res WHERE rank <= {RE_K}),
+jd AS (SELECT query_id, doc_id, grade FROM (
+         SELECT q.query_id, d.doc_id, {RE_GRADE_SQL} AS grade
+         FROM documents d CROSS JOIN (VALUES {re_qids}) AS q(query_id))
+       WHERE grade > 0),
+tot AS (SELECT query_id, count(*) AS total_rel FROM jd GROUP BY 1),
+ideal AS (SELECT query_id, sum((pow(2.0, grade) - 1.0) / log2(i + 1.0)) AS idcg
+          FROM (SELECT query_id, grade,
+                       row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id) AS i
+                FROM jd)
+          WHERE i <= {RE_K} GROUP BY 1),
+hits AS (SELECT tk.query_id, tk.rank, coalesce(j.grade, 0) AS grade
+         FROM topk tk LEFT JOIN jd j USING (query_id, doc_id)),
+per AS (SELECT query_id,
+               sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS rel_at_k,
+               sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg,
+               max(CASE WHEN grade > 0 THEN 1.0 / rank ELSE 0.0 END) AS mrr
+        FROM hits GROUP BY 1)
+SELECT p.query_id,
+       CAST(rel_at_k AS BIGINT) AS n_rel,
+       round(rel_at_k / {float(RE_K)}, 6) AS precision_r,
+       round(CASE WHEN coalesce(total_rel, 0) > 0
+                  THEN rel_at_k * 1.0 / total_rel ELSE 0.0 END, 6) AS recall_r,
+       round(mrr, 6) AS mrr_r,
+       round(dcg, 6) AS dcg_r,
+       round(CASE WHEN coalesce(idcg, 0.0) > 0
+                  THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg_r
+FROM per p LEFT JOIN tot USING (query_id) LEFT JOIN ideal USING (query_id)
+ORDER BY query_id
+"""
     return o

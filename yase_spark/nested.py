@@ -1,0 +1,135 @@
+"""Parent/child (nested-document) queries — the Elasticsearch
+``has_child`` / ``has_parent`` join surface.
+
+Data model: a PARENT table (documents) and a CHILD table keyed by the
+parent id — here the deterministic token-window chunks
+``curation.chunk_docs`` emits, the join shape ES implements with
+child docs routed to the parent's shard and Lucene implements with
+block-joins. Two queries:
+
+* ``has_child_topk`` — rank PARENTS by an aggregate of their matching
+  children's relevance (ES ``score_mode``: max/sum/avg/min/none).
+  Children are scored with CHILD-LEVEL BM25 statistics (df/avgdl over
+  the child corpus — exactly how ES scores the child index), then ONE
+  parent-keyed aggregation applies the score mode and the global top-k
+  is a TakeOrderedAndProject cap. The scoring is the same relational
+  BM25 lane as ``fields.py`` (explode → tf/df/dl aggs → contribution
+  join), everything JVM-side; at 100 TB the child tf/df inputs come out
+  of a child inverted index instead of a corpus re-scan and feed the
+  SAME contribution expression — the aggregation/topology above the
+  per-child score is unchanged.
+* ``has_parent_children`` — return CHILDREN whose parent matches a
+  metadata predicate (ES ``has_parent``): a parent-keyed equi-join
+  against the filtered parent dimension; the predicate pushes into the
+  parent scan and the small filtered side broadcasts.
+
+Determinism: integer counts everywhere, fixed contribution expression,
+(score DESC, parent ASC) and (parent ASC, child ASC) orderings; scores
+round at the contract boundary like every other ranked surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SPLIT = "[^a-z0-9_]+"
+SCORE_MODES = ("max", "sum", "avg", "min", "none")
+
+
+def _child_scores(
+    children: DataFrame, terms: list[str], k1: float, b: float
+) -> DataFrame:
+    """(doc_id, chunk_id, cscore): BM25 score of every child matching
+    >= 1 query term, under child-corpus statistics. One explode pass
+    feeds tf, dl, df, and the two scalar totals; the per-child score is
+    a sum of per-term contributions (fixed expression, analyzer order
+    irrelevant here because the sum is over a grouped aggregate of
+    exact integers — float add order is Spark-fixed by the sort below
+    only at the final rounding boundary)."""
+    toks = children.select(
+        "doc_id", "chunk_id",
+        F.explode(F.split(F.lower("chunk_text"), SPLIT)).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id", "chunk_id").agg(F.count("*").alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "chunk_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+    totals = dl.agg(
+        F.count("*").alias("n_children"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        1.0 + (F.col("n_children") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfs), "term")
+        .join(dl, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(totals))
+        .withColumn("c", contrib)
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.sum("c").alias("cscore"))
+    )
+
+
+def has_child_topk(
+    children: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    score_mode: str = "max",
+    min_children: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``has_child``: top-``k`` PARENT ids whose children match the
+    query, parent score = ``score_mode`` over matching children's BM25
+    scores (``none`` = constant 1.0, ES's unscored filter mode — ties
+    then break by parent id, i.e. pure filter semantics).
+    ``min_children`` is ES ``min_children``. Output
+    (rank, doc_id, n_matched, score_r)."""
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {SCORE_MODES}")
+    if not terms or k <= 0:
+        raise ValueError("has_child_topk needs query terms and k > 0")
+    cs = _child_scores(children, terms, k1, b)
+    agg = {
+        "max": F.max("cscore"),
+        "sum": F.sum("cscore"),
+        "avg": F.avg("cscore"),
+        "min": F.min("cscore"),
+        "none": F.lit(1.0),
+    }[score_mode]
+    parents = (
+        cs.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(agg, 6).alias("score_r"),
+        )
+        .filter(F.col("n_matched") >= min_children)
+    )
+    top = parents.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "n_matched", "score_r"
+    )
+
+
+def has_parent_children(
+    docs: DataFrame, children: DataFrame, predicate: str
+) -> DataFrame:
+    """ES ``has_parent``: every CHILD whose parent matches the metadata
+    predicate, carrying the parent field along. The filtered parent
+    dimension broadcasts (a metadata slice is small by definition at
+    any scale — and if it is not, Spark's AQE demotes the broadcast);
+    the child table is never shuffled. Output
+    (doc_id, chunk_id, lang, n_tokens)."""
+    parents = docs.filter(F.expr(predicate)).select("doc_id", "lang")
+    return (
+        children.join(F.broadcast(parents), "doc_id")
+        .select("doc_id", "chunk_id", "lang", "n_tokens")
+    )

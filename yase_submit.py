@@ -45,8 +45,17 @@ def main(argv=None) -> int:
             "build", "positions", "trigrams", "dictionary", "query", "synth",
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
             "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
-            "reindex", "alias", "export", "restore",
+            "reindex", "alias", "export", "restore", "rank-eval",
         ],
+    )
+    p.add_argument(
+        "--qrels",
+        help="rank-eval: parquet of graded judgments "
+        "(query_id int, doc_id long, grade int)",
+    )
+    p.add_argument(
+        "--queries-file",
+        help="rank-eval: JSON object {query_id: \"query string\", ...}",
     )
     p.add_argument(
         "--groups-file",
@@ -754,6 +763,33 @@ def main(argv=None) -> int:
             print(json.dumps({"written": args.out, "rows": out_df.count()}))
         else:
             print(json.dumps([r.asDict() for r in out_df.limit(100).collect()]))
+
+    elif args.cmd == "rank-eval":
+        # ES _rank_eval: run the query batch through the serving lane
+        # and score it against a graded judgment parquet — P@k,
+        # recall@k, MRR, DCG, nDCG@k per query
+        from yase_spark.query import IndexReader
+        from yase_spark.rankeval import rank_eval
+
+        if not (args.index and args.qrels and args.queries_file):
+            raise SystemExit("rank-eval needs --index --qrels --queries-file")
+        with open(args.queries_file) as fh:
+            batch = json.load(fh)
+        rd = IndexReader(spark, args.index)
+        rows = [
+            (int(qid), d, s)
+            for qid, q in sorted(batch.items(), key=lambda kv: int(kv[0]))
+            for _, d, s in rd.topk(q, args.k)
+        ]
+        results = spark.createDataFrame(
+            rows or [], schema="query_id int, doc_id long, score double"
+        )
+        out_df = rank_eval(results, spark.read.parquet(args.qrels), k=args.k)
+        if args.out:
+            out_df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"written": args.out, "rows": out_df.count()}))
+        else:
+            print(json.dumps([r.asDict() for r in out_df.collect()]))
 
     elif args.cmd == "suggest":
         # suggest surfaces off the dictionary siblings: --op complete
