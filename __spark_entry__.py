@@ -1593,6 +1593,20 @@ def _q_has_parent_children(spark, sf_dir):
     return has_parent_children(d, kids, HP_PRED)
 
 
+BPE_N = 24  # merges learned in the contract entry
+
+
+def _q_bpe_merges(spark, sf_dir):
+    # distributed BPE training over the documents corpus: one
+    # corpus-sized word-count pass, then vocabulary-sized merge rounds
+    # (JVM fold apply, 1-row argmax collects). Iterative => no SQL
+    # oracle (rows-only, like codec_roundtrip); the exact-sequence
+    # gate vs a pure-python reference lives in tests/test_bpe.py
+    from yase_spark.bpe import learn_bpe, merges_df
+
+    return merges_df(spark, learn_bpe(_docs(spark, sf_dir), BPE_N))
+
+
 def _q_pack_sequences(spark, sf_dir):
     from yase_spark.curation import pack_sequences
 
@@ -2327,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child_topk": _q_has_child_topk,
         "has_parent_children": _q_has_parent_children,
         "rank_eval": _q_rank_eval,
+        "bpe_merges": _q_bpe_merges,
         "span_first": _q_span_first,
         "multi_term_topk": _q_multi_term_topk,
         "facet_histogram": _q_facet_histogram,

@@ -45,8 +45,16 @@ def main(argv=None) -> int:
             "build", "positions", "trigrams", "dictionary", "query", "synth",
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
             "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
-            "reindex", "alias", "export", "restore", "rank-eval",
+            "reindex", "alias", "export", "restore", "rank-eval", "bpe",
         ],
+    )
+    p.add_argument(
+        "--merges", type=int, default=1000,
+        help="bpe: number of merge rounds to learn",
+    )
+    p.add_argument(
+        "--encode", action="store_true",
+        help="bpe: also encode the corpus and report per-doc token counts",
     )
     p.add_argument(
         "--qrels",
@@ -763,6 +771,35 @@ def main(argv=None) -> int:
             print(json.dumps({"written": args.out, "rows": out_df.count()}))
         else:
             print(json.dumps([r.asDict() for r in out_df.limit(100).collect()]))
+
+    elif args.cmd == "bpe":
+        # distributed BPE tokenizer training over a documents-shaped
+        # corpus; --encode additionally re-encodes the corpus with the
+        # learned merges and writes per-doc token counts
+        from yase_spark.bpe import bpe_encode, learn_bpe, merges_df
+
+        if not args.corpus:
+            raise SystemExit("bpe needs --corpus")
+        docs = spark.read.parquet(args.corpus)
+        merges = learn_bpe(docs, args.merges)
+        if args.out:
+            merges_df(spark, merges).write.mode("overwrite").parquet(
+                args.out + "/merges"
+            )
+            summary = {"merges": len(merges), "written": args.out + "/merges"}
+            if args.encode:
+                enc = bpe_encode(docs, merges)
+                enc.write.mode("overwrite").parquet(args.out + "/token_counts")
+                agg = enc.agg(
+                    {"n_bpe_tokens": "sum", "n_words": "sum"}
+                ).collect()[0]
+                summary.update(
+                    n_words=agg["sum(n_words)"],
+                    n_bpe_tokens=agg["sum(n_bpe_tokens)"],
+                )
+            print(json.dumps(summary))
+        else:
+            print(json.dumps([list(m) for m in merges[:100]]))
 
     elif args.cmd == "rank-eval":
         # ES _rank_eval: run the query batch through the serving lane
