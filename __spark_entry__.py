@@ -1593,6 +1593,17 @@ def _q_has_parent_children(spark, sf_dir):
     return has_parent_children(d, kids, HP_PRED)
 
 
+def _q_has_child_inner(spark, sf_dir):
+    # ES inner_hits: each top parent flattened to its top-3 matching
+    # chunks by child BM25 score (score_mode=max so parent score ==
+    # its best child's score, the ES default)
+    from yase_spark.curation import chunk_docs
+    from yase_spark.nested import has_child_inner_hits
+
+    kids = chunk_docs(_docs(spark, sf_dir), chunk=CHUNK, stride=STRIDE)
+    return has_child_inner_hits(kids, HC_TERMS, k=10, m=3, score_mode="max")
+
+
 BPE_N = 24  # merges learned in the contract entry
 
 
@@ -2341,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child_topk": _q_has_child_topk,
         "has_parent_children": _q_has_parent_children,
         "rank_eval": _q_rank_eval,
+        "has_child_inner": _q_has_child_inner,
         "bpe_merges": _q_bpe_merges,
         "span_first": _q_span_first,
         "multi_term_topk": _q_multi_term_topk,
@@ -3830,6 +3842,39 @@ WITH {chunk_cte}
 SELECT k.doc_id, k.chunk_id, d.lang, k.n_tokens
 FROM kids k JOIN documents d USING (doc_id)
 WHERE {HP_PRED}
+"""
+    # inner_hits: same child-BM25 CTE chain, parent rollup is MAX
+    # (the ES default), then each top parent joins back to its child
+    # scores and a per-parent window keeps the top 3
+    o["has_child_inner"] = f"""
+WITH {chunk_cte},
+t AS (SELECT doc_id, chunk_id,
+             unnest(regexp_split_to_array(chunk_text, '[^a-z0-9_]+')) AS term
+      FROM kids),
+tt AS (SELECT * FROM t WHERE term <> ''),
+cdl AS (SELECT doc_id, chunk_id, count(*) AS dl FROM tt GROUP BY 1, 2),
+ctf AS (SELECT doc_id, chunk_id, term, count(*) AS tf FROM tt
+        WHERE term IN ({hc}) GROUP BY 1, 2, 3),
+cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+tot AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM cdl),
+csc AS (
+  SELECT ctf.doc_id, ctf.chunk_id,
+         sum(ln(1.0 + (tot.n - cdf.df + 0.5) / (cdf.df + 0.5))
+             * (ctf.tf * {K1 + 1.0}) / (ctf.tf + {K1} * (1.0 - {B} + {B} * (cdl.dl / tot.avgdl)))
+         ) AS cscore
+  FROM ctf JOIN cdf USING (term) JOIN cdl USING (doc_id, chunk_id) CROSS JOIN tot
+  GROUP BY 1, 2),
+par AS (SELECT doc_id, round(max(cscore), 6) AS score_r FROM csc GROUP BY 1),
+top AS (SELECT doc_id, score_r,
+               row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank
+        FROM par ORDER BY score_r DESC, doc_id LIMIT 10),
+inner_h AS (SELECT top.rank, top.doc_id, top.score_r, csc.chunk_id,
+                   round(csc.cscore, 6) AS cscore_r,
+                   row_number() OVER (PARTITION BY top.doc_id
+                                      ORDER BY csc.cscore DESC, csc.chunk_id) AS crank
+            FROM top JOIN csc USING (doc_id))
+SELECT rank, doc_id, score_r, crank, chunk_id, cscore_r
+FROM inner_h WHERE crank <= 3
 """
     # rank_eval: the full retrieval (multi-query BM25 top-k via a
     # qterms-join variant of the standard CTE chain), the synthetic

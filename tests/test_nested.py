@@ -13,7 +13,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from yase_spark.curation import chunk_docs
-from yase_spark.nested import has_child_topk, has_parent_children
+from yase_spark.nested import (
+    has_child_inner_hits,
+    has_child_topk,
+    has_parent_children,
+)
 
 CHUNK, STRIDE = 4, 3
 K1, B = 1.2, 0.75
@@ -125,6 +129,45 @@ def test_has_child_rejects_bad_args(kids):
         has_child_topk(kids, TERMS, score_mode="blended")
     with pytest.raises(ValueError):
         has_child_topk(kids, [], k=10)
+
+
+def _py_inner_hits(terms, k, m):
+    cs = _py_child_scores(terms)
+    per = {}
+    for (doc_id, cid), s in cs.items():
+        per.setdefault(doc_id, []).append((cid, s))
+    parents = sorted(
+        ((d, round(max(s for _, s in v), 6)) for d, v in per.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:k]
+    out = []
+    for rank, (d, score) in enumerate(parents, start=1):
+        kids_sorted = sorted(per[d], key=lambda cs_: (-cs_[1], cs_[0]))[:m]
+        for crank, (cid, s) in enumerate(kids_sorted, start=1):
+            out.append((rank, d, score, crank, cid, round(s, 6)))
+    return sorted(out)
+
+
+def test_inner_hits_match_python_replay(kids):
+    got = sorted(
+        (r["rank"], r["doc_id"], r["score_r"], r["crank"], r["chunk_id"],
+         r["cscore_r"])
+        for r in has_child_inner_hits(
+            kids, TERMS, k=10, m=2, score_mode="max"
+        ).collect()
+    )
+    assert got == _py_inner_hits(TERMS, 10, 2)
+    # max-mode consistency: every parent's score equals its crank-1
+    # child's score
+    best = {(r[0], r[1]): r[2] for r in got}
+    for rank, d, score, crank, _cid, cs in got:
+        if crank == 1:
+            assert best[(rank, d)] == cs
+
+
+def test_inner_hits_rejects_bad_m(kids):
+    with pytest.raises(ValueError):
+        has_child_inner_hits(kids, TERMS, m=0)
 
 
 def test_has_parent_children(docs, kids):

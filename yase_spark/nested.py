@@ -119,6 +119,61 @@ def has_child_topk(
     )
 
 
+def has_child_inner_hits(
+    children: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    m: int = 3,
+    score_mode: str = "max",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``inner_hits``: the top-``k`` parents of ``has_child_topk``,
+    each flattened to its top-``m`` matching children by child BM25
+    score (crank = child rank within the parent, ties by chunk_id).
+
+    One extra broadcast join against the k-row parent set + one
+    per-parent window over that parent's matched children — the child
+    score frame is computed once and reused for both the parent rollup
+    and the inner hits, exactly the single-pass shape ES's block-join
+    collector has. Output (rank, doc_id, score_r, crank, chunk_id,
+    cscore_r)."""
+    if m <= 0:
+        raise ValueError("m must be positive")
+    cs = _child_scores(children, terms, k1, b).persist()
+    agg = {
+        "max": F.max("cscore"),
+        "sum": F.sum("cscore"),
+        "avg": F.avg("cscore"),
+        "min": F.min("cscore"),
+        "none": F.lit(1.0),
+    }[score_mode]
+    parents = (
+        cs.groupBy("doc_id")
+        .agg(F.round(agg, 6).alias("score_r"))
+        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(k)
+    )
+    pw = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    ranked = parents.withColumn("rank", F.row_number().over(pw))
+    cw = Window.partitionBy("doc_id").orderBy(
+        F.desc("cscore"), F.asc("chunk_id")
+    )
+    return (
+        cs.join(F.broadcast(ranked), "doc_id")
+        .withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= m)
+        .select(
+            "rank",
+            "doc_id",
+            "score_r",
+            "crank",
+            "chunk_id",
+            F.round("cscore", 6).alias("cscore_r"),
+        )
+    )
+
+
 def has_parent_children(
     docs: DataFrame, children: DataFrame, predicate: str
 ) -> DataFrame:
