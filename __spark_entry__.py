@@ -1604,6 +1604,36 @@ def _q_has_child_inner(spark, sf_dir):
     return has_child_inner_hits(kids, HC_TERMS, k=10, m=3, score_mode="max")
 
 
+MIX_ALPHA = 0.5     # temperature (sqrt — the usual mixing default)
+MIX_BUDGET = 25000  # tokens: caps the smallest domain at rate 1.0 at
+                    # sf0.01 while the largest stays ~0.86 — both
+                    # regimes of the min(1, .) exercised
+SHUF_SHARDS = 8
+
+
+def _q_mix_weights(spark, sf_dir):
+    # temperature-based domain sampling weights (w_i ∝ p_i^alpha)
+    from yase_spark.mixing import domain_weights
+
+    return domain_weights(_docs(spark, sf_dir), "source", MIX_ALPHA)
+
+
+def _q_mix_sample(spark, sf_dir):
+    # token-budgeted mixture materialization; keep/drop by the shared
+    # 60-bit md5 Bernoulli key, so the oracle picks identical rows
+    from yase_spark.mixing import mix_sample
+
+    return mix_sample(_docs(spark, sf_dir), MIX_BUDGET, "source", MIX_ALPHA)
+
+
+def _q_shuffle_export(spark, sf_dir):
+    # deterministic global shuffle: hash-sharded, hash-ordered — the
+    # byte-reproducible pre-training export layout
+    from yase_spark.mixing import shuffle_export
+
+    return shuffle_export(_docs(spark, sf_dir), SHUF_SHARDS)
+
+
 BPE_N = 24  # merges learned in the contract entry
 
 
@@ -2353,6 +2383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent_children": _q_has_parent_children,
         "rank_eval": _q_rank_eval,
         "has_child_inner": _q_has_child_inner,
+        "mix_weights": _q_mix_weights,
+        "mix_sample": _q_mix_sample,
+        "shuffle_export": _q_shuffle_export,
         "bpe_merges": _q_bpe_merges,
         "span_first": _q_span_first,
         "multi_term_topk": _q_multi_term_topk,
@@ -3875,6 +3908,46 @@ inner_h AS (SELECT top.rank, top.doc_id, top.score_r, csc.chunk_id,
             FROM top JOIN csc USING (doc_id))
 SELECT rank, doc_id, score_r, crank, chunk_id, cscore_r
 FROM inner_h WHERE crank <= 3
+"""
+    # mixing: domain token stats, temperature weights, the budgeted
+    # Bernoulli sample (same 60-bit md5 key), and the hash-sharded
+    # global shuffle all replayed from raw text
+    mix_cte = """
+dt AS (SELECT doc_id, source AS domain,
+              len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                              x -> x <> '')) AS n_tokens
+       FROM documents),
+per AS (SELECT domain, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM dt GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per),
+sh AS (SELECT per.*, tot.tot, pow(per.n_tokens / tot.tot, %ALPHA%) AS pw
+       FROM per CROSS JOIN tot),
+den AS (SELECT sum(pw) AS denom FROM sh)""".replace("%ALPHA%", repr(MIX_ALPHA))
+    o["mix_weights"] = f"""
+WITH {mix_cte}
+SELECT domain, n_docs, n_tokens,
+       round(n_tokens / tot, 6) AS share_r,
+       round(pw / denom, 6) AS weight_r
+FROM sh CROSS JOIN den ORDER BY domain
+"""
+    _h60_duck = (
+        "CAST(concat('0x', substr(md5(concat('%S%', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    o["mix_sample"] = f"""
+WITH {mix_cte},
+rates AS (SELECT domain,
+                 least(1.0, {float(MIX_BUDGET)} * (pw / denom) / n_tokens) AS rate
+          FROM sh CROSS JOIN den)
+SELECT dt.doc_id, dt.domain, dt.n_tokens
+FROM dt JOIN rates USING (domain)
+WHERE {_h60_duck.replace("%S%", "mx")} < rate * {float(1 << 60)}
+"""
+    o["shuffle_export"] = f"""
+WITH h AS (SELECT doc_id, {_h60_duck.replace("%S%", "sh")} AS h FROM documents)
+SELECT CAST(h % {SHUF_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {SHUF_SHARDS} ORDER BY h, doc_id) AS INT) AS pos,
+       doc_id
+FROM h
 """
     # rank_eval: the full retrieval (multi-query BM25 top-k via a
     # qterms-join variant of the standard CTE chain), the synthetic

@@ -1,0 +1,147 @@
+"""Training-mixture operators: temperature-based domain weighting,
+budgeted mixture sampling, and the deterministic global shuffle a
+pretraining export needs.
+
+* ``domain_weights`` — the multilingual/multi-source temperature
+  sampling scheme (mBERT/XLM-R/PaLM data mixing): domain i with token
+  share p_i samples with weight w_i = p_i^alpha / Σ_j p_j^alpha.
+  alpha < 1 up-weights small domains (alpha = 0.5 is sqrt — the usual
+  default, and IEEE-exact so Spark and the SQL oracle agree to the
+  last ulp before the contract rounding). One corpus scan, then a
+  DOMAIN-cardinality aggregate — nothing per-doc survives.
+* ``mix_sample`` — materialize a token-budgeted mixture: each domain's
+  keep-rate is min(1, budget·w_i / tokens_i) and docs keep/drop by the
+  same 60-bit md5 Bernoulli key as ``curation.stratified_sample`` —
+  deterministic (re-runs and the oracle pick identical rows), map-only
+  after the tiny stats join, zero corpus shuffles.
+* ``shuffle_export`` — the global pseudo-random shuffle before
+  training: shard = doc hash mod n_shards, position = rank of the hash
+  within the shard. Exactly the write pattern a 100 TB export wants —
+  the hash IS the partitioner (uniform by construction, no skew), each
+  shard sorts locally, nothing global except the hash function.
+
+Determinism: every random choice is the md5-based 60-bit hash shared
+verbatim with the DuckDB oracles; weights round at the contract
+boundary. Per-doc token counts use the engine's analyzer split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .curation import _h60
+
+SPLIT = "[^a-z0-9_]+"
+H60_MAX = float(1 << 60)
+
+
+def _doc_tokens(docs: DataFrame, group_col: str) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.col(group_col).alias("domain"),
+        F.expr(
+            f"size(filter(split(lower(text), '{SPLIT}'), x -> x <> ''))"
+        ).alias("n_tokens"),
+    )
+
+
+def _stats(docs: DataFrame, group_col: str, alpha: float) -> DataFrame:
+    """(domain, n_docs, n_tokens, p, w) with w = p^alpha / Σ p^alpha."""
+    per = (
+        _doc_tokens(docs, group_col)
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "pw", F.pow(F.col("n_tokens") / F.col("tot"), F.lit(alpha))
+    )
+    denom = shared.agg(F.sum("pw").alias("denom"))
+    return (
+        shared.crossJoin(F.broadcast(denom))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("tot")).alias("p"),
+            (F.col("pw") / F.col("denom")).alias("w"),
+        )
+    )
+
+
+def domain_weights(
+    docs: DataFrame, group_col: str = "source", alpha: float = 0.5
+) -> DataFrame:
+    """Per-domain temperature sampling weights. Output (domain, n_docs,
+    n_tokens, share_r, weight_r) ordered by domain."""
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    return (
+        _stats(docs, group_col, alpha)
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round("p", 6).alias("share_r"),
+            F.round("w", 6).alias("weight_r"),
+        )
+        .orderBy("domain")
+    )
+
+
+def mix_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    salt: str = "mx",
+) -> DataFrame:
+    """Deterministic token-budgeted mixture sample.
+
+    Domain i keeps docs at rate min(1, budget·w_i / tokens_i) — i.e.
+    the realized mixture approaches the temperature weights until a
+    domain is exhausted (rate capped at 1; ES/PaLM-style mixing leaves
+    oversampling epochs to the training loader). Keep/drop is the
+    60-bit md5 of (salt, doc_id): map-only, reproducible, identical in
+    the SQL oracle. Output (doc_id, domain, n_tokens) of kept docs.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    rates = _stats(docs, group_col, alpha).select(
+        "domain",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens)) * F.col("w") / F.col("n_tokens"),
+        ).alias("rate"),
+    )
+    key = _h60(f"concat('{salt}', cast(doc_id as string))")
+    return (
+        _doc_tokens(docs, group_col)
+        .join(F.broadcast(rates), "domain")
+        .filter(F.expr(key) < F.col("rate") * H60_MAX)
+        .select("doc_id", "domain", "n_tokens")
+    )
+
+
+def shuffle_export(
+    docs: DataFrame, n_shards: int, salt: str = "sh"
+) -> DataFrame:
+    """Deterministic global shuffle: (shard, pos, doc_id) with shard =
+    h60(salt, doc_id) mod n_shards and pos = 1-based rank of (h60,
+    doc_id) within the shard. The hash is the partitioner — shards are
+    uniform by construction, each sorts locally (one shuffle total),
+    and the layout is byte-reproducible across runs and engines."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = _h60(f"concat('{salt}', cast(doc_id as string))")
+    w = Window.partitionBy("shard").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", F.expr(key).alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("shard", "pos", "doc_id")
+    )
