@@ -1634,6 +1634,28 @@ def _q_shuffle_export(spark, sf_dir):
     return shuffle_export(_docs(spark, sf_dir), SHUF_SHARDS)
 
 
+def _q_quality_classifier(spark, sf_dir):
+    # trainable quality filter: logistic regression fit by distributed
+    # full-batch GD (each iteration = ONE map-side-combinable agg) on
+    # the heuristic quality features, weak label = the trusted slice of
+    # docs >= 300 chars (testdata lang/source are uniform random
+    # metadata uncorrelated with text, so length is the one learnable
+    # signal; GD must recover it through log-words / mean-word-len).
+    # Iterative => rows-only; the numpy-replay and separability gates
+    # live in tests/test_classifier.py
+    from yase_spark.classifier import featurize, predict, train_logreg
+
+    d = _docs(spark, sf_dir)
+    feats = featurize(d)
+    labels = d.select(
+        "doc_id", (F.col("n_chars") >= 300).cast("double").alias("y")
+    )
+    w, _losses = train_logreg(
+        feats, labels, n_iters=30, lr=0.5, standardize=True
+    )
+    return predict(feats, w)
+
+
 BPE_N = 24  # merges learned in the contract entry
 
 
@@ -2387,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": _q_mix_sample,
         "shuffle_export": _q_shuffle_export,
         "bpe_merges": _q_bpe_merges,
+        "quality_classifier": _q_quality_classifier,
         "span_first": _q_span_first,
         "multi_term_topk": _q_multi_term_topk,
         "facet_histogram": _q_facet_histogram,
