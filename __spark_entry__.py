@@ -2117,6 +2117,19 @@ def _q_unigram_ppl(spark, sf_dir):
     )
 
 
+def _q_bigram_ppl(spark, sf_dir):
+    # Stupid-Backoff bigram-LM perplexity (the CCNet deployment shape:
+    # LM fit on a trusted slice — even doc_ids — scored over ALL docs,
+    # so both the seen-bigram branch and the OOV-floored backoff branch
+    # are exercised and oracle-checked)
+    from yase_spark.textstats import bigram_perplexity
+
+    d = _docs(spark, sf_dir)
+    return bigram_perplexity(d, fit_docs=d.filter("doc_id % 2 = 0")).select(
+        "doc_id", "n_bg", F.round("ppl", 5).alias("ppl_r")
+    )
+
+
 COMPOSITE_KEYS, COMPOSITE_SIZE = ["lang", "source"], 5
 
 
@@ -2404,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is a sibling variant whose family rep is in-window or already
         # carries a green r2/r3 row; ordered by value in case the
         # driver window runs long. All preflight + pytest gated. ---
+        "bigram_ppl": _q_bigram_ppl,
         "has_parent_children": _q_has_parent_children,
         "mix_sample": _q_mix_sample,
         "shuffle_export": _q_shuffle_export,
@@ -2679,6 +2693,31 @@ tot AS (SELECT sum(c) AS tt, count(*) AS v FROM c),
 lp AS (SELECT t.doc_id, ln((c.c + 1.0)) - ln(tot.tt + 1.0 * tot.v) AS lp
        FROM t JOIN c USING (term) CROSS JOIN tot)
 SELECT doc_id, count(*) AS dl, round(exp(-avg(lp)), 5) AS ppl_r
+FROM lp GROUP BY 1
+""",
+        "bigram_ppl": """
+WITH arr AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS a FROM documents),
+tok AS (SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos
+        FROM arr),
+bg AS (SELECT doc_id,
+              lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+              term AS t2
+       FROM tok QUALIFY t1 IS NOT NULL),
+cb AS (SELECT t1, t2, count(*) AS cb FROM bg
+       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+cu AS (SELECT term, count(*) AS cu FROM tok
+       WHERE doc_id % 2 = 0 GROUP BY 1),
+tot AS (SELECT sum(cu) AS t FROM cu),
+lp AS (SELECT bg.doc_id,
+         CASE WHEN cb.cb IS NOT NULL THEN ln(cb.cb * 1.0 / c1.cu)
+              ELSE ln(0.4 * greatest(coalesce(c2.cu, 0), 1) / tot.t)
+         END AS lp
+       FROM bg LEFT JOIN cb ON bg.t1 = cb.t1 AND bg.t2 = cb.t2
+       LEFT JOIN cu c1 ON bg.t1 = c1.term
+       LEFT JOIN cu c2 ON bg.t2 = c2.term CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_bg, round(exp(-avg(lp)), 5) AS ppl_r
 FROM lp GROUP BY 1
 """,
         "composite_agg": f"""

@@ -152,6 +152,46 @@ def test_unigram_perplexity_closed_form(spark):
     assert abs(got[2][1] - want_ppl) < 1e-9
 
 
+def test_bigram_perplexity_closed_form(spark):
+    from yase_spark.textstats import bigram_perplexity
+
+    # fit corpus: "a b a b" + "b c" -> C(ab)=2, C(ba)=1, C(bc)=1;
+    # unigrams a=2 b=3 c=1, T=6
+    fit = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b a b", "b c"]})
+    )
+    # score a doc with one unseen bigram (c a) and one OOV token (d)
+    score = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b a b", "b c", "c a d"]})
+    )
+    got = {
+        r["doc_id"]: (r["n_bg"], r["ppl"])
+        for r in bigram_perplexity(score, fit_docs=fit).collect()
+    }
+    # doc1: S(b|a)=2/2, S(a|b)=1/3, S(b|a)=1 -> ppl = 3^(1/3)
+    assert got[1][0] == 3 and abs(got[1][1] - 3 ** (1 / 3)) < 1e-9
+    # doc2: S(c|b)=1/3 -> ppl = 3
+    assert got[2][0] == 1 and abs(got[2][1] - 3.0) < 1e-9
+    # doc3: backoff both pairs — (c,a): 0.4*2/6, (a,d): OOV floor 0.4*1/6
+    want = math.exp(-(math.log(0.4 * 2 / 6) + math.log(0.4 / 6)) / 2)
+    assert got[3][0] == 2 and abs(got[3][1] - want) < 1e-9
+
+
+def test_bigram_perplexity_self_fit_never_backs_off(spark):
+    from yase_spark.textstats import bigram_perplexity
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["x y z x y", "z z q"]})
+    )
+    # fit-on-self: every scored bigram is in the counts, so every lp is
+    # ln(Cb/C1) > ln(0) — all finite, and a doc made ONLY of the
+    # corpus's most predictable transitions scores lowest
+    rows = bigram_perplexity(docs).collect()
+    assert len(rows) == 2 and all(r["ppl"] > 0 for r in rows)
+    with pytest.raises(ValueError):
+        bigram_perplexity(docs, fit_docs=docs.filter("doc_id > 99"))
+
+
 def test_rescore_window_semantics(spark, pos_index):
     """The bonus re-ranks WITHIN the window only: with window=k the
     result is a permutation-with-bonus of the plain top-k, and a

@@ -204,6 +204,100 @@ def unigram_perplexity(docs: DataFrame, alpha: float = 1.0,
     )
 
 
+def _token_arrays(docs: DataFrame, split: str) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"filter(split(lower(text), '{split}'), x -> x <> '')"
+        ).alias("a"),
+    )
+
+
+def _adjacent_pairs(arr: DataFrame) -> DataFrame:
+    # array-side pairing (slice + arrays_zip, whole-stage codegen): no
+    # window over a corpus-wide token table, nothing re-sorts by pos
+    return arr.filter(F.size("a") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("a"), 1, F.size("a") - 1).alias("t1"),
+                F.expr("slice(a, 2, size(a) - 1)").alias("t2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+
+
+def bigram_perplexity(docs: DataFrame, fit_docs: DataFrame | None = None,
+                      lam: float = 0.4,
+                      split: str = "[^a-z0-9]+") -> DataFrame:
+    """Per-document perplexity under a Stupid-Backoff bigram LM
+    (Brants et al. 2007 §3, "Large Language Models in Machine
+    Translation") — the bigram-order version of the KenLM quality stage
+    in CCNet/RefinedWeb: fit counts on a TRUSTED slice (``fit_docs``;
+    defaults to ``docs`` itself), score every document, threshold the
+    tails.
+
+        S(w_i | w_{i-1}) = C(w_{i-1} w_i) / C(w_{i-1})  if the bigram
+                                                         was seen,
+                         = λ · max(C(w_i), 1) / T        otherwise,
+        ppl(d) = exp(-(1/B) · Σ ln S)  over the doc's B adjacent pairs.
+
+    Stupid Backoff's score is deliberately unnormalized (that is what
+    makes it two map-side-combinable hash-aggs instead of a Kneser-Ney
+    discount pipeline); perplexities are comparable across docs, which
+    is all a filter thresholds on. The ``max(C, 1)`` floor is the OOV
+    rule: an unseen unigram scores as if seen once, keeping every lp
+    finite (fit-on-self never reaches the backoff branch — every doc
+    bigram is in the counts — so the branch only matters when
+    ``fit_docs`` is a proper slice, the CCNet deployment shape). Docs
+    with <2 tokens have no bigram and drop from the output.
+
+    Scale shape: bigram and unigram counts are two hash-aggs over the
+    fit slice; T is one collected scalar; the scored pair stream takes
+    two term-keyed left joins (same Zipf head the index build salts —
+    AQE skew-join handles it here) and one per-doc agg. Nothing
+    corpus-sized reaches the driver. Output (doc_id, n_bg, ppl).
+    """
+    fit_arr = _token_arrays(fit_docs if fit_docs is not None else docs,
+                            split)
+    cb = _adjacent_pairs(fit_arr).groupBy("t1", "t2").agg(
+        F.count("*").alias("cb")
+    )
+    cu = fit_arr.select(F.explode("a").alias("term")).groupBy("term").agg(
+        F.count("*").alias("cu")
+    )
+    t_total = float(cu.agg(F.sum("cu").alias("t")).collect()[0]["t"] or 0)
+    if t_total <= 0:
+        raise ValueError("fit corpus has no tokens")
+    c1 = cu.select(F.col("term").alias("t1"), F.col("cu").alias("cu1"))
+    c2 = cu.select(F.col("term").alias("t2"), F.col("cu").alias("cu2"))
+    lp = (
+        _adjacent_pairs(_token_arrays(docs, split))
+        .join(cb, ["t1", "t2"], "left")
+        .join(c1, "t1", "left")
+        .join(c2, "t2", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cb").isNotNull(),
+                F.log(F.col("cb") / F.col("cu1")),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(lam)
+                    * F.greatest(F.coalesce(F.col("cu2"), F.lit(0)), F.lit(1))
+                    / F.lit(t_total)
+                )
+            )
+            .alias("lp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_bg"),
+        F.exp(-F.avg("lp")).alias("ppl"),
+    )
+
+
 def repetition_stats(docs: DataFrame, n_top: int = 2, n_dup: int = 5) -> DataFrame:
     """Gopher-style within-document repetition metrics (Rae et al. 2021
     §A1.1; the rules RefinedWeb/Dolma re-implement) — the signals that

@@ -183,7 +183,7 @@ def main(argv=None) -> int:
     p.add_argument("--rescore-bonus", type=float, default=2.0)
     p.add_argument(
         "--op",
-        choices=["composite", "cardinality", "percentiles", "ppl",
+        choices=["composite", "cardinality", "percentiles", "ppl", "bppl",
                  "term_vectors", "complete", "phrase"],
         help="aggs/suggest: which aggregation / suggest surface to run",
     )
@@ -746,7 +746,11 @@ def main(argv=None) -> int:
             distinct_counts,
             group_percentiles,
         )
-        from yase_spark.textstats import term_vectors, unigram_perplexity
+        from yase_spark.textstats import (
+            bigram_perplexity,
+            term_vectors,
+            unigram_perplexity,
+        )
 
         docs = spark.read.parquet(args.corpus)
         if args.op == "composite":
@@ -760,6 +764,11 @@ def main(argv=None) -> int:
             out_df = group_percentiles(docs, args.group_col, args.value_col, ps)
         elif args.op == "ppl":
             out_df = unigram_perplexity(docs)
+        elif args.op == "bppl":
+            # Stupid-Backoff bigram perplexity; --predicate selects the
+            # trusted fit slice (default: fit on the whole corpus)
+            fit = docs.filter(args.predicate) if args.predicate else None
+            out_df = bigram_perplexity(docs, fit_docs=fit)
         elif args.op == "term_vectors":
             if not args.ids:
                 raise SystemExit("aggs --op term_vectors needs --ids")
