@@ -2182,6 +2182,42 @@ def _q_federated_topk(spark, sf_dir):
     )
 
 
+def _q_rollover_topk(spark, sf_dir):
+    # ILM rollover lifecycle driven end-to-end: three corpus batches
+    # (doc_id % 3) — build gen1, APPEND batch 2 (max_docs seals it),
+    # batch 3 starts gen2 — then the stream-wide federated search. The
+    # oracle is the ordinary FULL-corpus BM25 ranking: generation
+    # boundaries must be invisible to ranking
+    from yase_spark.rollover import rollover_append, rollover_search
+
+    key = ("rollover", sf_dir)
+    if key not in _CACHE:
+        wh = tempfile.mkdtemp(prefix="yase_roll_")
+        cfg = IndexConfig(
+            build_groups=2, shuffle_partitions=16, hot_term_df=10**9
+        )
+        full = _corpus_shape(spark, sf_dir)
+        batches = [
+            full.filter(F.pmod(F.col("path").cast("long"), F.lit(3)) == i)
+            for i in range(3)
+        ]
+        max_docs = batches[0].count() + 1  # batch 2's append seals gen1
+        s0 = rollover_append(spark, wh, "code", batches[0], cfg, max_docs)
+        s1 = rollover_append(spark, wh, "code", batches[1], cfg, max_docs)
+        s2 = rollover_append(spark, wh, "code", batches[2], cfg, max_docs)
+        assert s0["created"] and not s0["rolled"]
+        assert not s1["created"] and s1["rolled"]
+        assert s2["created"] and s2["generations"] == 2
+        _CACHE[key] = (wh, cfg)
+    wh, cfg = _CACHE[key]
+    rows = rollover_search(spark, wh, "code", " ".join(BM25_TERMS), k=10,
+                           cfg=cfg)
+    return spark.createDataFrame(
+        [(int(p), round(s, 5)) for _r, _repo, p, _c, s in rows] or [],
+        schema="doc_id long, score_r double",
+    )
+
+
 def _q_federated_facets(spark, sf_dir):
     # cross-shard facet merge: per-shard FULL value counts summed (the
     # ES shard_size=unbounded accuracy mode) — exact because counts are
@@ -2418,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carries a green r2/r3 row; ordered by value in case the
         # driver window runs long. All preflight + pytest gated. ---
         "bigram_ppl": _q_bigram_ppl,
+        "rollover_topk": _q_rollover_topk,
         "has_parent_children": _q_has_parent_children,
         "mix_sample": _q_mix_sample,
         "shuffle_export": _q_shuffle_export,
@@ -2732,6 +2769,8 @@ SELECT d.lang, count(DISTINCT t.term) AS n_terms,
 FROM t JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1
 """,
         "federated_topk": _bm25_oracle_sql(topk_select),
+        # generation boundaries must be invisible: full-corpus ranking
+        "rollover_topk": _bm25_oracle_sql(topk_select),
         "federated_facets": (
             f"{_T_SQL}, m AS ("
             f"SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}' "

@@ -1,0 +1,117 @@
+"""ILM-style rollover (rollover.py): generation lifecycle (append into
+the open generation, seal on max_docs, next batch starts a new one),
+write alias tracks the newest generation, and the stream-wide federated
+search is score-identical to one merged index over the union corpus."""
+
+import os
+
+import pytest
+
+from yase_spark.alias import list_aliases, resolve_alias
+from yase_spark.config import IndexConfig
+from yase_spark.index import build_index
+from yase_spark.query import IndexReader
+from yase_spark.rollover import (
+    generation_roots,
+    get_state,
+    rollover_append,
+    rollover_now,
+    rollover_search,
+    stream_readers,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+CFG = IndexConfig(build_groups=1, shuffle_partitions=4, ngrams=False)
+
+
+def _batch(spark, lo, hi):
+    return spark.createDataFrame(
+        [
+            (
+                "r",
+                f"{i:04d}",
+                "c",
+                "py",
+                f"alpha{i % 7} beta gamma delta{i % 3} json getPage",
+            )
+            for i in range(lo, hi)
+        ],
+        schema=SCHEMA,
+    )
+
+
+def test_generation_lifecycle_and_write_alias(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    # max_docs=100: batch 1 (60) stays open, batch 2 (40 more) seals,
+    # batch 3 starts generation 2
+    s1 = rollover_append(spark, wh, "logs", _batch(spark, 0, 60), CFG,
+                         max_docs=100)
+    assert s1["created"] and not s1["rolled"] and s1["n_docs"] == 60
+    assert s1["generation"] == "logs-000001"
+
+    s2 = rollover_append(spark, wh, "logs", _batch(spark, 60, 100), CFG,
+                         max_docs=100)
+    assert not s2["created"] and s2["rolled"] and s2["n_docs"] == 100
+    assert get_state(wh, "logs")["sealed"]
+
+    s3 = rollover_append(spark, wh, "logs", _batch(spark, 100, 130), CFG,
+                         max_docs=100)
+    assert s3["created"] and s3["generation"] == "logs-000002"
+    assert s3["n_docs"] == 30 and not s3["rolled"]
+
+    roots = generation_roots(wh, "logs")
+    assert [os.path.basename(r) for r in roots] == [
+        "logs-000001", "logs-000002",
+    ]
+    # the write alias follows the newest generation
+    assert resolve_alias(f"alias://{wh}/logs-write") == roots[-1]
+    assert "logs-write" in list_aliases(wh)
+    # generation sizes: sealed gen kept every doc, open gen has the rest
+    ns = [IndexReader(spark, r, CFG).n_docs for r in roots]
+    assert ns == [100, 30]
+
+
+def test_explicit_rollover_now(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    rollover_append(spark, wh, "s", _batch(spark, 0, 30), CFG)
+    st = rollover_now(wh, "s")
+    assert st["rolled"] and get_state(wh, "s")["sealed"]
+    # idempotent: second call reports already-sealed
+    assert not rollover_now(wh, "s")["rolled"]
+    # no max_docs: without the explicit call the generation never seals
+    s = rollover_append(spark, wh, "s", _batch(spark, 30, 60), CFG)
+    assert s["created"] and s["generation"] == "s-000002"
+
+
+def test_stream_search_matches_merged_index(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    for lo, hi in [(0, 50), (50, 100), (100, 140)]:
+        rollover_append(spark, wh, "code", _batch(spark, lo, hi), CFG,
+                        max_docs=50)
+    assert len(generation_roots(wh, "code")) == 3
+
+    merged_root = str(tmp_path / "merged")
+    build_index(spark, _batch(spark, 0, 140), merged_root, CFG)
+    want = IndexReader(spark, merged_root, CFG)
+
+    for q in ["alpha1 beta", "json getPage", "delta2 gamma alpha3"]:
+        got = rollover_search(spark, wh, "code", q, k=10, cfg=CFG)
+        ref = want.topk(q, 10)
+        id2path = {
+            r["doc_id"]: r["path"]
+            for r in want.cat.read(spark, "docs")
+            .select("doc_id", "path").collect()
+        }
+        assert [(p, round(s, 9)) for _r, _repo, p, _c, s in got] == [
+            (id2path[d], round(s, 9)) for _r, d, s in ref
+        ], q
+
+
+def test_bad_stream_inputs(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    with pytest.raises(ValueError):
+        rollover_append(spark, wh, "a/b", _batch(spark, 0, 5), CFG)
+    with pytest.raises(ValueError):
+        rollover_now(wh, "nope")
+    with pytest.raises(ValueError):
+        stream_readers(spark, wh, "nope", CFG)

@@ -46,6 +46,7 @@ def main(argv=None) -> int:
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
             "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
             "reindex", "alias", "export", "restore", "rank-eval", "bpe",
+            "rollover",
         ],
     )
     p.add_argument(
@@ -260,7 +261,18 @@ def main(argv=None) -> int:
         help="neardup: emit (doc_id, cluster_id, keep) dup groups instead of pairs",
     )
     p.add_argument("--local-cpus", type=int, default=None)
-    p.add_argument("--warehouse", help="alias: registry directory")
+    p.add_argument("--warehouse", help="alias/rollover: registry directory")
+    p.add_argument("--stream", help="rollover: stream name")
+    p.add_argument(
+        "--max-docs", type=int, default=None,
+        help="rollover: seal the open generation once it reaches this "
+        "many docs (the ES max_docs condition)",
+    )
+    p.add_argument(
+        "--now", action="store_true",
+        help="rollover: seal the open generation unconditionally "
+        "(the explicit _rollover call)",
+    )
     p.add_argument("--set", dest="alias_set", metavar="NAME",
                    help="alias: create/atomically re-point NAME (needs "
                    "--target)")
@@ -279,6 +291,51 @@ def main(argv=None) -> int:
         args.shards = ",".join(
             resolve_alias(s) for s in args.shards.split(",")
         )
+
+    if args.cmd == "rollover":
+        # ILM-style bounded write generations behind a stream name:
+        # --corpus appends a batch (build/append + max_docs condition),
+        # --now seals explicitly, --q serves the stream via exact
+        # global-stats federation over all generations
+        from yase_spark.rollover import (
+            generation_roots,
+            get_state,
+            rollover_append,
+            rollover_now,
+            rollover_search,
+        )
+
+        if not args.warehouse or not args.stream:
+            raise SystemExit("rollover: pass --warehouse and --stream")
+        if args.now:
+            print(json.dumps(rollover_now(args.warehouse, args.stream)))
+            return 0
+        if args.corpus:
+            from yase_spark.config import IndexConfig as _IC
+
+            spark = _spark(args)
+            spark.sparkContext.setLogLevel("WARN")
+            out = rollover_append(
+                spark, args.warehouse, args.stream,
+                spark.read.parquet(args.corpus),
+                _IC(), max_docs=args.max_docs,
+            )
+            print(json.dumps(out))
+        elif args.q:
+            spark = _spark(args)
+            spark.sparkContext.setLogLevel("WARN")
+            rows = rollover_search(
+                spark, args.warehouse, args.stream, args.q, k=args.k
+            )
+            print(json.dumps([
+                {"rank": r, "repo": rp, "path": pa, "commit": c, "score": s}
+                for r, rp, pa, c, s in rows
+            ]))
+        else:
+            st = get_state(args.warehouse, args.stream)
+            st["roots"] = generation_roots(args.warehouse, args.stream)
+            print(json.dumps(st))
+        return 0
 
     if args.cmd == "alias":
         from yase_spark.alias import drop_alias, list_aliases, set_alias
