@@ -197,6 +197,9 @@ def _appended_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
         _CACHE[("append_prever", sf_dir)] = Catalog(root).current_version(
             "segments"
         )
+        from yase_spark.catalog import open_pit
+
+        _CACHE[("append_pit", sf_dir)] = open_pit(root)
         IndexBuilder(spark, root, cfg).append(corpus.filter(~even))
         _CACHE[key] = (root, cfg)
     root, cfg = _CACHE[key]
@@ -1263,6 +1266,30 @@ def _q_snapshot_read(spark, sf_dir):
     pre_v = _CACHE[("append_prever", sf_dir)]
     segs = rd.cat.read(spark, "segments", version=pre_v)
     return segs.groupBy("term").agg(F.sum(F.col("n")).alias("df"))
+
+
+def _q_pit_page2(spark, sf_dir):
+    # ES point-in-time search: a PIT opened BEFORE the odd-half append
+    # serves searchAfter page 2 as if the append never happened — every
+    # table read (stats/segments/docs hydration) resolves through the
+    # pinned snapshot versions. Oracle: ranks 11-20 of BM25 over the
+    # EVEN half only; any appended-data leakage into df/avgdl/postings
+    # breaks the hash
+    _appended_reader(spark, sf_dir)  # build + append, PIT captured pre
+    root, cfg = _CACHE[("append", sf_dir)]
+    rd = IndexReader(spark, root, cfg, pit=_CACHE[("append_pit", sf_dir)])
+    q = " ".join(BM25_TERMS)
+    p1 = rd.topk_after(q, 10)
+    cursor = (p1[-1][2], p1[-1][1])
+    rows = rd.topk_after(q, 10, after=cursor)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
 
 
 def _q_stream_df_agg(spark, sf_dir):
@@ -2455,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver window runs long. All preflight + pytest gated. ---
         "bigram_ppl": _q_bigram_ppl,
         "rollover_topk": _q_rollover_topk,
+        "pit_page2": _q_pit_page2,
         "has_parent_children": _q_has_parent_children,
         "mix_sample": _q_mix_sample,
         "shuffle_export": _q_shuffle_export,
@@ -2771,6 +2799,15 @@ FROM t JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1
         "federated_topk": _bm25_oracle_sql(topk_select),
         # generation boundaries must be invisible: full-corpus ranking
         "rollover_topk": _bm25_oracle_sql(topk_select),
+        # PIT pins the pre-append snapshot: even-half ranking, page 2
+        "pit_page2": _bm25_oracle_sql(
+            "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+            "ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10",
+            t_sql=(
+                f"WITH tok AS ({_TOK_SQL}), t AS "
+                "(SELECT * FROM tok WHERE term <> '' AND doc_id % 2 = 0)"
+            ),
+        ),
         "federated_facets": (
             f"{_T_SQL}, m AS ("
             f"SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}' "

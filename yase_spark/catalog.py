@@ -602,3 +602,55 @@ class Catalog:
             return None
         with open(path) as f:
             return json.load(f)
+
+
+def open_pit(index_root: str) -> dict[str, int]:
+    """Open a point-in-time view: the current snapshot version of every
+    committed table (the ES ``_pit`` open / Iceberg "pin every table to
+    a snapshot" posture). The returned dict is the PIT id — a handful
+    of integers, freely serializable; pass it to
+    ``PinnedCatalog``/``IndexReader(pit=...)``. Tables created AFTER
+    the PIT was opened are absent from the dict and therefore invisible
+    through it."""
+    cat = Catalog(index_root)
+    return {name: cat.current_version(name) for name in cat.tables()}
+
+
+class PinnedCatalog(Catalog):
+    """Read-only catalog view pinned to a PIT: every read (and
+    ``current_version``/``exists`` probe) resolves through the pinned
+    versions, so ALL table access sites — including ones added later —
+    inherit time-travel for free; unpinned tables read as nonexistent
+    (they were created after the PIT opened). Any commit through a
+    pinned view raises: version chains advance only through the live
+    ``Catalog``."""
+
+    def __init__(self, root: str, pit: dict[str, int]):
+        super().__init__(root)
+        self._pit = {str(k): int(v) for k, v in pit.items()}
+
+    def current_version(self, name: str) -> int:
+        return self._pit.get(name, 0)
+
+    def read(self, spark, name, version=None):
+        # an explicit deeper version is allowed (history below the pin
+        # is immutable); reading past the pin is not
+        v = version if version is not None else self._pit.get(name, 0)
+        pin = self._pit.get(name, 0)
+        if v > pin:
+            raise ValueError(
+                f"version {v} of {name!r} is past this PIT (pin {pin})"
+            )
+        return super().read(spark, name, version=v)
+
+    def _refuse_write(self, *_a, **_k):
+        raise ValueError("catalog is pinned to a PIT — writes must go "
+                         "through the live Catalog")
+
+    write = _refuse_write
+    write_local = _refuse_write
+    rollback = _refuse_write
+    compact = _refuse_write
+    expire_snapshots = _refuse_write
+    drop = _refuse_write
+    set_properties = _refuse_write

@@ -769,9 +769,23 @@ class IndexReader:
     """
 
     def __init__(self, spark: SparkSession, index_root: str,
-                 cfg: IndexConfig | None = None, shared_meta: bool = True):
+                 cfg: IndexConfig | None = None, shared_meta: bool = True,
+                 pit: dict[str, int] | None = None):
         self.spark = spark
-        self.cat = Catalog(index_root)
+        if pit is not None:
+            # point-in-time reader (ES _pit / Iceberg snapshot-pinned):
+            # EVERY table access below — stats, segments, deletes, docs
+            # hydration, siblings — resolves through the pinned
+            # versions, so concurrent appends/deletes/compactions are
+            # invisible for this reader's whole lifetime. The shared-
+            # meta registry keys on current_version(), which the pinned
+            # catalog answers with the pins: PIT readers of the same
+            # snapshot share meta with each other and with nobody else.
+            from .catalog import PinnedCatalog
+
+            self.cat: Catalog = PinnedCatalog(index_root, pit)
+        else:
+            self.cat = Catalog(index_root)
         # adopt the build's persisted config (catalog properties): a reader
         # with a different term_buckets computes wrong bucket pruning and
         # silently misses terms; k1/b/block_size mismatches silently change

@@ -262,6 +262,16 @@ def main(argv=None) -> int:
     )
     p.add_argument("--local-cpus", type=int, default=None)
     p.add_argument("--warehouse", help="alias/rollover: registry directory")
+    p.add_argument(
+        "--pit",
+        help="query: JSON file of pinned table versions (from "
+        "`info --open-pit`) — point-in-time search",
+    )
+    p.add_argument(
+        "--open-pit", action="store_true",
+        help="info: print the PIT id (current version of every table) "
+        "for use with query --pit",
+    )
     p.add_argument("--stream", help="rollover: stream name")
     p.add_argument(
         "--max-docs", type=int, default=None,
@@ -533,8 +543,12 @@ def main(argv=None) -> int:
         # snapshot versions, sibling-index presence, pending tombstones
         from pyspark.sql import functions as F
 
-        from yase_spark.catalog import Catalog
+        from yase_spark.catalog import Catalog, open_pit
         from yase_spark.query import IndexReader
+
+        if args.open_pit:
+            print(json.dumps(open_pit(args.index)))
+            return 0
 
         rd = IndexReader(spark, args.index)
         cat = Catalog(args.index)
@@ -591,7 +605,17 @@ def main(argv=None) -> int:
         from yase_spark.query import And, IndexReader, Not, Or, Phrase, Term, TopK
 
         # federated mode has no single --index — shard readers only
-        rd = IndexReader(spark, args.index) if args.kind != "federated" else None
+        pit = None
+        if args.pit:
+            # --pit FILE: serve through a point-in-time snapshot minted
+            # by `info --open-pit` — concurrent appends/deletes are
+            # invisible to this query
+            with open(args.pit) as f:
+                pit = json.load(f)
+        rd = (
+            IndexReader(spark, args.index, pit=pit)
+            if args.kind != "federated" else None
+        )
 
         # boolean AST as JSON: "term" | {"and": [...]} | {"or": [...]}
         # | {"not": "x"} (valid only beside a positive "and" sibling)
