@@ -39,7 +39,7 @@ from yase_spark.catalog import Catalog
 cpus = __CPUS__
 n_docs = __NDOCS__
 stage = __STAGE__  # corpus parquet staged ONCE by the parent (byte-identical input)
-spark = get_spark(cpus=cpus, app=f"yase-scale-{cpus}", shuffle_partitions=2 * cpus)
+spark = get_spark(cpus=cpus, app=f"yase-scale-{cpus}", shuffle_partitions=2 * cpus, **__SPARK_KW__)
 spark.sparkContext.setLogLevel("ERROR")
 corpus = spark.read.parquet(stage)
 # term_buckets=256: the merge's reduce side is bucket-partitioned, so 64
@@ -54,6 +54,9 @@ cfg = IndexConfig(build_groups=2, shuffle_partitions=2 * cpus, term_buckets=256)
 # vs ~6s at 4N purely from worker startup serialization)
 warm_corpus = corpus_df(spark, 2000, partitions=2 * cpus)
 build_index(spark, warm_corpus, tempfile.mkdtemp(prefix="yase_warm_", dir=_BENCH_TMP), cfg)
+# executor JVM count (0 = local mode, where the driver IS the executor);
+# the cluster harness asserts this matches the worker count it launched
+n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
 
 root = tempfile.mkdtemp(prefix=f"yase_scale_{cpus}_", dir=_BENCH_TMP)
 t0 = time.perf_counter()
@@ -86,7 +89,7 @@ qsig = hashlib.md5(
     str(sorted((k, str(v)) for k, v in lat["results"].items())).encode()
 ).hexdigest()
 print("RESULT " + json.dumps({
-    "cpus": cpus, "wall_s": wall, "docs_per_s": n_docs / wall,
+    "cpus": cpus, "executors": n_exec, "wall_s": wall, "docs_per_s": n_docs / wall,
     "postings": summary["postings"],
     "postings_per_s": summary["postings"] / wall,
     "skew_ratio": summary["skew_ratio"],
@@ -131,6 +134,7 @@ def run_level(cpus: int, n_docs: int, stage: str) -> dict:
         .replace("__CPUS__", str(cpus))
         .replace("__NDOCS__", str(n_docs))
         .replace("__STAGE__", repr(stage))
+        .replace("__SPARK_KW__", "{}")
     )
     # per-core-constant heap (0.75 GiB/core): a real 4N cluster has 4x the
     # total executor memory, and a same-size heap at 4x the task threads

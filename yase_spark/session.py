@@ -21,7 +21,14 @@ def get_spark(
     app: str = "yase_spark",
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cpus]`` — pass a
+    ``spark://host:port`` URL to run against a standalone cluster (the
+    multi-JVM scaling evidence in ``bench_cluster_scaling.py`` does);
+    ``cpus`` then sizes shuffle partitions only, and executor count/size
+    come from ``extra`` (``spark.executor.cores`` / ``spark.cores.max``).
+    """
     cpus = cpus or DEFAULT_CPUS
     shuffle = shuffle_partitions or max(2 * cpus, 8)
     # pin pyarrow's allocator in every Python worker (inherited env):
@@ -30,7 +37,7 @@ def get_spark(
     # with an explicit pool)
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
