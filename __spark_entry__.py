@@ -2180,6 +2180,28 @@ def _q_distinct_counts(spark, sf_dir):
     return distinct_counts(_docs(spark, sf_dir), "lang", SPLIT)
 
 
+def _q_date_histogram(spark, sf_dir):
+    # ES date_histogram (min_doc_count=0 gap-fill) + the pipeline-agg
+    # trio (derivative / cumulative_sum / moving_fn trailing mean), all
+    # computed over bucket-sized data after one hash aggregate
+    from yase_spark.aggs import date_histogram_pipeline
+
+    return date_histogram_pipeline(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), hours=1, window=3
+    )
+
+
+def _q_rare_terms(spark, sf_dir):
+    # ES rare_terms, exact flavor: the df<=N long tail the descending
+    # terms agg can't page to (ES approximates with a CuckooFilter; a
+    # shuffle keyed by term holds the tail exactly). Over the 2-shingle
+    # field: the synthetic unigram vocabulary is 31 terms with min df 25
+    # — no unigram tail exists, the bigram tail is real
+    from yase_spark.aggs import rare_terms
+
+    return rare_terms(_docs(spark, sf_dir), SPLIT, max_doc_count=3, shingles=2)
+
+
 def _q_federated_topk(spark, sf_dir):
     # dfs_query_then_fetch: the corpus split into TWO independent shard
     # indexes (even/odd doc ids), ranked with GLOBAL df/avgdl and
@@ -2432,6 +2454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl": _q_unigram_ppl,
         "composite_agg": _q_composite_agg,
         "distinct_counts": _q_distinct_counts,
+        "date_histogram": _q_date_histogram,
+        "rare_terms": _q_rare_terms,
         "federated_topk": _q_federated_topk,
         "top_hits": _q_top_hits,
         "length_percentiles": _q_length_percentiles,
@@ -2795,6 +2819,47 @@ GROUP BY 1, 2 ORDER BY 1, 2 LIMIT {COMPOSITE_SIZE} OFFSET {COMPOSITE_SIZE}
 SELECT d.lang, count(DISTINCT t.term) AS n_terms,
        count(DISTINCT t.doc_id) AS n_docs
 FROM t JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1
+""",
+        # date_histogram with min_doc_count=0 gap-fill + pipeline aggs:
+        # derivative (zero left-boundary: cum_n == sum of deriv_n),
+        # cumulative sum, trailing 3-bucket moving mean — all over the
+        # dense bucket axis
+        "date_histogram": """
+WITH h AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+         count(*) AS n, sum(value) AS sum_value
+  FROM events GROUP BY 1, 2),
+ax AS (
+  SELECT event_type,
+         unnest(generate_series(min(bucket_start), max(bucket_start),
+                                INTERVAL '1 hour')) AS bucket_start
+  FROM h GROUP BY event_type),
+d AS (
+  SELECT ax.event_type, ax.bucket_start,
+         coalesce(h.n, 0) AS n, coalesce(h.sum_value, 0.0) AS sum_value
+  FROM ax LEFT JOIN h USING (event_type, bucket_start))
+SELECT event_type, bucket_start, n, round(sum_value, 6) AS sum_value_r,
+       n - lag(n, 1, 0) OVER w AS deriv_n,
+       CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+       round(avg(n) OVER (PARTITION BY event_type ORDER BY bucket_start
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS mov_avg_n_r
+FROM d WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+ORDER BY event_type, bucket_start
+""",
+        "rare_terms": """
+WITH arr AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS a FROM documents),
+tok AS (SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos
+        FROM arr),
+bg AS (SELECT doc_id,
+              lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+              term AS t2
+       FROM tok QUALIFY t1 IS NOT NULL),
+dfq AS (SELECT t1 || ' ' || t2 AS term, count(DISTINCT doc_id) AS df
+        FROM bg GROUP BY 1)
+SELECT term, df FROM dfq WHERE df <= 3 ORDER BY df, term
 """,
         "federated_topk": _bm25_oracle_sql(topk_select),
         # generation boundaries must be invisible: full-corpus ranking

@@ -1,13 +1,17 @@
-"""Search-engine aggregations over the documents table (ES parity
-surface beyond the match-set facets in query.py: ``composite`` paging
-and ``cardinality``).
+"""Search-engine aggregations over the documents/events tables (ES
+parity surface beyond the match-set facets in query.py: ``composite``
+paging, ``cardinality``, ``rare_terms``, and the ``date_histogram`` +
+pipeline-aggregation family).
 
-Both are pure relational programs: Catalyst plans the partial (map-side
+All are pure relational programs: Catalyst plans the partial (map-side
 combine) aggregation, the single shuffle is keyed by the grouping keys,
 and output is bucket-sized, never corpus-sized. At 100 TB the composite
 pager is the only sane way to enumerate a large bucket space (each page
 is an independent bounded query — no server-side cursor state), which is
-exactly why ES deprecated deep terms-agg paging in its favor.
+exactly why ES deprecated deep terms-agg paging in its favor. The
+pipeline aggregations (derivative / cumulative_sum / moving_fn) run
+AFTER the histogram reduction, over bucket-sized data — the window pass
+they need never sees a raw event row.
 """
 
 from __future__ import annotations
@@ -123,3 +127,132 @@ def distinct_counts(docs: DataFrame, group_col: str, split: str) -> DataFrame:
         )
         .orderBy(group_col)
     )
+
+
+def date_histogram_pipeline(
+    events: DataFrame, hours: int = 1, window: int = 3
+) -> DataFrame:
+    """ES ``date_histogram`` (fixed_interval, ``min_doc_count=0``
+    gap-fill) per event_type, with the three canonical pipeline
+    aggregations computed over the gap-filled bucket sequence:
+
+    - ``derivative``: ``deriv_n = n - lag(n, 1, 0)``. ES omits the
+      derivative FIELD on each type's first bucket; a flat relational
+      schema cannot omit a field, so the zero left-boundary is the
+      NULL-free encoding — chosen over NULL because it makes the
+      telescoping identity ``n = Σ deriv_n`` (running sum of the
+      derivative recovers the series exactly) hold with no boundary
+      case; the first bucket remains identifiable as the one where
+      ``cum_n == n``;
+    - ``cumulative_sum``: ``cum_n`` (running doc count);
+    - ``moving_fn`` (trailing mean): ``mov_avg_n_r`` over the last
+      ``window`` buckets including the current one.
+
+    Buckets are epoch-aligned (identical bucketing to DuckDB
+    ``time_bucket``); the gap-fill spans each event_type's own
+    [min_bucket, max_bucket] range (ES inserts empty buckets inside the
+    parent histogram's populated range when ``min_doc_count=0``), so the
+    derivative is taken over a DENSE time axis — the whole point of the
+    pipeline family: a 3-bucket gap must show as three zero-count
+    buckets, not one misleading adjacent delta.
+
+    Output: (event_type, bucket_start, n, sum_value_r, deriv_n, cum_n,
+    mov_avg_n_r), ordered.
+
+    Scale shape: ONE hash aggregate (map-side partial combine) reduces
+    the raw events to bucket rows; everything after — the per-type
+    min/max, the ``sequence()`` gap-fill explode, the three window
+    passes — runs over bucket-sized data (time_range/interval ×
+    n_types rows), never corpus-sized. The windows partition by
+    event_type, whose per-type row count is time-bounded, so no skew
+    class exists that grows with corpus size."""
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("moving window must be >= 1 bucket")
+    iv = f"{hours} hour"
+    hist = events.groupBy(
+        F.window("ts", iv).start.alias("bucket_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    # dense per-type bucket axis: sequence() is evaluated on the
+    # bucket-sized aggregate, one row per (type, bucket) after explode
+    axis = (
+        hist.groupBy("event_type")
+        .agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval {iv}"))
+            ).alias("bucket_start"),
+        )
+    )
+    dense = (
+        axis.join(hist, ["event_type", "bucket_start"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("sum_value", F.coalesce("sum_value", F.lit(0.0)))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    return (
+        dense.withColumn("deriv_n", F.col("n") - F.lag("n", 1, 0).over(w))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .withColumn(
+            "mov_avg_n_r",
+            F.round(F.avg("n").over(w.rowsBetween(-(window - 1), 0)), 6),
+        )
+        .select(
+            "event_type",
+            "bucket_start",
+            "n",
+            F.round("sum_value", 6).alias("sum_value_r"),
+            "deriv_n",
+            "cum_n",
+            "mov_avg_n_r",
+        )
+        .orderBy("event_type", "bucket_start")
+    )
+
+
+def rare_terms(
+    docs: DataFrame, split: str, max_doc_count: int = 1, shingles: int = 1
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation (exact flavor): terms whose
+    document frequency is <= ``max_doc_count`` — the long tail the
+    ordinary terms agg (ordered by descending count) structurally cannot
+    page to. ``shingles=2`` runs it over the adjacent-word 2-shingle
+    field (the standard ES setup when the unigram vocabulary is too
+    small/common to have a tail at all). Output (term, df), ordered by
+    (df, term).
+
+    Scale shape: shingling is a map-only array transform (zip_with over
+    two slices, no self-join); per-doc term distinct happens inside the
+    partial agg, then ONE shuffle keyed by term for the global df count;
+    the <= filter runs post-aggregation on term-sized data. ES itself
+    gives up exactness here (CuckooFilter, documented false positives)
+    because a coordinator node cannot hold the tail; a shuffle CAN — the
+    exact flavor is both the oracle anchor and the thing the distributed
+    engine is uniquely positioned to do."""
+    if shingles not in (1, 2):
+        raise ValueError("shingles must be 1 or 2")
+    a = F.filter(F.split(F.lower("text"), split), lambda x: x != "")
+    if shingles == 1:
+        term = F.explode(a)
+    else:
+        pairs = F.when(
+            F.size(a) >= 2,
+            F.zip_with(
+                F.slice(a, 1, F.size(a) - 1),
+                F.slice(a, 2, F.size(a) - 1),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        term = F.explode(pairs)
+    df_tbl = (
+        docs.select("doc_id", term.alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return df_tbl.filter(F.col("df") <= max_doc_count).orderBy("df", "term")

@@ -185,7 +185,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "--op",
         choices=["composite", "cardinality", "percentiles", "ppl", "bppl",
-                 "term_vectors", "complete", "phrase"],
+                 "term_vectors", "complete", "phrase", "date_histogram",
+                 "rare_terms"],
         help="aggs/suggest: which aggregation / suggest surface to run",
     )
     p.add_argument(
@@ -854,13 +855,27 @@ def main(argv=None) -> int:
             if not args.ids:
                 raise SystemExit("aggs --op term_vectors needs --ids")
             out_df = term_vectors(docs, [int(x) for x in args.ids.split(",")])
+        elif args.op == "date_histogram":
+            # --corpus points at an events-shaped table here; --k is the
+            # trailing moving-mean window in buckets
+            from yase_spark.aggs import date_histogram_pipeline
+
+            out_df = date_histogram_pipeline(docs, hours=1, window=max(args.k, 1))
+        elif args.op == "rare_terms":
+            # --k is max_doc_count (the df ceiling of the rare tail)
+            from yase_spark.aggs import rare_terms
+
+            out_df = rare_terms(docs, "[^a-z0-9]+", max_doc_count=max(args.k, 1))
         else:
             raise SystemExit("aggs needs --op")
         if args.out:
             out_df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"written": args.out, "rows": out_df.count()}))
         else:
-            print(json.dumps([r.asDict() for r in out_df.limit(100).collect()]))
+            # default=str: date_histogram rows carry timestamp buckets
+            print(json.dumps(
+                [r.asDict() for r in out_df.limit(100).collect()], default=str
+            ))
 
     elif args.cmd == "bpe":
         # distributed BPE tokenizer training over a documents-shaped
