@@ -2202,6 +2202,31 @@ def _q_rare_terms(spark, sf_dir):
     return rare_terms(_docs(spark, sf_dir), SPLIT, max_doc_count=3, shingles=2)
 
 
+def _q_geo_bbox(spark, sf_dir):
+    # ES geo_bounding_box over the deterministic multiply-mod geo_point
+    # derivation (documents has no geo column; the derivation is pure
+    # integer arithmetic so the oracle replays it bitwise)
+    from yase_spark.geo import geo_bounding_box
+
+    return geo_bounding_box(_docs(spark, sf_dir), -30, 30, -90, 90)
+
+
+def _q_geo_distance_topk(spark, sf_dir):
+    # ES geo_distance sort: k nearest by exact haversine,
+    # TakeOrderedAndProject (no full sort), doc_id tie-break
+    from yase_spark.geo import geo_distance_topk
+
+    return geo_distance_topk(_docs(spark, sf_dir), 10.0, 20.0, k=15)
+
+
+def _q_geotile_grid(spark, sf_dir):
+    # ES geotile_grid: Web-Mercator z/x/y tile doc counts, one hash agg;
+    # the tile is the partition key of a geo-bucketed layout at scale
+    from yase_spark.geo import geotile_grid
+
+    return geotile_grid(_docs(spark, sf_dir), zoom=3)
+
+
 def _q_federated_topk(spark, sf_dir):
     # dfs_query_then_fetch: the corpus split into TWO independent shard
     # indexes (even/odd doc ids), ranked with GLOBAL df/avgdl and
@@ -2456,6 +2481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": _q_distinct_counts,
         "date_histogram": _q_date_histogram,
         "rare_terms": _q_rare_terms,
+        "geo_bbox": _q_geo_bbox,
+        "geo_distance_topk": _q_geo_distance_topk,
+        "geotile_grid": _q_geotile_grid,
         "federated_topk": _q_federated_topk,
         "top_hits": _q_top_hits,
         "length_percentiles": _q_length_percentiles,
@@ -2860,6 +2888,45 @@ bg AS (SELECT doc_id,
 dfq AS (SELECT t1 || ' ' || t2 AS term, count(DISTINCT doc_id) AS df
         FROM bg GROUP BY 1)
 SELECT term, df FROM dfq WHERE df <= 3 ORDER BY df, term
+""",
+        # the geo trio replays the multiply-mod geo_point derivation in
+        # pure arithmetic; haversine/mercator expressions are written in
+        # the SAME operation order as the Spark side (IEEE determinism)
+        "geo_bbox": """
+WITH g AS (SELECT doc_id,
+    ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+    ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents)
+SELECT doc_id, lat, lon FROM g
+WHERE lat >= -30 AND lat <= 30 AND lon >= -90 AND lon <= 90
+ORDER BY doc_id
+""",
+        "geo_distance_topk": """
+WITH g AS (SELECT doc_id,
+    ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+    ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents),
+d AS (SELECT doc_id, lat, lon,
+    2 * 6371.0088 * asin(sqrt(
+        pow(sin((radians(lat) - radians(10.0)) / 2), 2)
+        + cos(radians(10.0)) * cos(radians(lat))
+          * pow(sin((radians(lon) - radians(20.0)) / 2), 2))) AS dist
+  FROM g)
+SELECT doc_id, lat, lon, round(dist, 3) AS dist_km_r
+FROM d ORDER BY dist, doc_id LIMIT 15
+""",
+        "geotile_grid": """
+WITH g AS (SELECT doc_id,
+    ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+    ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents),
+t AS (SELECT greatest(-85.05112878, least(85.05112878, lat)) AS mlat, lon
+      FROM g),
+xy AS (SELECT
+    least(floor((lon + 180.0) / 360.0 * 8.0), 7) AS tx,
+    least(floor((1.0 - ln(tan(radians(mlat)) + 1.0 / cos(radians(mlat)))
+                 / pi()) / 2.0 * 8.0), 7) AS ty
+  FROM t)
+SELECT concat_ws('/', 3, CAST(tx AS BIGINT), CAST(ty AS BIGINT)) AS tile,
+       count(*) AS doc_count
+FROM xy GROUP BY 1 ORDER BY 1
 """,
         "federated_topk": _bm25_oracle_sql(topk_select),
         # generation boundaries must be invisible: full-corpus ranking

@@ -1,0 +1,185 @@
+"""Geo search surface (ES parity: ``geo_distance`` / ``geo_bounding_box``
+queries, ``geo_distance`` sort, ``geotile_grid`` aggregation).
+
+The documents fixture has no geo_point column, so ``with_geo`` derives
+one deterministically from ``doc_id`` with PURE INTEGER arithmetic
+(multiply-mod lattice) — exactly replayable in ANSI SQL, which is what
+makes every geo operator here full-oracle-checkable. A real deployment
+maps its actual lat/lon columns through the same operators; nothing
+below depends on how the coordinates were obtained.
+
+Scale shapes:
+
+- bounding box: a map-only conjunctive range predicate — at 100 TB this
+  is the class of filter you want FIRST, because with real (non-derived)
+  coordinate columns it pushes into the parquet scan as min/max row-group
+  pruning.
+- distance top-k: map-only haversine + ``TakeOrderedAndProject`` (never
+  a full sort); ties broken by doc_id.
+- radius query (``geo_within``): the classic bounding-box PREFILTER —
+  the radius converts to a lat/lon rectangle that is a strict superset
+  of the circle, the cheap rectangle prunes before any trigonometry
+  (and, with real columns, before the scan), then the exact haversine
+  keeps the circle. The prefilter is what survives 100×: trig on the
+  survivors of a pushed-down range predicate, not on the corpus.
+- geotile_grid: one hash aggregate keyed by the tile; tile keys are also
+  the natural PARTITION key for a geo-bucketed layout (the geo analogue
+  of this engine's term-bucketed postings), which is the stated swap-out
+  for geo joins at scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+# Web-Mercator latitude clamp (tan() diverges at the poles); the exact
+# constant every tile scheme uses: atan(sinh(pi)) in degrees
+MERCATOR_MAX_LAT = 85.05112878
+
+# multiply-mod lattice constants (primes, coprime to the grid sizes so
+# consecutive doc_ids scatter): lat in [-90, 90), lon in [-180, 180),
+# 0.01-degree resolution
+_LAT_P, _LON_P = 7919, 104729
+
+
+def with_geo(docs: DataFrame) -> DataFrame:
+    """Attach deterministic (lat, lon) derived from doc_id.
+
+    ``lat = (doc_id·7919 mod 18000)/100 − 90``,
+    ``lon = (doc_id·104729 mod 36000)/100 − 180`` — integer ops then one
+    exact decimal shift, so Spark and any SQL oracle agree bitwise."""
+    return docs.withColumn(
+        "lat", ((F.col("doc_id") * _LAT_P) % 18000) / 100.0 - 90.0
+    ).withColumn(
+        "lon", ((F.col("doc_id") * _LON_P) % 36000) / 100.0 - 180.0
+    )
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance (km) as a Column expression; the standard
+    numerically-stable asin form."""
+    dphi = F.radians(lat2) - F.radians(lat1)
+    dlmb = F.radians(lon2) - F.radians(lon1)
+    a = (
+        F.sin(dphi / 2) ** 2
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlmb / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def geo_bounding_box(
+    docs: DataFrame,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+) -> DataFrame:
+    """ES ``geo_bounding_box``: docs inside the rectangle (inclusive).
+    Output (doc_id, lat, lon), ordered by doc_id."""
+    return (
+        with_geo(docs)
+        .filter(
+            (F.col("lat") >= min_lat)
+            & (F.col("lat") <= max_lat)
+            & (F.col("lon") >= min_lon)
+            & (F.col("lon") <= max_lon)
+        )
+        .select("doc_id", "lat", "lon")
+        .orderBy("doc_id")
+    )
+
+
+def geo_distance_topk(
+    docs: DataFrame, lat: float, lon: float, k: int = 10
+) -> DataFrame:
+    """ES ``geo_distance`` sort: the k docs nearest to (lat, lon).
+    Output (doc_id, lat, lon, dist_km_r), distance ascending, doc_id
+    tie-break; orderBy().limit(k) compiles to TakeOrderedAndProject."""
+    d = with_geo(docs).withColumn(
+        "dist_km", haversine_km(F.lit(float(lat)), F.lit(float(lon)), "lat", "lon")
+    )
+    return (
+        d.orderBy(F.asc("dist_km"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "lat", "lon", F.round("dist_km", 3).alias("dist_km_r"))
+    )
+
+
+def _radius_bbox(lat: float, lon: float, radius_km: float) -> tuple:
+    """The lat/lon rectangle that circumscribes the radius circle —
+    a strict superset, so filtering with it before the exact haversine
+    is lossless. One degree of latitude is R·π/180 km everywhere; a
+    degree of longitude shrinks by cos(lat), evaluated at the circle's
+    widest latitude. Near the poles the longitude band degenerates to
+    the full circle (cos→0), handled by clamping to the whole range."""
+    deg_lat = math.degrees(radius_km / EARTH_RADIUS_KM)
+    lo_lat, hi_lat = lat - deg_lat, lat + deg_lat
+    widest = min(90.0, max(abs(lo_lat), abs(hi_lat)))
+    c = math.cos(math.radians(widest))
+    if c <= 1e-12 or hi_lat >= 90.0 or lo_lat <= -90.0:
+        return max(lo_lat, -90.0), min(hi_lat, 90.0), -180.0, 180.0
+    deg_lon = math.degrees(radius_km / EARTH_RADIUS_KM) / c
+    return lo_lat, hi_lat, max(lon - deg_lon, -180.0), min(lon + deg_lon, 180.0)
+
+
+def geo_within(
+    docs: DataFrame, lat: float, lon: float, radius_km: float
+) -> DataFrame:
+    """ES ``geo_distance`` query: docs within ``radius_km`` of the
+    point. The circumscribing-rectangle prefilter prunes before the
+    haversine (with real coordinate columns it would prune at the
+    scan); the exact distance keeps the circle. Output (doc_id,
+    dist_km_r), ordered by doc_id."""
+    lo_lat, hi_lat, lo_lon, hi_lon = _radius_bbox(lat, lon, radius_km)
+    d = (
+        with_geo(docs)
+        .filter(
+            (F.col("lat") >= lo_lat)
+            & (F.col("lat") <= hi_lat)
+            & (F.col("lon") >= lo_lon)
+            & (F.col("lon") <= hi_lon)
+        )
+        .withColumn(
+            "dist_km",
+            haversine_km(F.lit(float(lat)), F.lit(float(lon)), "lat", "lon"),
+        )
+        .filter(F.col("dist_km") <= radius_km)
+    )
+    return d.select("doc_id", F.round("dist_km", 3).alias("dist_km_r")).orderBy(
+        "doc_id"
+    )
+
+
+def geotile_grid(docs: DataFrame, zoom: int = 4) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: doc counts per Web-Mercator
+    map tile ``z/x/y`` (the slippy-map scheme). Latitude clamps to the
+    Mercator range exactly as ES does. Output (tile, doc_count),
+    ordered by tile. One hash aggregate; the tile is the natural
+    partition key for a geo-bucketed layout at scale."""
+    if not 0 <= zoom <= 29:
+        raise ValueError("zoom must be in [0, 29]")
+    n = float(2**zoom)
+    d = with_geo(docs).withColumn(
+        "mlat",
+        F.greatest(
+            F.lit(-MERCATOR_MAX_LAT), F.least(F.lit(MERCATOR_MAX_LAT), F.col("lat"))
+        ),
+    )
+    phi = F.radians("mlat")
+    x = F.floor((F.col("lon") + 180.0) / 360.0 * n)
+    y = F.floor((1.0 - F.log(F.tan(phi) + 1.0 / F.cos(phi)) / math.pi) / 2.0 * n)
+    # the x==2^z / y==2^z edge (lon==180 or lat at the clamp) folds into
+    # the last tile, matching the tiling convention
+    lim = F.lit(int(n) - 1)
+    d = d.withColumn("tx", F.least(x, lim)).withColumn("ty", F.least(y, lim))
+    return (
+        d.groupBy(
+            F.concat_ws("/", F.lit(zoom), F.col("tx"), F.col("ty")).alias("tile")
+        )
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("tile")
+    )

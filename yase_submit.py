@@ -46,8 +46,20 @@ def main(argv=None) -> int:
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
             "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
             "reindex", "alias", "export", "restore", "rank-eval", "bpe",
-            "rollover",
+            "rollover", "geo",
         ],
+    )
+    p.add_argument(
+        "--point", help="geo: query point as 'lat,lon'", default="0,0"
+    )
+    p.add_argument(
+        "--radius-km", type=float, help="geo --op within: radius in km"
+    )
+    p.add_argument(
+        "--bbox", help="geo --op bbox: 'min_lat,max_lat,min_lon,max_lon'"
+    )
+    p.add_argument(
+        "--zoom", type=int, default=4, help="geo --op grid: geotile zoom level"
     )
     p.add_argument(
         "--merges", type=int, default=1000,
@@ -186,8 +198,8 @@ def main(argv=None) -> int:
         "--op",
         choices=["composite", "cardinality", "percentiles", "ppl", "bppl",
                  "term_vectors", "complete", "phrase", "date_histogram",
-                 "rare_terms"],
-        help="aggs/suggest: which aggregation / suggest surface to run",
+                 "rare_terms", "bbox", "near", "within", "grid"],
+        help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
         "--keys", default="lang,source",
@@ -876,6 +888,41 @@ def main(argv=None) -> int:
             print(json.dumps(
                 [r.asDict() for r in out_df.limit(100).collect()], default=str
             ))
+
+    elif args.cmd == "geo":
+        # geo queries/aggs over a documents-shaped table (--corpus):
+        # bbox filter, k-nearest (--op near, --k), radius query
+        # (--op within, --radius-km), geotile grid (--op grid, --zoom)
+        from yase_spark.geo import (
+            geo_bounding_box,
+            geo_distance_topk,
+            geo_within,
+            geotile_grid,
+        )
+
+        docs = spark.read.parquet(args.corpus)
+        lat, lon = (float(x) for x in args.point.split(","))
+        if args.op == "bbox":
+            if not args.bbox:
+                raise SystemExit("geo --op bbox needs --bbox")
+            out_df = geo_bounding_box(
+                docs, *(float(x) for x in args.bbox.split(","))
+            )
+        elif args.op == "near":
+            out_df = geo_distance_topk(docs, lat, lon, k=args.k)
+        elif args.op == "within":
+            if args.radius_km is None:
+                raise SystemExit("geo --op within needs --radius-km")
+            out_df = geo_within(docs, lat, lon, args.radius_km)
+        elif args.op == "grid":
+            out_df = geotile_grid(docs, zoom=args.zoom)
+        else:
+            raise SystemExit("geo needs --op bbox|near|within|grid")
+        if args.out:
+            out_df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"written": args.out, "rows": out_df.count()}))
+        else:
+            print(json.dumps([r.asDict() for r in out_df.limit(100).collect()]))
 
     elif args.cmd == "bpe":
         # distributed BPE tokenizer training over a documents-shaped
