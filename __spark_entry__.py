@@ -2202,6 +2202,22 @@ def _q_rare_terms(spark, sf_dir):
     return rare_terms(_docs(spark, sf_dir), SPLIT, max_doc_count=3, shingles=2)
 
 
+def _q_sorted_browse(spark, sf_dir):
+    # Lucene index sorting: match-all "longest docs" browse answered by
+    # the early-terminated prefix scan over the range-sorted docs
+    # sibling (files_read << files_total; bitwise the classic lane,
+    # tests/test_sortindex.py) — build is idempotent per docs version
+    from yase_spark.sortindex import build_sort_index
+
+    rd = _reader(spark, sf_dir)
+    build_sort_index(spark, rd.cat.root, "doc_len", files=12)
+    out = rd.topk_sort_field(None, "doc_len", k=10)
+    m = _orig_ids(rd, spark)
+    return out.join(m, "doc_id").select(
+        "rank", F.col("orig_doc_id").alias("doc_id"), "doc_len"
+    )
+
+
 def _q_geo_bbox(spark, sf_dir):
     # ES geo_bounding_box over the deterministic multiply-mod geo_point
     # derivation (documents has no geo column; the derivation is pure
@@ -2484,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox": _q_geo_bbox,
         "geo_distance_topk": _q_geo_distance_topk,
         "geotile_grid": _q_geotile_grid,
+        "sorted_browse": _q_sorted_browse,
         "federated_topk": _q_federated_topk,
         "top_hits": _q_top_hits,
         "length_percentiles": _q_length_percentiles,
@@ -2888,6 +2905,16 @@ bg AS (SELECT doc_id,
 dfq AS (SELECT t1 || ' ' || t2 AS term, count(DISTINCT doc_id) AS df
         FROM bg GROUP BY 1)
 SELECT term, df FROM dfq WHERE df <= 3 ORDER BY df, term
+""",
+        # index-sorted match-all browse: longest 10 docs, doc_id ASC
+        # tie-break (engine doc order == original order: the natural key
+        # is the zero-padded original id)
+        "sorted_browse": f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1)
+SELECT row_number() OVER (ORDER BY dl DESC, doc_id) AS rank,
+       doc_id, dl AS doc_len
+FROM dl ORDER BY dl DESC, doc_id LIMIT 10
 """,
         # the geo trio replays the multiply-mod geo_point derivation in
         # pure arithmetic; haversine/mercator expressions are written in

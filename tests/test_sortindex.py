@@ -1,0 +1,195 @@
+"""Index sorting + early-terminated sort-by-field scan (sortindex.py).
+
+Gates: the early-terminated lane is BITWISE the classic full-dimension
+lane (match-all, string field, predicate, query-tree, and tombstone
+cases); early termination actually happens (files_read < files_total on
+a skewed field) yet NEVER fires unsoundly (an all-ties field forces the
+strict boundary rule to read every file and still agree); staleness is
+loud after a docs rewrite and the auto-dispatch falls back to the
+classic lane instead of serving stale order.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yase_spark.catalog import Catalog
+from yase_spark.config import IndexConfig
+from yase_spark.index import build_index
+from yase_spark.query import IndexReader, Term
+from yase_spark.sortindex import (
+    build_sort_index,
+    fresh_state,
+    sorted_scan_topk,
+)
+from yase_spark.synth import corpus_df
+
+
+@pytest.fixture(scope="module")
+def sidx(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sortidx"))
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=16, hot_term_df=400)
+    build_index(spark, corpus_df(spark, 600, partitions=8), root, cfg)
+    s = build_sort_index(spark, root, "doc_len", files=24)
+    assert not s["noop"] and s["files"] >= 2
+    build_sort_index(spark, root, "path", files=24)
+    return root, cfg
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_rebuild_is_noop(spark, sidx):
+    root, _ = sidx
+    assert build_sort_index(spark, root, "doc_len")["noop"]
+    assert fresh_state(Catalog(root), "doc_len") is not None
+
+
+@pytest.mark.parametrize("ascending", [False, True])
+def test_match_all_browse_bitwise(spark, sidx, ascending):
+    root, cfg = sidx
+    rd = IndexReader(spark, root, cfg)
+    et = rd.topk_sort_field(None, "doc_len", k=12, ascending=ascending)
+    classic = rd.topk_sort_field(
+        None, "doc_len", k=12, ascending=ascending, early_terminate=False
+    )
+    assert _rows(et) == _rows(classic) and len(_rows(et)) == 12
+
+
+def test_string_field_and_stats(spark, sidx):
+    root, cfg = sidx
+    rd = IndexReader(spark, root, cfg)
+    et = rd.topk_sort_field(None, "path", k=5, ascending=True)
+    classic = rd.topk_sort_field(
+        None, "path", k=5, ascending=True, early_terminate=False
+    )
+    assert _rows(et) == _rows(classic)
+    _, stats = sorted_scan_topk(
+        spark, root, "path", k=5, ascending=True, return_stats=True
+    )
+    # 24 requested files over 600 docs: top-5 by a unique string key
+    # must come from a short prefix
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["files_read"] <= 3
+
+
+def test_predicate_pushes_into_scan(spark, sidx):
+    root, cfg = sidx
+    rd = IndexReader(spark, root, cfg)
+    lang = Catalog(root).read(spark, "docs").select("lang").first()["lang"]
+    pred = f"lang = '{lang}'"
+    et, stats = sorted_scan_topk(
+        spark, root, "doc_len", k=8, predicate=pred, return_stats=True
+    )
+    classic = (
+        Catalog(root)
+        .read(spark, "docs")
+        .filter(pred)
+        .select("doc_id", "doc_len")
+        .orderBy(F.desc("doc_len"), F.asc("doc_id"))
+        .limit(8)
+        .collect()
+    )
+    assert [(r["doc_id"], r["doc_len"]) for r in et.collect()] == [
+        (r["doc_id"], r["doc_len"]) for r in classic
+    ]
+
+
+def test_query_tree_match_set(spark, sidx):
+    root, cfg = sidx
+    rd = IndexReader(spark, root, cfg)
+    et = rd.topk_sort_field(Term("json"), "doc_len", k=10)
+    classic = rd.topk_sort_field(
+        Term("json"), "doc_len", k=10, early_terminate=False
+    )
+    assert _rows(et) == _rows(classic) and len(_rows(et)) == 10
+
+
+def test_all_ties_never_stops_early_and_stays_exact(spark, tmp_path):
+    # constant field: the strict boundary rule can never prove the
+    # prefix, so the scan must read EVERYTHING and still match the
+    # classic answer (doc_id tie-break lives in the asc-first files)
+    root = str(tmp_path / "ties")
+    cat = Catalog(root)
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id").isin(7, 93, 150), 9).otherwise(7).alias("doc_len"),
+    )
+    cat.write("docs", docs)
+    build_sort_index(spark, root, "doc_len", files=10)
+    out, stats = sorted_scan_topk(
+        spark, root, "doc_len", k=6, return_stats=True
+    )
+    got = [(r["doc_id"], r["doc_len"]) for r in out.collect()]
+    # three 9s (doc_id asc), then the smallest-id 7s
+    assert got == [(7, 9), (93, 9), (150, 9), (0, 7), (1, 7), (2, 7)]
+    assert stats["files_read"] == stats["files_total"]
+
+
+def test_early_termination_fires_on_skewed_field(spark, tmp_path):
+    root = str(tmp_path / "skew")
+    cat = Catalog(root)
+    cat.write(
+        "docs",
+        spark.range(0, 2000).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("doc_len")
+        ),
+    )
+    build_sort_index(spark, root, "doc_len", files=20)
+    out, stats = sorted_scan_topk(spark, root, "doc_len", k=10, return_stats=True)
+    assert [r["doc_id"] for r in out.collect()] == list(range(1999, 1989, -1))
+    assert stats["files_read"] == 1 and stats["files_total"] >= 15
+
+
+def test_tombstones_masked_in_both_lanes(spark, tmp_path):
+    from yase_spark.index import IndexBuilder
+
+    root = str(tmp_path / "del")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, hot_term_df=400)
+    build_index(spark, corpus_df(spark, 300, partitions=4), root, cfg)
+    build_sort_index(spark, root, "doc_len", files=8)
+    rd = IndexReader(spark, root, cfg)
+    top = rd.topk_sort_field(None, "doc_len", k=3).collect()
+    victim = top[0]["doc_id"]
+    IndexBuilder(spark, root, cfg).delete(doc_ids=[victim])
+    rd2 = IndexReader(spark, root, cfg, shared_meta=False)
+    et = rd2.topk_sort_field(None, "doc_len", k=3)
+    classic = rd2.topk_sort_field(None, "doc_len", k=3, early_terminate=False)
+    ids = [r["doc_id"] for r in et.collect()]
+    assert victim not in ids
+    assert _rows(et) == _rows(classic)
+
+
+def test_staleness_is_loud_and_auto_falls_back(spark, sidx):
+    root, cfg = sidx
+    cat = Catalog(root)
+    docs = cat.read(spark, "docs")
+    v = cat.current_version("docs")
+    # bump the docs version without changing rows (empty append)
+    cat.write("docs", docs.limit(0), mode="append")
+    try:
+        assert fresh_state(cat, "doc_len") is None
+        with pytest.raises(ValueError, match="stale"):
+            sorted_scan_topk(spark, root, "doc_len", k=5)
+        rd = IndexReader(spark, root, cfg, shared_meta=False)
+        # auto dispatch silently uses the classic lane
+        out = rd.topk_sort_field(None, "doc_len", k=5)
+        classic = rd.topk_sort_field(
+            None, "doc_len", k=5, early_terminate=False
+        )
+        assert _rows(out) == _rows(classic)
+        # rebuild refreshes
+        assert not build_sort_index(spark, root, "doc_len", files=24)["noop"]
+        assert fresh_state(cat, "doc_len") is not None
+    finally:
+        if cat.current_version("docs") != v:
+            cat.rollback("docs", v)
+            build_sort_index(spark, root, "doc_len", files=24)
+
+
+def test_validation(spark, sidx):
+    root, _ = sidx
+    with pytest.raises(ValueError, match="not a sortable"):
+        build_sort_index(spark, root, "content_sha256")
+    with pytest.raises(ValueError, match="no sort index"):
+        sorted_scan_topk(spark, root, "commit", k=5)

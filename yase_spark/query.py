@@ -2759,23 +2759,34 @@ class IndexReader:
         ).select("rank", field, "doc_id", "score")
 
     def topk_sort_field(
-        self, tree, field: str, k: int = 10, ascending: bool = False
+        self, tree, field: str, k: int = 10, ascending: bool = False,
+        early_terminate: bool | None = None,
     ) -> DataFrame:
         """Sort-by-field search (the ES ``sort`` API): docs matching the
         query ordered by a docs-dimension column instead of relevance —
         "newest matches", "longest matches". ``tree`` is a boolean AST
-        node or a query string (analyzed to an OR over its tokens, the
-        match-anything-scored semantics of ranked search). Output:
+        node, a query string (analyzed to an OR over its tokens, the
+        match-anything-scored semantics of ranked search), or None for
+        the match-all browse ("newest 10 docs, period"). Output:
         (rank, doc_id, <field>), doc_id ASC tiebreak.
 
-        Scale shape: the match set comes from ``search_df`` (the
-        corpus-sized-result flag lane — one executor-side decode, one
-        shuffle), joins the docs dimension on doc_id, and
+        Dispatch: when a FRESH sorted sibling for ``field`` exists
+        (``sortindex.build_sort_index`` — Lucene index sorting), the
+        early-terminated prefix scan answers from the first file(s) of
+        the sort order instead of the whole dimension; results are
+        bitwise the classic lane's (pytest-gated). ``early_terminate``:
+        None = auto, True = require the sibling (raise if missing),
+        False = force the classic lane.
+
+        Classic-lane scale shape: the match set comes from ``search_df``
+        (the corpus-sized-result flag lane — one executor-side decode,
+        one shuffle), joins the docs dimension on doc_id, and
         ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
         (per-partition heaps, P·k rows at the driver) — never a global
-        sort, exactly the collapse/grouped lane shape. The rank window
-        runs on the k-row result only."""
+        sort. The rank window runs on the k-row result only."""
         from pyspark.sql import Window
+
+        from . import sortindex
 
         docs = self.cat.read(self.spark, "docs")
         if field not in docs.columns or field == "content_sha256":
@@ -2791,13 +2802,51 @@ class IndexReader:
             # tokens are analyzer output, and the analyzer is idempotent
             # on its own output — each Term leaf stays a single token
             tree = Or([Term(t) for t in toks]) if len(toks) > 1 else Term(toks[0])
+        from .catalog import PinnedCatalog
+
+        pinned = isinstance(self.cat, PinnedCatalog)
+        use_et = early_terminate
+        if use_et is None:
+            # a PIT reader must not serve from the LIVE sort sibling
+            # (properties/sibling state are not snapshot-pinned)
+            use_et = (
+                not pinned and sortindex.fresh_state(self.cat, field) is not None
+            )
+        elif use_et and pinned:
+            raise ValueError(
+                "PIT readers answer sort queries through the classic lane "
+                "(the sort sibling is not snapshot-pinned)"
+            )
+        if use_et:
+            match = None
+            if tree is not None:
+                # one materialization feeds every batch's semi-join
+                match = self.search_df(tree).select("doc_id").persist()
+            try:
+                return sortindex.sorted_scan_topk(
+                    self.spark, self.cat.root, field, k=k,
+                    ascending=ascending, match_ids=match,
+                )
+            finally:
+                if match is not None:
+                    match.unpersist()
+        if tree is not None:
+            # search_df masks tombstones already (_term_docs_df)
+            base = self.search_df(tree).join(
+                docs.select("doc_id", field), "doc_id"
+            )
+        else:
+            base = docs.select("doc_id", field)
+            if self.cat.exists("deletes"):
+                base = base.join(
+                    F.broadcast(
+                        self.cat.read(self.spark, "deletes").select("doc_id")
+                    ),
+                    "doc_id",
+                    "left_anti",
+                )
         ordcol = F.col(field).asc() if ascending else F.col(field).desc()
-        top = (
-            self.search_df(tree)
-            .join(docs.select("doc_id", field), "doc_id")
-            .orderBy(ordcol, F.col("doc_id").asc())
-            .limit(k)
-        )
+        top = base.orderBy(ordcol, F.col("doc_id").asc()).limit(k)
         w = Window.orderBy(ordcol, F.col("doc_id").asc())
         return top.withColumn(
             "rank", F.row_number().over(w).cast("long")

@@ -255,7 +255,10 @@ def reindex(
     dst_props = dict(props)
     dst_props["index_config"] = asdict(dst_cfg)
     for stale in ("dictionary_state", "positions_state", "trigrams_state",
-                  "deletions_state", "bigrams_state"):
+                  "deletions_state", "bigrams_state", "sort_index_state"):
+        # sort_index_state: the sorted sibling is NOT cloned and its
+        # recorded docs_version could collide with the destination's
+        # fresh version 1 — dropping it forces a rebuild at dst
         dst_props.pop(stale, None)
     dst.set_properties(dst_props)
 

@@ -46,8 +46,13 @@ def main(argv=None) -> int:
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
             "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
             "reindex", "alias", "export", "restore", "rank-eval", "bpe",
-            "rollover", "geo",
+            "rollover", "geo", "sort-index",
         ],
+    )
+    p.add_argument(
+        "--files", type=int, default=None,
+        help="sort-index: number of sorted range files (default: sized "
+        "from the docs count)",
     )
     p.add_argument(
         "--point", help="geo: query point as 'lat,lon'", default="0,0"
@@ -477,6 +482,16 @@ def main(argv=None) -> int:
         if not out:
             raise SystemExit("delete: pass --predicate and/or --apply")
         print(json.dumps(out))
+
+    elif args.cmd == "sort-index":
+        # Lucene index.sort: materialize the range-partitioned sorted
+        # docs sibling for --sort-field; sort queries on that field then
+        # early-terminate (query --kind sort dispatches automatically)
+        from yase_spark.sortindex import build_sort_index
+
+        print(json.dumps(build_sort_index(
+            spark, args.index, args.sort_field, files=args.files
+        )))
 
     elif args.cmd == "vacuum":
         # Iceberg expireSnapshots: retain --keep newest snapshots per
