@@ -549,6 +549,21 @@ def _q_phrase_match(spark, sf_dir):
     )
 
 
+def _q_phrase_prefix(spark, sf_dir):
+    # ES match_phrase_prefix (search-as-you-type): "table ha" matches
+    # any doc where "table" is ADJACENTLY followed by a term extending
+    # "ha" — dictionary expansion (capped df DESC in the engine;
+    # uncapped here so the oracle is a plain LIKE) + per-variant
+    # positional verify, sorted union
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.phrase_prefix_df("table ha", max_expansions=10_000)
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
 def _q_near_match(spark, sf_dir):
     # ordered proximity: "merge" then "group" with at most 2 tokens
     # between (greedy minimal-window chain over positions)
@@ -2501,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_topk": _q_geo_distance_topk,
         "geotile_grid": _q_geotile_grid,
         "sorted_browse": _q_sorted_browse,
+        "phrase_prefix": _q_phrase_prefix,
         "federated_topk": _q_federated_topk,
         "top_hits": _q_top_hits,
         "length_percentiles": _q_length_percentiles,
@@ -3109,6 +3125,12 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "SELECT DISTINCT a.doc_id FROM f a "
             "JOIN f b ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
             f"WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'"
+        ),
+        "phrase_prefix": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT a.doc_id FROM f a "
+            "JOIN f b ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
+            "WHERE a.term = 'table' AND b.term LIKE 'ha%'"
         ),
         "near_match": (
             f"WITH {_POS_SQL} "

@@ -452,3 +452,59 @@ def test_positions_repair_after_props_crash(spark, tiny_corpus, tmp_path, monkey
         want = sorted(key2[int(d)] for d in rd2.phrase(q))
         assert a == want, q
     full.unpersist()
+
+
+# ---------------------------------------------------------------- phrase_prefix
+
+def _prefix_variants(doc_texts, prefix):
+    """(variant -> df) for every corpus token extending ``prefix``."""
+    df: dict = {}
+    for text in doc_texts.values():
+        for t in set(parts_stream(text)):
+            if t.startswith(prefix):
+                df[t] = df.get(t, 0) + 1
+    return df
+
+
+def test_phrase_prefix_matches_brute_force(spark, pos_index, doc_texts):
+    rd = IndexReader(spark, root_cfg := pos_index[0], pos_index[1])
+    nonzero = 0
+    for q, prefix in [("get pa", "pa"), ("sync li", "li"), ("json ex", "ex")]:
+        variants = _prefix_variants(doc_texts, prefix)
+        ref = sorted(
+            {d for v in variants for d in brute_phrase(doc_texts, f"{q.rsplit(' ', 1)[0]} {v}")}
+        )
+        eng = rd.phrase_prefix(q, max_expansions=10_000).tolist()
+        assert eng == ref, q
+        nonzero += bool(eng)
+    assert nonzero >= 2
+
+
+def test_phrase_prefix_cap_is_df_ranked(spark, pos_index, doc_texts):
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    variants = _prefix_variants(doc_texts, "pa")
+    assert len(variants) >= 2  # the cap must actually bite
+    top = sorted(variants.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    eng = rd.phrase_prefix("get pa", max_expansions=1).tolist()
+    assert eng == brute_phrase(doc_texts, f"get {top}")
+
+
+def test_phrase_prefix_no_variant_is_empty(spark, pos_index):
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    assert rd.phrase_prefix("get zzzzzz").size == 0
+
+
+def test_phrase_prefix_single_token_is_prefix_match(spark, pos_index, doc_texts):
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    variants = _prefix_variants(doc_texts, "pa")
+    ref = sorted(
+        {
+            d
+            for d, text in doc_texts.items()
+            if any(t.startswith("pa") for t in parts_stream(text))
+        }
+    )
+    assert rd.phrase_prefix("pa", max_expansions=10_000).tolist() == ref

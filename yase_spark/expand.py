@@ -191,6 +191,19 @@ class TermExpander:
             self._dic.filter(_prefix_range(F.col("term"), prefix)), limit
         )
 
+    def prefix_capped(self, prefix: str, limit: int = MAX_EXPANSIONS) -> list[str]:
+        """Like ``prefix`` but CAPS instead of raising — the ES
+        ``match_phrase_prefix``/``max_expansions`` contract (the query
+        silently uses the cap's worth of expansions). Same deterministic
+        order: df DESC (most recall per clause), term ASC tie-break."""
+        rows = (
+            self._dic.filter(_prefix_range(F.col("term"), prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def complete(self, prefix: str, k: int = 10) -> DataFrame:
         """ES-style completion suggester: the top-``k`` dictionary terms
         extending ``prefix``, weighted by document frequency (weight

@@ -660,6 +660,37 @@ class PositionsReader:
         at slop=0). Single-part queries degenerate to term lookup."""
         return self._ordered_docs(analyze_phrase(query), slop)
 
+    def phrase_prefix_docs(
+        self, query: str, max_expansions: int = 50, slop: int = 0
+    ) -> np.ndarray:
+        """ES ``match_phrase_prefix``: the query's LAST analyzed part is
+        a prefix — docs matching the phrase with the last slot filled by
+        ANY dictionary term extending it ("table ha" hits "table hash").
+        Expansion set: top ``max_expansions`` by (df DESC, term ASC),
+        CAPPED not raised (the ES contract; search-as-you-type must
+        degrade, not error). Sorted union over the variants.
+
+        Scale shape: ONE batched fetch primes the postings cache with
+        the fixed parts and every variant (one bucket-pruned scan, the
+        Q15 expansion cost model), then each variant's positional verify
+        runs over its own candidate intersection — never a corpus scan.
+        The dictionary prefix lookup is the sorted-range-pruned
+        ``TermExpander`` probe."""
+        from .expand import TermExpander
+
+        qparts = analyze_phrase(query)
+        if not qparts:
+            return np.empty(0, dtype=np.int64)
+        head, prefix = qparts[:-1], qparts[-1]
+        variants = TermExpander(self.spark, self.cat.root).prefix_capped(
+            prefix, max_expansions
+        )
+        if not variants:
+            return np.empty(0, dtype=np.int64)
+        self.fetch(head + variants)  # one batched bucket-pruned fetch
+        hits = [self._ordered_docs(head + [v], slop) for v in variants]
+        return np.unique(np.concatenate(hits))
+
     def _ordered_docs(self, qparts: list[str], slop: int) -> np.ndarray:
         if not qparts:
             return np.empty(0, dtype=np.int64)

@@ -1936,6 +1936,26 @@ class IndexReader:
             [(int(d),) for d in ids], schema="doc_id long"
         )
 
+    def phrase_prefix(
+        self, query: str, max_expansions: int = 50, slop: int = 0
+    ) -> np.ndarray:
+        """ES ``match_phrase_prefix`` (search-as-you-type): the last
+        analyzed token is a prefix, expanded to at most
+        ``max_expansions`` dictionary terms (df DESC, term ASC — capped,
+        never raising) and phrase-verified per variant. See
+        ``PositionsReader.phrase_prefix_docs``."""
+        return self._positions().phrase_prefix_docs(
+            query, max_expansions=max_expansions, slop=slop
+        )
+
+    def phrase_prefix_df(
+        self, query: str, max_expansions: int = 50, slop: int = 0
+    ) -> DataFrame:
+        ids = self.phrase_prefix(query, max_expansions=max_expansions, slop=slop)
+        return self.spark.createDataFrame(
+            [(int(d),) for d in ids], schema="doc_id long"
+        )
+
     def span_near(
         self, terms: list[str], slop: int = 0, in_order: bool = False
     ) -> np.ndarray:

@@ -172,9 +172,10 @@ def main(argv=None) -> int:
                    help="reindex: new BM25 b (None = keep source's)")
     p.add_argument(
         "--kind",
-        choices=["topk", "and", "or", "phrase", "phrase_topk", "terms",
-                 "highlight", "mlt", "hybrid", "msm", "rescore",
-                 "federated", "span_near", "span_first", "qs", "sort"],
+        choices=["topk", "and", "or", "phrase", "phrase_topk",
+                 "phrase_prefix", "terms", "highlight", "mlt", "hybrid",
+                 "msm", "rescore", "federated", "span_near", "span_first",
+                 "qs", "sort"],
         default="topk",
     )
     p.add_argument(
@@ -835,6 +836,9 @@ def main(argv=None) -> int:
             out = [int(x) for x in rd.span_first(args.q, args.end)]
         elif args.kind == "phrase":
             out = [int(x) for x in rd.phrase(args.q, slop=args.slop)]
+        elif args.kind == "phrase_prefix":
+            # ES match_phrase_prefix: the last token of --q is a prefix
+            out = [int(x) for x in rd.phrase_prefix(args.q, slop=args.slop)]
         elif args.kind == "phrase_topk":
             out = [
                 {"rank": r, "doc_id": d, "score": s}
