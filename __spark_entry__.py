@@ -2492,100 +2492,97 @@ def _q_term_vectors(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order is driver-iteration order and the driver's CORRECTNESS
-    # window covers ~50 entries/round (VERDICT r3). The entries below,
-    # up to the "twice-verified core" marker, lead because they have
-    # never had a driver row (the 25 late-round-3 additions) or are new
-    # this round; the core entries that already carry green r2/r3 rows
-    # follow.
+    # Dict order is driver-iteration order; the driver's CORRECTNESS
+    # window covers ~50 entries/round (VERDICT r3). 77 entries have no
+    # driver row yet (round-4 grew the contract 90->142), so the window
+    # is a deliberate ranking: one never-checked representative per
+    # module/lane first, sibling variants spill to next round, the
+    # r1-r3-green core last. preflight.py value-checks ALL entries
+    # every session regardless.
     return {
-        # --- round-4 additions (no driver row yet) ---
-        "span_near": _q_span_near,
+        # --- window rank 1-51: never driver-checked, one representative
+        # per module/lane (sibling variants whose twin is in-window are
+        # deferred to the next round's window) ---
         "topk_after_merge": _q_topk_after_merge,
         "topk_after_vacuum": _q_topk_after_vacuum,
         "reindex_topk": _q_reindex_topk,
+        "rollover_topk": _q_rollover_topk,
+        "pit_page2": _q_pit_page2,
+        "backup_restore_topk": _q_backup_restore_topk,
+        "snapshot_read": _q_snapshot_read,
+        "span_near": _q_span_near,
         "topk_msm": _q_topk_msm,
-        "complete_prefix": _q_complete_prefix,
         "topk_rescore": _q_topk_rescore,
-        "unigram_ppl": _q_unigram_ppl,
+        "qs_topk": _q_qs_topk,
+        "sorted_browse": _q_sorted_browse,
+        "phrase_prefix": _q_phrase_prefix,
+        "complete_prefix": _q_complete_prefix,
+        "phrase_suggest": _q_phrase_suggest,
+        "synonym_topk": _q_synonym_topk,
+        "highlight_topk": _q_highlight_topk,
+        "more_like_this": _q_more_like_this,
+        "multi_term_search": _q_multi_term_search,
         "composite_agg": _q_composite_agg,
         "distinct_counts": _q_distinct_counts,
+        "facet_ranges": _q_facet_ranges,
         "date_histogram": _q_date_histogram,
         "rare_terms": _q_rare_terms,
         "geo_bbox": _q_geo_bbox,
         "geo_distance_topk": _q_geo_distance_topk,
         "geotile_grid": _q_geotile_grid,
-        "sorted_browse": _q_sorted_browse,
-        "phrase_prefix": _q_phrase_prefix,
         "federated_topk": _q_federated_topk,
+        "federated_facets": _q_federated_facets,
+        "federated_mlt": _q_federated_mlt,
+        "federated_sigterms": _q_federated_sigterms,
+        "stream_dedup": _q_stream_dedup,
+        "stream_percolate": _q_stream_percolate,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "ann_sq_topk": _q_ann_sq_topk,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
+        "image_resize": _q_image_resize,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
+        "pii_scrub": _q_pii_scrub,
+        "tfidf_vectors": _q_tfidf_vectors,
+        "significant_terms": _q_significant_terms,
+        "bigram_ppl": _q_bigram_ppl,
+        "mix_weights": _q_mix_weights,
+        "shuffle_export": _q_shuffle_export,
+        "has_child_topk": _q_has_child_topk,
+        "has_parent_children": _q_has_parent_children,
+        "rank_eval": _q_rank_eval,
+        "fields_cross": _q_fields_cross,
+        # --- never driver-checked spillover (beyond the ~50-row
+        # window this round; leads the round-5 re-rank) ---
+        "unigram_ppl": _q_unigram_ppl,
         "top_hits": _q_top_hits,
         "length_percentiles": _q_length_percentiles,
         "term_vectors": _q_term_vectors,
-        "stream_dedup": _q_stream_dedup,
-        "snapshot_read": _q_snapshot_read,
-        "facet_ranges": _q_facet_ranges,
-        "synonym_topk": _q_synonym_topk,
-        # --- never driver-checked (late round-3 additions) ---
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_pq_topk": _q_ann_pq_topk,
-        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "stream_event_windows": _q_stream_event_windows,
         "stream_sessionize": _q_stream_sessionize,
-        "image_resize": _q_image_resize,
-        "highlight_topk": _q_highlight_topk,
-        "more_like_this": _q_more_like_this,
         "prefix_expand": _q_prefix_expand,
-        "multi_term_search": _q_multi_term_search,
         "multi_term_topk": _q_multi_term_topk,
         "facet_counts": _q_facet_counts,
-        "decontaminate": _q_decontaminate,
-        "stratified_sample": _q_stratified_sample,
         "chunk_docs": _q_chunk_docs,
-        "pack_sequences": _q_pack_sequences,
-        "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
-        "tfidf_vectors": _q_tfidf_vectors,
         "frame_sample": _q_frame_sample,
         "spell_suggest": _q_spell_suggest,
-        "phrase_suggest": _q_phrase_suggest,
         "related_terms": _q_related_terms,
         "collocations": _q_collocations,
-        "significant_terms": _q_significant_terms,
         "score_explain": _q_score_explain,
-        "qs_topk": _q_qs_topk,
         "topk_sort_field": _q_topk_sort_field,
-        # unique-family reps fill the last in-window slots: parent/child
-        # joins, ranking evaluation, domain mixing, backup/restore are
-        # whole NEW operator families with no driver row anywhere
-        "has_child_topk": _q_has_child_topk,
-        "rank_eval": _q_rank_eval,
-        "mix_weights": _q_mix_weights,
-        "backup_restore_topk": _q_backup_restore_topk,
-        # --- overflow zone (past ~50): never driver-checked, but each
-        # is a sibling variant whose family rep is in-window or already
-        # carries a green r2/r3 row; ordered by value in case the
-        # driver window runs long. All preflight + pytest gated. ---
-        "bigram_ppl": _q_bigram_ppl,
-        "rollover_topk": _q_rollover_topk,
-        "pit_page2": _q_pit_page2,
-        "has_parent_children": _q_has_parent_children,
         "mix_sample": _q_mix_sample,
-        "shuffle_export": _q_shuffle_export,
-        "stream_percolate": _q_stream_percolate,
         "ann_topk_where": _q_ann_topk_where,
-        "federated_facets": _q_federated_facets,
-        "fields_cross": _q_fields_cross,
         "federated_complete": _q_federated_complete,
         "federated_suggest": _q_federated_suggest,
         "has_child_inner": _q_has_child_inner,
         "span_first": _q_span_first,
         "facet_histogram": _q_facet_histogram,
-        "federated_mlt": _q_federated_mlt,
-        "federated_sigterms": _q_federated_sigterms,
-        "ann_sq_topk": _q_ann_sq_topk,
         "bpe_merges": _q_bpe_merges,
         "quality_classifier": _q_quality_classifier,
-        # --- twice-verified core (green driver rows in r2/r3) ---
+        # --- already carry a green r1/r2/r3 driver row ---
         "tf_agg": _q_tf,
         "df_agg": _q_df,
         "cf_agg": _q_cf,
@@ -2632,9 +2629,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_counts": _q_union_counts,
         "codec_roundtrip": _q_codec_roundtrip,
         "checkpoints": _q_checkpoints,
-        # LLM-pipeline operators (round 2): dedup family, similarity
-        # search, text analysis — see yase_spark/{neardup,similarity,
-        # textstats}.py
         "near_dup_exact": _q_near_dup_exact,
         "dup_groups": _q_dup_groups,
         "clean_corpus": _q_clean_corpus,
