@@ -1260,6 +1260,22 @@ def _q_cosine_dup_pairs(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    # SemDeDup, saturated regime: n_clusters=1 makes every pair
+    # within-cluster, so the clustered pipeline must equal EXACT
+    # all-pairs semantic dedup — the full-value oracle anchor (the
+    # clustered approximation itself is gated in tests/test_semdedup.py
+    # against naive within-cluster components under the engine's own
+    # deterministic k-means)
+    from yase_spark.similarity import semantic_dedup
+
+    return semantic_dedup(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=0.45,
+        n_clusters=1,
+    )
+
+
 def _q_append_df_agg(spark, sf_dir):
     # incremental-ingest correctness under the oracle: per-term df of
     # the build(half) + append(half) index vs full-corpus SQL — any
@@ -2556,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fields_cross": _q_fields_cross,
         # --- never driver-checked spillover (beyond the ~50-row
         # window this round; leads the round-5 re-rank) ---
+        "semantic_dedup": _q_semantic_dedup,
         "unigram_ppl": _q_unigram_ppl,
         "top_hits": _q_top_hits,
         "length_percentiles": _q_length_percentiles,
@@ -3468,6 +3485,23 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
         # LLM-pipeline operators -------------------------------------
         "near_dup_exact": _NEAR_DUP_SQL,
         "dup_groups": _DUP_GROUPS_SQL,
+        # SemDeDup saturated (one cluster == exact all-pairs): cosine
+        # pairs at the engine's 6-decimal rounding, then the same
+        # recursive-CTE min-label components as dup_groups
+        "semantic_dedup": """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id va, b.vec_id vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.45),
+edges AS (SELECT va a, vb b FROM p UNION SELECT vb, va FROM p),
+reach(d, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.d, e.b FROM reach JOIN edges e ON reach.r = e.a)
+SELECT d AS vec_id, min(r) AS cluster_id, (d = min(r)) AS keep
+FROM reach GROUP BY d ORDER BY 1
+""",
         # composed curation: dup-group keep-lowest (recursive closure)
         # x quality threshold x language allowlist
         "clean_corpus": f"""

@@ -602,3 +602,60 @@ def lsh_ann_topk(
         .join(F.broadcast(qe), "query_id")
     )
     return _ranked(joined, k)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_clusters: int = 16,
+    iters: int = 5,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering the embedding space, computing
+    pairwise cosine ONLY within clusters, connecting >=threshold pairs
+    into duplicate groups, and keeping one representative per group
+    (lowest vec_id — the dedup_first/dup_groups house convention; the
+    paper's low-centroid-similarity keeper is a one-line swap of the
+    keep rule). Output (vec_id, cluster_id, keep), cluster_id = min
+    vec_id of the semantic group, ordered.
+
+    ``n_clusters=1`` is the saturated regime: every pair is
+    within-cluster, so the result is EXACT all-pairs semantic dedup —
+    the full-value oracle anchor (the same trick as the saturated-
+    codebook PQ oracle). At scale the cluster id is the partition key
+    (the IVF layout), within-cluster pair generation is the chunked
+    ``_bucket_pairs`` lane (exactness survives over-full clusters),
+    and the quadratic work is bounded by the cluster size the k-means
+    chose — the paper's entire point: O(n²/k) instead of O(n²), with
+    misses only across cluster boundaries.
+
+    Components come from ``neardup.dup_groups`` (distributed min-label
+    propagation + pointer jumping — no driver union-find)."""
+    from .neardup import _bucket_pairs, dup_groups
+
+    if n_clusters < 1:
+        raise ValueError("n_clusters must be >= 1")
+    C = train_ivf_centroids(emb, n_centroids=n_clusters, iters=iters)
+    asg = ivf_assign(emb, C)
+    cand = _bucket_pairs(
+        emb.select("vec_id").join(asg, "vec_id"),
+        ["cid"],
+        "vec_id",
+        max_bucket=max_bucket,
+        over_cap="chunk",
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding"))
+    pairs = (
+        cand.select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"))
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim_r", F.round(F.expr(_COS_SQL), 6))
+        .filter(F.col("sim_r") >= threshold)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    groups = dup_groups(emb.select(F.col("vec_id").alias("doc_id")), pairs)
+    return groups.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "keep"
+    ).orderBy("vec_id")

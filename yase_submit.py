@@ -132,9 +132,11 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--method",
-        choices=["exact", "lsh", "simhash", "ivf", "pq", "ivfpq", "sq"],
+        choices=["exact", "lsh", "simhash", "semantic", "ivf", "pq",
+                 "ivfpq", "sq"],
         default="lsh",
-        help="neardup/ann variant (ivf/pq/ivfpq are ann-only)",
+        help="neardup/ann variant (ivf/pq/ivfpq are ann-only; semantic "
+        "= SemDeDup over an embeddings-shaped --corpus)",
     )
     p.add_argument("--threshold", type=float, default=0.1)
     p.add_argument(
@@ -1092,6 +1094,19 @@ def main(argv=None) -> int:
         )
 
         docs = spark.read.parquet(args.corpus)
+        if args.method == "semantic":
+            # SemDeDup: --corpus is an embeddings-shaped table; output
+            # is already grouped (vec_id, cluster_id, keep)
+            from yase_spark.similarity import semantic_dedup
+
+            out = semantic_dedup(docs, threshold=args.threshold, n_clusters=args.k)
+            if args.out:
+                out.write.mode("overwrite").parquet(args.out)
+                print(json.dumps({"written": args.out, "rows": out.count()}))
+            else:
+                print(json.dumps([r.asDict() for r in out.limit(100).collect()]))
+            spark.stop()
+            return 0
         if args.method == "exact":
             out = jaccard_pairs(docs, threshold=args.threshold)
         elif args.method == "lsh":
