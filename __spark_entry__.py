@@ -700,6 +700,41 @@ def _q_hybrid_topk(spark, sf_dir):
     )
 
 
+HYBRID_W_TEXT, HYBRID_W_VEC = 0.7, 0.3
+
+
+def _q_hybrid_linear(spark, sf_dir):
+    # the OTHER hybrid combiner: weighted linear fusion of MIN-MAX
+    # normalized scores (ES retriever min_max normalizer). BM25 scores
+    # are bitwise SQL-replayable and cosine sims rounded-6 on both
+    # sides, so the normalized fusion hashes exactly
+    from yase_spark.hybrid import minmax_fuse
+    from yase_spark.similarity import cosine_topk
+
+    rd = _reader(spark, sf_dir)
+    orig = {
+        r["doc_id"]: r["orig_doc_id"]
+        for r in _orig_ids(rd, spark).collect()
+    }
+    text = [
+        (r, orig[d], s)
+        for r, d, s in rd.topk(" ".join(BM25_TERMS), HYBRID_DEPTH)
+    ]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = [
+        (r["rank"], r["vec_id"], r["sim_r"])
+        for r in cosine_topk(
+            emb, n_queries=HYBRID_QVEC + 1, k=HYBRID_DEPTH
+        ).collect()
+        if r["query_id"] == HYBRID_QVEC
+    ]
+    fused = minmax_fuse([text, vec], [HYBRID_W_TEXT, HYBRID_W_VEC], k=10)
+    return spark.createDataFrame(
+        [(r, d, round(s, 6)) for r, d, s in fused] or [],
+        schema="rank long, doc_id long, fused_r double",
+    )
+
+
 def _q_bool_phrase(spark, sf_dir):
     # Phrase as a BooleanQuery clause (Lucene PhraseQuery inside a
     # BooleanQuery): adjacency-verified phrase match INTERSECT a term's
@@ -2573,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked spillover (beyond the ~50-row
         # window this round; leads the round-5 re-rank) ---
         "semantic_dedup": _q_semantic_dedup,
+        "hybrid_linear": _q_hybrid_linear,
         "unigram_ppl": _q_unigram_ppl,
         "top_hits": _q_top_hits,
         "length_percentiles": _q_length_percentiles,
@@ -3248,6 +3284,51 @@ u AS (SELECT doc_id, 1.0/({HYBRID_C}+r) AS w FROM tr
 f AS (SELECT doc_id, sum(w) AS s FROM u GROUP BY 1)
 SELECT row_number() OVER (ORDER BY s DESC, doc_id) AS rank, doc_id,
        round(s, 6) AS rrf_r
+FROM f QUALIFY rank <= 10
+""",
+        # linear hybrid: per-ranking min-max normalization over its own
+        # depth (degenerate all-equal -> 1.0), weighted sum; BM25 scores
+        # bitwise, cosine rounded-6, <=2 contributions per doc so the
+        # IEEE add order is immaterial
+        "hybrid_linear": f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM t
+       WHERE term IN ({", ".join(f"'{x}'" for x in BM25_TERMS)}) GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1),
+tr AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM sc QUALIFY r <= {HYBRID_DEPTH}),
+tn AS (SELECT doc_id,
+              CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+                   ELSE (score - min(score) OVER ())
+                        / (max(score) OVER () - min(score) OVER ()) END AS nrm
+       FROM tr),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {HYBRID_QVEC}),
+vs AS (SELECT vec_id AS doc_id,
+              round(list_cosine_similarity(qe, embedding::DOUBLE[]), 6) AS sim,
+              row_number() OVER (ORDER BY
+                round(list_cosine_similarity(qe, embedding::DOUBLE[]), 6) DESC,
+                vec_id) AS r
+       FROM embeddings CROSS JOIN q WHERE vec_id != {HYBRID_QVEC}
+       QUALIFY r <= {HYBRID_DEPTH}),
+vn AS (SELECT doc_id,
+              CASE WHEN max(sim) OVER () = min(sim) OVER () THEN 1.0
+                   ELSE (sim - min(sim) OVER ())
+                        / (max(sim) OVER () - min(sim) OVER ()) END AS nrm
+       FROM vs),
+u AS (SELECT doc_id, {HYBRID_W_TEXT} * nrm AS w FROM tn
+      UNION ALL SELECT doc_id, {HYBRID_W_VEC} * nrm FROM vn),
+f AS (SELECT doc_id, sum(w) AS s FROM u GROUP BY 1)
+SELECT row_number() OVER (ORDER BY s DESC, doc_id) AS rank, doc_id,
+       round(s, 6) AS fused_r
 FROM f QUALIFY rank <= 10
 """,
         # phrase-in-boolean: adjacency match set INTERSECT term docs

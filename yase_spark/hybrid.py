@@ -57,3 +57,39 @@ def hybrid_topk(
     (the caller maps engine ids to source ids first when the lanes
     disagree — the driver row does exactly that)."""
     return rrf_fuse([text_ranking, vector_ranking], k=k, c=c)
+
+
+def minmax_fuse(
+    rankings: list[list[tuple]],
+    weights: list[float],
+    k: int = 10,
+) -> list[tuple[int, int, float]]:
+    """Weighted linear fusion with min-max score normalization — the
+    OTHER standard hybrid combiner (the ES 8.x retriever's ``min_max``
+    normalizer / OpenSearch hybrid ``arithmetic_mean``): each ranking's
+    scores are rescaled to [0, 1] over its OWN retrieved depth
+    (``(s - min) / (max - min)``; a degenerate all-equal ranking maps to
+    1.0 — every retrieved doc is "the best" of that ranking), then
+    ``fused = Σ wᵢ · normᵢ``, top-k by (fused DESC, doc_id ASC).
+
+    Unlike RRF this uses the score MAGNITUDES, so a ranking with one
+    dominant hit and a flat tail concentrates its weight on the hit —
+    the reason both combiners ship in every hybrid stack. Rows are
+    ``(rank, doc_id, score)`` (every topk lane's shape); docs missing
+    from a ranking contribute nothing for it. A doc gets at most one
+    contribution per ranking, and IEEE addition of two terms is
+    order-independent, so the fusion is bitwise SQL-replayable."""
+    if len(rankings) != len(weights):
+        raise ValueError("one weight per ranking")
+    fused: dict[int, float] = {}
+    for ranking, w in zip(rankings, weights):
+        if not ranking:
+            continue
+        ss = [float(row[2]) for row in ranking]
+        mn, mx = min(ss), max(ss)
+        for row in ranking:
+            d, s = int(row[1]), float(row[2])
+            nrm = 1.0 if mx == mn else (s - mn) / (mx - mn)
+            fused[d] = fused.get(d, 0.0) + w * nrm
+    order = sorted(fused.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return [(i + 1, d, s) for i, (d, s) in enumerate(order)]

@@ -177,6 +177,7 @@ def sorted_scan_topk(
     acc: list = []  # (field_value, doc_id) best-k so far, sorted
     i, batch = 0, 1
     files_read = rows_read = 0
+    ftype = None
     while i < len(ranges):
         take = ranges[i : i + batch]
         i += len(take)
@@ -184,6 +185,8 @@ def sorted_scan_topk(
         files_read += len(take)
         rows_read += sum(e["rows"] for e in take)
         df = spark.read.parquet(*(os.path.join(troot, e["path"]) for e in take))
+        if ftype is None:
+            ftype = df.schema[field].dataType  # footer already read
         if predicate:
             df = df.filter(predicate)
         if match_ids is not None:
@@ -214,11 +217,6 @@ def sorted_scan_topk(
             break
     from pyspark.sql.types import LongType, StructField, StructType
 
-    ftype = (
-        spark.read.parquet(os.path.join(troot, ranges[0]["path"]))
-        .schema[field]
-        .dataType
-    )
     out = spark.createDataFrame(
         [(r + 1, d, v) for r, (v, d) in enumerate(acc)],
         schema=StructType(
