@@ -243,12 +243,42 @@ def main() -> None:
     )
     extras["reindex_tables"] = len(st_r["tables"])
 
+    # ---- phase 8: round-4-continuation operators --------------------
+    # pipeline aggs + rare bigram tail + the geo family over sf docs,
+    # SemDeDup over sf embeddings, index-sorted browse (build + ET
+    # query) and match_phrase_prefix on the sf index
+    from yase_spark.aggs import date_histogram_pipeline, rare_terms
+    from yase_spark.geo import geo_distance_topk, geo_within, geotile_grid
+    from yase_spark.similarity import semantic_dedup
+    from yase_spark.sortindex import build_sort_index
+
+    t0 = time.perf_counter()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    date_histogram_pipeline(events).count()
+    rare_terms(docs, "[^a-z0-9]+", max_doc_count=3, shingles=2).count()
+    geo_distance_topk(docs, 10.0, 20.0, k=10).count()
+    geo_within(docs, 10.0, 20.0, 2000.0).count()
+    geotile_grid(docs, zoom=4).count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    extras["semdedup_groups"] = (
+        semantic_dedup(emb, threshold=0.45, n_clusters=16)
+        .filter("NOT keep").count()
+    )
+    build_sort_index(spark, root, "doc_len", files=8)
+    et = rd.topk_sort_field(None, "doc_len", k=10)
+    assert et.count() == 10
+    extras["phrase_prefix_hits"] = int(
+        rd.phrase_prefix("table ha", max_expansions=1000).size
+    )
+    timings["round4c_ops"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "index-build + BM25 query engine + pipeline ops wall time "
         "(build sf docs, query set, build 20k synthetic corpus, "
         "dedup/ANN/text-analysis, positions+serving features, "
-        "trigram grep, curation stages, content-free reindex "
+        "trigram grep, curation stages, content-free reindex, "
+        "pipeline-aggs/geo/semdedup/index-sort ops "
         "over sf documents)",
         "value": round(total, 3),
         "unit": "sec",
