@@ -1992,6 +1992,19 @@ def _q_facet_ranges(spark, sf_dir):
     )
 
 
+def _q_facet_stats(spark, sf_dir):
+    # ES extended_stats inside a terms bucket: per-lang (n, min, max,
+    # sum, avg, variance) of matching docs' doc_len — variance from
+    # EXACT integer power sums with the explicit two-sum formula, the
+    # same arithmetic expression on both sides (a built-in Welford
+    # estimator would not hash-match)
+    from yase_spark.query import And, Term
+
+    rd = _reader(spark, sf_dir)
+    tree = And([Term(AND_TERMS[0]), Term(AND_TERMS[1])])
+    return rd.facet_stats(tree, "lang", "doc_len")
+
+
 def _q_facet_histogram(spark, sf_dir):
     # fixed-interval histogram facet (round 4): floor(dl/20)*20 buckets
     # over the match set, non-empty only — ES histogram aggregation
@@ -2609,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window this round; leads the round-5 re-rank) ---
         "semantic_dedup": _q_semantic_dedup,
         "hybrid_linear": _q_hybrid_linear,
+        "facet_stats": _q_facet_stats,
         "unigram_ppl": _q_unigram_ppl,
         "top_hits": _q_top_hits,
         "length_percentiles": _q_length_percentiles,
@@ -3891,6 +3905,22 @@ ORDER BY score DESC, doc_id LIMIT 10
             f"FROM (SELECT unnest(range(0, {len(FACET_EDGES) - 1})) AS i)) "
             "SELECT lo, hi, coalesce(cnt, 0)::BIGINT AS cnt "
             "FROM buckets LEFT JOIN cnts USING (bidx) ORDER BY lo"
+        ),
+        "facet_stats": (
+            f"{_T_SQL}, m AS ("
+            f"SELECT DISTINCT doc_id FROM t WHERE term = '{and_a}' "
+            f"INTERSECT SELECT DISTINCT doc_id FROM t WHERE term = '{and_b}'), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1), "
+            "j AS (SELECT d.lang, dl.dl FROM m JOIN dl USING (doc_id) "
+            "      JOIN documents d USING (doc_id)), "
+            "g AS (SELECT lang, count(*) AS n, min(dl) AS mn, max(dl) AS mx, "
+            "      sum(dl) AS s, sum(dl * dl) AS ss FROM j GROUP BY 1) "
+            "SELECT lang, n, mn AS \"min\", mx AS \"max\", s::BIGINT AS \"sum\", "
+            "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_r, "
+            "round(CASE WHEN n > 1 THEN (CAST(ss AS DOUBLE) "
+            "  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "  / (CAST(n AS DOUBLE) - 1.0) ELSE 0.0 END, 6) AS var_r "
+            "FROM g ORDER BY lang"
         ),
         "facet_histogram": (
             f"{_T_SQL}, m AS ("

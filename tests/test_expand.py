@@ -260,6 +260,31 @@ def test_facet_ranges_and_histogram(spark, rd):
     assert [(r["bucket"], r["cnt"]) for r in hist] == sorted(ref_h.items())
 
 
+def test_facet_stats_exact_power_sums(spark, rd):
+    """extended_stats facet == a pandas recount: per-lang n/min/max/sum
+    over the match set, avg and sample variance from the exact integer
+    power sums with the explicit two-sum formula (singletons -> 0.0)."""
+    from yase_spark.query import And, Term
+
+    tree = And([Term("get"), Term("page")])
+    matched = set(rd.search(tree).tolist())
+    rows = rd.cat.read(spark, "docs").select("doc_id", "lang", "doc_len").collect()
+    by_lang: dict = {}
+    for r in rows:
+        if r["doc_id"] in matched:
+            by_lang.setdefault(r["lang"], []).append(r["doc_len"])
+    assert by_lang
+    got = {r["lang"]: r for r in rd.facet_stats(tree, "lang", "doc_len").collect()}
+    assert sorted(got) == sorted(by_lang)
+    for lang, vs in by_lang.items():
+        r = got[lang]
+        n, s, ss = len(vs), sum(vs), sum(v * v for v in vs)
+        assert (r["n"], r["min"], r["max"], r["sum"]) == (n, min(vs), max(vs), s)
+        assert r["avg_r"] == round(s / n, 6)
+        want_var = 0.0 if n <= 1 else round((ss - s * s / n) / (n - 1.0), 6)
+        assert r["var_r"] == want_var
+
+
 def test_synonyms(spark, rd, tiny_index, all_terms):
     """Synonym expansion (round 4): analyzer-applied build (multi-token
     entries rejected), Solr expand=true pair semantics, deterministic

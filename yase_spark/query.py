@@ -2444,6 +2444,50 @@ class IndexReader:
             .orderBy("bucket")
         )
 
+    def facet_stats(self, tree, group_col: str, value_col: str) -> DataFrame:
+        """ES ``extended_stats`` inside a terms bucket: per
+        ``group_col`` value of the MATCHING docs, (n, min, max, sum,
+        avg_r, var_r) over the integer ``value_col``. Variance is the
+        sample variance computed from EXACT integer power sums with the
+        explicit formula ``(Σx² − (Σx)²/n) / (n−1)`` written as the
+        same arithmetic expression on both the Spark and the oracle
+        side — integer sums are exact, so the doubles match bitwise
+        where a built-in single-pass (Welford) estimator would not.
+        Singleton buckets report variance 0.0 (ES convention). Same
+        executor-side shape as the other facets: one scan + one
+        grouped aggregation over the ``search_df`` match set."""
+        matched = self.search_df(tree)
+        docs = self.cat.read(self.spark, "docs").select(
+            "doc_id", group_col, value_col
+        )
+        v = F.col(value_col).cast("long")
+        g = (
+            matched.join(docs, "doc_id")
+            .groupBy(group_col)
+            .agg(
+                F.count("*").alias("n"),
+                F.min(v).alias("mn"),
+                F.max(v).alias("mx"),
+                F.sum(v).alias("s"),
+                F.sum(v * v).alias("ss"),
+            )
+        )
+        n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+        var = F.when(
+            n > 1,
+            (ss.cast("double") - s.cast("double") * s.cast("double") / n.cast("double"))
+            / (n.cast("double") - 1.0),
+        ).otherwise(F.lit(0.0))
+        return g.select(
+            group_col,
+            "n",
+            F.col("mn").alias("min"),
+            F.col("mx").alias("max"),
+            F.col("s").alias("sum"),
+            F.round(s.cast("double") / n.cast("double"), 6).alias("avg_r"),
+            F.round(var, 6).alias("var_r"),
+        ).orderBy(group_col)
+
     def bool_and(self, query: str) -> np.ndarray:
         """Driver boolean AND (sorted doc_id array). Dispatches to the
         cluster kernel when the dictionary-estimated postings exceed

@@ -218,8 +218,9 @@ def main(argv=None) -> int:
         help="aggs: bucket column for cardinality/percentiles",
     )
     p.add_argument(
-        "--value-col", default="n_chars",
-        help="aggs --op percentiles: numeric column",
+        "--value-col", default=None,
+        help="aggs --op percentiles: numeric column (default n_chars); "
+        "query --facet: switches the facet to extended_stats over it",
     )
     p.add_argument(
         "--ps", default="0.5,0.9,0.99",
@@ -671,9 +672,16 @@ def main(argv=None) -> int:
         if args.facet:
             if not args.tree:
                 raise SystemExit("query --facet needs --tree")
-            rows = rd.facet_counts(
-                parse(json.loads(args.tree)), args.facet, topn=args.k
-            ).collect()
+            if args.value_col:
+                # extended_stats facet: per --facet bucket stats over
+                # the numeric --value-col of the match set
+                rows = rd.facet_stats(
+                    parse(json.loads(args.tree)), args.facet, args.value_col
+                ).collect()
+            else:
+                rows = rd.facet_counts(
+                    parse(json.loads(args.tree)), args.facet, topn=args.k
+                ).collect()
             out = [r.asDict() for r in rows]
         elif args.synonyms:
             # query-time synonym rewrite over the synonyms sibling table
@@ -876,7 +884,9 @@ def main(argv=None) -> int:
             out_df = distinct_counts(docs, args.group_col, "[^a-z0-9]+")
         elif args.op == "percentiles":
             ps = [float(x) for x in args.ps.split(",")]
-            out_df = group_percentiles(docs, args.group_col, args.value_col, ps)
+            out_df = group_percentiles(
+                docs, args.group_col, args.value_col or "n_chars", ps
+            )
         elif args.op == "ppl":
             out_df = unigram_perplexity(docs)
         elif args.op == "bppl":
