@@ -178,8 +178,10 @@ def test_staleness_is_loud_and_auto_falls_back(spark, sidx):
             None, "doc_len", k=5, early_terminate=False
         )
         assert _rows(out) == _rows(classic)
-        # rebuild refreshes
-        assert not build_sort_index(spark, root, "doc_len", files=24)["noop"]
+        # re-running the build refreshes: the empty append has no new
+        # docs above the high-water mark, so the covered generations are
+        # re-stamped to the new docs version WITHOUT any rewrite (noop)
+        assert build_sort_index(spark, root, "doc_len", files=24)["noop"]
         assert fresh_state(cat, "doc_len") is not None
     finally:
         if cat.current_version("docs") != v:
@@ -193,3 +195,85 @@ def test_validation(spark, sidx):
         build_sort_index(spark, root, "content_sha256")
     with pytest.raises(ValueError, match="no sort index"):
         sorted_scan_topk(spark, root, "commit", k=5)
+
+
+# ------------------------------------------------------------- generations
+
+@pytest.fixture(scope="module")
+def gen_idx(spark, tmp_path_factory):
+    """Index built on 300 docs, 200 more appended, sort sibling built
+    BEFORE the append and extended incrementally after it."""
+    from yase_spark.index import IndexBuilder
+
+    root = str(tmp_path_factory.mktemp("genidx"))
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, hot_term_df=400)
+    allc = corpus_df(spark, 500, partitions=4).persist()
+    part_a = allc.limit(300).persist()
+    part_b = allc.subtract(part_a).persist()
+    build_index(spark, part_a, root, cfg)
+    s0 = build_sort_index(spark, root, "doc_len", files=6)
+    assert s0["generations"] == 1 and not s0["noop"]
+    IndexBuilder(spark, root, cfg).append(part_b)
+    s1 = build_sort_index(spark, root, "doc_len", files=4)
+    assert s1["incremental"] and s1["generations"] == 2
+    assert s1["rows"] == 200  # cost ∝ delta
+    return root, cfg
+
+
+def test_incremental_append_extends_not_rebuilds(spark, gen_idx):
+    root, cfg = gen_idx
+    assert build_sort_index(spark, root, "doc_len")["noop"]
+    st = fresh_state(Catalog(root), "doc_len")
+    assert st is not None and len(st["generations"]) == 2
+    # generations partition the doc-id space at the high-water mark
+    g0, g1 = st["generations"]
+    assert g0["max_doc"] == 300 and g1["max_doc"] == 500
+    assert g0["rows"] == 300 and g1["rows"] == 200
+
+
+@pytest.mark.parametrize("ascending", [False, True])
+def test_generational_scan_bitwise(spark, gen_idx, ascending):
+    root, cfg = gen_idx
+    rd = IndexReader(spark, root, cfg)
+    et, stats = sorted_scan_topk(
+        spark, root, "doc_len", k=15, ascending=ascending, return_stats=True
+    )
+    classic = rd.topk_sort_field(
+        None, "doc_len", k=15, ascending=ascending, early_terminate=False
+    )
+    assert _rows(et) == _rows(classic) and len(_rows(et)) == 15
+    assert stats["generations"] == 2
+    # the merged prefix scan still prunes: both generations contribute
+    # at most a prefix
+    assert stats["files_read"] < stats["files_total"]
+
+
+def test_generational_query_tree(spark, gen_idx):
+    root, cfg = gen_idx
+    rd = IndexReader(spark, root, cfg)
+    et = rd.topk_sort_field(Term("json"), "doc_len", k=10)
+    classic = rd.topk_sort_field(
+        Term("json"), "doc_len", k=10, early_terminate=False
+    )
+    assert _rows(et) == _rows(classic)
+
+
+def test_compaction_forces_full_rebuild(spark, tmp_path):
+    from yase_spark.index import IndexBuilder
+
+    root = str(tmp_path / "cmp")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, hot_term_df=400)
+    build_index(spark, corpus_df(spark, 300, partitions=4), root, cfg)
+    build_sort_index(spark, root, "doc_len", files=6)
+    b = IndexBuilder(spark, root, cfg)
+    victims = [r["doc_id"] for r in Catalog(root).read(spark, "docs")
+               .orderBy("doc_id").limit(5).collect()]
+    b.delete(doc_ids=victims)
+    b.apply_deletes()  # renumbers doc ids -> covered prefix changes
+    s = build_sort_index(spark, root, "doc_len", files=6)
+    assert not s["noop"] and s["incremental"] is False
+    assert s["generations"] == 1 and s["rows"] == 295
+    rd = IndexReader(spark, root, cfg, shared_meta=False)
+    et = rd.topk_sort_field(None, "doc_len", k=8)
+    classic = rd.topk_sort_field(None, "doc_len", k=8, early_terminate=False)
+    assert _rows(et) == _rows(classic)

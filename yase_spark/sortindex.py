@@ -11,32 +11,42 @@ docs per segment and stops. The Spark-native analogue built here:
   ``repartitionByRange`` gives totally-ordered, NON-OVERLAPPING files
   (equal keys land in one partition), which is the property early
   termination needs. Per-file ``(min, max, rows)`` boundaries are
-  recorded in the commit tag (table-relative paths, so the index stays
-  relocatable). Cost ∝ docs-dimension bytes (one range shuffle of the
-  narrow dimension — never content), the same cost class as a Lucene
-  segment sort on merge.
+  recorded in the sibling state (table-relative paths, so the index
+  stays relocatable). Cost ∝ docs-dimension bytes (one range shuffle of
+  the narrow dimension — never content), the same cost class as a
+  Lucene segment sort on merge.
 
-- **Query** (``sorted_scan_topk``): read files in sort order in
-  geometrically growing batches, keep the best k seen, STOP when the
-  k-th collected value strictly beats the next unread file's boundary.
-  The strictness handles the one subtle case: a run of equal field
-  values split across a file boundary, where the doc_id tie-break
-  lives in a file not yet read — on equality the scan keeps reading.
-  Exactness therefore never depends on luck: either the boundary proof
-  holds or more files are read. Tombstones are anti-joined per batch;
-  a predicate (ES: sorted search with a filter) and a match-id set
-  (sorted search over a query's match set) push into each batch's scan.
+- **Generations** (the Lucene per-segment model): an APPEND extends the
+  sibling incrementally — delta doc_ids are strictly above the covered
+  high-water mark, so the new docs sort into their own generation of
+  range files (cost ∝ delta, one catalog append commit) and the scan
+  k-way merges generations exactly like Lucene collects per-segment
+  and merges. A COMPACTION renumbers doc ids, which is detected (the
+  covered-prefix row count changes) and triggers a full rebuild — the
+  same trade Lucene makes re-sorting on merge.
+
+- **Query** (``sorted_scan_topk``): per generation, read files in sort
+  order in geometrically growing batches, keep the global best k, STOP
+  only when the k-th collected value strictly beats EVERY generation's
+  next unread boundary. The strictness handles the one subtle case: a
+  run of equal field values split across a file (or generation)
+  boundary, where the doc_id tie-break lives in data not yet read — on
+  equality the scan keeps reading. Exactness therefore never depends
+  on luck. Tombstones are anti-joined per batch; a predicate (ES:
+  sorted search with a filter) and a match-id set (sorted search over
+  a query's match set) push into each batch's scan.
 
 At 100 TB this is the difference between "newest 10 documents" reading
 one file vs the whole dimension: files_read is the gate, and the scan
 degrades gracefully — a selective predicate just reads a longer prefix,
 with correctness unconditional.
 
-Staleness contract (same as the positions/trigram siblings): the tag
-records the docs-table version it was built from; any docs rewrite
-(append, compaction) makes the sibling loudly stale until rebuilt —
-Lucene likewise re-sorts on merge. Tombstones do NOT stale it (they
-are masked at read time).
+Staleness contract: the state records the docs-table version; after a
+docs rewrite the sibling is stale until ``build_sort_index`` runs again
+(incremental for appends, full for compactions). Tombstones do NOT
+stale it (they are masked at read time). ``fresh_state`` is what the
+``topk_sort_field`` auto-dispatch checks — a stale sibling silently
+falls back to the classic lane, never serves wrong order.
 """
 
 from __future__ import annotations
@@ -58,44 +68,17 @@ def _table_name(field: str) -> str:
     return SORT_TABLE_FMT.format(field=field)
 
 
-def build_sort_index(
-    spark: SparkSession,
-    index_root: str,
-    field: str,
-    files: int | None = None,
-) -> dict:
-    """Materialize the sorted docs sibling for ``field``. Idempotent:
-    a fresh sibling for the current docs version is a no-op."""
-    cat = Catalog(index_root)
-    if not cat.exists("docs"):
-        raise ValueError("build the main index first (docs table missing)")
-    docs_v = cat.current_version("docs")
-    name = _table_name(field)
-    st = _state(cat, field)
-    if st is not None and int(st["docs_version"]) == docs_v:
-        return {"noop": True, "files": len(st["ranges"])}
-    t0 = time.time()
-    docs = cat.read(spark, "docs")
-    if field not in docs.columns or field in ("content_sha256",):
-        raise ValueError(f"{field!r} is not a sortable docs-dimension column")
-    d = docs.filter(F.col(field).isNotNull())
-    n = d.count()
-    if n == 0:
-        raise ValueError("docs table is empty")
-    files = files or max(4, math.ceil(n / DEFAULT_ROWS_PER_FILE))
-    cat.write(
-        name,
-        d.repartitionByRange(files, F.asc(field), F.asc("doc_id"))
-        .sortWithinPartitions(F.asc(field), F.asc("doc_id")),
-        tag={"sort_field": field, "docs_version": docs_v},
-    )
-    # per-file boundaries, read back column-pruned from the committed
-    # files (one tiny job over (field, doc_id) only); paths stored
-    # table-relative so a moved index root keeps working
+def _file_ranges(spark, cat, name, field) -> list[dict]:
+    """Per-file (path, lo, hi, rows) boundaries of the NEWEST committed
+    data dir only (the generation just written — cost ∝ that commit,
+    never the whole sibling), column-pruned read-back, table-relative
+    paths."""
     troot = os.path.join(cat.root, name)
+    e = cat._manifest(name)["data_dirs"][-1]
+    rel_dir = e if isinstance(e, str) else e["path"]
+    df = spark.read.parquet(os.path.join(troot, rel_dir))
     stats = (
-        cat.read(spark, name)
-        .select(field, F.input_file_name().alias("f"))
+        df.select(field, F.input_file_name().alias("f"))
         .groupBy("f")
         .agg(
             F.min(field).alias("lo"),
@@ -104,7 +87,7 @@ def build_sort_index(
         )
         .collect()
     )
-    ranges = sorted(
+    return sorted(
         (
             {
                 "path": os.path.relpath(r["f"].removeprefix("file:"), troot),
@@ -116,23 +99,136 @@ def build_sort_index(
         ),
         key=lambda e: (e["lo"], e["hi"]),
     )
-    props = cat.get_properties() or {}
-    props.setdefault("sort_index_state", {})[field] = {
+
+
+def build_sort_index(
+    spark: SparkSession,
+    index_root: str,
+    field: str,
+    files: int | None = None,
+) -> dict:
+    """Materialize (or incrementally extend) the sorted docs sibling for
+    ``field``. Idempotent per docs version; an append extends with a new
+    sorted GENERATION (cost ∝ delta); a compaction/renumber triggers a
+    full rebuild."""
+    cat = Catalog(index_root)
+    if not cat.exists("docs"):
+        raise ValueError("build the main index first (docs table missing)")
+    docs_v = cat.current_version("docs")
+    name = _table_name(field)
+    st = _state(cat, field)
+    if st is not None and int(st["docs_version"]) == docs_v:
+        return {
+            "noop": True,
+            "files": sum(len(g["ranges"]) for g in st["generations"]),
+            "generations": len(st["generations"]),
+        }
+    t0 = time.time()
+    docs = cat.read(spark, "docs")
+    if field not in docs.columns or field in ("content_sha256",):
+        raise ValueError(f"{field!r} is not a sortable docs-dimension column")
+    d = docs.filter(F.col(field).isNotNull())
+
+    if st is not None and all(
+        g.get("max_doc") is not None for g in st["generations"]
+    ):
+        covered_max = max(int(g["max_doc"]) for g in st["generations"])
+        covered_rows = sum(g["rows"] for g in st["generations"])
+        agg = d.agg(
+            F.sum(F.when(F.col("doc_id") <= covered_max, 1).otherwise(0)).alias("old"),
+            F.sum(F.when(F.col("doc_id") > covered_max, 1).otherwise(0)).alias("new"),
+        ).collect()[0]
+        if int(agg["old"] or 0) == covered_rows:
+            # covered prefix intact -> append-only delta above the
+            # high-water mark: sort it into its own generation
+            n_new = int(agg["new"] or 0)
+            if n_new == 0:
+                st = {**st, "docs_version": docs_v}
+                _save(cat, field, st)
+                return {
+                    "noop": True,
+                    "files": sum(len(g["ranges"]) for g in st["generations"]),
+                    "generations": len(st["generations"]),
+                }
+            gfiles = files or max(1, math.ceil(n_new / DEFAULT_ROWS_PER_FILE))
+            delta = d.filter(F.col("doc_id") > covered_max)
+            cat.write(
+                name,
+                delta.repartitionByRange(gfiles, F.asc(field), F.asc("doc_id"))
+                .sortWithinPartitions(F.asc(field), F.asc("doc_id")),
+                mode="append",
+                tag={"sort_field": field, "docs_version": docs_v,
+                     "gen_min_doc": covered_max + 1},
+            )
+            ranges = _file_ranges(spark, cat, name, field)
+            gen = {
+                "ranges": ranges,
+                "rows": n_new,
+                "max_doc": int(
+                    delta.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+                ),
+            }
+            st = {
+                "docs_version": docs_v,
+                "generations": st["generations"] + [gen],
+            }
+            _save(cat, field, st)
+            return {
+                "noop": False,
+                "incremental": True,
+                "files": sum(len(g["ranges"]) for g in st["generations"]),
+                "generations": len(st["generations"]),
+                "rows": n_new,
+                "wall_s": time.time() - t0,
+            }
+        # covered prefix changed (compaction renumbered / rows removed):
+        # fall through to the full rebuild
+
+    n = d.count()
+    if n == 0:
+        raise ValueError("docs table is empty")
+    files = files or max(4, math.ceil(n / DEFAULT_ROWS_PER_FILE))
+    cat.write(
+        name,
+        d.repartitionByRange(files, F.asc(field), F.asc("doc_id"))
+        .sortWithinPartitions(F.asc(field), F.asc("doc_id")),
+        tag={"sort_field": field, "docs_version": docs_v},
+    )
+    ranges = _file_ranges(spark, cat, name, field)
+    max_doc = int(d.agg(F.max("doc_id").alias("m")).collect()[0]["m"])
+    _save(cat, field, {
         "docs_version": docs_v,
-        "ranges": ranges,
-    }
-    cat.set_properties(props)
+        "generations": [{"ranges": ranges, "rows": n, "max_doc": max_doc}],
+    })
     return {
         "noop": False,
+        "incremental": False,
         "files": len(ranges),
+        "generations": 1,
         "rows": n,
         "wall_s": time.time() - t0,
     }
 
 
-def _state(cat: Catalog, field: str) -> dict | None:
+def _save(cat: Catalog, field: str, st: dict) -> None:
     props = cat.get_properties() or {}
-    return (props.get("sort_index_state") or {}).get(field)
+    props.setdefault("sort_index_state", {})[field] = st
+    cat.set_properties(props)
+
+
+def _state(cat: Catalog, field: str) -> dict | None:
+    st = ((cat.get_properties() or {}).get("sort_index_state") or {}).get(field)
+    if st is not None and "generations" not in st:
+        # pre-generation state shape (single flat ranges list)
+        st = {
+            "docs_version": st["docs_version"],
+            "generations": [{
+                "ranges": st["ranges"],
+                "rows": sum(e["rows"] for e in st["ranges"]),
+                "max_doc": None,
+            }],
+        }
+    return st
 
 
 def fresh_state(cat: Catalog, field: str) -> dict | None:
@@ -154,9 +250,11 @@ def sorted_scan_topk(
     return_stats: bool = False,
 ):
     """Early-terminated exact top-k by ``field`` over the sorted
-    sibling. Output (rank, doc_id, <field>) — identical to
+    sibling's generations (k-way merged prefix scans). Output
+    (rank, doc_id, <field>) — identical to
     ``IndexReader.topk_sort_field`` — plus a stats dict
-    (files_read/files_total/rows_in_read_files) when asked."""
+    (files_read/files_total/rows_in_read_files/generations) when
+    asked."""
     cat = Catalog(index_root)
     st = _state(cat, field)
     if st is None:
@@ -166,22 +264,45 @@ def sorted_scan_topk(
             f"sort index for {field!r} is stale (docs table changed since "
             "the build) — rebuild with build_sort_index"
         )
-    ranges = st["ranges"] if ascending else list(reversed(st["ranges"]))
     troot = os.path.join(cat.root, _table_name(field))
     deletes = (
         cat.read(spark, "deletes").select("doc_id")
         if cat.exists("deletes")
         else None
     )
+    ordcol = F.col(field).asc() if ascending else F.col(field).desc()
+    # per-generation cursor over its sort-ordered file list
+    gens = [
+        {
+            "ranges": g["ranges"] if ascending else list(reversed(g["ranges"])),
+            "i": 0,
+            "batch": 1,
+        }
+        for g in st["generations"]
+    ]
 
-    acc: list = []  # (field_value, doc_id) best-k so far, sorted
-    i, batch = 0, 1
+    def boundary_beaten(kth) -> bool:
+        """kth strictly beats every generation's next unread boundary."""
+        for g in gens:
+            if g["i"] >= len(g["ranges"]):
+                continue
+            nxt = g["ranges"][g["i"]]
+            b = nxt["lo"] if ascending else nxt["hi"]
+            if not ((kth < b) if ascending else (kth > b)):
+                return False
+        return True
+
+    acc: list = []  # (field_value, doc_id), global best-k, sorted
     files_read = rows_read = 0
     ftype = None
-    while i < len(ranges):
-        take = ranges[i : i + batch]
-        i += len(take)
-        batch *= 2
+    while any(g["i"] < len(g["ranges"]) for g in gens):
+        # one round: advance every non-exhausted generation by its batch
+        take = []
+        for g in gens:
+            part = g["ranges"][g["i"] : g["i"] + g["batch"]]
+            g["i"] += len(part)
+            g["batch"] *= 2
+            take.extend(part)
         files_read += len(take)
         rows_read += sum(e["rows"] for e in take)
         df = spark.read.parquet(*(os.path.join(troot, e["path"]) for e in take))
@@ -193,7 +314,6 @@ def sorted_scan_topk(
             df = df.join(match_ids.select("doc_id"), "doc_id", "semi")
         if deletes is not None:
             df = df.join(F.broadcast(deletes), "doc_id", "left_anti")
-        ordcol = F.col(field).asc() if ascending else F.col(field).desc()
         rows = (
             df.select(field, "doc_id")
             .orderBy(ordcol, F.col("doc_id").asc())
@@ -205,15 +325,7 @@ def sorted_scan_topk(
         acc.sort(key=lambda t: t[1])
         acc.sort(key=lambda t: t[0], reverse=not ascending)
         acc = acc[:k]
-        if len(acc) == k and i < len(ranges):
-            nxt = ranges[i]
-            boundary = nxt["lo"] if ascending else nxt["hi"]
-            kth = acc[-1][0]
-            # STRICT: on a boundary tie the doc_id tie-break may live in
-            # the unread file — keep reading
-            if (kth < boundary) if ascending else (kth > boundary):
-                break
-        elif len(acc) == k and i >= len(ranges):
+        if len(acc) == k and boundary_beaten(acc[-1][0]):
             break
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -227,10 +339,12 @@ def sorted_scan_topk(
             ]
         ),
     )
+    all_ranges = [e for g in st["generations"] for e in g["ranges"]]
     stats = {
-        "files_total": len(ranges),
+        "files_total": len(all_ranges),
         "files_read": files_read,
         "rows_in_read_files": rows_read,
-        "rows_total": sum(e["rows"] for e in ranges),
+        "rows_total": sum(e["rows"] for e in all_ranges),
+        "generations": len(gens),
     }
     return (out, stats) if return_stats else out
