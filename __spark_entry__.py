@@ -2108,6 +2108,24 @@ def _q_significant_terms(spark, sf_dir):
     return significant_terms(_docs(spark, sf_dir), SIG_PRED, k=SIG_K)
 
 
+def _q_significant_text(spark, sf_dir):
+    # ES significant_text: the same JLH scoring with the foreground
+    # being a QUERY's match set (engine search_df, mapped to source
+    # ids) instead of a metadata slice — "what words distinguish the
+    # docs this query matches"
+    from yase_spark.cooccur import significant_text
+    from yase_spark.query import And, Term
+
+    rd = _reader(spark, sf_dir)
+    tree = And([Term(AND_TERMS[0]), Term(AND_TERMS[1])])
+    fg = (
+        rd.search_df(tree)
+        .join(_orig_ids(rd, spark), "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+    return significant_text(_docs(spark, sf_dir), fg, k=SIG_K)
+
+
 def _q_score_explain(spark, sf_dir):
     # per-term BM25 breakdown of the top-10 hits (Lucene explain):
     # contributions must sum to the hit's total, and every number is
@@ -2623,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "hybrid_linear": _q_hybrid_linear,
         "facet_stats": _q_facet_stats,
+        "significant_text": _q_significant_text,
         "unigram_ppl": _q_unigram_ppl,
         "top_hits": _q_top_hits,
         "length_percentiles": _q_length_percentiles,
@@ -4110,6 +4129,32 @@ FROM sc QUALIFY rank <= {PSUG_K}
         # related terms: doc-level PMI vs the seed over distinct tokens
         "significant_terms": f"""
 WITH d AS (SELECT doc_id, ({SIG_PRED}) AS fg, text FROM documents),
+tok AS (SELECT DISTINCT doc_id, fg,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM d),
+t AS (SELECT * FROM tok WHERE term <> ''),
+tal AS (SELECT term, count(*) FILTER (WHERE fg) AS fg_df, count(*) AS df
+        FROM t GROUP BY 1),
+tot AS (SELECT count(*) AS n_docs, count(*) FILTER (WHERE fg) AS n_fg FROM d),
+scored AS (
+  SELECT term, fg_df, df,
+         round((fg_df / n_fg - df / n_docs) * ((fg_df / n_fg) / (df / n_docs)), 6) AS score_r
+  FROM tal CROSS JOIN tot
+  WHERE fg_df >= 2 AND fg_df / n_fg > df / n_docs)
+SELECT row_number() OVER (ORDER BY score_r DESC, term) AS rank,
+       term, fg_df, df, score_r
+FROM scored QUALIFY rank <= {SIG_K}
+""",
+        # significant_text: identical JLH chain, foreground = the AND
+        # match set rather than a metadata predicate
+        "significant_text": f"""
+WITH mtok AS (SELECT doc_id,
+              unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+       FROM documents),
+m AS (SELECT DISTINCT doc_id FROM mtok WHERE term = '{AND_TERMS[0]}'
+      INTERSECT SELECT DISTINCT doc_id FROM mtok WHERE term = '{AND_TERMS[1]}'),
+d AS (SELECT doc_id, (doc_id IN (SELECT doc_id FROM m)) AS fg, text
+      FROM documents),
 tok AS (SELECT DISTINCT doc_id, fg,
                unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
         FROM d),

@@ -294,6 +294,30 @@ def test_significant_terms_vs_python(spark):
     assert all(r["term"] != "common" for r in out)
 
 
+def test_significant_text_equals_terms_on_same_foreground(spark):
+    """significant_text (match-set foreground) must equal
+    significant_terms (predicate foreground) when the id set is the
+    same foreground — the JLH chain is shared, only the flag-attachment
+    differs (left join vs predicate). Plus: a query-shaped foreground
+    surfaces the query-co-occurring vocabulary."""
+    from yase_spark.cooccur import significant_terms, significant_text
+
+    rows = [
+        (i, ("der die das common " if i % 2 == 0 else "the a an common ")
+            + f"w{i % 3}", "de" if i % 2 == 0 else "en")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    fg = docs.filter("lang = 'de'").select("doc_id")
+    via_text = significant_text(docs, fg, k=10, min_fg_df=2).collect()
+    via_pred = significant_terms(docs, "lang = 'de'", k=10, min_fg_df=2).collect()
+    assert [tuple(r) for r in via_text] == [tuple(r) for r in via_pred]
+    # foreground ids not present in docs are harmless (left join)
+    fg2 = fg.union(spark.createDataFrame([(10**9,)], "doc_id bigint"))
+    via_text2 = significant_text(docs, fg2, k=10, min_fg_df=2).collect()
+    assert [tuple(r) for r in via_text2] == [tuple(r) for r in via_pred]
+
+
 def test_phrase_suggest_bigram_overrides_unigram(spark, tmp_path):
     """The phrase-LM point: 'cable' is the more frequent unigram
     correction for 'gable' (both at plain levenshtein 1), but 'data table' is what the corpus says —

@@ -183,6 +183,32 @@ def significant_terms(
     return _sig_rank(tallies, totals, k, min_fg_df)
 
 
+def significant_text(
+    docs: DataFrame, fg_ids: DataFrame, k: int = 20, min_fg_df: int = 2
+) -> DataFrame:
+    """ES ``significant_text``: ``significant_terms`` with the
+    foreground defined by a QUERY's match set (a doc_id frame — the
+    ``search_df`` output) instead of a metadata predicate — "what words
+    distinguish the documents this query matches". Same JLH scoring,
+    ordering, and output shape as ``significant_terms``.
+
+    Scale shape: the foreground flag attaches with ONE doc_id-keyed
+    left join (match sets are doc_id frames, never collected), then the
+    identical one-pass conditional aggregate — fg_df and df still come
+    out of the same map-side-combinable groupBy."""
+    flagged = (
+        docs.select("doc_id", "text")
+        .join(
+            fg_ids.select("doc_id").distinct().withColumn("fg", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .withColumn("fg", F.coalesce("fg", F.lit(False)))
+    )
+    tallies, totals = _sig_tallies_flagged(flagged)
+    return _sig_rank(tallies, totals, k, min_fg_df)
+
+
 def _sig_tallies(docs: DataFrame, predicate: str):
     """Per-corpus (term, fg_df, df) tallies and (n_docs, n_fg) totals —
     the additive pieces both the single-corpus and the federated
@@ -190,6 +216,10 @@ def _sig_tallies(docs: DataFrame, predicate: str):
     flagged = docs.select(
         "doc_id", "text", F.expr(f"({predicate})").cast("boolean").alias("fg")
     )
+    return _sig_tallies_flagged(flagged)
+
+
+def _sig_tallies_flagged(flagged: DataFrame):
     toks = (
         flagged.select(
             "doc_id",
