@@ -595,6 +595,31 @@ def _q_span_near(spark, sf_dir):
     )
 
 
+def _q_span_not(spark, sf_dir):
+    # Lucene span_not: docs with some 'table' NOT immediately followed
+    # by 'hash' (post=1 window) — the exclusion window is relative, so
+    # 0/1-based position conventions cancel between engine and oracle
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.span_not_df(PHRASE[0], PHRASE[1], pre=0, post=1)
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
+def _q_span_or_near(spark, sf_dir):
+    # span_or as a span_near operand: clause 1 = (table OR merge),
+    # clause 2 = hash, unordered within span 1+slop
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    ids = rd.span_near([[PHRASE[0], "merge"], [PHRASE[1]]], slop=1)
+    res = spark.createDataFrame(
+        [(int(d),) for d in ids] or [], schema="doc_id long"
+    )
+    return res.join(m, "doc_id").select(F.col("orig_doc_id").alias("doc_id"))
+
+
 def _q_span_first(spark, sf_dir):
     # Lucene span_first: the term within the first `end` tokens of the
     # doc's parts stream (span end <= end)
@@ -2642,6 +2667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_linear": _q_hybrid_linear,
         "facet_stats": _q_facet_stats,
         "significant_text": _q_significant_text,
+        "span_not": _q_span_not,
+        "span_or_near": _q_span_or_near,
         "unigram_ppl": _q_unigram_ppl,
         "top_hits": _q_top_hits,
         "length_percentiles": _q_length_percentiles,
@@ -3205,6 +3232,25 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "SELECT DISTINCT a.doc_id FROM f a "
             "JOIN f b ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
             f"WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'"
+        ),
+        "span_not": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT a.doc_id FROM f a "
+            f"WHERE a.term = '{PHRASE[0]}' AND NOT EXISTS ("
+            "  SELECT 1 FROM f b WHERE b.doc_id = a.doc_id "
+            f"  AND b.term = '{PHRASE[1]}' "
+            "  AND b.p BETWEEN a.p - 0 AND a.p + 1) "
+            "ORDER BY 1"
+        ),
+        # unordered 2-clause span with a span_or first clause:
+        # |pa - pb| <= (n-1)+slop = 2
+        "span_or_near": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT a.doc_id FROM f a "
+            "JOIN f b ON b.doc_id = a.doc_id "
+            f"WHERE a.term IN ('{PHRASE[0]}', 'merge') "
+            f"AND b.term = '{PHRASE[1]}' AND abs(a.p - b.p) <= 2 "
+            "ORDER BY 1"
         ),
         "phrase_prefix": (
             f"WITH {_POS_SQL} "

@@ -508,3 +508,86 @@ def test_phrase_prefix_single_token_is_prefix_match(spark, pos_index, doc_texts)
         }
     )
     assert rd.phrase_prefix("pa", max_expansions=10_000).tolist() == ref
+
+
+# ----------------------------------------------------- span_not / span_or
+
+def brute_span_not(docs: dict, include, excludes, pre, post) -> list[int]:
+    hits = []
+    for d, text in docs.items():
+        pos: dict = {}
+        for i, t in enumerate(parts_stream(text)):
+            pos.setdefault(t, []).append(i)
+        inc = pos.get(include, [])
+        exc = sorted(p for e in excludes for p in pos.get(e, []))
+        if any(
+            not any(p - pre <= q <= p + post for q in exc) for p in inc
+        ):
+            hits.append(d)
+    return sorted(hits)
+
+
+def test_span_not_matches_brute_force(spark, pos_index, doc_texts):
+    rd = IndexReader(spark, pos_index[0], pos_index[1])
+    cases = [
+        ("get", ["page"], 0, 1),   # get NOT immediately followed by page
+        ("get", ["page"], 1, 1),
+        ("json", ["exec", "page"], 1, 1),  # span_or exclusion
+        ("page", ["nosuchtoken"], 2, 2),   # absent exclude -> all get docs
+        ("zone", ["zone"], 0, 0),  # self-exclusion at pre=post=0 kills all
+    ]
+    nonzero = 0
+    for inc, exc, pre, post in cases:
+        eng = rd.span_not(inc, exc, pre=pre, post=post).tolist()
+        ref = brute_span_not(doc_texts, inc, exc, pre, post)
+        assert eng == ref, (inc, exc, pre, post)
+        nonzero += bool(eng)
+    assert nonzero >= 3
+    # pre=post=0 never excludes DISTINCT positions (unit spans)
+    assert rd.span_not("get", ["page"], 0, 0).tolist() == sorted(
+        {d for d, t in doc_texts.items() if "get" in parts_stream(t)}
+    )
+
+
+def brute_span_near_or(docs, clauses, slop) -> list[int]:
+    hits = []
+    for d, text in docs.items():
+        pos: dict = {}
+        for i, t in enumerate(parts_stream(text)):
+            pos.setdefault(t, []).append(i)
+        alt_pos = [
+            sorted(p for a in cl for p in pos.get(a, [])) for cl in clauses
+        ]
+        if any(not ps for ps in alt_pos):
+            continue
+        if any(
+            max(c) - min(c) <= len(clauses) - 1 + slop
+            for c in itertools.product(*alt_pos)
+        ):
+            hits.append(d)
+    return sorted(hits)
+
+
+def test_span_near_with_span_or_clause(spark, pos_index, doc_texts):
+    rd = IndexReader(spark, pos_index[0], pos_index[1])
+    cases = [
+        ([["get", "set"], ["page"]], 1),
+        ([["json"], ["exec", "lock"]], 2),
+        ([["copy", "merge"], ["zone"], ["lock"]], 2),
+    ]
+    nonzero = 0
+    for clauses, slop in cases:
+        eng = rd.span_near(clauses, slop=slop).tolist()
+        ref = brute_span_near_or(doc_texts, clauses, slop)
+        assert eng == ref, (clauses, slop)
+        nonzero += bool(eng)
+    assert nonzero >= 2
+    # single-alt clauses must equal the plain path
+    plain = rd.span_near(["get", "page"], slop=1).tolist()
+    assert rd.span_near([["get"], ["page"]], slop=1).tolist() == plain
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unordered-only"):
+        rd.span_near([["get", "set"], ["page"]], slop=1, in_order=True)
+    with _pt.raises(ValueError, match="distinct"):
+        rd.span_near([["get", "page"], ["page"]], slop=1)

@@ -744,48 +744,80 @@ class PositionsReader:
         span clause) and, unordered, must be distinct — Lucene demands
         n DISTINCT occurrences for duplicated unordered clauses, a
         contract this vectorized matcher does not implement; rejecting
-        loudly beats silently matching one occurrence twice."""
-        parts: list[str] = []
+        loudly beats silently matching one occurrence twice.
+
+        A clause may also be a LIST of terms — a ``span_or`` clause
+        (Lucene SpanOrQuery as a span_near operand): the clause's spans
+        are the UNION of its alternatives' occurrences. Unordered only
+        (the ordered greedy chain is per-term); alternatives must be
+        distinct across the whole query."""
+        clauses: list[list[str]] = []
         for t in terms:
-            ps = analyze_phrase(t)
-            if len(ps) != 1:
-                raise ValueError(
-                    f"span clause {t!r} analyzes to {ps} — span_near "
-                    "takes single-term clauses; use phrase_docs for "
-                    "multi-part sequences"
-                )
-            parts.append(ps[0])
+            alts = t if isinstance(t, (list, tuple)) else [t]
+            cl = []
+            for a in alts:
+                ps = analyze_phrase(a)
+                if len(ps) != 1:
+                    raise ValueError(
+                        f"span clause {a!r} analyzes to {ps} — span_near "
+                        "takes single-term clauses; use phrase_docs for "
+                        "multi-part sequences"
+                    )
+                cl.append(ps[0])
+            if not cl:
+                raise ValueError("empty span_or clause")
+            clauses.append(cl)
         if in_order:
-            return self._ordered_docs(parts, slop)
-        if len(set(parts)) != len(parts):
+            if any(len(cl) > 1 for cl in clauses):
+                raise ValueError(
+                    "span_or clauses are unordered-only (the ordered "
+                    "greedy chain is per-term)"
+                )
+            return self._ordered_docs([cl[0] for cl in clauses], slop)
+        flat = [p for cl in clauses for p in cl]
+        if len(set(flat)) != len(flat):
             raise ValueError(
-                "unordered span_near requires distinct clauses "
-                f"(got {parts}); duplicate-clause distinct-occurrence "
+                "unordered span_near requires distinct clause terms "
+                f"(got {flat}); duplicate-clause distinct-occurrence "
                 "semantics are not implemented"
             )
-        if not parts or slop < 0:
+        if not clauses or slop < 0:
             return np.empty(0, dtype=np.int64)
-        got = self.fetch(parts)
-        if any(got[t] is None for t in parts):
+        got = self.fetch(flat)
+
+        def clause_union_docs(cl):
+            arrs = [got[a].doc_ids for a in cl if got[a] is not None]
+            if not arrs:
+                return np.empty(0, dtype=np.int64)
+            out = arrs[0]
+            for a in arrs[1:]:
+                out = np.union1d(out, a)
+            return out
+
+        cdocs = [clause_union_docs(cl) for cl in clauses]
+        if any(c.size == 0 for c in cdocs):
             return np.empty(0, dtype=np.int64)
-        if len(parts) == 1:
-            return got[parts[0]].doc_ids.copy()
-        uniq = sorted(parts, key=lambda t: got[t].doc_ids.size)
-        cand = got[uniq[0]].doc_ids
-        for t in uniq[1:]:
-            cand = np.intersect1d(cand, got[t].doc_ids, assume_unique=True)
+        if len(clauses) == 1:
+            return cdocs[0].copy()
+        order_ix = sorted(range(len(clauses)), key=lambda i: cdocs[i].size)
+        cand = cdocs[order_ix[0]]
+        for i in order_ix[1:]:
+            cand = np.intersect1d(cand, cdocs[i], assume_unique=True)
             if cand.size == 0:
                 return cand
-        nt = len(parts)
+        nt = len(clauses)
         limit = nt - 1 + slop
         doc_l, pos_l, tid_l = [], [], []
-        for ti, t in enumerate(parts):
-            pp = got[t]
-            mask = np.isin(pp.doc_ids, cand, assume_unique=True)
-            cnts = pp.counts[mask]
-            doc_l.append(np.repeat(pp.doc_ids[mask], cnts))
-            pos_l.append(pp.pos[np.repeat(mask, pp.counts)])
-            tid_l.append(np.full(int(cnts.sum()), ti, dtype=np.int64))
+        for ti, cl in enumerate(clauses):
+            for a in cl:
+                pp = got[a]
+                if pp is None:
+                    continue
+                mask = np.isin(pp.doc_ids, cand, assume_unique=True)
+                cnts = pp.counts[mask]
+                doc_l.append(np.repeat(pp.doc_ids[mask], cnts))
+                pos_l.append(pp.pos[np.repeat(mask, pp.counts)])
+                tid_l.append(np.full(int(cnts.sum()), ti, dtype=np.int64))
         d = np.concatenate(doc_l)
         p = np.concatenate(pos_l)
         t = np.concatenate(tid_l)
@@ -842,6 +874,78 @@ class PositionsReader:
             return np.empty(0, dtype=np.int64)
         mask = pp.pos < end
         return np.unique(np.repeat(pp.doc_ids, pp.counts)[mask])
+
+    def span_not_docs(
+        self,
+        include: str,
+        exclude,
+        pre: int = 0,
+        post: int = 0,
+    ) -> np.ndarray:
+        """Lucene/ES ``span_not`` with unit-length term spans: sorted
+        doc ids where SOME occurrence of ``include`` has NO occurrence
+        of any ``exclude`` term within ``[p - pre, p + post]`` (pre=0,
+        post=0 = same-position overlap only, which unit spans at
+        distinct positions never have — use post>=1 for "not
+        immediately followed by"). ``exclude`` may be one term or a
+        list (a span_or exclusion).
+
+        Fully vectorized: docs carrying include but no exclude at all
+        match immediately (setdiff); for the remainder, positions pack
+        to ``rank << POS_SHIFT | pos`` keys and one two-sided
+        ``searchsorted`` of the include keys against the merged exclude
+        keys counts the excluders per occurrence — window bounds clamp
+        to the rank's own key block, so windows never leak across
+        documents."""
+        inc = analyze_phrase(include)
+        excl_terms = exclude if isinstance(exclude, (list, tuple)) else [exclude]
+        exc: list[str] = []
+        for e in excl_terms:
+            ps = analyze_phrase(e)
+            if len(ps) != 1:
+                raise ValueError(f"span_not exclude {e!r} analyzes to {ps}")
+            exc.append(ps[0])
+        if len(inc) != 1:
+            raise ValueError(f"span_not include analyzes to {inc}")
+        if pre < 0 or post < 0:
+            raise ValueError("pre/post must be >= 0")
+        got = self.fetch(inc + exc)
+        pi = got[inc[0]]
+        if pi is None:
+            return np.empty(0, dtype=np.int64)
+        pes = [got[e] for e in exc if got[e] is not None]
+        if not pes:
+            return pi.doc_ids.copy()
+        edocs = pes[0].doc_ids
+        for pp in pes[1:]:
+            edocs = np.union1d(edocs, pp.doc_ids)
+        only = np.setdiff1d(pi.doc_ids, edocs, assume_unique=False)
+        both = np.intersect1d(pi.doc_ids, edocs, assume_unique=False)
+        if both.size == 0:
+            return np.sort(only)
+        mi = np.isin(pi.doc_ids, both, assume_unique=True)
+        ri = np.searchsorted(both, pi.doc_ids[mi])
+        ki = (
+            (np.repeat(ri, pi.counts[mi]) << POS_SHIFT)
+            | pi.pos[np.repeat(mi, pi.counts)]
+        )
+        ke_l = []
+        for pp in pes:
+            me = np.isin(pp.doc_ids, both, assume_unique=True)
+            re_ = np.searchsorted(both, pp.doc_ids[me])
+            ke_l.append(
+                (np.repeat(re_, pp.counts[me]) << POS_SHIFT)
+                | pp.pos[np.repeat(me, pp.counts)]
+            )
+        ke = np.sort(np.concatenate(ke_l))
+        base = (ki >> POS_SHIFT) << POS_SHIFT
+        lo = np.maximum(ki - pre, base)
+        hi = np.minimum(ki + post, base + ((1 << POS_SHIFT) - 1))
+        n_excl = np.searchsorted(ke, hi, side="right") - np.searchsorted(
+            ke, lo, side="left"
+        )
+        free_ranks = np.unique((ki[n_excl == 0]) >> POS_SHIFT)
+        return np.sort(np.concatenate([only, both[free_ranks]]))
 
     def best_windows(
         self, terms: list[str], doc_ids, width: int = 30

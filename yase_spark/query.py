@@ -1972,6 +1972,23 @@ class IndexReader:
         position < ``end`` — see ``PositionsReader.span_first_docs``."""
         return self._positions().span_first_docs(term, end)
 
+    def span_not(
+        self, include: str, exclude, pre: int = 0, post: int = 0
+    ) -> np.ndarray:
+        """Lucene/ES ``span_not``: docs where some ``include``
+        occurrence has no ``exclude`` occurrence within [p-pre, p+post]
+        — see ``PositionsReader.span_not_docs``. ``exclude`` may be a
+        list (span_or exclusion)."""
+        return self._positions().span_not_docs(include, exclude, pre, post)
+
+    def span_not_df(
+        self, include: str, exclude, pre: int = 0, post: int = 0
+    ) -> DataFrame:
+        ids = self.span_not(include, exclude, pre=pre, post=post)
+        return self.spark.createDataFrame(
+            [(int(d),) for d in ids], schema="doc_id long"
+        )
+
     def span_near_df(
         self, terms: list[str], slop: int = 0, in_order: bool = False
     ) -> DataFrame:

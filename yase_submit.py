@@ -177,13 +177,21 @@ def main(argv=None) -> int:
         choices=["topk", "and", "or", "phrase", "phrase_topk",
                  "phrase_prefix", "terms", "highlight", "mlt", "hybrid",
                  "msm", "rescore", "federated", "span_near", "span_first",
-                 "qs", "sort"],
+                 "span_not", "qs", "sort"],
         default="topk",
     )
     p.add_argument(
         "--in-order", action="store_true",
         help="query --kind span_near: clauses must appear in the given "
         "order (default unordered)",
+    )
+    p.add_argument(
+        "--pre", type=int, default=0,
+        help="query --kind span_not: exclusion window before the match",
+    )
+    p.add_argument(
+        "--post", type=int, default=0,
+        help="query --kind span_not: exclusion window after the match",
     )
     p.add_argument(
         "--end", type=int, default=1,
@@ -837,9 +845,21 @@ def main(argv=None) -> int:
                 )
             ]
         elif args.kind == "span_near":
+            # a clause with |-separated terms is a span_or clause
+            clauses = [
+                c.split("|") if "|" in c else c for c in args.q.split()
+            ]
             out = [
                 int(x) for x in rd.span_near(
-                    args.q.split(), slop=args.slop, in_order=args.in_order
+                    clauses, slop=args.slop, in_order=args.in_order
+                )
+            ]
+        elif args.kind == "span_not":
+            # --q "include exclude[|exclude2...]"; window via --pre/--post
+            inc, exc = args.q.split()
+            out = [
+                int(x) for x in rd.span_not(
+                    inc, exc.split("|"), pre=args.pre, post=args.post
                 )
             ]
         elif args.kind == "span_first":
