@@ -2430,6 +2430,24 @@ def _q_rollover_topk(spark, sf_dir):
     )
 
 
+def _q_federated_sort(spark, sf_dir):
+    # cross-shard sorted browse: each shard's exact "longest docs"
+    # top-k, coordinator-merged by (value, natural key) — the oracle is
+    # the ordinary FULL-corpus sorted browse, so any per-shard
+    # truncation or merge-order defect breaks the hash
+    from yase_spark.federate import federated_sort_field
+
+    _q_federated_topk(spark, sf_dir)  # ensure the shard pair is built
+    readers = [
+        IndexReader(spark, root, cfg) for root, cfg in _CACHE[("fed", sf_dir)]
+    ]
+    rows = federated_sort_field(readers, None, "doc_len", k=10)
+    return spark.createDataFrame(
+        [(r, int(p), int(v)) for r, _repo, p, _c, v in rows] or [],
+        schema="rank long, doc_id long, doc_len long",
+    )
+
+
 def _q_federated_facets(spark, sf_dir):
     # cross-shard facet merge: per-shard FULL value counts summed (the
     # ES shard_size=unbounded accuracy mode) — exact because counts are
@@ -2669,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_text": _q_significant_text,
         "span_not": _q_span_not,
         "span_or_near": _q_span_or_near,
+        "federated_sort": _q_federated_sort,
         "unigram_ppl": _q_unigram_ppl,
         "top_hits": _q_top_hits,
         "length_percentiles": _q_length_percentiles,
@@ -3033,6 +3052,14 @@ SELECT term, df FROM dfq WHERE df <= 3 ORDER BY df, term
         # tie-break (engine doc order == original order: the natural key
         # is the zero-padded original id)
         "sorted_browse": f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1)
+SELECT row_number() OVER (ORDER BY dl DESC, doc_id) AS rank,
+       doc_id, dl AS doc_len
+FROM dl ORDER BY dl DESC, doc_id LIMIT 10
+""",
+        # two shard indexes must reproduce the FULL-corpus sorted browse
+        "federated_sort": f"""
 {_T_SQL},
 dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1)
 SELECT row_number() OVER (ORDER BY dl DESC, doc_id) AS rank,

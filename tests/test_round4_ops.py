@@ -692,3 +692,40 @@ def test_topk_sort_field_matches_naive(spark, rd):
         rd.topk_sort_field(q, "content_sha256", k=5)
     with _pytest.raises(ValueError, match="docs-dimension"):
         rd.topk_sort_field(q, "nope", k=5)
+
+
+def test_federated_sort_equals_single_index(spark, tiny_corpus, tiny_index, tmp_path):
+    """federated_sort_field over two shards must reproduce the
+    single-index sorted browse and the tree-filtered sort exactly
+    (natural-key tie-break == doc_id tie-break on this corpus shape:
+    engine doc order follows the natural-key sort)."""
+    from yase_spark.federate import federated_sort_field
+    from yase_spark.index import build_index
+    from yase_spark.query import Term
+
+    root_full, cfg, _ = tiny_index
+    readers = []
+    for parity in (0, 1):
+        shard = tiny_corpus.filter(
+            F.pmod(F.abs(F.xxhash64("path")), F.lit(2)) == parity
+        )
+        root = str(tmp_path / f"sshard{parity}")
+        build_index(spark, shard, root, cfg)
+        readers.append(IndexReader(spark, root, cfg))
+
+    full = IndexReader(spark, root_full, cfg)
+    keys = {
+        r["doc_id"]: (r["repo"], r["path"], r["commit"])
+        for r in full.cat.read(spark, "docs")
+        .select("doc_id", "repo", "path", "commit").collect()
+    }
+    for tree, asc in [(None, False), (None, True), (Term("json"), False)]:
+        want = [
+            (r["rank"], *keys[r["doc_id"]], r["doc_len"])
+            for r in full.topk_sort_field(
+                tree, "doc_len", k=10, ascending=asc
+            ).collect()
+        ]
+        got = federated_sort_field(readers, tree, "doc_len", k=10, ascending=asc)
+        assert got == want, (tree, asc)
+    assert federated_sort_field([], None, "doc_len") == []

@@ -318,3 +318,47 @@ def federated_spell_suggest(
         )[:k]
         out.extend((w, i + 1, s, d) for i, (s, d) in enumerate(cands))
     return out
+
+
+def federated_sort_field(
+    readers: list[IndexReader], tree, field: str, k: int = 10,
+    ascending: bool = False,
+) -> list[tuple]:
+    """Cross-shard sort-by-field search (the ES ``sort`` API over a
+    multi-shard index): each shard answers its own EXACT top-k by the
+    field — through whatever lane its sort-sibling state dispatches
+    (early-terminated prefix scan when fresh, classic TakeOrdered
+    otherwise; ``tree=None`` is the match-all browse) — and the
+    coordinator merges shards·k rows. Exact by the same containment
+    argument as DFS ranking: a shard's local field order IS the global
+    order restricted to that shard, so the global top-k is contained in
+    the union of per-shard top-k. Returns ``(rank, repo, path, commit,
+    <field value>)`` — natural keys, because shard-local doc ids
+    collide across shards.
+
+    Scale shape: per-shard cost is the shard's own sorted lane; the
+    coordinator handles shards·k rows and hydrates k natural keys per
+    shard via the k-row isin docs join — nothing corpus-sized."""
+    if not readers or k <= 0:
+        return []
+    merged: list[tuple] = []
+    for r in readers:
+        rows = r.topk_sort_field(tree, field, k=k, ascending=ascending).collect()
+        if not rows:
+            continue
+        ids = [int(row["doc_id"]) for row in rows]
+        keys = {
+            row["doc_id"]: (row["repo"], row["path"], row["commit"])
+            for row in r.cat.read(r.spark, "docs")
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "repo", "path", "commit")
+            .collect()
+        }
+        merged.extend((row[field], keys[row["doc_id"]]) for row in rows)
+    # natural-key ASC tie-break under either value order (stable 2-pass)
+    merged.sort(key=lambda x: x[1])
+    merged.sort(key=lambda x: x[0], reverse=not ascending)
+    return [
+        (i + 1, key[0], key[1], key[2], v)
+        for i, (v, key) in enumerate(merged[:k])
+    ]

@@ -654,7 +654,9 @@ def main(argv=None) -> int:
                 pit = json.load(f)
         rd = (
             IndexReader(spark, args.index, pit=pit)
-            if args.kind != "federated" else None
+            if args.kind != "federated"
+            and not (args.kind == "sort" and args.shards)
+            else None
         )
 
         # boolean AST as JSON: "term" | {"and": [...]} | {"or": [...]}
@@ -731,11 +733,27 @@ def main(argv=None) -> int:
                 out = [int(x) for x in rd.search(tree)]
         elif args.kind == "sort":
             # ES sort API: --q selects (query string via qparse when it
-            # contains operators, else OR-of-tokens), --sort-field orders
-            rows = rd.topk_sort_field(
-                args.q, args.sort_field, k=args.k, ascending=args.asc
-            ).collect()
-            out = [r.asDict() for r in rows]
+            # contains operators, else OR-of-tokens; omit for match-all
+            # browse), --sort-field orders; --shards = cross-shard merge
+            if args.shards:
+                from yase_spark.federate import federated_sort_field
+
+                shards = [
+                    IndexReader(spark, root) for root in args.shards.split(",")
+                ]
+                out = [
+                    {"rank": r, "repo": rp, "path": pa, "commit": c,
+                     args.sort_field: v}
+                    for r, rp, pa, c, v in federated_sort_field(
+                        shards, args.q, args.sort_field,
+                        k=args.k, ascending=args.asc,
+                    )
+                ]
+            else:
+                rows = rd.topk_sort_field(
+                    args.q, args.sort_field, k=args.k, ascending=args.asc
+                ).collect()
+                out = [r.asDict() for r in rows]
         elif args.kind == "qs":
             # Lucene/ES query_string: --q is parsed ('a AND (b OR c)
             # -d', quoted phrases with ~slop) and ranked like TopK
