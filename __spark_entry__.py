@@ -2618,11 +2618,12 @@ def _q_term_vectors(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is driver-iteration order; the driver's CORRECTNESS
-    # window covers ~50 entries/round (VERDICT r3). 77 entries have no
-    # driver row yet (round-4 grew the contract 90->142), so the window
+    # window covers ~50 entries/round (VERDICT r3). 84 entries have no
+    # driver row yet (round-4 grew the contract 90->149), so the window
     # is a deliberate ranking: one never-checked representative per
-    # module/lane first, sibling variants spill to next round, the
-    # r1-r3-green core last. preflight.py value-checks ALL entries
+    # module/lane first (51 entries, all full-oracle), sibling variants
+    # spill to next round's window (they lead the spillover section),
+    # the r1-r3-green core last. preflight.py value-checks ALL entries
     # every session regardless.
     return {
         # --- window rank 1-51: never driver-checked, one representative
