@@ -277,3 +277,73 @@ def test_compaction_forces_full_rebuild(spark, tmp_path):
     et = rd.topk_sort_field(None, "doc_len", k=8)
     classic = rd.topk_sort_field(None, "doc_len", k=8, early_terminate=False)
     assert _rows(et) == _rows(classic)
+
+
+# ------------------------------------------------------- crash-window repair
+
+def _snapshot_props(root):
+    import copy
+    return copy.deepcopy(Catalog(root).get_properties() or {})
+
+
+def test_append_crash_window_is_adopted_not_duplicated(spark, tmp_path):
+    """A committed sibling generation whose props update never landed
+    (crash between the catalog append and _save) must be ADOPTED from
+    the manifest on the next build — not written twice."""
+    from yase_spark.index import IndexBuilder
+
+    root = str(tmp_path / "crash")
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, hot_term_df=400)
+    allc = corpus_df(spark, 400, partitions=4).persist()
+    part_a = allc.limit(250).persist()
+    build_index(spark, part_a, root, cfg)
+    build_sort_index(spark, root, "doc_len", files=5)
+    pre_append_props = _snapshot_props(root)
+    IndexBuilder(spark, root, cfg).append(allc.subtract(part_a))
+    s = build_sort_index(spark, root, "doc_len", files=3)
+    assert s["incremental"]
+    good = _snapshot_props(root)
+    # simulate the crash: the generation is committed in the sibling
+    # table, but the props still show the pre-append state
+    cat = Catalog(root)
+    stale = dict(good)
+    stale["sort_index_state"] = pre_append_props["sort_index_state"]
+    cat.set_properties(stale)
+    s2 = build_sort_index(spark, root, "doc_len", files=3)
+    st = fresh_state(cat, "doc_len")
+    assert st is not None and len(st["generations"]) == 2
+    assert s2["noop"]  # adopted, nothing rewritten
+    assert st == good["sort_index_state"]["doc_len"]
+    rd = IndexReader(spark, root, cfg, shared_meta=False)
+    assert _rows(rd.topk_sort_field(None, "doc_len", k=9)) == _rows(
+        rd.topk_sort_field(None, "doc_len", k=9, early_terminate=False)
+    )
+    allc.unpersist(); part_a.unpersist()
+
+
+def test_rebuild_crash_window_is_adopted(spark, tmp_path):
+    """Same for a FULL rebuild's overwrite commit: a props snapshot
+    referencing the superseded dirs is replaced wholesale from the
+    manifest instead of appending a duplicate generation."""
+    root = str(tmp_path / "crash2")
+    cat = Catalog(root)
+    cat.write("docs", spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37).alias("doc_len")))
+    build_sort_index(spark, root, "doc_len", files=4)
+    pre = _snapshot_props(root)
+    # a compaction-like rewrite: same rows, new docs version with one
+    # row dropped -> full rebuild path
+    docs = cat.read(spark, "docs").filter("doc_id <> 0")
+    cat.write("docs", docs)
+    build_sort_index(spark, root, "doc_len", files=4)
+    good = _snapshot_props(root)
+    stale = dict(good)
+    stale["sort_index_state"] = pre["sort_index_state"]
+    cat.set_properties(stale)
+    s = build_sort_index(spark, root, "doc_len", files=4)
+    st = fresh_state(cat, "doc_len")
+    assert s["noop"] and st is not None and len(st["generations"]) == 1
+    assert st == good["sort_index_state"]["doc_len"]
+    out, stats = sorted_scan_topk(spark, root, "doc_len", k=5, return_stats=True)
+    assert stats["rows_total"] == 299
+    assert [r["doc_id"] for r in out.collect()][:1] == [36]  # 36 is max(id%37), min id

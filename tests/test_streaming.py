@@ -413,3 +413,59 @@ def test_stream_siblings_stay_live(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown siblings"):
         stream_index(spark, inbox, root, ckpt, cfg, siblings=("nope",))
     full.unpersist(); part1.unpersist(); part2.unpersist()
+
+
+@pytest.mark.slow
+def test_stream_sort_sibling_stays_live(spark, tmp_path):
+    """``siblings=("sort:doc_len",)``: early-terminated sorted browse
+    stays FRESH across streaming appends — each micro-batch extends the
+    sibling with a delta generation, and the final browse is identical
+    (by natural key) to a one-shot batch build + full sort build."""
+    from yase_spark.catalog import Catalog
+    from yase_spark.sortindex import build_sort_index, fresh_state
+
+    cfg = IndexConfig(build_groups=2, shuffle_partitions=8, hot_term_df=10**9)
+    full = corpus_df(spark, 300, partitions=4).persist()
+    even = F.pmod(F.xxhash64("path"), F.lit(2)) == 0
+    part1 = full.filter(even).persist()
+    part2 = full.filter(~even).persist()
+
+    inbox = str(tmp_path / "inbox")
+    root = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+    part1.write.mode("overwrite").parquet(inbox)
+    stream_index(spark, inbox, root, ckpt, cfg,
+                 siblings=("sort:doc_len",)).awaitTermination()
+    cat = Catalog(root)
+    assert fresh_state(cat, "doc_len") is not None  # live after bootstrap
+
+    part2.coalesce(2).write.mode("append").parquet(inbox)
+    stream_index(spark, inbox, root, ckpt, cfg,
+                 siblings=("sort:doc_len",)).awaitTermination()
+    st = fresh_state(cat, "doc_len")
+    assert st is not None and len(st["generations"]) >= 2
+
+    batch_root = str(tmp_path / "batch_idx")
+    build_index(spark, full, batch_root, cfg)
+    build_sort_index(spark, batch_root, "doc_len")
+    rs, rb = IndexReader(spark, root, cfg), IndexReader(spark, batch_root, cfg)
+    key_s = {r["doc_id"]: r["path"] for r in rs.cat.read(spark, "docs").collect()}
+    key_b = {r["doc_id"]: r["path"] for r in rb.cat.read(spark, "docs").collect()}
+    for asc in (False, True):
+        a = [(key_s[r["doc_id"]], r["doc_len"])
+             for r in rs.topk_sort_field(None, "doc_len", k=12,
+                                         ascending=asc).collect()]
+        b = [(key_b[r["doc_id"]], r["doc_len"])
+             for r in rb.topk_sort_field(None, "doc_len", k=12,
+                                         ascending=asc).collect()]
+        assert a == b and len(a) == 12, asc
+
+    # replay: nothing new -> the sibling does not grow
+    n_gens = len(st["generations"])
+    stream_index(spark, inbox, root, ckpt, cfg,
+                 siblings=("sort:doc_len",)).awaitTermination()
+    assert len(fresh_state(cat, "doc_len")["generations"]) == n_gens
+
+    with pytest.raises(ValueError, match="sort sibling needs a field"):
+        stream_index(spark, inbox, root, ckpt, cfg, siblings=("sort:",))
+    full.unpersist(); part1.unpersist(); part2.unpersist()

@@ -101,6 +101,80 @@ def _file_ranges(spark, cat, name, field) -> list[dict]:
     )
 
 
+def _sync_state_with_commits(spark, cat, name: str, field: str, st):
+    """Crash-window repair (the positions-builder convention): a sibling
+    DATA commit whose props update never landed must be ADOPTED from the
+    committed manifest, never written twice. Three cases:
+
+    - state references exactly the manifest's data dirs → consistent;
+    - manifest has extra dirs beyond the state's (append committed,
+      props lost) → each orphan dir becomes an adopted generation;
+    - state references dirs the manifest no longer lists (a full
+      rebuild's overwrite committed, props lost) → the state is rebuilt
+      from the manifest's dirs wholesale.
+
+    Replayed micro-batches therefore no-op instead of duplicating a
+    generation — the property streaming sibling extension needs."""
+    if st is None or not cat.exists(name):
+        return st
+    man = cat._manifest(name)
+    dirs = [e if isinstance(e, str) else e["path"] for e in man["data_dirs"]]
+    recorded = {
+        os.path.dirname(r["path"])
+        for g in st["generations"]
+        for r in g["ranges"]
+    }
+    if recorded == set(dirs):
+        return st
+    tag_v = int(man.get("tag", {}).get("docs_version", st["docs_version"]))
+
+    def _gen_from_dir(rel_dir: str) -> dict:
+        troot = os.path.join(cat.root, name)
+        df = spark.read.parquet(os.path.join(troot, rel_dir))
+        agg = df.agg(
+            F.count("*").alias("n"), F.max("doc_id").alias("m")
+        ).collect()[0]
+        stats = (
+            df.select(field, F.input_file_name().alias("f"))
+            .groupBy("f")
+            .agg(
+                F.min(field).alias("lo"),
+                F.max(field).alias("hi"),
+                F.count("*").alias("rows"),
+            )
+            .collect()
+        )
+        ranges = sorted(
+            (
+                {
+                    "path": os.path.relpath(r["f"].removeprefix("file:"), troot),
+                    "lo": r["lo"],
+                    "hi": r["hi"],
+                    "rows": int(r["rows"]),
+                }
+                for r in stats
+            ),
+            key=lambda e: (e["lo"], e["hi"]),
+        )
+        return {"ranges": ranges, "rows": int(agg["n"]), "max_doc": int(agg["m"])}
+
+    if recorded - set(dirs):
+        # an overwrite superseded the recorded dirs: rebuild the state
+        # from what is actually committed
+        st = {
+            "docs_version": tag_v,
+            "generations": [_gen_from_dir(d) for d in dirs],
+        }
+    else:
+        orphans = [d for d in dirs if d not in recorded]
+        st = {
+            "docs_version": tag_v,
+            "generations": st["generations"] + [_gen_from_dir(d) for d in orphans],
+        }
+    _save(cat, field, st)
+    return st
+
+
 def build_sort_index(
     spark: SparkSession,
     index_root: str,
@@ -110,13 +184,14 @@ def build_sort_index(
     """Materialize (or incrementally extend) the sorted docs sibling for
     ``field``. Idempotent per docs version; an append extends with a new
     sorted GENERATION (cost ∝ delta); a compaction/renumber triggers a
-    full rebuild."""
+    full rebuild. A crashed prior attempt (data committed, state update
+    lost) is adopted from the committed manifest, never written twice."""
     cat = Catalog(index_root)
     if not cat.exists("docs"):
         raise ValueError("build the main index first (docs table missing)")
     docs_v = cat.current_version("docs")
     name = _table_name(field)
-    st = _state(cat, field)
+    st = _sync_state_with_commits(spark, cat, name, field, _state(cat, field))
     if st is not None and int(st["docs_version"]) == docs_v:
         return {
             "noop": True,

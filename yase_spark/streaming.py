@@ -53,10 +53,11 @@ def stream_index(
     once file-tracking checkpoint semantics, so the ingest guarantees
     are format-independent.
 
-    ``siblings`` — subset of ``("positions", "trigrams")``: extend the
-    named sibling indexes with each micro-batch, so phrase/proximity
-    and grep queries stay live under streaming ingest instead of going
-    loudly stale at the first append. Per batch this calls the
+    ``siblings`` — subset of ``("positions", "trigrams")`` plus any
+    number of ``"sort:<field>"`` entries: extend the named sibling
+    indexes with each micro-batch, so phrase/proximity, grep, and
+    early-terminated sorted-browse queries stay live under streaming
+    ingest instead of going loudly stale at the first append. Per batch this calls the
     ordinary incremental ``build_positions`` / ``build_trigrams`` with
     the batch as the corpus delta — the builders' left-anti join
     against covered doc keys makes that equivalent to passing the full
@@ -68,10 +69,18 @@ def stream_index(
     on a schedule, not per batch.
     """
     cfg = cfg or IndexConfig()
-    bad = set(siblings) - {"positions", "trigrams"}
+    sort_fields = [
+        s.split(":", 1)[1] for s in siblings if s.startswith("sort:")
+    ]
+    if any(not f for f in sort_fields):
+        raise ValueError("sort sibling needs a field: sort:<field>")
+    bad = set(s for s in siblings if not s.startswith("sort:")) - {
+        "positions", "trigrams"
+    }
     if bad:
         raise ValueError(
-            f"unknown siblings {sorted(bad)}; supported: positions, trigrams"
+            f"unknown siblings {sorted(bad)}; supported: positions, "
+            "trigrams, sort:<field>"
         )
 
     schema = (
@@ -125,6 +134,15 @@ def stream_index(
             from .grep import build_trigrams
 
             build_trigrams(spark, index_root, batch_df, cfg)
+        for f in sort_fields:
+            # generational extension reads the docs table itself (no
+            # corpus needed): the batch's appended docs sit above the
+            # covered high-water mark and sort into their own
+            # generation; a replayed batch is adopted from the
+            # committed manifest, never written twice
+            from .sortindex import build_sort_index
+
+            build_sort_index(spark, index_root, f)
 
     return (
         stream.writeStream.foreachBatch(ingest)
