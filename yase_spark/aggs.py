@@ -130,7 +130,8 @@ def distinct_counts(docs: DataFrame, group_col: str, split: str) -> DataFrame:
 
 
 def date_histogram_pipeline(
-    events: DataFrame, hours: int = 1, window: int = 3
+    events: DataFrame, hours: int = 1, window: int = 3,
+    serial_diff_lag: int | None = None,
 ) -> DataFrame:
     """ES ``date_histogram`` (fixed_interval, ``min_doc_count=0``
     gap-fill) per event_type, with the three canonical pipeline
@@ -196,24 +197,38 @@ def date_histogram_pipeline(
         .withColumn("sum_value", F.coalesce("sum_value", F.lit(0.0)))
     )
     w = Window.partitionBy("event_type").orderBy("bucket_start")
-    return (
+    out = (
         dense.withColumn("deriv_n", F.col("n") - F.lag("n", 1, 0).over(w))
         .withColumn("cum_n", F.sum("n").over(w))
         .withColumn(
             "mov_avg_n_r",
             F.round(F.avg("n").over(w.rowsBetween(-(window - 1), 0)), 6),
         )
-        .select(
-            "event_type",
-            "bucket_start",
-            "n",
-            F.round("sum_value", 6).alias("sum_value_r"),
-            "deriv_n",
-            "cum_n",
-            "mov_avg_n_r",
-        )
-        .orderBy("event_type", "bucket_start")
     )
+    cols = [
+        "event_type",
+        "bucket_start",
+        "n",
+        F.round("sum_value", 6).alias("sum_value_r"),
+        "deriv_n",
+        "cum_n",
+        "mov_avg_n_r",
+    ]
+    if serial_diff_lag is not None:
+        # ES serial_diff: n - n[t - lag], the seasonal differencing
+        # pipeline agg (lag=1 degenerates to the derivative). ES omits
+        # the first ``lag`` buckets per type; the zero left-boundary is
+        # the same NULL-free encoding the derivative uses (those
+        # buckets stay identifiable: bucket index < lag <=> the lag
+        # window reaches before the type's own axis start).
+        if serial_diff_lag < 1:
+            raise ValueError("serial_diff lag must be >= 1")
+        out = out.withColumn(
+            "serial_diff_n",
+            F.col("n") - F.lag("n", serial_diff_lag, 0).over(w),
+        )
+        cols.append("serial_diff_n")
+    return out.select(*cols).orderBy("event_type", "bucket_start")
 
 
 def rare_terms(
@@ -256,3 +271,152 @@ def rare_terms(
         .agg(F.countDistinct("doc_id").alias("df"))
     )
     return df_tbl.filter(F.col("df") <= max_doc_count).orderBy("df", "term")
+
+
+def adjacency_matrix(docs: DataFrame, filters: dict[str, str]) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: named filters (SQL boolean
+    expressions over the table's columns) -> one bucket per filter plus
+    one per unordered filter PAIR keyed ``"a&b"`` (ES's intersection key
+    syntax), with the doc count matching both. Empty buckets are omitted
+    (ES contract). Output (key, doc_count), key-ordered.
+
+    Scale shape: ONE corpus scan — every filter evaluates to an int
+    indicator column and all m + m(m-1)/2 counts reduce in a SINGLE
+    partial-aggregated ``sum()`` row (no shuffle keyed by data at all:
+    the aggregate is global, map-side combined to one row per
+    partition). The bucket explosion happens on that single row via
+    ``stack`` — driver-sized by construction. ES caps m at
+    ``index.max_adjacency_matrix_filters`` for the same quadratic
+    reason; the cap here is the expression count Catalyst will codegen,
+    far above any sane m."""
+    names = sorted(filters)
+    if len(names) < 2:
+        raise ValueError("adjacency_matrix needs at least two filters")
+    ind = docs.select(
+        *[
+            F.when(F.expr(filters[n]), 1).otherwise(0).alias(f"_f_{i}")
+            for i, n in enumerate(names)
+        ]
+    )
+    sums, keys = [], []
+    for i, a in enumerate(names):
+        sums.append(F.sum(F.col(f"_f_{i}")).alias(f"s{len(keys)}"))
+        keys.append(a)
+        for j in range(i + 1, len(names)):
+            sums.append(
+                F.sum(F.col(f"_f_{i}") * F.col(f"_f_{j}")).alias(f"s{len(keys)}")
+            )
+            keys.append(f"{a}&{names[j]}")
+    one = ind.agg(*sums)
+    stack = ", ".join(f"'{k}', s{i}" for i, k in enumerate(keys))
+    return (
+        one.select(
+            F.expr(f"stack({len(keys)}, {stack}) AS (key, doc_count)")
+        )
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
+def multi_terms(docs: DataFrame, keys: list[str], size: int = 10) -> DataFrame:
+    """ES ``multi_terms`` aggregation: terms buckets over a COMPOSITE
+    key tuple, ordered by doc_count DESC (key tuple ASC tie-break —
+    deterministic), top ``size``. The composite cousin of the plain
+    terms agg; differs from ``composite_agg`` in ORDER (count, not key)
+    and purpose (top buckets, not exhaustive paging). NULL keys are
+    excluded, as in composite.
+
+    Scale shape: one hash aggregate keyed by the tuple (map-side
+    partial combine), then orderBy().limit(size) compiles to
+    TakeOrderedAndProject — per-partition heaps, never a global sort.
+    At 10^12 docs the count ordering is exact only if every bucket is
+    counted globally first, which the single shuffle does; ES documents
+    doc_count ERROR BOUNDS here because its per-shard top-N merge
+    cannot — the shuffle is what buys exactness."""
+    if not keys:
+        raise ValueError("multi_terms needs at least one key")
+    d = docs
+    for c in keys:
+        d = d.filter(F.col(c).isNotNull())
+    g = d.groupBy(*keys).agg(F.count("*").alias("doc_count"))
+    return g.orderBy(
+        F.desc("doc_count"), *[F.asc(c) for c in keys]
+    ).limit(size)
+
+
+def bucket_pipeline(
+    docs: DataFrame,
+    key: str,
+    metric_expr: str,
+    having: str | None = None,
+    order_by: list[tuple[str, bool]] | None = None,
+    size: int | None = None,
+) -> DataFrame:
+    """ES ``bucket_selector`` + ``bucket_sort`` pipeline over a terms
+    aggregation: buckets of ``key`` with ``doc_count`` and one metric
+    (``metric_expr``, a SQL aggregate expression aliased ``metric``),
+    then (1) ``having`` — a SQL predicate over (key, doc_count, metric)
+    that DROPS buckets (bucket_selector's script), (2) ``order_by`` —
+    [(column, ascending)] bucket re-ordering (bucket_sort's sort, key
+    ASC appended as the deterministic tie-break), (3) ``size`` —
+    truncation (bucket_sort's size). Output (key, doc_count, metric).
+
+    Scale shape: the selector/sort/truncate all run POST-aggregation on
+    bucket-sized data — exactly why ES models them as pipeline aggs:
+    the parent reduction is the only corpus-sized pass. With ``size``
+    the sort compiles to TakeOrderedAndProject; without it the bucket
+    frame is small enough that the order pass is bucket-bounded."""
+    g = docs.groupBy(key).agg(
+        F.count("*").alias("doc_count"),
+        F.expr(metric_expr).alias("metric"),
+    )
+    if having:
+        g = g.filter(F.expr(having))
+    cols = [
+        (F.asc(c) if asc else F.desc(c))
+        for c, asc in (order_by or [(key, True)])
+    ] + [F.asc(key)]
+    g = g.orderBy(*cols)
+    return g.limit(size) if size is not None else g
+
+
+def percentile_ranks(
+    docs: DataFrame, group_col: str, value_col: str, thresholds: list[float]
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation, exact flavor: per
+    ``group_col`` bucket and requested threshold t, the percentage of
+    values <= t (the inverse of the percentiles agg: value in, rank
+    out). Output (group, threshold, pct_r) — pct rounded 6, ordered.
+
+    Scale shape: ONE hash aggregate per group computing len(thresholds)
+    indicator sums + the count (map-side combinable — no sort window at
+    all, unlike the percentiles agg), then the tiny unpivot runs on
+    bucket-sized rows. At 10^12 rows this stays a single shuffle keyed
+    by group; ES uses t-digest interpolation here, the exact flavor is
+    the oracle anchor with identical output shape."""
+    if not thresholds:
+        raise ValueError("percentile_ranks needs at least one threshold")
+    ts = list(thresholds)
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(
+            F.when(F.col(value_col) <= F.lit(t), 1).otherwise(0)
+        ).alias(f"_le_{i}")
+        for i, t in enumerate(ts)
+    ]
+    g = docs.groupBy(group_col).agg(*aggs)
+    stack = ", ".join(
+        f"cast({t!r} as double), _le_{i}" for i, t in enumerate(ts)
+    )
+    return (
+        g.select(
+            group_col,
+            F.col("_n"),
+            F.expr(f"stack({len(ts)}, {stack}) AS (threshold, le)"),
+        )
+        .select(
+            group_col,
+            "threshold",
+            F.round(F.col("le") * 100.0 / F.col("_n"), 6).alias("pct_r"),
+        )
+        .orderBy(group_col, "threshold")
+    )

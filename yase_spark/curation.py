@@ -277,3 +277,60 @@ def pii_scrub(docs: DataFrame, token: str = "[PII]") -> DataFrame:
     return out.select(
         "doc_id", clean.alias("clean_text"), *counts
     )
+
+
+# policy-screen pattern dictionary: license / provenance / generated-
+# code markers a source-code training pipeline screens for before
+# materialization. Written (like PII_PATTERNS) in the Java-regex /
+# RE2 / Python-re common subset so the DuckDB oracle replays the exact
+# same patterns; extend per policy, the machinery is pattern-agnostic.
+POLICY_PATTERNS: dict[str, str] = {
+    # SPDX machine-readable license tag (the id itself is captured by
+    # policy_flags' spdx extraction below)
+    "spdx": r"SPDX-License-Identifier:\s*[A-Za-z0-9.+-]+",
+    # permissive-license heads (MIT/BSD/Apache wording)
+    "permissive": r"(?i)\b(mit license|bsd [23]-clause|apache license)\b",
+    # copyleft heads (GPL-family wording)
+    "copyleft": r"(?i)\b(gnu (lesser |affero )?general public license|gpl-?[23])\b",
+    # generated-file markers (protoc/thrift/swagger/yacc style)
+    "generated": r"(?i)\b(do not edit|auto-?generated|generated by)\b",
+}
+
+
+def policy_flags(
+    docs: DataFrame, patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """License / provenance / generated-code screening — the policy
+    stage a source-code pretraining pipeline runs before
+    materialization (keep permissive, quarantine copyleft, drop
+    generated files): one boolean flag column per pattern plus the
+    extracted SPDX identifier when the ``spdx`` pattern is present
+    (empty string otherwise — the flat NULL-free encoding every other
+    curation stage uses).
+
+    Returns (doc_id, f_<name>... , spdx_id, n_flags). ``patterns``
+    overrides/extends ``POLICY_PATTERNS`` (a corpus with house markers
+    adds them without touching the operator).
+
+    Scale shape: map-only, pure JVM regex in WholeStageCodegen — one
+    scan, zero exchanges, same posture as ``pii_scrub``; downstream
+    filters on the flag columns compose with scan-level pushdown when
+    the flags are materialized as a screened sibling table."""
+    pats = dict(POLICY_PATTERNS)
+    if patterns:
+        pats.update(patterns)
+    flags = [
+        (F.size(F.regexp_extract_all("text", F.lit(p), F.lit(0))) > 0)
+        .alias(f"f_{name}")
+        for name, p in pats.items()
+    ]
+    out = docs.select("doc_id", "text").select("doc_id", *flags,
+        F.regexp_extract(
+            "text", r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)", 1
+        ).alias("spdx_id"),
+    )
+    n = None
+    for name in pats:
+        c = F.col(f"f_{name}").cast("int")
+        n = c if n is None else (n + c)
+    return out.withColumn("n_flags", n.cast("long"))

@@ -124,6 +124,97 @@ def build_synonyms(
     return len(rows)
 
 
+def s_stem_sql(col: str) -> str:
+    """SQL text of the Harman S-stemmer (the light English plural
+    stemmer: three suffix rules, no dictionary) over column ``col``:
+
+    1. ``-ies`` -> ``-y``  unless the word ends ``-eies``/``-aies``
+    2. ``-es``  -> ``-e``  (drop the s) unless ``-aes``/``-ees``/``-oes``
+    3. ``-s``   -> drop    unless ``-us``/``-ss``
+
+    Chosen over Porter because every rule is a suffix test + slice —
+    exactly expressible as ONE CASE expression that Spark SQL and any
+    ANSI oracle evaluate identically (the same
+    shared-expression-text parity device as the PII patterns and the
+    decay curves). Returned as a STRING; both engines compile it."""
+    t = col
+    # nested, not flat: each rule is an if/elif on the SUFFIX — a word
+    # hitting a rule's exception list stays UNCHANGED (it must not fall
+    # through to a shorter-suffix rule: "toes" is -oes-excepted, not
+    # "-s, drop it")
+    return (
+        "CASE "
+        f"WHEN {t} LIKE '%ies' THEN (CASE "
+        f"WHEN {t} LIKE '%eies' OR {t} LIKE '%aies' THEN {t} "
+        f"ELSE substring({t}, 1, length({t}) - 3) || 'y' END) "
+        f"WHEN {t} LIKE '%es' THEN (CASE "
+        f"WHEN {t} LIKE '%aes' OR {t} LIKE '%ees' OR {t} LIKE '%oes' "
+        f"THEN {t} "
+        f"ELSE substring({t}, 1, length({t}) - 1) END) "
+        f"WHEN {t} LIKE '%s' THEN (CASE "
+        f"WHEN {t} LIKE '%us' OR {t} LIKE '%ss' THEN {t} "
+        f"ELSE substring({t}, 1, length({t}) - 1) END) "
+        f"ELSE {t} END"
+    )
+
+
+def s_stem(term: str) -> str:
+    """Driver-side mirror of ``s_stem_sql`` for stemming QUERY terms
+    (one string, no Spark job). Kept rule-for-rule parallel; the
+    equivalence is property-gated in tests (random suffix soup through
+    both paths)."""
+    if term.endswith("ies"):
+        return term if term.endswith(("eies", "aies")) else term[:-3] + "y"
+    if term.endswith("es"):
+        return term if term.endswith(("aes", "ees", "oes")) else term[:-1]
+    if term.endswith("s"):
+        return term if term.endswith(("us", "ss")) else term[:-1]
+    return term
+
+
+def stems_are_fresh(cat: Catalog) -> bool:
+    """Same freshness contract as ``dictionary_is_fresh``: the stems
+    sibling must derive from the CURRENT segments snapshot or consumers
+    fall back to stemming the live vocabulary on the fly."""
+    props = cat.get_properties() or {}
+    st = props.get("stems_state")
+    return (
+        cat.exists("stems")
+        and st is not None
+        and int(st.get("segments_version", -1)) == cat.current_version("segments")
+    )
+
+
+def build_stems(spark: SparkSession, index_root: str, n_files: int = 8) -> int:
+    """Publish the ``stems(stem, term, df)`` sibling: every index term
+    keyed by its S-stem — the vocabulary-sized lookup that retrofits
+    stemmed search onto an index that stored SURFACE forms (the
+    standard retrofit when reindexing 100 TB to stem at build time is
+    off the table; Lucene ships the same idea as a stemming
+    TokenFilter + SynonymGraph over keyword-repeated fields). Sorted
+    by ``stem`` so a query's equality lookup prunes on Parquet min/max.
+    Stamped with the segments version (``stems_are_fresh``). Returns
+    the row count (== vocabulary size)."""
+    cat = Catalog(index_root)
+    seg_version = cat.current_version("segments")
+    segs = cat.read(spark, "segments")
+    dic = (
+        segs.groupBy("term").agg(F.max("df").alias("df"))
+        .select(F.expr(s_stem_sql("term")).alias("stem"), "term", "df")
+        .repartitionByRange(n_files, "stem")
+        .sortWithinPartitions("stem", "term")
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation("stems-size")
+    dic = dic.observe(obs, F.count("*").alias("n"))
+    cat.write("stems", dic, mode="overwrite", tag={"unit": "stems"})
+    props = cat.get_properties() or {}
+    props["stems_state"] = {"segments_version": seg_version}
+    cat.set_properties(props)
+    return int(obs.get["n"] or 0)
+
+
 def _prefix_range(col, prefix: str):
     """term-range predicate for a literal prefix (pushed to Parquet
     min/max). ``prefix + chr(0x10FFFF)`` upper-bounds every extension."""

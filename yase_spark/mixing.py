@@ -145,3 +145,76 @@ def shuffle_export(
         .withColumn("pos", F.row_number().over(w))
         .select("shard", "pos", "doc_id")
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_expr: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    fit two add-α-smoothed unigram LMs — a TARGET model on the rows
+    where ``target_expr`` (SQL boolean over the table's columns) holds
+    and a RAW model on the whole corpus — and score every document by
+    the log importance ratio of its token stream:
+
+        logw(d) = Σ_{t ∈ d} [ ln p_target(t) − ln p_raw(t) ],
+        p(t) = (C(t) + α) / (T + α·V),  V = raw vocabulary size
+
+    (both models smooth over the SAME raw vocabulary, so a token the
+    target never saw gets the α floor rather than −inf). Resampling
+    the corpus ∝ exp(logw) concentrates it toward the target
+    distribution — the standard cheap domain-selection stage before
+    pretraining. Output (doc_id, n_tokens, logw_r), logw rounded 5.
+
+    Scale shape: TWO term-keyed hash aggregates bounded by vocabulary
+    size (the target counts are a filtered branch of the same token
+    scan), four scalars collected from them (bounded by construction),
+    then one term-keyed join of the token stream against the
+    vocabulary-sized ratio table — broadcast-eligible for real
+    vocabularies — and one per-doc aggregation. The paper hashes
+    n-grams into 10^4 buckets purely to bound V; exact unigrams make
+    the oracle full-value, and swapping the term key for
+    ``pmod(hash(term), B)`` is the documented 100-TB variant."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    toks = docs.select(
+        "doc_id",
+        F.expr(target_expr).alias("_is_target"),
+        F.explode(
+            F.expr(f"filter(split(lower(text), '{SPLIT}'), x -> x <> '')")
+        ).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("c_t"),
+    )
+    tot = counts.agg(
+        F.sum("c_raw").alias("t_raw"),
+        F.sum("c_t").alias("t_t"),
+        F.count("*").alias("v"),
+    ).collect()[0]
+    t_raw, t_t, v = float(tot["t_raw"]), float(tot["t_t"]), float(tot["v"])
+    if t_t == 0.0:
+        raise ValueError("target_expr matches no tokens; cannot fit p_target")
+    import math
+
+    d_t = math.log(t_t + alpha * v)
+    d_raw = math.log(t_raw + alpha * v)
+    ratio = counts.select(
+        "term",
+        (
+            (F.log(F.col("c_t") + F.lit(alpha)) - F.lit(d_t))
+            - (F.log(F.col("c_raw") + F.lit(alpha)) - F.lit(d_raw))
+        ).alias("lr"),
+    )
+    return (
+        toks.select("doc_id", "term")
+        .join(ratio, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lr"), 5).alias("logw_r"),
+        )
+    )

@@ -2316,6 +2316,76 @@ class IndexReader:
             return []
         return wand_topk(tps, k, self.cfg.k1, self.cfg.b, self.avgdl)
 
+    # ---------------------------------------------------- stemming
+    def stems_for(self, stems: list[str]) -> dict[str, list[str]]:
+        """Index terms per S-stem, df-descending (term ASC tie-break).
+        Served from the published ``stems`` sibling when fresh (sorted
+        by stem -> Parquet min/max pruning on the isin lookup); falls
+        back to stemming the live (term, df) vocabulary projection on
+        the fly after an append/compact — correct, loses the pruning —
+        exactly the dictionary-staleness posture."""
+        from .expand import s_stem_sql, stems_are_fresh
+
+        if not stems:
+            return {}
+        want = sorted(set(stems))
+        if stems_are_fresh(self.cat):
+            d = self.cat.read(self.spark, "stems")
+        else:
+            d = (
+                self._expander()._dic
+                .select(F.expr(s_stem_sql("term")).alias("stem"), "term", "df")
+            )
+        rows = d.filter(F.col("stem").isin(want)).collect()
+        out: dict[str, list[tuple[int, str]]] = {}
+        for r in rows:
+            out.setdefault(r["stem"], []).append((-int(r["df"]), r["term"]))
+        return {s: [t for _, t in sorted(v)] for s, v in out.items()}
+
+    def stem_expand(self, query: str, limit: int | None = None) -> list[str]:
+        """Stemmed-query rewrite: each analyzed query term maps to ALL
+        index terms sharing its S-stem ("tables" finds docs that only
+        ever say "table"). Expansion order per term: df DESC, term ASC
+        (recall-first, deterministic — the same cap ordering as every
+        other MultiTermQuery rewrite); first-occurrence dedup across
+        terms; capped at ``max_expansions``. A term whose stem matches
+        nothing in the vocabulary contributes no clause (it cannot
+        match anyway)."""
+        from .expand import MAX_EXPANSIONS, s_stem
+
+        limit = MAX_EXPANSIONS if limit is None else limit
+        qterms = analyze_query(query)
+        by_stem = self.stems_for([s_stem(t) for t in qterms])
+        out: list[str] = []
+        seen: set[str] = set()
+        for t in qterms:
+            for c in by_stem.get(s_stem(t), []):
+                if c not in seen:
+                    seen.add(c)
+                    out.append(c)
+        if len(out) > limit:
+            raise ValueError(
+                f"stem expansion yields {len(out)} clauses > "
+                f"max_expansions={limit}"
+            )
+        return out
+
+    def stem_topk(self, query: str, k: int = 10):
+        """BM25-ranked disjunction over the stem-expanded term set —
+        the expansion rewrite (each surface form scores with its own
+        df), fed to the standard block-max WAND executor in the
+        deterministic stem_expand order. The oracle replays the same
+        stemmer (shared SQL text) over the corpus vocabulary and the
+        same disjunction."""
+        terms = self.stem_expand(query)
+        if not terms or k <= 0:
+            return []
+        got = self.fetch_terms(terms)
+        tps = [got[t] for t in terms if got[t] is not None]
+        if not tps:
+            return []
+        return wand_topk(tps, k, self.cfg.k1, self.cfg.b, self.avgdl)
+
     # ------------------------------------------------ more-like-this
     def mlt_terms(self, text: str, m: int = 25, min_df: int = 1) -> list[str]:
         """Lucene-MoreLikeThis term selection: re-analyze the source
@@ -2956,6 +3026,193 @@ class IndexReader:
         scored = per_doc.join(docs, "doc_id").select(
             "doc_id", (F.col("bm25") * F.expr(boost_expr)).alias("score")
         )
+        return self._take_ranked(scored, k)
+
+    @staticmethod
+    def decay_expr(
+        kind: str, field: str, origin: float, scale: float,
+        decay: float = 0.5, offset: float = 0.0,
+    ) -> str:
+        """SQL text of the ES ``function_score`` decay functions
+        (gauss / exp / linear) over a numeric docs-column expression
+        ``field``: the multiplier is ``decay`` at distance ``scale``
+        from ``origin`` (after subtracting ``offset``), 1 inside the
+        offset, and follows the named curve beyond — exactly the ES
+        formulas:
+
+        - gauss:  exp(-d² / (2σ²)),  σ² = -scale² / (2·ln decay)
+        - exp:    exp(λ·d),          λ  = ln(decay) / scale
+        - linear: max(0, (s - d)/s), s  = scale / (1 - decay)
+
+        with d = max(0, |field - origin| - offset). Returned as a SQL
+        STRING (not a Column) so the engine and a SQL oracle can
+        evaluate the IDENTICAL expression text — the same parity
+        device as the PII pattern dictionary."""
+        import math as _m
+
+        if decay <= 0.0 or decay >= 1.0:
+            raise ValueError("decay must be in (0, 1)")
+        if scale <= 0.0:
+            raise ValueError("scale must be > 0")
+
+        # exact-double constants: a bare decimal literal is DECIMAL in
+        # Spark SQL (and would drag the whole expression into decimal
+        # arithmetic, off the oracle's double path by ~1e-12) — the
+        # cast keeps BOTH engines in IEEE doubles end to end
+        def c(x: float) -> str:
+            return f"cast({float(x)!r} as double)"
+
+        d = f"greatest({c(0.0)}, abs(({field}) - {c(origin)}) - {c(offset)})"
+        if kind == "gauss":
+            sigma2 = -(scale * scale) / (2.0 * _m.log(decay))
+            return f"exp(-({d}) * ({d}) / {c(2.0 * sigma2)})"
+        if kind == "exp":
+            lam = _m.log(decay) / scale
+            return f"exp({c(lam)} * ({d}))"
+        if kind == "linear":
+            s = scale / (1.0 - decay)
+            return f"greatest({c(0.0)}, ({c(s)} - ({d})) / {c(s)})"
+        raise ValueError(f"unknown decay kind: {kind!r}")
+
+    def topk_decay(
+        self, query: str, field: str, origin: float, scale: float,
+        kind: str = "gauss", decay: float = 0.5, offset: float = 0.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``function_score`` decay ranking (multiply boost_mode):
+        BM25(query) · decay(field) — the canonical recency/proximity
+        re-ranking (newer docs, nearer offices, shorter files…). Pure
+        composition: the decay curve compiles to a WholeStageCodegen
+        expression over the docs dimension; matching is unchanged.
+
+        Scale shape: identical to ``topk_function_score`` — the decay
+        multiplier never touches postings, only the per-doc score frame
+        joined to the docs dimension (doc_id-keyed, broadcast-eligible
+        on the k-bounded side)."""
+        return self.topk_function_score(
+            query, self.decay_expr(kind, field, origin, scale, decay, offset), k
+        )
+
+    # a & m for the random mix below — the classic minstd/C-library LCG
+    # constants; any fixed odd multiplier works, these are recognizable
+    RANDOM_A = 1103515245
+    RANDOM_M = 2147483648
+
+    def topk_random(
+        self, query: str, seed: int, field: str = "cast(path as bigint)",
+        k: int = 10,
+    ) -> DataFrame:
+        """ES ``function_score`` ``random_score`` (seeded, multiply
+        mode): BM25 · r(doc), r = a deterministic hash of a STABLE
+        per-doc integer (``field``) and ``seed``, uniform on [0, 1) —
+        reproducible shuffling of comparably-scored results (result
+        diversification / A-B jitter) that never changes the match set.
+        The mix is a plain LCG step in exact int64 arithmetic
+        ((id·a + seed) mod 2³¹ / 2³¹) rather than a library hash so any
+        SQL engine replays it bit-for-bit — ES likewise keys its hash
+        on a stable doc field (_seq_no) for the same reproducibility
+        contract.
+
+        Mix: h = (id·a + seed) mod 2³¹, r = (h² + h mod 2³¹) / 2³¹.
+        The squaring step matters: a bare LCG is AFFINE in the seed, so
+        two seeds differ by a constant circular shift of every r —
+        near-identical orderings for nearby seeds. h² mod m is
+        nonlinear in the seed (distinct seeds decorrelate), still exact
+        int64 arithmetic (h < 2³¹ ⇒ h² < 2⁶²), still replayable by any
+        SQL engine."""
+        a, m = self.RANDOM_A, self.RANDOM_M
+        h = f"((({field}) * {a} + {int(seed)}) % {m})"
+        expr = f"(({h}) * ({h}) + ({h})) % {m} / cast({m} as double)"
+        return self.topk_function_score(query, expr, k)
+
+    def topk_terms_set(
+        self, query: str, required_expr: str, k: int = 10
+    ) -> DataFrame:
+        """ES ``terms_set`` query: like ``minimum_should_match``, but
+        the required matched-term count is PER-DOCUMENT — a SQL
+        expression over the docs-table columns (ES's
+        ``minimum_should_match_field``; classic use: a skills table
+        where each row states how many of the query's skills it
+        requires). Eligible docs rank by the standard BM25 sum over
+        their matched terms.
+
+        Scale shape: the ``topk_msm`` lane plus ONE doc_id-keyed join
+        of the per-doc aggregate against the docs dimension to evaluate
+        the requirement — the aggregate side is match-set-sized and the
+        join keys on the same doc_id the aggregation just shuffled on,
+        so AQE plans it without a second exchange of the big side."""
+        qterms = list(dict.fromkeys(analyze_query(query)))
+        if not qterms or k <= 0:
+            return self.spark.createDataFrame(
+                [], schema="rank long, doc_id long, score double, matched long"
+            )
+        per_doc = (
+            self.contrib_df(qterms, include_term=True)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.count("term").alias("matched"),
+            )
+        )
+        docs = self.cat.read(self.spark, "docs")
+        eligible = (
+            per_doc.join(docs, "doc_id")
+            .withColumn("required", F.expr(required_expr).cast("long"))
+            .filter(F.col("matched") >= F.col("required"))
+            .select("doc_id", "score", "matched", "required")
+        )
+        top = eligible.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).select("rank", "doc_id", "score", "matched", "required")
+
+    def topk_boosting(
+        self, positive: str, negative: str, negative_boost: float = 0.5,
+        k: int = 10,
+    ) -> DataFrame:
+        """ES/Lucene ``boosting`` query: rank by the POSITIVE query's
+        BM25; docs that ALSO match the negative query keep matching but
+        their score is demoted by ``negative_boost`` (downranking
+        without the recall loss of must_not — ES's canonical "apple the
+        fruit, not the company" query).
+
+        Scale shape: the contribution lane for the positive terms, plus
+        the negative match set as a doc_id frame LEFT-joined in — the
+        negative side is a match SET (no scores), so it flows through
+        the same pruned boolean machinery as any filter and the join is
+        doc_id-keyed on already-shuffled data."""
+        if not (0.0 < negative_boost <= 1.0):
+            raise ValueError("negative_boost must be in (0, 1]")
+        pos_terms = analyze_query(positive)
+        neg_terms = analyze_query(negative)
+        if not pos_terms or k <= 0:
+            return self.spark.createDataFrame(
+                [], schema="rank long, doc_id long, score double"
+            )
+        per_doc = (
+            self.contrib_df(pos_terms)
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("bm25"))
+        )
+        if neg_terms:
+            neg = (
+                self.search_df(Or([Term(t) for t in neg_terms]))
+                .select("doc_id", F.lit(True).alias("_neg"))
+            )
+            scored = per_doc.join(neg, "doc_id", "left").select(
+                "doc_id",
+                F.when(
+                    F.col("_neg").isNotNull(),
+                    F.col("bm25") * F.lit(float(negative_boost)),
+                )
+                .otherwise(F.col("bm25"))
+                .alias("score"),
+            )
+        else:
+            scored = per_doc.select("doc_id", F.col("bm25").alias("score"))
         return self._take_ranked(scored, k)
 
     # target postings per range task of the sharded executor: large
