@@ -93,6 +93,32 @@ SELECT doc_id, {clean} AS clean_text, {counts} FROM d
 """
 
 
+def _policy_sql() -> str:
+    """DuckDB replay of policy_flags over the shared pattern dict
+    (defaults + the entry's house extras) — the pii_scrub parity
+    device: one regex-flag column per pattern, the SPDX id extraction,
+    and the flag count."""
+    from yase_spark.curation import POLICY_PATTERNS
+
+    pats = dict(POLICY_PATTERNS)
+    pats.update(POLICY_EXTRAS)
+    flags = ", ".join(
+        f"len(regexp_extract_all(text, '{p}')) > 0 AS f_{name}"
+        for name, p in pats.items()
+    )
+    nsum = " + ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) > 0 AS INT)"
+        for p in pats.values()
+    )
+    return f"""
+SELECT doc_id, {flags},
+       regexp_extract(text, 'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1)
+         AS spdx_id,
+       CAST({nsum} AS BIGINT) AS n_flags
+FROM documents
+"""
+
+
 def _fields_sql() -> str:
     """Two-family BM25 oracle for fields_topk: the content field's CTEs
     (t/dl1/tf1/...) and the metadata field's (t2/dl2/tf2/...), each
@@ -2616,19 +2642,228 @@ def _q_term_vectors(spark, sf_dir):
     return term_vectors(_docs(spark, sf_dir), orig, SPLIT)
 
 
+# ------------------- round-4 fifth block: function_score variants,
+# matrix/pipeline aggregations, stemmed search, DSIR, policy screen
+DECAY_ORIGIN, DECAY_SCALE = 250.0, 120.0
+RANDOM_SEED = 7
+TSET_QUERY = "table hash merge scan"
+BOOST_NEG, BOOST_NB = "slow", 0.25
+STEM_QUERY = "tables queries"  # plurals ABSENT from the corpus vocab —
+# only the stem expansion can match their singular surface forms
+
+
+def _q_topk_decay(spark, sf_dir):
+    # ES function_score gauss decay (multiply): BM25 * a decay curve
+    # over a numeric doc field (the docs sibling's path == the original
+    # doc_id, a recency proxy) — engine and oracle evaluate the SAME
+    # decay_expr() SQL text
+    rd = _reader(spark, sf_dir)
+    res = rd.topk_decay(
+        " ".join(BM25_TERMS), "cast(path as double)",
+        origin=DECAY_ORIGIN, scale=DECAY_SCALE, kind="gauss", k=10,
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+def _q_topk_random(spark, sf_dir):
+    # ES function_score random_score (seeded, multiply): BM25 * an
+    # exact-int64 nonlinear mix of (stable id, seed) — reproducible
+    # jitter; the oracle replays random_expr() verbatim over doc_id
+    rd = _reader(spark, sf_dir)
+    res = rd.topk_random(
+        " ".join(BM25_TERMS), seed=RANDOM_SEED,
+        field="cast(path as bigint)", k=10,
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+def _q_terms_set_topk(spark, sf_dir):
+    # ES terms_set: per-document minimum_should_match from a doc field
+    # (required = 1 + id mod 3); eligible docs rank by the BM25 sum of
+    # their matched terms
+    rd = _reader(spark, sf_dir)
+    res = rd.topk_terms_set(
+        TSET_QUERY, "1 + pmod(cast(path as bigint), 3)", k=10
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        "rank",
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+        "matched", "required",
+    )
+
+
+def _q_boosting_topk(spark, sf_dir):
+    # ES boosting query: positive BM25 ranking; docs also matching the
+    # negative query stay matched but demoted by negative_boost
+    rd = _reader(spark, sf_dir)
+    res = rd.topk_boosting(
+        " ".join(BM25_TERMS), BOOST_NEG, negative_boost=BOOST_NB, k=10
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+def _stem_reader(spark, sf_dir) -> IndexReader:
+    """Main index plus the published stems sibling (term -> S-stem)."""
+    rd = _reader(spark, sf_dir)
+    key = ("stems", sf_dir)
+    if key not in _CACHE:
+        from yase_spark.expand import build_stems
+
+        build_stems(spark, rd.cat.root)
+        _CACHE[key] = True
+    return rd
+
+
+def _q_stem_topk(spark, sf_dir):
+    # stemmed search retrofit: the query's plurals S-stem to the
+    # singular stems, the stems sibling expands them to every surface
+    # form the index actually stored, and the expansion ranks as a
+    # BM25 disjunction; the oracle applies the SAME s_stem_sql() text
+    # to the corpus vocabulary
+    rd = _stem_reader(spark, sf_dir)
+    rows = rd.stem_topk(STEM_QUERY, k=10)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+ADJ_FILTERS = {
+    "en": "lang = 'en'",
+    "big": "n_chars > 400",
+    "sparky": "text LIKE '%spark%'",
+}
+
+
+def _q_adjacency_matrix(spark, sf_dir):
+    # ES adjacency_matrix: named filters + pairwise intersections in
+    # ONE global partial-aggregated reduce (no data-keyed shuffle)
+    from yase_spark.aggs import adjacency_matrix
+
+    return adjacency_matrix(_docs(spark, sf_dir), ADJ_FILTERS)
+
+
+def _q_multi_terms_agg(spark, sf_dir):
+    # ES multi_terms: composite-key terms buckets ordered by count
+    # (exact under the single shuffle where ES documents error bounds)
+    from yase_spark.aggs import multi_terms
+
+    return multi_terms(_docs(spark, sf_dir), ["lang", "source"], size=10)
+
+
+BUCKET_HAVING, BUCKET_SIZE = 290.0, 5
+
+
+def _q_bucket_pipeline(spark, sf_dir):
+    # ES bucket_selector + bucket_sort: terms buckets -> HAVING-style
+    # selector on the metric -> metric-desc sort -> truncation, all on
+    # bucket-sized data after the one corpus reduce
+    from yase_spark.aggs import bucket_pipeline
+
+    out = bucket_pipeline(
+        _docs(spark, sf_dir), "source", "avg(n_chars)",
+        having=f"metric >= {BUCKET_HAVING!r}",
+        order_by=[("metric", False)], size=BUCKET_SIZE,
+    )
+    return out.select(
+        "source", "doc_count", F.round("metric", 6).alias("metric_r")
+    )
+
+
+PCT_THRESHOLDS = [200.0, 500.0, 1000.0]
+
+
+def _q_percentile_ranks(spark, sf_dir):
+    # ES percentile_ranks (exact): share of values <= each threshold
+    # per bucket — indicator sums, no sort window
+    from yase_spark.aggs import percentile_ranks
+
+    return percentile_ranks(
+        _docs(spark, sf_dir), "lang", "n_chars", PCT_THRESHOLDS
+    )
+
+
+def _q_date_histogram_diff(spark, sf_dir):
+    # ES serial_diff pipeline agg (lag=2) on the gap-filled histogram —
+    # seasonal differencing over the DENSE per-type bucket axis
+    from yase_spark.aggs import date_histogram_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_histogram_pipeline(ev, hours=1, serial_diff_lag=2)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    # DSIR importance weights: per-doc log ratio of add-1-smoothed
+    # target (lang='en') vs raw unigram LMs — the importance-resampling
+    # data-selection stage; oracle replays both LMs from raw text
+    from yase_spark.mixing import importance_weights
+
+    return importance_weights(_docs(spark, sf_dir), "lang = 'en'")
+
+
+POLICY_EXTRAS = {
+    # house markers that actually fire on the synthetic corpus (the
+    # SPDX/GPL defaults are exercised with planted headers in pytest;
+    # here they prove the all-false lane hashes too)
+    "sparky": r"(?i)\bspark\b",
+    "slowmark": r"(?i)slow (query|scan|merge)",
+}
+
+
+def _q_policy_flags(spark, sf_dir):
+    # license / generated-code policy screen: map-only JVM regex flags
+    # + SPDX id extraction, pattern dict shared verbatim with the
+    # oracle (the pii_scrub parity device)
+    from yase_spark.curation import policy_flags
+
+    return policy_flags(_docs(spark, sf_dir), POLICY_EXTRAS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is driver-iteration order; the driver's CORRECTNESS
-    # window covers ~50 entries/round (VERDICT r3). 84 entries have no
-    # driver row yet (round-4 grew the contract 90->149), so the window
-    # is a deliberate ranking: one never-checked representative per
-    # module/lane first (51 entries, all full-oracle), sibling variants
-    # spill to next round's window (they lead the spillover section),
-    # the r1-r3-green core last. preflight.py value-checks ALL entries
-    # every session regardless.
+    # window covers ~50 entries/round (VERDICT r3). The window is a
+    # deliberate ranking: the fifth-block additions lead (newest code,
+    # zero driver rows), then one never-checked representative per
+    # module/lane from earlier blocks; sibling variants spill to next
+    # round's window (they lead the spillover section), the r1-r3-green
+    # core last. preflight.py value-checks ALL entries every session
+    # regardless.
     return {
-        # --- window rank 1-51: never driver-checked, one representative
-        # per module/lane (sibling variants whose twin is in-window are
-        # deferred to the next round's window) ---
+        # --- window rank 1-12: round-4 fifth block (newest, all
+        # full-oracle) ---
+        "stem_topk": _q_stem_topk,
+        "topk_decay": _q_topk_decay,
+        "topk_random": _q_topk_random,
+        "terms_set_topk": _q_terms_set_topk,
+        "boosting_topk": _q_boosting_topk,
+        "adjacency_matrix": _q_adjacency_matrix,
+        "multi_terms_agg": _q_multi_terms_agg,
+        "bucket_selector": _q_bucket_pipeline,
+        "percentile_ranks": _q_percentile_ranks,
+        "date_histogram_diff": _q_date_histogram_diff,
+        "dsir_weights": _q_dsir_weights,
+        "policy_flags": _q_policy_flags,
+        # --- window rank 13-50: never driver-checked, one
+        # representative per module/lane (sibling variants whose twin
+        # is in-window are deferred to the next round's window) ---
         "topk_after_merge": _q_topk_after_merge,
         "topk_after_vacuum": _q_topk_after_vacuum,
         "reindex_topk": _q_reindex_topk,
@@ -2667,6 +2902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "image_resize": _q_image_resize,
+        # --- never driver-checked spillover (beyond the ~50-row
+        # window this round; leads the round-5 re-rank; the first 13
+        # were window entries displaced by the fifth-block additions) ---
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -2680,8 +2918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent_children": _q_has_parent_children,
         "rank_eval": _q_rank_eval,
         "fields_cross": _q_fields_cross,
-        # --- never driver-checked spillover (beyond the ~50-row
-        # window this round; leads the round-5 re-rank) ---
         "semantic_dedup": _q_semantic_dedup,
         "hybrid_linear": _q_hybrid_linear,
         "facet_stats": _q_facet_stats,
@@ -4585,4 +4821,123 @@ SELECT p.query_id,
 FROM per p LEFT JOIN tot USING (query_id) LEFT JOIN ideal USING (query_id)
 ORDER BY query_id
 """
+
+    # ------------- round-4 fifth block oracles -------------
+    from yase_spark.expand import s_stem, s_stem_sql
+    from yase_spark.mixing import SPLIT as _MIX_SPLIT
+
+    # decay / random: the ORACLE evaluates the IDENTICAL generated SQL
+    # text over the documents view's doc_id (== the engine's path)
+    _dx = IndexReader.decay_expr(
+        "gauss", "cast(doc_id as double)", DECAY_ORIGIN, DECAY_SCALE
+    )
+    o["topk_decay"] = _bm25_oracle_sql(
+        f"SELECT doc_id, round(score * ({_dx}), 5) AS score_r FROM sc "
+        f"ORDER BY score * ({_dx}) DESC, doc_id LIMIT 10"
+    )
+    _rx = IndexReader.random_expr(RANDOM_SEED, "doc_id")
+    o["topk_random"] = _bm25_oracle_sql(
+        f"SELECT doc_id, round(score * ({_rx}), 5) AS score_r FROM sc "
+        f"ORDER BY score * ({_rx}) DESC, doc_id LIMIT 10"
+    )
+    # terms_set: matched = count of the doc's distinct matched query
+    # terms (tf has one row per (term, doc)), required = 1 + id mod 3
+    _ts_terms = ", ".join(f"'{t}'" for t in TSET_QUERY.split())
+    o["terms_set_topk"] = _bm25_oracle_sql(
+        """, mm AS (SELECT doc_id, count(*) AS matched FROM tf GROUP BY 1),
+el AS (SELECT sc.doc_id, sc.score, mm.matched,
+              1 + (sc.doc_id % 3) AS required
+       FROM sc JOIN mm USING (doc_id)
+       WHERE mm.matched >= 1 + (sc.doc_id % 3))
+SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id,
+       round(score, 5) AS score_r, matched, required
+FROM el QUALIFY rank <= 10""",
+        term_pred=f"term IN ({_ts_terms})",
+    )
+    # boosting: negative-match docs demoted by the boost factor
+    _bq = (
+        f"CASE WHEN doc_id IN (SELECT DISTINCT doc_id FROM t "
+        f"WHERE term = '{BOOST_NEG}') THEN score * {BOOST_NB!r} "
+        f"ELSE score END"
+    )
+    o["boosting_topk"] = _bm25_oracle_sql(
+        f"SELECT doc_id, round({_bq}, 5) AS score_r FROM sc "
+        f"ORDER BY ({_bq}) DESC, doc_id LIMIT 10"
+    )
+    # stemmed search: the expansion set is every corpus term whose
+    # S-stem (SAME shared SQL text) is among the python-stemmed query
+    # stems — both sides genuinely derive the set
+    _stems = ", ".join(
+        f"'{s}'" for s in sorted({s_stem(t) for t in STEM_QUERY.split()})
+    )
+    o["stem_topk"] = _bm25_oracle_sql(
+        "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+        "ORDER BY score DESC, doc_id LIMIT 10",
+        term_pred=f"({s_stem_sql('term')}) IN ({_stems})",
+    )
+    # adjacency_matrix: indicator sums + pairwise products, keys sorted,
+    # empty buckets omitted — mirrors the engine's single-reduce shape
+    o["adjacency_matrix"] = f"""
+WITH f AS (SELECT CASE WHEN {ADJ_FILTERS['big']} THEN 1 ELSE 0 END AS big,
+                  CASE WHEN {ADJ_FILTERS['en']} THEN 1 ELSE 0 END AS en,
+                  CASE WHEN {ADJ_FILTERS['sparky']} THEN 1 ELSE 0 END AS sparky
+           FROM documents),
+s AS (SELECT sum(big) b, sum(en) e, sum(sparky) sp,
+             sum(big*en) be, sum(big*sparky) bsp, sum(en*sparky) esp FROM f)
+SELECT key, doc_count FROM (
+  SELECT 'big' AS key, CAST(b AS BIGINT) AS doc_count FROM s UNION ALL
+  SELECT 'big&en', CAST(be AS BIGINT) FROM s UNION ALL
+  SELECT 'big&sparky', CAST(bsp AS BIGINT) FROM s UNION ALL
+  SELECT 'en', CAST(e AS BIGINT) FROM s UNION ALL
+  SELECT 'en&sparky', CAST(esp AS BIGINT) FROM s UNION ALL
+  SELECT 'sparky', CAST(sp AS BIGINT) FROM s)
+WHERE doc_count > 0 ORDER BY key
+"""
+    o["multi_terms_agg"] = """
+SELECT lang, source, count(*) AS doc_count FROM documents
+WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY 1, 2 ORDER BY doc_count DESC, lang, source LIMIT 10
+"""
+    o["bucket_selector"] = f"""
+SELECT source, doc_count, round(metric, 6) AS metric_r FROM (
+  SELECT source, count(*) AS doc_count, avg(n_chars) AS metric
+  FROM documents GROUP BY 1)
+WHERE metric >= {BUCKET_HAVING!r}
+ORDER BY metric DESC, source LIMIT {BUCKET_SIZE}
+"""
+    _pct_vals = ", ".join(f"({t!r})" for t in PCT_THRESHOLDS)
+    o["percentile_ranks"] = f"""
+WITH th(threshold) AS (VALUES {_pct_vals})
+SELECT lang, cast(threshold as double) AS threshold,
+       round(sum(CASE WHEN n_chars <= threshold THEN 1 ELSE 0 END)
+             * 100.0 / count(*), 6) AS pct_r
+FROM documents CROSS JOIN th
+GROUP BY 1, 2 ORDER BY lang, threshold
+"""
+    # serial_diff: the date_histogram oracle + the lag-2 difference
+    # column over the same dense axis (zero left boundary)
+    o["date_histogram_diff"] = o["date_histogram"].replace(
+        "AS mov_avg_n_r",
+        "AS mov_avg_n_r,\n       n - lag(n, 2, 0) OVER w AS serial_diff_n",
+    )
+    assert "serial_diff_n" in o["date_histogram_diff"]
+    # DSIR: add-1-smoothed target (lang='en') vs raw unigram LMs over
+    # the mixing-module split, per-doc log ratio sum
+    o["dsir_weights"] = f"""
+WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,
+        unnest(list_filter(string_split_regex(lower(text), '{_MIX_SPLIT}'),
+                           x -> x <> '')) AS term
+        FROM documents),
+c AS (SELECT term, count(*) AS c_raw,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+      FROM tok GROUP BY 1),
+tot AS (SELECT sum(c_raw) AS t_raw, sum(c_t) AS t_t, count(*) AS v FROM c),
+r AS (SELECT term,
+             (ln(c_t + 1.0) - ln(t_t + 1.0 * v))
+             - (ln(c_raw + 1.0) - ln(t_raw + 1.0 * v)) AS lr
+      FROM c CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 5) AS logw_r
+FROM tok JOIN r USING (term) GROUP BY 1
+"""
+    o["policy_flags"] = _policy_sql()
     return o

@@ -3120,10 +3120,18 @@ class IndexReader:
         nonlinear in the seed (distinct seeds decorrelate), still exact
         int64 arithmetic (h < 2³¹ ⇒ h² < 2⁶²), still replayable by any
         SQL engine."""
-        a, m = self.RANDOM_A, self.RANDOM_M
+        return self.topk_function_score(
+            query, self.random_expr(seed, field), k
+        )
+
+    @classmethod
+    def random_expr(cls, seed: int, field: str) -> str:
+        """Shared SQL text of the seeded-random mix (see topk_random) —
+        exposed so oracles can evaluate the IDENTICAL expression over
+        their own id column."""
+        a, m = cls.RANDOM_A, cls.RANDOM_M
         h = f"((({field}) * {a} + {int(seed)}) % {m})"
-        expr = f"(({h}) * ({h}) + ({h})) % {m} / cast({m} as double)"
-        return self.topk_function_score(query, expr, k)
+        return f"(({h}) * ({h}) + ({h})) % {m} / cast({m} as double)"
 
     def topk_terms_set(
         self, query: str, required_expr: str, k: int = 10

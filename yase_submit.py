@@ -46,7 +46,7 @@ def main(argv=None) -> int:
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
             "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
             "reindex", "alias", "export", "restore", "rank-eval", "bpe",
-            "rollover", "geo", "sort-index",
+            "rollover", "geo", "sort-index", "stems",
         ],
     )
     p.add_argument(
@@ -177,9 +177,36 @@ def main(argv=None) -> int:
         choices=["topk", "and", "or", "phrase", "phrase_topk",
                  "phrase_prefix", "terms", "highlight", "mlt", "hybrid",
                  "msm", "rescore", "federated", "span_near", "span_first",
-                 "span_not", "qs", "sort"],
+                 "span_not", "qs", "sort", "stem", "decay", "random",
+                 "terms_set", "boosting"],
         default="topk",
     )
+    p.add_argument(
+        "--decay-shape", choices=["gauss", "exp", "linear"], default="gauss",
+        help="query --kind decay: ES decay curve",
+    )
+    p.add_argument(
+        "--decay-field", default="doc_id",
+        help="query --kind decay/random: numeric docs-column SQL "
+        "expression (default: the engine doc id — the recency proxy)",
+    )
+    p.add_argument("--origin", type=float, default=0.0,
+                   help="query --kind decay: decay origin")
+    p.add_argument("--scale", type=float, default=None,
+                   help="query --kind decay: distance where the "
+                   "multiplier equals --decay-value")
+    p.add_argument("--decay-value", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=42,
+                   help="query --kind random: random_score seed")
+    p.add_argument(
+        "--required-expr",
+        help="query --kind terms_set: per-doc required matched-term "
+        "count as a docs-column SQL expression "
+        "(ES minimum_should_match_field)",
+    )
+    p.add_argument("--neg-q", help="query --kind boosting: negative query")
+    p.add_argument("--neg-boost", type=float, default=0.5,
+                   help="query --kind boosting: demotion factor in (0,1]")
     p.add_argument(
         "--in-order", action="store_true",
         help="query --kind span_near: clauses must appear in the given "
@@ -214,8 +241,33 @@ def main(argv=None) -> int:
         "--op",
         choices=["composite", "cardinality", "percentiles", "ppl", "bppl",
                  "term_vectors", "complete", "phrase", "date_histogram",
-                 "rare_terms", "bbox", "near", "within", "grid"],
+                 "rare_terms", "bbox", "near", "within", "grid",
+                 "adjacency", "multi_terms", "bucket_sort", "pct_ranks",
+                 "dsir", "policy"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
+    )
+    p.add_argument(
+        "--filters",
+        help="aggs --op adjacency: JSON object of named SQL boolean "
+        'filters, e.g. \'{"en": "lang = \\\'en\\\'"}\'',
+    )
+    p.add_argument(
+        "--metric", default="avg(n_chars)",
+        help="aggs --op bucket_sort: SQL aggregate metric expression",
+    )
+    p.add_argument(
+        "--having",
+        help="aggs --op bucket_sort: bucket_selector predicate over "
+        "(key, doc_count, metric)",
+    )
+    p.add_argument(
+        "--thresholds", default="100,500,1000",
+        help="aggs --op pct_ranks: comma-separated thresholds",
+    )
+    p.add_argument(
+        "--target-expr",
+        help="aggs --op dsir: SQL boolean selecting the TARGET rows "
+        "the importance weights aim the corpus at",
     )
     p.add_argument(
         "--keys", default="lang,source",
@@ -641,6 +693,15 @@ def main(argv=None) -> int:
         n = build_term_dictionary(spark, args.index)
         print(json.dumps({"index": args.index, "terms": n}))
 
+    elif args.cmd == "stems":
+        # (stem, term, df) sibling: retrofits stemmed search onto the
+        # surface-form index (query --kind stem); sorted by stem for
+        # Parquet min/max lookup pruning, segments-version stamped
+        from yase_spark.expand import build_stems
+
+        n = build_stems(spark, args.index)
+        print(json.dumps({"index": args.index, "terms": n}))
+
     elif args.cmd == "query":
         from yase_spark.query import And, IndexReader, Not, Or, Phrase, Term, TopK
 
@@ -862,6 +923,42 @@ def main(argv=None) -> int:
                     slop=args.slop,
                 )
             ]
+        elif args.kind == "stem":
+            # stemmed-search retrofit: S-stem expansion over the stems
+            # sibling (build with `stems` command), BM25 disjunction
+            out = [
+                {"rank": r, "doc_id": d, "score": s}
+                for r, d, s in rd.stem_topk(args.q, args.k)
+            ]
+        elif args.kind == "decay":
+            # ES function_score decay (multiply): --decay-shape over
+            # --decay-field around --origin at --scale
+            if args.scale is None:
+                raise SystemExit("query --kind decay needs --scale")
+            rows = rd.topk_decay(
+                args.q, args.decay_field, origin=args.origin,
+                scale=args.scale, kind=args.decay_shape,
+                decay=args.decay_value, k=args.k,
+            ).collect()
+            out = [r.asDict() for r in rows]
+        elif args.kind == "random":
+            # seeded random_score (multiply) — reproducible jitter
+            rows = rd.topk_random(
+                args.q, seed=args.seed, field=args.decay_field, k=args.k
+            ).collect()
+            out = [r.asDict() for r in rows]
+        elif args.kind == "terms_set":
+            if not args.required_expr:
+                raise SystemExit("query --kind terms_set needs --required-expr")
+            rows = rd.topk_terms_set(args.q, args.required_expr, args.k).collect()
+            out = [r.asDict() for r in rows]
+        elif args.kind == "boosting":
+            if not args.neg_q:
+                raise SystemExit("query --kind boosting needs --neg-q")
+            rows = rd.topk_boosting(
+                args.q, args.neg_q, negative_boost=args.neg_boost, k=args.k
+            ).collect()
+            out = [r.asDict() for r in rows]
         elif args.kind == "span_near":
             # a clause with |-separated terms is a span_or clause
             clauses = [
@@ -947,6 +1044,42 @@ def main(argv=None) -> int:
             from yase_spark.aggs import rare_terms
 
             out_df = rare_terms(docs, "[^a-z0-9]+", max_doc_count=max(args.k, 1))
+        elif args.op == "adjacency":
+            from yase_spark.aggs import adjacency_matrix
+
+            if not args.filters:
+                raise SystemExit("aggs --op adjacency needs --filters")
+            out_df = adjacency_matrix(docs, json.loads(args.filters))
+        elif args.op == "multi_terms":
+            from yase_spark.aggs import multi_terms
+
+            out_df = multi_terms(docs, args.keys.split(","), size=args.k)
+        elif args.op == "bucket_sort":
+            # terms buckets on --group-col + --metric, bucket_selector
+            # via --having, metric-desc bucket_sort, --k truncation
+            from yase_spark.aggs import bucket_pipeline
+
+            out_df = bucket_pipeline(
+                docs, args.group_col, args.metric, having=args.having,
+                order_by=[("metric", False)], size=args.k,
+            )
+        elif args.op == "pct_ranks":
+            from yase_spark.aggs import percentile_ranks
+
+            out_df = percentile_ranks(
+                docs, args.group_col, args.value_col or "n_chars",
+                [float(x) for x in args.thresholds.split(",")],
+            )
+        elif args.op == "dsir":
+            from yase_spark.mixing import importance_weights
+
+            if not args.target_expr:
+                raise SystemExit("aggs --op dsir needs --target-expr")
+            out_df = importance_weights(docs, args.target_expr)
+        elif args.op == "policy":
+            from yase_spark.curation import policy_flags
+
+            out_df = policy_flags(docs)
         else:
             raise SystemExit("aggs needs --op")
         if args.out:
