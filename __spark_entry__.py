@@ -2837,6 +2837,42 @@ def _q_policy_flags(spark, sf_dir):
     return policy_flags(_docs(spark, sf_dir), POLICY_EXTRAS)
 
 
+HH_PHI = 0.01
+KMV_K = 32
+
+
+def _q_hll_cardinality(spark, sf_dir):
+    # HyperLogLog distinct-token count per lang: deterministic md5
+    # registers (exact-integer bit ladder, no float log) — the oracle
+    # replays the REGISTERS bit-for-bit, pytest gates the accuracy
+    from yase_spark.sketches import hll_cardinality
+
+    toks = _tokens(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    return hll_cardinality(toks, "lang", "term")
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    # two-pass exact heavy hitters: bounded-memory Misra-Gries
+    # candidates per partition, exact verification pass — output is
+    # literally every term with freq > phi*n (plain HAVING oracle)
+    from yase_spark.sketches import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), SPLIT, phi=HH_PHI)
+
+
+def _q_kmv_sample(spark, sf_dir):
+    # KMV bottom-k sketch over doc keys: deterministic hash-order
+    # sample + mergeable distinct summary; oracle = SQL bottom-k over
+    # the same md5-60 hash
+    from yase_spark.sketches import kmv_bottomk
+
+    return kmv_bottomk(
+        _docs(spark, sf_dir), "cast(doc_id as string)", k=KMV_K
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is driver-iteration order; the driver's CORRECTNESS
     # window covers ~50 entries/round (VERDICT r3). The window is a
@@ -2861,6 +2897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram_diff": _q_date_histogram_diff,
         "dsir_weights": _q_dsir_weights,
         "policy_flags": _q_policy_flags,
+        "hll_cardinality": _q_hll_cardinality,
+        "heavy_hitters": _q_heavy_hitters,
+        "kmv_sample": _q_kmv_sample,
         # --- window rank 13-50: never driver-checked, one
         # representative per module/lane (sibling variants whose twin
         # is in-window are deferred to the next round's window) ---
@@ -2899,12 +2938,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_percolate": _q_stream_percolate,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_pq_topk": _q_ann_pq_topk,
+        # --- never driver-checked spillover (beyond the ~50-row
+        # window this round; leads the round-5 re-rank; the first 16
+        # were window entries displaced by the fifth-block additions) ---
         "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "image_resize": _q_image_resize,
-        # --- never driver-checked spillover (beyond the ~50-row
-        # window this round; leads the round-5 re-rank; the first 13
-        # were window entries displaced by the fifth-block additions) ---
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
@@ -4940,4 +4979,50 @@ SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 5) AS logw_r
 FROM tok JOIN r USING (term) GROUP BY 1
 """
     o["policy_flags"] = _policy_sql()
+    # HLL: the oracle recomputes the REGISTER table with the identical
+    # generated SQL (engine-specific only in the md5->bigint spelling)
+    # and applies the same estimator arithmetic
+    from yase_spark.sketches import HLL_P, _alpha, hll_register_sql
+
+    _m = 1 << HLL_P
+    _hb, _hr = hll_register_sql("term", dialect="duckdb")
+    o["hll_cardinality"] = f"""
+{_T_SQL},
+lt AS (SELECT t.term, d.lang FROM t JOIN documents d USING (doc_id)),
+regs AS (SELECT lang, {_hb} AS bucket, max({_hr}) AS mr
+         FROM lt GROUP BY 1, 2),
+a AS (SELECT lang, count(*) AS present,
+             sum(pow(cast(2.0 as double), -mr)) AS sp
+      FROM regs GROUP BY 1),
+e AS (SELECT lang, present,
+             cast({_alpha(_m)!r} as double) * {_m} * {_m}
+               / (sp + ({_m} - present)) AS raw,
+             {_m} - present AS zeros
+      FROM a)
+SELECT lang, present AS nonzero_registers,
+       round(CASE WHEN raw <= cast({2.5 * _m!r} as double) AND zeros > 0
+                  THEN cast({float(_m)!r} as double)
+                       * ln(cast({float(_m)!r} as double) / zeros)
+                  ELSE raw END, 6) AS est_r
+FROM e ORDER BY lang
+"""
+    # heavy hitters: the sketch's OUTPUT is exact by construction, so
+    # the oracle is a plain frequency HAVING
+    o["heavy_hitters"] = f"""
+{_T_SQL},
+n AS (SELECT count(*) AS n FROM t),
+c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+SELECT term, cnt FROM c CROSS JOIN n
+WHERE cnt > {HH_PHI!r} * n ORDER BY cnt DESC, term
+"""
+    # KMV: SQL bottom-k over the same md5-60 hash of the same key
+    o["kmv_sample"] = f"""
+WITH h AS (SELECT cast(doc_id as varchar) AS key,
+                  cast(concat('0x', substring(md5(cast(doc_id as varchar)),
+                                              1, 15)) as bigint) AS h
+           FROM documents)
+SELECT row_number() OVER (ORDER BY h) AS rank, key, h
+FROM (SELECT DISTINCT key, h FROM h) QUALIFY rank <= {KMV_K}
+ORDER BY h
+"""
     return o

@@ -272,6 +272,44 @@ def main() -> None:
     )
     timings["round4c_ops"] = time.perf_counter() - t0
 
+    # ---- phase 9: fifth-block operators ------------------------------
+    # matrix/pipeline aggregations, DSIR weights, the policy screen,
+    # stems publish + stemmed search, and the function_score variants
+    # (decay/random/terms_set/boosting) on the sf index
+    from yase_spark.aggs import (
+        adjacency_matrix,
+        bucket_pipeline,
+        multi_terms,
+        percentile_ranks,
+    )
+    from yase_spark.curation import policy_flags
+    from yase_spark.expand import build_stems
+    from yase_spark.mixing import importance_weights
+
+    t0 = time.perf_counter()
+    adjacency_matrix(docs, {
+        "en": "lang = 'en'", "big": "n_chars > 400",
+        "sparky": "text LIKE '%spark%'",
+    }).count()
+    multi_terms(docs, ["lang", "source"], size=10).count()
+    bucket_pipeline(
+        docs, "source", "avg(n_chars)", having="metric >= 280",
+        order_by=[("metric", False)], size=5,
+    ).count()
+    percentile_ranks(docs, "lang", "n_chars", [100.0, 500.0, 1000.0]).count()
+    importance_weights(docs, "lang = 'en'").count()
+    policy_flags(docs).count()
+    extras["stem_terms"] = build_stems(spark, root)
+    extras["stem_hits"] = len(rd.stem_topk("tables queries", k=10))
+    assert rd.topk_decay(
+        "table hash merge", "cast(doc_id as double)",
+        origin=0.0, scale=2000.0, kind="gauss",
+    ).count() == 10
+    assert rd.topk_random("table hash merge", seed=7, field="doc_id").count() == 10
+    rd.topk_terms_set("table hash merge scan", "1 + pmod(doc_id, 3)").count()
+    rd.topk_boosting("table hash merge", "slow", negative_boost=0.25).count()
+    timings["round4e_ops"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "index-build + BM25 query engine + pipeline ops wall time "

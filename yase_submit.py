@@ -243,7 +243,7 @@ def main(argv=None) -> int:
                  "term_vectors", "complete", "phrase", "date_histogram",
                  "rare_terms", "bbox", "near", "within", "grid",
                  "adjacency", "multi_terms", "bucket_sort", "pct_ranks",
-                 "dsir", "policy"],
+                 "dsir", "policy", "hll", "heavy_hitters", "kmv"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -268,6 +268,10 @@ def main(argv=None) -> int:
         "--target-expr",
         help="aggs --op dsir: SQL boolean selecting the TARGET rows "
         "the importance weights aim the corpus at",
+    )
+    p.add_argument(
+        "--phi", type=float, default=0.01,
+        help="aggs --op heavy_hitters: frequency threshold fraction",
     )
     p.add_argument(
         "--keys", default="lang,source",
@@ -1080,6 +1084,29 @@ def main(argv=None) -> int:
             from yase_spark.curation import policy_flags
 
             out_df = policy_flags(docs)
+        elif args.op == "hll":
+            # HyperLogLog distinct tokens per --group-col bucket
+            from pyspark.sql import functions as _F
+
+            from yase_spark.sketches import hll_cardinality
+
+            toks = docs.select(
+                args.group_col,
+                _F.explode(
+                    _F.expr("filter(split(lower(text), '[^a-z0-9]+'), "
+                            "x -> x <> '')")
+                ).alias("term"),
+            )
+            out_df = hll_cardinality(toks, args.group_col, "term")
+        elif args.op == "heavy_hitters":
+            # exact freq > phi*n terms via MG candidates + exact pass
+            from yase_spark.sketches import heavy_hitters
+
+            out_df = heavy_hitters(docs, "[^a-z0-9]+", phi=args.phi)
+        elif args.op == "kmv":
+            from yase_spark.sketches import kmv_bottomk
+
+            out_df = kmv_bottomk(docs, "cast(doc_id as string)", k=args.k)
         else:
             raise SystemExit("aggs needs --op")
         if args.out:
