@@ -2873,6 +2873,28 @@ def _q_kmv_sample(spark, sf_dir):
     )
 
 
+LTR_W = [0.0, 1.0, 0.8, -0.3, 0.5]
+LTR_DEPTH = 40
+
+
+def _q_ltr_topk(spark, sf_dir):
+    # linear LTR re-rank of the BM25 top-40 window with CONSTANT
+    # serving weights (the auditable half of the LTR loop; training is
+    # pytest-gated): ltr = w . (bias, bm25, matched_frac, dl_norm,
+    # recency) — the oracle replays every feature and the identical
+    # dot_sql expression
+    from yase_spark.ltr import ltr_rerank
+
+    rd = _reader(spark, sf_dir)
+    res = ltr_rerank(rd, " ".join(BM25_TERMS), LTR_W, k=10, depth=LTR_DEPTH)
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        "rank",
+        F.col("orig_doc_id").alias("doc_id"),
+        "ltr_r", "bm25_r",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is driver-iteration order; the driver's CORRECTNESS
     # window covers ~50 entries/round (VERDICT r3). The window is a
@@ -2900,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": _q_hll_cardinality,
         "heavy_hitters": _q_heavy_hitters,
         "kmv_sample": _q_kmv_sample,
+        "ltr_topk": _q_ltr_topk,
         # --- window rank 13-50: never driver-checked, one
         # representative per module/lane (sibling variants whose twin
         # is in-window are deferred to the next round's window) ---
@@ -2937,10 +2960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "stream_percolate": _q_stream_percolate,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_pq_topk": _q_ann_pq_topk,
         # --- never driver-checked spillover (beyond the ~50-row
-        # window this round; leads the round-5 re-rank; the first 16
+        # window this round; leads the round-5 re-rank; the first 17
         # were window entries displaced by the fifth-block additions) ---
+        "ann_pq_topk": _q_ann_pq_topk,
         "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "image_resize": _q_image_resize,
@@ -5015,6 +5038,32 @@ c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
 SELECT term, cnt FROM c CROSS JOIN n
 WHERE cnt > {HH_PHI!r} * n ORDER BY cnt DESC, term
 """
+    # LTR serving: features (bm25, matched fraction, length norm,
+    # id-recency) recomputed relationally, the IDENTICAL dot_sql text
+    # over them, rescore-window semantics (top-depth by bm25 first)
+    from yase_spark.ltr import dot_sql
+
+    _ltr = dot_sql(
+        LTR_W,
+        [
+            "cast(1.0 as double)",
+            "score",
+            "matched / cast(3.0 as double)",
+            "dl / avgdl",
+            "(doc_id + 1) / cast(n as double)",
+        ],
+    )
+    o["ltr_topk"] = _bm25_oracle_sql(
+        f""", mm AS (SELECT doc_id, count(*) AS matched FROM tf GROUP BY 1),
+cand AS (SELECT sc.doc_id, sc.score, mm.matched, dl.dl, st.n, st.avgdl,
+                row_number() OVER (ORDER BY sc.score DESC, sc.doc_id) AS br
+         FROM sc JOIN mm USING (doc_id) JOIN dl USING (doc_id) CROSS JOIN st
+         QUALIFY br <= {LTR_DEPTH}),
+scored AS (SELECT doc_id, ({_ltr}) AS ltr, score FROM cand)
+SELECT row_number() OVER (ORDER BY ltr DESC, doc_id) AS rank, doc_id,
+       round(ltr, 5) AS ltr_r, round(score, 5) AS bm25_r
+FROM scored QUALIFY rank <= 10"""
+    )
     # KMV: SQL bottom-k over the same md5-60 hash of the same key
     o["kmv_sample"] = f"""
 WITH h AS (SELECT cast(doc_id as varchar) AS key,

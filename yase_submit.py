@@ -178,8 +178,17 @@ def main(argv=None) -> int:
                  "phrase_prefix", "terms", "highlight", "mlt", "hybrid",
                  "msm", "rescore", "federated", "span_near", "span_first",
                  "span_not", "qs", "sort", "stem", "decay", "random",
-                 "terms_set", "boosting"],
+                 "terms_set", "boosting", "ltr"],
         default="topk",
+    )
+    p.add_argument(
+        "--ltr-weights", default="0,1,0.5,-0.2,0.3",
+        help="query --kind ltr: comma-separated linear weights over "
+        "(bias, bm25, matched_frac, dl_norm, recency)",
+    )
+    p.add_argument(
+        "--depth", type=int, default=50,
+        help="query --kind ltr: rescore window (BM25 top-depth candidates)",
     )
     p.add_argument(
         "--decay-shape", choices=["gauss", "exp", "linear"], default="gauss",
@@ -962,6 +971,13 @@ def main(argv=None) -> int:
             rows = rd.topk_boosting(
                 args.q, args.neg_q, negative_boost=args.neg_boost, k=args.k
             ).collect()
+            out = [r.asDict() for r in rows]
+        elif args.kind == "ltr":
+            # linear LTR rescore of the BM25 top---depth window
+            from yase_spark.ltr import ltr_rerank
+
+            w = [float(x) for x in args.ltr_weights.split(",")]
+            rows = ltr_rerank(rd, args.q, w, k=args.k, depth=args.depth).collect()
             out = [r.asDict() for r in rows]
         elif args.kind == "span_near":
             # a clause with |-separated terms is a span_or clause
