@@ -550,3 +550,45 @@ def test_policy_flags_plan_is_map_only(spark):
     plan = policy_flags(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_stream_stems_sibling(spark, tmp_path_factory):
+    """siblings=("stems",): stemmed search stays live under streaming
+    ingest — after the second micro-batch the PUBLISHED stems table is
+    fresh and already contains the delta-only surface form."""
+    from yase_spark.catalog import Catalog
+    from yase_spark.config import IndexConfig
+    from yase_spark.streaming import stream_index
+
+    base = str(tmp_path_factory.mktemp("stream_stems"))
+    in_dir = f"{base}/in"
+    schema = (
+        "repo string, path string, commit string, lang string, content string"
+    )
+    b1 = spark.createDataFrame(
+        [("r", "0001", "h", "py", "table merge scan"),
+         ("r", "0002", "h", "py", "query window merge")], schema)
+    b2 = spark.createDataFrame(
+        [("r", "0003", "h", "py", "sparks sparks window")], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    cfg = IndexConfig(build_groups=1, shuffle_partitions=4, hot_term_df=10**9)
+    q = stream_index(
+        spark, in_dir, f"{base}/idx", f"{base}/ckpt", cfg,
+        max_files_per_trigger=1, siblings=("stems",),
+    )
+    q.awaitTermination()
+    cat = Catalog(f"{base}/idx")
+    assert stems_are_fresh(cat)
+    rd = IndexReader(spark, f"{base}/idx", cfg)
+    # 'sparks' arrived only in the second micro-batch; the published
+    # lane must expand it without the live-vocabulary fallback
+    assert rd.stem_expand("sparks") == ["sparks"]
+    got = rd.stem_topk("tables queries", k=10)
+    assert len(got) == 2  # docs 1 and 2 via the singular forms
+    # unknown sibling still rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown siblings"):
+        stream_index(spark, in_dir, f"{base}/idx2", f"{base}/ckpt2", cfg,
+                     siblings=("stemz",))

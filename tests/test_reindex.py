@@ -48,6 +48,9 @@ def src_index(spark, tmp_path_factory):
         full.selectExpr("monotonically_increasing_id() AS doc_id",
                         "content AS text"),
     )
+    from yase_spark.expand import build_stems
+
+    assert build_stems(spark, root) > 0
     return root, cfg, full
 
 
@@ -113,6 +116,15 @@ def test_layout_reindex_is_bitwise_read_invariant(spark, src_index, tmp_path):
     from yase_spark.suggest import bigrams_are_fresh
 
     assert bigrams_are_fresh(Catalog(dst))
+
+    # stems sibling carried + re-stamped (re-layout never changes the
+    # term set): stemmed expansion identical on both roots, served from
+    # the PUBLISHED table on dst (freshness true)
+    from yase_spark.expand import stems_are_fresh
+
+    assert stems_are_fresh(Catalog(dst))
+    assert rd.stem_expand("marks gammas") == rs.stem_expand("marks gammas")
+    assert "mark" in rd.stem_expand("marks gammas")
 
     # destination-exists guard
     with pytest.raises(ValueError, match="already exists"):

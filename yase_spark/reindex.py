@@ -255,7 +255,8 @@ def reindex(
     dst_props = dict(props)
     dst_props["index_config"] = asdict(dst_cfg)
     for stale in ("dictionary_state", "positions_state", "trigrams_state",
-                  "deletions_state", "bigrams_state", "sort_index_state"):
+                  "deletions_state", "bigrams_state", "sort_index_state",
+                  "stems_state"):
         # sort_index_state: the sorted sibling is NOT cloned and its
         # recorded docs_version could collide with the destination's
         # fresh version 1 — dropping it forces a rebuild at dst
@@ -274,7 +275,7 @@ def reindex(
     )
     copied = ["docs", "stats"]
     for name in ("deletes", "dictionary", "synonyms", "deletions",
-                 "unigrams", "bigrams"):
+                 "unigrams", "bigrams", "stems"):
         if src.exists(name):
             _copy_table(spark, src, dst, name)
             copied.append(name)
@@ -338,6 +339,10 @@ def reindex(
         copied.append("tri_segments")
     if "dictionary" in copied and props.get("dictionary_state"):
         dst_props["dictionary_state"] = {"segments_version": seg_ver}
+    if "stems" in copied and props.get("stems_state"):
+        # re-layout never changes the term set, so the carried stems
+        # sibling stays semantically fresh — re-stamp to the dst version
+        dst_props["stems_state"] = {"segments_version": seg_ver}
     if "deletions" in copied and props.get("deletions_state"):
         dst_props["deletions_state"] = {
             "dictionary_version": dst.current_version("dictionary")

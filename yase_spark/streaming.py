@@ -66,7 +66,12 @@ def stream_index(
     crashed between the sibling commit and its props update. The
     suggester siblings (unigrams/bigrams/deletions/synonyms) are
     dictionary-derived rebuilds, not delta-extendable — refresh those
-    on a schedule, not per batch.
+    on a schedule, not per batch. ``"stems"`` IS supported per batch:
+    unlike the suggester tables it is a vocabulary-sized aggregate of
+    the segments (term, df) projection (one tiny job), and the
+    overwrite republish is idempotent under replay — so stemmed search
+    stays live under ingest instead of falling back to the (correct,
+    unpruned) live-vocabulary path.
     """
     cfg = cfg or IndexConfig()
     sort_fields = [
@@ -75,12 +80,12 @@ def stream_index(
     if any(not f for f in sort_fields):
         raise ValueError("sort sibling needs a field: sort:<field>")
     bad = set(s for s in siblings if not s.startswith("sort:")) - {
-        "positions", "trigrams"
+        "positions", "trigrams", "stems"
     }
     if bad:
         raise ValueError(
             f"unknown siblings {sorted(bad)}; supported: positions, "
-            "trigrams, sort:<field>"
+            "trigrams, stems, sort:<field>"
         )
 
     schema = (
@@ -134,6 +139,12 @@ def stream_index(
             from .grep import build_trigrams
 
             build_trigrams(spark, index_root, batch_df, cfg)
+        if "stems" in siblings:
+            # vocabulary-sized republish stamped with the post-append
+            # segments version; replayed batch = same overwrite again
+            from .expand import build_stems
+
+            build_stems(spark, index_root)
         for f in sort_fields:
             # generational extension reads the docs table itself (no
             # corpus needed): the batch's appended docs sit above the
