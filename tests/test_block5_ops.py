@@ -592,3 +592,38 @@ def test_stream_stems_sibling(spark, tmp_path_factory):
     with _pt.raises(ValueError, match="unknown siblings"):
         stream_index(spark, in_dir, f"{base}/idx2", f"{base}/ckpt2", cfg,
                      siblings=("stemz",))
+
+
+def test_new_aggs_plan_shapes(spark, docs6):
+    """Plan gates (the .explain discipline): one corpus-sized exchange
+    per aggregation (orderBy exchanges run on bucket-sized data and are
+    counted in the bounds below), TakeOrderedAndProject for the top-N
+    lanes, no Python in any plan."""
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(adjacency_matrix(docs6, {"a": "lang='en'", "b": "n_chars>1"}))
+    # the ONLY exchange is the single-partition partial-agg merge — the
+    # bucket explosion happens on the one reduced row
+    assert p.count("Exchange") == 1 and "BatchEvalPython" not in p
+
+    p = plan(multi_terms(docs6, ["lang", "source"], 5))
+    assert p.count("Exchange") == 1 and "TakeOrderedAndProject" in p
+
+    p = plan(bucket_pipeline(docs6, "source", "avg(n_chars)",
+                             having="metric>0",
+                             order_by=[("metric", False)], size=3))
+    assert p.count("Exchange") == 1 and "TakeOrderedAndProject" in p
+
+    p = plan(percentile_ranks(docs6, "lang", "n_chars", [1.0, 2.0]))
+    # group agg + the bucket-sized output sort, nothing else
+    assert p.count("Exchange") <= 2 and "BatchEvalPython" not in p
+
+    from yase_spark.sketches import hll_cardinality
+
+    toks = docs6.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    p = plan(hll_cardinality(toks, "lang", "term"))
+    # register agg (corpus-sized input) + register-sized reduce + sort
+    assert p.count("Exchange") <= 3 and "BatchEvalPython" not in p
