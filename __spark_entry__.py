@@ -2895,6 +2895,30 @@ def _q_ltr_topk(spark, sf_dir):
     )
 
 
+def _q_replica_topk(spark, sf_dir):
+    # cross-cluster replication: a follower index synced by manifest
+    # diff + verified file copy must rank EXACTLY like the leader — and
+    # therefore like the from-text BM25 oracle
+    from yase_spark.replicate import follow
+
+    rd = _reader(spark, sf_dir)
+    key = ("replica", sf_dir)
+    if key not in _CACHE:
+        frot = tempfile.mkdtemp(prefix="yase_ccr_") + "/follower"
+        follow(rd.cat.root, frot)
+        _CACHE[key] = frot
+    rf = IndexReader(spark, _CACHE[key], rd.cfg)
+    rows = rf.topk(" ".join(BM25_TERMS), 10)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rf, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is driver-iteration order; the driver's CORRECTNESS
     # window covers ~50 entries/round (VERDICT r3). The window is a
@@ -2923,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "kmv_sample": _q_kmv_sample,
         "ltr_topk": _q_ltr_topk,
+        "replica_topk": _q_replica_topk,
         # --- window rank 13-50: never driver-checked, one
         # representative per module/lane (sibling variants whose twin
         # is in-window are deferred to the next round's window) ---
@@ -2956,13 +2981,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_topk": _q_federated_topk,
         "federated_facets": _q_federated_facets,
         "federated_mlt": _q_federated_mlt,
-        "federated_sigterms": _q_federated_sigterms,
         "stream_dedup": _q_stream_dedup,
         "stream_percolate": _q_stream_percolate,
         "ann_ivf_topk": _q_ann_ivf_topk,
         # --- never driver-checked spillover (beyond the ~50-row
         # window this round; leads the round-5 re-rank; the first 17
         # were window entries displaced by the fifth-block additions) ---
+        "federated_sigterms": _q_federated_sigterms,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_sq_topk": _q_ann_sq_topk,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
@@ -5064,6 +5089,9 @@ SELECT row_number() OVER (ORDER BY ltr DESC, doc_id) AS rank, doc_id,
        round(ltr, 5) AS ltr_r, round(score, 5) AS bm25_r
 FROM scored QUALIFY rank <= 10"""
     )
+    # replica: byte-identical manifests + data dirs => the follower's
+    # ranking IS the leader's, i.e. the plain from-text BM25 oracle
+    o["replica_topk"] = o["bm25_topk_sql"]
     # KMV: SQL bottom-k over the same md5-60 hash of the same key
     o["kmv_sample"] = f"""
 WITH h AS (SELECT cast(doc_id as varchar) AS key,

@@ -46,7 +46,7 @@ def main(argv=None) -> int:
             "bench", "neardup", "ann", "stream", "compact", "delete", "grep",
             "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
             "reindex", "alias", "export", "restore", "rank-eval", "bpe",
-            "rollover", "geo", "sort-index", "stems",
+            "rollover", "geo", "sort-index", "stems", "replicate",
         ],
     )
     p.add_argument(
@@ -705,6 +705,15 @@ def main(argv=None) -> int:
 
         n = build_term_dictionary(spark, args.index)
         print(json.dumps({"index": args.index, "terms": n}))
+
+    elif args.cmd == "replicate":
+        # CCR follower sync: --index is the LEADER, --out the follower;
+        # re-run to tail new commits (idempotent, delta-sized)
+        from yase_spark.replicate import follow
+
+        if not args.out:
+            raise SystemExit("replicate needs --out <follower-root>")
+        print(json.dumps(follow(args.index, args.out)))
 
     elif args.cmd == "stems":
         # (stem, term, df) sibling: retrofits stemmed search onto the
