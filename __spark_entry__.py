@@ -2895,6 +2895,21 @@ def _q_ltr_topk(spark, sf_dir):
     )
 
 
+SPCT_PS, SPCT_K = [0.5, 0.9], 64
+
+
+def _q_sampled_percentiles(spark, sf_dir):
+    # approximate per-lang percentiles from the DETERMINISTIC md5
+    # bottom-k sample (the scale path next to exact length_percentiles)
+    # — the sample is a pure function of the data, so the oracle
+    # replays it row-for-row
+    from yase_spark.sketches import sampled_percentiles
+
+    return sampled_percentiles(
+        _docs(spark, sf_dir), "lang", "n_chars", SPCT_PS, k=SPCT_K
+    )
+
+
 def _q_replica_topk(spark, sf_dir):
     # cross-cluster replication: a follower index synced by manifest
     # diff + verified file copy must rank EXACTLY like the leader — and
@@ -2948,6 +2963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_sample": _q_kmv_sample,
         "ltr_topk": _q_ltr_topk,
         "replica_topk": _q_replica_topk,
+        "sampled_percentiles": _q_sampled_percentiles,
         # --- window rank 13-50: never driver-checked, one
         # representative per module/lane (sibling variants whose twin
         # is in-window are deferred to the next round's window) ---
@@ -2980,13 +2996,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotile_grid": _q_geotile_grid,
         "federated_topk": _q_federated_topk,
         "federated_facets": _q_federated_facets,
-        "federated_mlt": _q_federated_mlt,
         "stream_dedup": _q_stream_dedup,
         "stream_percolate": _q_stream_percolate,
         "ann_ivf_topk": _q_ann_ivf_topk,
         # --- never driver-checked spillover (beyond the ~50-row
         # window this round; leads the round-5 re-rank; the first 17
         # were window entries displaced by the fifth-block additions) ---
+        "federated_mlt": _q_federated_mlt,
         "federated_sigterms": _q_federated_sigterms,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_sq_topk": _q_ann_sq_topk,
@@ -5092,6 +5108,29 @@ FROM scored QUALIFY rank <= 10"""
     # replica: byte-identical manifests + data dirs => the follower's
     # ranking IS the leader's, i.e. the plain from-text BM25 oracle
     o["replica_topk"] = o["bm25_topk_sql"]
+    # sampled percentiles: the deterministic bottom-k sample and the
+    # rank pick replayed row-for-row (engine-specific only in the
+    # md5->bigint spelling)
+    from yase_spark.sketches import h60_duckdb
+
+    _sh = h60_duckdb("cast(doc_id as varchar)")
+    _spct_vals = ", ".join(f"({p!r})" for p in SPCT_PS)
+    o["sampled_percentiles"] = f"""
+WITH s AS (
+  SELECT lang, n_chars, {_sh} AS _h,
+         row_number() OVER (PARTITION BY lang ORDER BY {_sh}) AS _rn
+  FROM documents),
+smp AS (SELECT lang, n_chars, _h FROM s WHERE _rn <= {SPCT_K}),
+r AS (SELECT lang, n_chars, _h,
+        row_number() OVER (PARTITION BY lang ORDER BY n_chars, _h) AS _vr,
+        count(*) OVER (PARTITION BY lang) AS sample_n
+      FROM smp),
+pp(p) AS (VALUES {_spct_vals})
+SELECT lang, cast(p as double) AS p, n_chars AS value, sample_n
+FROM r CROSS JOIN pp
+WHERE _vr = greatest(1, cast(ceil(cast(p as double) * sample_n) as int))
+ORDER BY lang, p
+"""
     # KMV: SQL bottom-k over the same md5-60 hash of the same key
     o["kmv_sample"] = f"""
 WITH h AS (SELECT cast(doc_id as varchar) AS key,

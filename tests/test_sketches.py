@@ -179,3 +179,53 @@ def test_kmv_bottomk_and_merge(spark):
     # under-k sketch is exact
     few = kmv_bottomk(docs.filter("doc_id < 5"), "key", k=k).collect()
     assert kmv_estimate(few, k) == 5.0
+
+
+def test_sampled_percentiles(spark):
+    import hashlib
+
+    rows = [(i, "g" + str(i % 2), float((i * 37) % 1000)) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, grp string, v double")
+    from yase_spark.sketches import sampled_percentiles
+
+    k = 64
+    got = {
+        (r["grp"], r["p"]): (r["value"], r["sample_n"])
+        for r in sampled_percentiles(
+            docs, "grp", "v", [0.5, 0.9], k=k
+        ).collect()
+    }
+    # python replay: same md5-60 bottom-k sample, same rank pick
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    import math as _m
+
+    for g in ("g0", "g1"):
+        vals = [(h60(str(i)), v) for i, gg, v in rows if gg == g]
+        vals.sort()
+        samp = sorted((v, h) for h, v in vals[:k])
+        n = len(samp)
+        for p in (0.5, 0.9):
+            want = samp[max(1, _m.ceil(p * n)) - 1][0]
+            assert got[(g, p)] == (want, n), (g, p)
+            # sample quantile within ~5/sqrt(k) of the true quantile
+            true_sorted = sorted(v for _h, v in vals)
+            t = true_sorted[max(1, _m.ceil(p * len(true_sorted))) - 1]
+            assert abs(want - t) <= 5.0 / (k ** 0.5) * 1000
+    # k >= group size degenerates to the exact discrete percentile
+    exact = {
+        (r["grp"], r["p"]): r["value"]
+        for r in sampled_percentiles(
+            docs, "grp", "v", [0.5], k=10_000
+        ).collect()
+    }
+    for g in ("g0", "g1"):
+        vs = sorted(v for _i, gg, v in rows if gg == g)
+        assert exact[(g, 0.5)] == vs[max(1, _m.ceil(0.5 * len(vs))) - 1]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sampled_percentiles(docs, "grp", "v", [1.5])
+    with _pt.raises(ValueError):
+        sampled_percentiles(docs, "grp", "v", [0.5], k=0)

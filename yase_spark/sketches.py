@@ -254,3 +254,66 @@ def kmv_estimate(sketch_rows: list, k: int) -> float:
         return float(len(sketch_rows))
     hk = max(r["h"] for r in sketch_rows)
     return (k - 1) * float(1 << H_BITS) / float(hk)
+
+
+def sampled_percentiles(
+    docs: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    k: int = 256,
+    key_expr: str = "cast(doc_id as string)",
+) -> DataFrame:
+    """Approximate per-group percentiles from a DETERMINISTIC uniform
+    sample: each group keeps the k rows with the smallest md5-60 hash
+    of ``key_expr`` (the KMV sample — corpus-order-independent and
+    mergeable: bottom-k of unions), then reports the exact
+    percentile_disc of each requested p over the sample. Output
+    (group, p, value, sample_n), ordered.
+
+    This is the honest scale path next to the exact
+    ``aggs.group_percentiles`` window: at 10^12 rows the exact
+    per-group sort is the cost ceiling, while the sample bound is
+    k·groups rows TOTAL after one shuffle — with the classic
+    sample-quantile error ~1/sqrt(k) (pytest gates the band). Unlike
+    t-digest/reservoir implementations the sample is a pure function
+    of the data, so re-runs, engines, and merge orders all agree —
+    which is what makes the driver oracle full-value rather than
+    error-band-only."""
+    from pyspark.sql import Window
+
+    if not ps or any(not (0.0 < p <= 1.0) for p in ps):
+        raise ValueError("ps must be fractions in (0, 1]")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = _h60(key_expr)
+    wh = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
+    sample = (
+        docs.select(group_col, value_col, F.expr(h).alias("_h"))
+        .withColumn("_rn", F.row_number().over(wh))
+        .filter(F.col("_rn") <= k)
+    )
+    wv = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col("_h").asc()
+    )
+    ranked = sample.select(
+        group_col,
+        F.col(value_col),
+        F.col("_h"),
+        F.row_number().over(wv).alias("_vr"),
+        F.count("*").over(
+            Window.partitionBy(group_col)
+        ).alias("sample_n"),
+    )
+    pdf = docs.sparkSession.createDataFrame(
+        [(float(p),) for p in ps], "p double"
+    )
+    picked = ranked.join(F.broadcast(pdf)).filter(
+        F.col("_vr")
+        == F.greatest(
+            F.lit(1), F.ceil(F.col("p") * F.col("sample_n")).cast("int")
+        )
+    )
+    return picked.select(
+        group_col, "p", F.col(value_col).alias("value"), "sample_n"
+    ).orderBy(group_col, "p")

@@ -252,7 +252,8 @@ def main(argv=None) -> int:
                  "term_vectors", "complete", "phrase", "date_histogram",
                  "rare_terms", "bbox", "near", "within", "grid",
                  "adjacency", "multi_terms", "bucket_sort", "pct_ranks",
-                 "dsir", "policy", "hll", "heavy_hitters", "kmv"],
+                 "dsir", "policy", "hll", "heavy_hitters", "kmv",
+                 "sampled_pct"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -1132,6 +1133,15 @@ def main(argv=None) -> int:
             from yase_spark.sketches import kmv_bottomk
 
             out_df = kmv_bottomk(docs, "cast(doc_id as string)", k=args.k)
+        elif args.op == "sampled_pct":
+            # deterministic-sample percentiles; --ps like percentiles,
+            # --k is the per-group sample size
+            from yase_spark.sketches import sampled_percentiles
+
+            out_df = sampled_percentiles(
+                docs, args.group_col, args.value_col or "n_chars",
+                [float(x) for x in args.ps.split(",")], k=max(args.k, 1),
+            )
         else:
             raise SystemExit("aggs needs --op")
         if args.out:
