@@ -2934,6 +2934,135 @@ def _q_replica_topk(spark, sf_dir):
     )
 
 
+# ------------------- round-4 sixth block: substring dedup, line dedup,
+# weighted_avg / top_metrics / auto_date_histogram, dis_max / pinned,
+# sort + search_after paging
+
+DUP_SPAN_K = 20
+
+
+def _q_dup_spans(spark, sf_dir):
+    # exact duplicated-substring detection (Lee et al. 2022): every
+    # k-char window recurring anywhere in the corpus, per-doc counts +
+    # exact char coverage of the duplicated-window union
+    from yase_spark.neardup import dup_spans
+
+    return dup_spans(_docs(spark, sf_dir), k=DUP_SPAN_K).select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        "dup_chars",
+        F.round("dup_char_frac", 9).alias("dup_frac_r"),
+    )
+
+
+LINE_DEDUP_MIN_DOCS = 300
+
+
+def _q_line_dedup(spark, sf_dir):
+    # CCNet/RefinedWeb line-level boilerplate removal. The fixture text
+    # has no newlines, so the entry derives a line structure both
+    # engines express identically (replace spaces with newlines — every
+    # word a line); min_docs=300 of ~500 docs strips only truly
+    # corpus-wide boilerplate lines
+    from yase_spark.curation import line_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("replace(text, ' ', '\n')").alias("text")
+    )
+    return line_dedup(d, min_docs=LINE_DEDUP_MIN_DOCS).select(
+        "doc_id", "clean_text", "n_lines", "n_removed", "removed_chars"
+    )
+
+
+def _q_weighted_avg(spark, sf_dir):
+    # ES weighted_avg: integer value/weight sums stay exact; the one
+    # double division at the end is bitwise-replayable
+    from yase_spark.aggs import weighted_avg
+
+    return weighted_avg(
+        _docs(spark, sf_dir), ["lang"], "n_chars", "doc_id % 7 + 1"
+    )
+
+
+def _q_top_metrics(spark, sf_dir):
+    # ES top_metrics: per-lang metrics at the 2 largest n_chars rows,
+    # doc_id ASC tie-break (deterministic where ES is unspecified)
+    from yase_spark.aggs import top_metrics
+
+    return top_metrics(
+        _docs(spark, sf_dir), ["lang"], "n_chars", ["source", "doc_id"], size=2
+    )
+
+
+AUTO_HIST_TARGET = 20
+
+
+def _q_auto_date_histogram(spark, sf_dir):
+    # ES auto_date_histogram: smallest ladder interval with <= target
+    # buckets; all bucket arithmetic in exact int64 microseconds
+    from yase_spark.aggs import auto_date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return auto_date_histogram(ev, target_buckets=AUTO_HIST_TARGET)
+
+
+DISMAX_Q1 = ["table", "hash"]
+DISMAX_Q2 = ["window", "spark"]
+DISMAX_TIE = 0.3
+
+
+def _q_dis_max(spark, sf_dir):
+    # query-level dis_max (Lucene DisjunctionMaxQuery): best sub-query
+    # score + tie_breaker * the rest
+    rd = _reader(spark, sf_dir)
+    res = rd.dis_max_topk(
+        [" ".join(DISMAX_Q1), " ".join(DISMAX_Q2)], k=10, tie_breaker=DISMAX_TIE
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+PINNED_ORIG_IDS = [3, 7]
+
+
+def _q_pinned_topk(spark, sf_dir):
+    # ES pinned query: editorial ids first in order, organics follow
+    # with the pinned excluded, pinned count toward k
+    rd = _reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)  # (doc_id internal, orig_doc_id)
+    inv = {
+        r["orig_doc_id"]: r["doc_id"]
+        for r in m.filter(F.col("orig_doc_id").isin(PINNED_ORIG_IDS)).collect()
+    }
+    internal = [inv[o] for o in PINNED_ORIG_IDS]
+    res = rd.pinned_topk(internal, " ".join(BM25_TERMS), k=10)
+    return res.join(m, "doc_id").select(
+        "rank",
+        F.col("orig_doc_id").alias("doc_id"),
+        "pinned",
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+def _q_sort_page2(spark, sf_dir):
+    # ES sort + search_after: page 2 (rows 11..20) of the field-sorted
+    # match set via the value cursor from page 1 — skip/repeat at the
+    # boundary breaks the hash against rows 11..20 of the full ranking
+    rd = _reader(spark, sf_dir)
+    q = " ".join(BM25_TERMS)
+    p1 = rd.topk_sort_field(q, "doc_len", k=10, early_terminate=False).collect()
+    cursor = (p1[-1]["doc_len"], p1[-1]["doc_id"])
+    p2 = rd.topk_sort_field(q, "doc_len", k=10, after=cursor)
+    m = _orig_ids(rd, spark)
+    return p2.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"), F.col("doc_len")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is driver-iteration order; the driver's CORRECTNESS
     # window covers ~50 entries/round (VERDICT r3). The window is a
@@ -2944,8 +3073,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # core last. preflight.py value-checks ALL entries every session
     # regardless.
     return {
-        # --- window rank 1-12: round-4 fifth block (newest, all
+        # --- window rank 1-8: round-4 sixth block (newest, all
         # full-oracle) ---
+        "dup_spans": _q_dup_spans,
+        "line_dedup": _q_line_dedup,
+        "weighted_avg": _q_weighted_avg,
+        "top_metrics": _q_top_metrics,
+        "auto_date_histogram": _q_auto_date_histogram,
+        "dis_max": _q_dis_max,
+        "pinned_topk": _q_pinned_topk,
+        "sort_page2": _q_sort_page2,
+        # --- window rank 9-26: round-4 fifth block (all full-oracle,
+        # never driver-checked) ---
         "stem_topk": _q_stem_topk,
         "topk_decay": _q_topk_decay,
         "topk_random": _q_topk_random,
@@ -2964,9 +3103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_topk": _q_ltr_topk,
         "replica_topk": _q_replica_topk,
         "sampled_percentiles": _q_sampled_percentiles,
-        # --- window rank 13-50: never driver-checked, one
+        # --- window rank 27-50: never driver-checked, one
         # representative per module/lane (sibling variants whose twin
-        # is in-window are deferred to the next round's window) ---
+        # is in-window are deferred to the next round's window; the
+        # tail of this section past ~50 spills with them) ---
         "topk_after_merge": _q_topk_after_merge,
         "topk_after_vacuum": _q_topk_after_vacuum,
         "reindex_topk": _q_reindex_topk,
@@ -4681,8 +4821,156 @@ ORDER BY score DESC, doc_id LIMIT 10
     }
 
 
+def _auto_hist_iv_sql() -> str:
+    """The auto_date_histogram ladder as a CASE over exact int64
+    microsecond arithmetic — generated from the same AUTO_INTERVALS_S
+    the engine uses so the two cannot drift."""
+    from yase_spark.aggs import AUTO_INTERVALS_S
+
+    cases = []
+    for s in AUTO_INTERVALS_S[:-1]:
+        us = s * 1_000_000
+        cases.append(
+            f"WHEN (mx - mx % {us}) // {us} - (mn - mn % {us}) // {us} + 1 "
+            f"<= {AUTO_HIST_TARGET} THEN {s}"
+        )
+    return "CASE " + " ".join(cases) + f" ELSE {AUTO_INTERVALS_S[-1]} END"
+
+
 def oracle_sql() -> dict[str, str]:
     o = _oracle_sql_base()
+    # --- round-4 sixth block ---
+    _h60_win = (
+        f"CAST(concat('0x', substr(md5(substr(text, i.i, {DUP_SPAN_K})), 1, 15)) "
+        "AS BIGINT)"
+    )
+    o["dup_spans"] = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+wins AS (
+  SELECT doc_id, i.i AS pos, {_h60_win} AS h
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, n - {DUP_SPAN_K} + 1)) AS i) i
+  WHERE n >= {DUP_SPAN_K}),
+dupk AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+dw AS (SELECT doc_id, pos FROM wins JOIN dupk USING (h)),
+pw AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY 1),
+pd AS (SELECT doc_id, count(*) AS n_dup_windows FROM dw GROUP BY 1),
+cov AS (SELECT doc_id, count(DISTINCT pos + o.o) AS dup_chars
+        FROM dw CROSS JOIN LATERAL (
+          SELECT unnest(generate_series(0, {DUP_SPAN_K - 1})) AS o) o
+        GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(pw.n_windows, 0) AS n_windows,
+       coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(cov.dup_chars, 0) AS dup_chars,
+       round(CASE WHEN d.n > 0
+             THEN CAST(coalesce(cov.dup_chars, 0) AS DOUBLE) / CAST(d.n AS DOUBLE)
+             ELSE 0.0 END, 9) AS dup_frac_r
+FROM d LEFT JOIN pw USING (doc_id) LEFT JOIN pd USING (doc_id)
+       LEFT JOIN cov USING (doc_id)
+"""
+    # line grouping by the RAW line (the oracle stays independent of
+    # the engine's h60 shuffle key — stronger than sharing the hash)
+    o["line_dedup"] = f"""
+WITH d AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents),
+l AS (SELECT doc_id, unnest(str_split(text, chr(10))) AS line,
+             unnest(generate_series(1, len(str_split(text, chr(10))))) AS pos
+      FROM d),
+b AS (SELECT line FROM l WHERE trim(line) <> ''
+      GROUP BY line HAVING count(DISTINCT doc_id) >= {LINE_DEDUP_MIN_DOCS}),
+f AS (SELECT l.doc_id, l.pos, l.line,
+             (b.line IS NOT NULL AND trim(l.line) <> '') AS dr
+      FROM l LEFT JOIN b ON l.line = b.line)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dr THEN line END, chr(10)
+                           ORDER BY pos), '') AS clean_text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN dr THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN dr THEN length(line) ELSE 0 END) AS BIGINT)
+         AS removed_chars
+FROM f GROUP BY doc_id
+"""
+    o["weighted_avg"] = """
+SELECT lang,
+       CAST(sum(n_chars * (doc_id % 7 + 1)) AS BIGINT) AS vw_sum,
+       CAST(sum(doc_id % 7 + 1) AS BIGINT) AS w_sum,
+       CAST(sum(n_chars * (doc_id % 7 + 1)) AS DOUBLE)
+         / CAST(sum(doc_id % 7 + 1) AS DOUBLE) AS wavg
+FROM documents GROUP BY lang ORDER BY lang
+"""
+    o["top_metrics"] = """
+WITH r AS (SELECT lang, source, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS metric_rank
+           FROM documents)
+SELECT lang, metric_rank, n_chars, source, doc_id
+FROM r WHERE metric_rank <= 2 ORDER BY lang, metric_rank
+"""
+    o["auto_date_histogram"] = f"""
+WITH ep AS (SELECT epoch_us(ts) AS e FROM events),
+mm AS (SELECT min(e) AS mn, max(e) AS mx FROM ep),
+iv AS (SELECT {_auto_hist_iv_sql()} AS s FROM mm)
+SELECT make_timestamp(e - e % (CAST(iv.s AS BIGINT) * 1000000)) AS bucket_start,
+       count(*) AS n, CAST(iv.s AS BIGINT) AS interval_s
+FROM ep CROSS JOIN iv GROUP BY 1, 3 ORDER BY 1
+"""
+    _dmx_a = ", ".join(f"'{t}'" for t in DISMAX_Q1)
+    _dmx_b = ", ".join(f"'{t}'" for t in DISMAX_Q2)
+    o["dis_max"] = f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tfa AS (SELECT term, doc_id, count(*) AS tf FROM t WHERE term IN ({_dmx_a}) GROUP BY 1, 2),
+dfa AS (SELECT term, count(*) AS df FROM tfa GROUP BY 1),
+sca AS (
+  SELECT tfa.doc_id,
+         sum(ln(1.0 + (st.n - dfa.df + 0.5) / (dfa.df + 0.5))
+             * (tfa.tf * {K1 + 1.0}) / (tfa.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tfa JOIN dfa USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1),
+tfb AS (SELECT term, doc_id, count(*) AS tf FROM t WHERE term IN ({_dmx_b}) GROUP BY 1, 2),
+dfb AS (SELECT term, count(*) AS df FROM tfb GROUP BY 1),
+scb AS (
+  SELECT tfb.doc_id,
+         sum(ln(1.0 + (st.n - dfb.df + 0.5) / (dfb.df + 0.5))
+             * (tfb.tf * {K1 + 1.0}) / (tfb.tf + {K1} * (1.0 - {B} + {B} * (dl.dl / st.avgdl)))
+         ) AS score
+  FROM tfb JOIN dfb USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1),
+u AS (SELECT doc_id, score FROM sca UNION ALL SELECT doc_id, score FROM scb),
+c AS (SELECT doc_id, max(score) AS best, sum(score) AS total FROM u GROUP BY 1)
+SELECT doc_id,
+       round(best + {DISMAX_TIE} * (total - best), 5) AS score_r
+FROM c ORDER BY best + {DISMAX_TIE} * (total - best) DESC, doc_id LIMIT 10
+"""
+    _pin = ", ".join(str(i) for i in PINNED_ORIG_IDS)
+    _pin_vals = ", ".join(
+        f"({r + 1}, {i}, 1, 0.0)" for r, i in enumerate(PINNED_ORIG_IDS)
+    )
+    _np = len(PINNED_ORIG_IDS)
+    o["pinned_topk"] = _bm25_oracle_sql(
+        f"""
+, org AS (SELECT doc_id, score FROM sc WHERE doc_id NOT IN ({_pin})
+          ORDER BY score DESC, doc_id LIMIT {10 - _np})
+SELECT CAST(p.rank AS BIGINT) AS rank, CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(p.pinned AS INT) AS pinned, CAST(p.score_r AS DOUBLE) AS score_r
+FROM (VALUES {_pin_vals}) AS p(rank, doc_id, pinned, score_r)
+UNION ALL
+SELECT row_number() OVER (ORDER BY score DESC, doc_id) + {_np} AS rank,
+       doc_id, 0 AS pinned, round(score, 5) AS score_r
+FROM org
+"""
+    )
+    _srt = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    o["sort_page2"] = f"""
+{_T_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+match AS (SELECT DISTINCT doc_id FROM t WHERE term IN ({_srt})),
+top AS (SELECT doc_id, dl FROM match JOIN dl USING (doc_id)
+        ORDER BY dl DESC, doc_id LIMIT 10 OFFSET 10)
+SELECT doc_id, dl AS doc_len FROM top
+"""
     # federated suggest surfaces: two disjoint shards must reproduce
     # the FULL-corpus completion / spell rankings exactly (df is
     # additive over disjoint shards) — same oracles as the single-index

@@ -420,3 +420,122 @@ def percentile_ranks(
         )
         .orderBy(group_col, "threshold")
     )
+
+
+def weighted_avg(
+    docs: DataFrame,
+    keys: list[str],
+    value_expr: str,
+    weight_expr: str,
+) -> DataFrame:
+    """ES ``weighted_avg`` aggregation: per bucket,
+    sum(value*weight) / sum(weight). ``value_expr``/``weight_expr`` are
+    SQL expressions over the row (ES's value/weight field pair). The
+    sums are computed in the INPUT's type — integer inputs keep exact
+    integer sums (one map-side-combinable aggregate) and the single
+    division at the end is the only floating-point step, which is what
+    makes the result bitwise replayable by any engine. One hash
+    aggregate keyed by the bucket tuple; output is bucket-sized."""
+    if not keys:
+        raise ValueError("weighted_avg needs at least one grouping key")
+    d = docs.withColumn("__v", F.expr(value_expr)).withColumn(
+        "__w", F.expr(weight_expr)
+    )
+    g = d.groupBy(*keys).agg(
+        F.sum(F.expr("__v * __w")).alias("vw_sum"),
+        F.sum("__w").alias("w_sum"),
+    )
+    return g.select(
+        *keys,
+        "vw_sum",
+        "w_sum",
+        (F.col("vw_sum").cast("double") / F.col("w_sum").cast("double")).alias(
+            "wavg"
+        ),
+    ).orderBy(*keys)
+
+
+def top_metrics(
+    docs: DataFrame,
+    keys: list[str],
+    sort_col: str,
+    metric_cols: list[str],
+    size: int = 1,
+    ascending: bool = False,
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation: per bucket, the metric column
+    values taken from the row(s) with the largest (or smallest)
+    ``sort_col`` — "the value at the latest timestamp per host" shape.
+    Deterministic under sort-value ties via ``tiebreak_col`` ASC (ES
+    leaves ties unspecified; we don't). One window pass partitioned by
+    the bucket keys — k rows of state per bucket, never a global sort;
+    the output is bucket-sized (size rows per bucket)."""
+    from pyspark.sql import Window
+
+    ordcol = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+    w = Window.partitionBy(*keys).orderBy(ordcol, F.col(tiebreak_col).asc())
+    ranked = docs.withColumn("metric_rank", F.row_number().over(w)).filter(
+        F.col("metric_rank") <= size
+    )
+    return ranked.select(
+        *keys, "metric_rank", sort_col, *metric_cols
+    ).orderBy(*keys, "metric_rank")
+
+
+# ES auto_date_histogram's interval ladder (seconds): minute, 5 minutes,
+# 30 minutes, hour, 3 hours, 12 hours, day — the subset of ES's ladder
+# expressible as fixed-length seconds (calendar months/years are not
+# fixed-length and are out of scope for an epoch-arithmetic histogram).
+AUTO_INTERVALS_S = (60, 300, 1800, 3600, 10800, 43200, 86400)
+
+
+def auto_date_histogram(
+    events: DataFrame,
+    target_buckets: int = 20,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the SMALLEST interval from the
+    fixed ladder whose bucket count stays <= ``target_buckets`` (the
+    largest ladder rung if none fits), then histogram on it. The
+    chosen ``interval_s`` is emitted on every row so a consumer (and
+    the oracle) can verify the choice.
+
+    Determinism: all bucket arithmetic is exact int64 WALL-CLOCK
+    microseconds since the epoch (``timestampdiff`` against an NTZ
+    epoch literal — timezone-free, the same integer DuckDB's
+    ``epoch_us`` of a naive timestamp yields; ``ep - ep % iv`` flooring
+    — no float division anywhere), so the engine and any replaying
+    engine agree bitwise. Scale shape: one scalar min/max aggregate
+    (the ladder choice is driver arithmetic over two numbers), then ONE
+    hash aggregate keyed by the bucket — the same two-job shape at any
+    corpus size."""
+    epoch0 = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    ep_expr = (
+        f"timestampdiff(MICROSECOND, {epoch0}, "
+        f"cast({ts_col} as timestamp_ntz))"
+    )
+    ep = events.select(F.expr(ep_expr).alias("ep"))
+    row = ep.agg(F.min("ep").alias("mn"), F.max("ep").alias("mx")).collect()[0]
+    if row["mn"] is None:
+        raise ValueError("auto_date_histogram over an empty frame")
+    mn, mx = int(row["mn"]), int(row["mx"])
+    iv_s = AUTO_INTERVALS_S[-1]
+    for cand in AUTO_INTERVALS_S:
+        iv_us = cand * 1_000_000
+        n_buckets = (mx - mx % iv_us) // iv_us - (mn - mn % iv_us) // iv_us + 1
+        if n_buckets <= target_buckets:
+            iv_s = cand
+            break
+    iv_us = iv_s * 1_000_000
+    return (
+        events.select(F.expr(ep_expr).alias("ep"))
+        .groupBy(
+            F.expr(
+                f"timestampadd(MICROSECOND, ep - ep % {iv_us}, {epoch0})"
+            ).alias("bucket_start")
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("interval_s", F.lit(iv_s).cast("long"))
+        .orderBy("bucket_start")
+    )

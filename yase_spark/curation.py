@@ -334,3 +334,65 @@ def policy_flags(
         c = F.col(f"f_{name}").cast("int")
         n = c if n is None else (n + c)
     return out.withColumn("n_flags", n.cast("long"))
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb /
+    MassiveText line-dedup stage): a non-blank line occurring in
+    >= ``min_docs`` DISTINCT documents is boilerplate (navigation
+    chrome, license banners, templated headers) and is stripped from
+    EVERY document; blank lines and unique lines survive in their
+    original order. Output per doc: ``clean_text`` (surviving lines
+    re-joined with newlines), ``n_lines``, ``n_removed``,
+    ``removed_chars`` — the audit columns a curation pipeline logs.
+
+    Scale shape: one corpus pass explodes lines with their positions;
+    the global frequency shuffle is keyed by the 60-bit md5 of the line
+    (8 bytes/line — line text never rides the frequency shuffle);
+    ``countDistinct(doc_id)`` is the standard two-phase expand; the
+    reassembly is one doc_id-keyed aggregation whose per-doc state is
+    the doc's own line list (bounded by doc size — the same bound as
+    any per-doc kernel). Nothing corpus-sized reaches the driver."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    keyed = lines.withColumn("h", F.expr(_h60("line")))
+    boiler = (
+        keyed.filter(F.length(F.trim("line")) > 0)
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("h")
+    )
+    flagged = keyed.join(
+        boiler.withColumn("is_boiler", F.lit(True)), "h", "left"
+    ).withColumn(
+        "drop",
+        F.col("is_boiler").isNotNull() & (F.length(F.trim("line")) > 0),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("drop").cast("long")).alias("n_removed"),
+            F.sum(
+                F.when(F.col("drop"), F.length("line")).otherwise(F.lit(0))
+            ).alias("removed_chars"),
+            F.concat_ws(
+                "\n",
+                F.expr(
+                    "transform(array_sort(collect_list(case when not drop "
+                    "then struct(pos, line) end)), x -> x.line)"
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id", "clean_text", "n_lines", "n_removed", "removed_chars"
+        )
+    )

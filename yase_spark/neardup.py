@@ -487,3 +487,101 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    k: int = 20,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): flag every position whose k-char window recurs
+    ANYWHERE in the corpus (other docs or elsewhere in the same doc) —
+    the substring-level signal document-level MinHash/SimHash cannot
+    see (a verbatim paragraph pasted into otherwise-novel documents).
+
+    Definition (exact, order-free): window i (1-based) of a doc is
+    *duplicated* iff its k-char substring occurs >= 2 times in the
+    corpus counting all positions. Per doc we report
+    ``n_windows``, ``n_dup_windows``, ``dup_chars`` (distinct character
+    positions covered by the union of duplicated windows — the paper's
+    "fraction of corpus in duplicated spans" numerator) and
+    ``dup_char_frac = dup_chars / n_chars``.
+
+    Scale shape: ONE corpus pass explodes window starts (sequence with
+    ``stride``), the shuffle key is the 60-bit md5 of the window (8
+    bytes — the window text itself never shuffles), one hash aggregate
+    counts occurrences, one join brings dup flags back, and coverage is
+    a per-doc distinct count. Cost is O(chars/stride) rows — the same
+    asymptotics as the paper's suffix array, expressed relationally.
+    ``stride=s`` is the documented 100-TB knob (winnowing-style
+    subsampling): every duplicated span of length >= k + s - 1 still
+    contains an aligned window on both sides of the copy only when the
+    copies are phase-aligned, so s > 1 trades exactness of the >= k
+    guarantee for an exact >= k + s - 1 one at 1/s the rows."""
+    from .curation import _h60
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("n_chars"),
+    )
+    wins = (
+        base.filter(F.col("n_chars") >= k)
+        .select(
+            "doc_id",
+            "__t",
+            F.explode(
+                F.expr(f"sequence(1, length(__t) - {k} + 1, {stride})")
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(_h60(f"substring(__t, pos, {k})")).alias("h"),
+        )
+    )
+    dup_keys = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("h")
+    )
+    dup_wins = wins.join(dup_keys, "h").select("doc_id", "pos")
+    per_doc_wins = wins.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows")
+    )
+    per_doc_dups = dup_wins.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_windows")
+    )
+    coverage = (
+        dup_wins.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("cpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("cpos").alias("dup_chars"))
+    )
+    return (
+        base.select("doc_id", "n_chars")
+        .join(per_doc_wins, "doc_id", "left")
+        .join(per_doc_dups, "doc_id", "left")
+        .join(coverage, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.when(
+                F.col("n_chars") > 0,
+                F.coalesce("dup_chars", F.lit(0)).cast("double")
+                / F.col("n_chars").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_char_frac"),
+        )
+    )

@@ -2810,6 +2810,112 @@ class IndexReader:
         )
         return self._take_ranked(per_doc, k)
 
+    def dis_max_topk(
+        self, queries: list[str], k: int = 10, tie_breaker: float = 0.0
+    ) -> DataFrame:
+        """Query-level dis-max (the ES ``dis_max`` compound query,
+        Lucene DisjunctionMaxQuery over arbitrary sub-queries): each
+        sub-query scores independently as an ordinary BM25 disjunction,
+        and a doc's final score is its BEST sub-query score plus
+        ``tie_breaker`` times the rest — the classic fix for unioned
+        rephrasings where summing would overcount docs matching every
+        variant. tie_breaker=0 is pure max; tie_breaker=1 degenerates
+        to the summed union (both pytest-gated).
+
+        Determinism: the cross-sub-query sum folds in sub-query index
+        order via a sorted-array aggregate (fixed IEEE add order — the
+        same device as the fixed analyzer-order term summation), so the
+        combine is reproducible for any number of sub-queries.
+
+        Scale shape: one contribution-lane pass per sub-query (each the
+        standard fetch + per-doc aggregation), frames union by
+        partition concat (no barrier), ONE doc_id-keyed aggregation
+        combines, TakeOrdered caps."""
+        if not queries:
+            raise ValueError("dis_max_topk needs at least one sub-query")
+        # TakeOrdered allocates a k-sized heap per partition — clamp the
+        # "give me everything" k to the corpus size
+        k = min(int(k), self.n_docs)
+        frames = []
+        for qi, q in enumerate(queries):
+            qterms = analyze_query(q)
+            if not qterms:
+                continue
+            frames.append(
+                self.contrib_df(qterms)
+                .groupBy("doc_id")
+                .agg(F.sum("contrib").alias("score"))
+                .withColumn("qi", F.lit(qi))
+            )
+        if not frames:
+            return self.spark.createDataFrame(
+                [], schema="rank long, doc_id long, score double"
+            )
+        u = frames[0]
+        for fdf in frames[1:]:
+            u = u.unionByName(fdf)
+        tie = float(tie_breaker)
+        per_doc = (
+            u.groupBy("doc_id")
+            .agg(
+                F.max("score").alias("best"),
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list("
+                    "struct(qi, score))), x -> x.score), "
+                    "cast(0.0 as double), (a, x) -> a + x)"
+                ).alias("total"),
+            )
+            .select(
+                "doc_id",
+                (
+                    F.col("best")
+                    + F.lit(tie) * (F.col("total") - F.col("best"))
+                ).alias("score"),
+            )
+        )
+        return self._take_ranked(per_doc, k)
+
+    def pinned_topk(
+        self, pinned_ids: list[int], query: str, k: int = 10
+    ) -> DataFrame:
+        """Pinned query (the ES ``pinned`` query): the given doc_ids
+        rank first IN THE GIVEN ORDER (editorial promotions), organic
+        BM25 results follow with the pinned docs excluded; pinned docs
+        count toward ``k`` (the ES semantics). Output (rank, doc_id,
+        pinned, score) — pinned rows carry score 0.0 and pinned=1 so
+        the two strata are auditable. Unknown ids are skipped (ES skips
+        ids the index doesn't hold). Scale shape: the organic ranking
+        is the ordinary dispatched top-k asked for k + |pinned| rows
+        (exclusion can displace at most |pinned| of them); the pinned
+        list is serving-request-sized driver data."""
+        ids = list(dict.fromkeys(int(i) for i in pinned_ids))
+        if len(ids) > k:
+            ids = ids[:k]
+        known = {
+            r["doc_id"]
+            for r in self.cat.read(self.spark, "docs")
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id")
+            .collect()
+        }
+        if self._deleted is not None:
+            known -= set(int(d) for d in self._deleted)
+        ids = [i for i in ids if i in known]
+        organic = [
+            (d, s)
+            for _, d, s in self.topk(query, k + len(ids))
+            if d not in set(ids)
+        ][: k - len(ids)]
+        rows = [
+            (rank + 1, d, 1, 0.0) for rank, d in enumerate(ids)
+        ] + [
+            (len(ids) + rank + 1, d, 0, float(s))
+            for rank, (d, s) in enumerate(organic)
+        ]
+        return self.spark.createDataFrame(
+            rows, schema="rank long, doc_id long, pinned int, score double"
+        )
+
     def topk_grouped(
         self, query: str, field: str, k_per_group: int = 3, groups: int = 10
     ) -> DataFrame:
@@ -2912,6 +3018,7 @@ class IndexReader:
     def topk_sort_field(
         self, tree, field: str, k: int = 10, ascending: bool = False,
         early_terminate: bool | None = None,
+        after: tuple | None = None,
     ) -> DataFrame:
         """Sort-by-field search (the ES ``sort`` API): docs matching the
         query ordered by a docs-dimension column instead of relevance —
@@ -2934,7 +3041,17 @@ class IndexReader:
         one shuffle), joins the docs dimension on doc_id, and
         ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
         (per-partition heaps, P·k rows at the driver) — never a global
-        sort. The rank window runs on the k-row result only."""
+        sort. The rank window runs on the k-row result only.
+
+        ``after=(field_value, doc_id)`` is the ES sort + ``search_after``
+        combination: the next page strictly after a VALUE cursor in the
+        (field, doc_id) sort order — exact and stable under
+        re-execution like ``topk_after``, no offset skip/repeat. Cursor
+        pages serve from the classic lane (the early-terminated prefix
+        scan would need cursor-aware file skipping — files wholly
+        before the cursor could be skipped entirely; a documented
+        future optimization, not a correctness gap: the classic lane's
+        filter + TakeOrdered is exact at any depth)."""
         from pyspark.sql import Window
 
         from . import sortindex
@@ -2957,6 +3074,13 @@ class IndexReader:
 
         pinned = isinstance(self.cat, PinnedCatalog)
         use_et = early_terminate
+        if after is not None:
+            if early_terminate:
+                raise ValueError(
+                    "search_after cursor pages serve from the classic lane "
+                    "(pass early_terminate=None or False)"
+                )
+            use_et = False
         if use_et is None:
             # a PIT reader must not serve from the LIVE sort sibling
             # (properties/sibling state are not snapshot-pinned)
@@ -2997,6 +3121,17 @@ class IndexReader:
                     "left_anti",
                 )
         ordcol = F.col(field).asc() if ascending else F.col(field).desc()
+        if after is not None:
+            av, aid = after
+            strictly = (
+                (F.col(field) > F.lit(av))
+                if ascending
+                else (F.col(field) < F.lit(av))
+            )
+            base = base.filter(
+                strictly
+                | ((F.col(field) == F.lit(av)) & (F.col("doc_id") > F.lit(int(aid))))
+            )
         top = base.orderBy(ordcol, F.col("doc_id").asc()).limit(k)
         w = Window.orderBy(ordcol, F.col("doc_id").asc())
         return top.withColumn(

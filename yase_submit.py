@@ -178,7 +178,7 @@ def main(argv=None) -> int:
                  "phrase_prefix", "terms", "highlight", "mlt", "hybrid",
                  "msm", "rescore", "federated", "span_near", "span_first",
                  "span_not", "qs", "sort", "stem", "decay", "random",
-                 "terms_set", "boosting", "ltr"],
+                 "terms_set", "boosting", "ltr", "dis_max", "pinned"],
         default="topk",
     )
     p.add_argument(
@@ -244,6 +244,14 @@ def main(argv=None) -> int:
         help="query --kind rescore: phrase whose positional match adds "
         "--rescore-bonus within the top --rescore-window candidates",
     )
+    p.add_argument(
+        "--tie", type=float, default=0.0,
+        help="query --kind dis_max: ES tie_breaker (0 = pure max)",
+    )
+    p.add_argument(
+        "--weight-expr", default="1",
+        help="aggs --op weighted_avg: SQL weight expression per row",
+    )
     p.add_argument("--rescore-window", type=int, default=50)
     p.add_argument("--rescore-bonus", type=float, default=2.0)
     p.add_argument(
@@ -253,7 +261,8 @@ def main(argv=None) -> int:
                  "rare_terms", "bbox", "near", "within", "grid",
                  "adjacency", "multi_terms", "bucket_sort", "pct_ranks",
                  "dsir", "policy", "hll", "heavy_hitters", "kmv",
-                 "sampled_pct"],
+                 "sampled_pct", "weighted_avg", "top_metrics", "auto_hist",
+                 "line_dedup", "dup_spans"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -834,8 +843,13 @@ def main(argv=None) -> int:
                     )
                 ]
             else:
+                cursor = None
+                if args.after:
+                    v, i = args.after.rsplit(",", 1)
+                    cursor = (int(v) if v.lstrip("-").isdigit() else v, int(i))
                 rows = rd.topk_sort_field(
-                    args.q, args.sort_field, k=args.k, ascending=args.asc
+                    args.q, args.sort_field, k=args.k, ascending=args.asc,
+                    after=cursor,
                 ).collect()
                 out = [r.asDict() for r in rows]
         elif args.kind == "qs":
@@ -989,6 +1003,17 @@ def main(argv=None) -> int:
             w = [float(x) for x in args.ltr_weights.split(",")]
             rows = ltr_rerank(rd, args.q, w, k=args.k, depth=args.depth).collect()
             out = [r.asDict() for r in rows]
+        elif args.kind == "dis_max":
+            # query-level dis_max: --q holds ';'-separated sub-queries
+            subs = [s.strip() for s in args.q.split(";") if s.strip()]
+            rows = rd.dis_max_topk(subs, k=args.k, tie_breaker=args.tie).collect()
+            out = [r.asDict() for r in rows]
+        elif args.kind == "pinned":
+            if not args.ids:
+                raise SystemExit("query --kind pinned needs --ids")
+            pins = [int(x) for x in args.ids.split(",")]
+            rows = rd.pinned_topk(pins, args.q, k=args.k).collect()
+            out = [r.asDict() for r in rows]
         elif args.kind == "span_near":
             # a clause with |-separated terms is a span_or clause
             clauses = [
@@ -1133,6 +1158,40 @@ def main(argv=None) -> int:
             from yase_spark.sketches import kmv_bottomk
 
             out_df = kmv_bottomk(docs, "cast(doc_id as string)", k=args.k)
+        elif args.op == "weighted_avg":
+            from yase_spark.aggs import weighted_avg
+
+            out_df = weighted_avg(
+                docs, (args.keys or args.group_col or "lang").split(","),
+                args.value_col or "n_chars",
+                args.weight_expr,
+            )
+        elif args.op == "top_metrics":
+            from yase_spark.aggs import top_metrics
+
+            out_df = top_metrics(
+                docs, (args.keys or args.group_col or "lang").split(","),
+                args.value_col or "n_chars",
+                (args.metric or "doc_id").split(","), size=max(args.k, 1),
+            )
+        elif args.op == "auto_hist":
+            # --corpus points at an events-shaped table; --k is the
+            # target bucket count
+            from yase_spark.aggs import auto_date_histogram
+
+            out_df = auto_date_histogram(docs, target_buckets=max(args.k, 1))
+        elif args.op == "line_dedup":
+            # CCNet/RefinedWeb boilerplate-line removal; --k is the
+            # min distinct-docs threshold
+            from yase_spark.curation import line_dedup
+
+            out_df = line_dedup(docs, min_docs=max(args.k, 2))
+        elif args.op == "dup_spans":
+            # exact duplicated-substring detection (Lee et al. 2022);
+            # --k is the window length
+            from yase_spark.neardup import dup_spans
+
+            out_df = dup_spans(docs, k=max(args.k, 4))
         elif args.op == "sampled_pct":
             # deterministic-sample percentiles; --ps like percentiles,
             # --k is the per-group sample size
