@@ -310,13 +310,45 @@ def main() -> None:
     rd.topk_boosting("table hash merge", "slow", negative_boost=0.25).count()
     timings["round4e_ops"] = time.perf_counter() - t0
 
+    # ---- phase 10: sixth-block operators -----------------------------
+    # exact duplicated-substring detection (the corpus-sized window
+    # explode is the phase's real work), line-level boilerplate removal,
+    # the metric-agg completions, and the dis_max/pinned serving lanes
+    from pyspark.sql import functions as _F
+
+    from yase_spark.aggs import auto_date_histogram, top_metrics, weighted_avg
+    from yase_spark.curation import line_dedup
+    from yase_spark.neardup import dup_spans
+
+    t0 = time.perf_counter()
+    ds = dup_spans(docs, k=20).agg(
+        _F.sum("n_dup_windows").alias("w"), _F.sum("dup_chars").alias("c")
+    ).collect()[0]
+    extras["dup_windows"] = int(ds["w"])
+    word_lines = docs.select(
+        "doc_id", _F.expr("replace(text, ' ', '\n')").alias("text")
+    )
+    extras["boiler_removed"] = int(
+        line_dedup(word_lines, min_docs=3000)
+        .agg(_F.sum("n_removed")).collect()[0][0]
+    )
+    weighted_avg(docs, ["lang"], "n_chars", "doc_id % 7 + 1").count()
+    top_metrics(docs, ["lang"], "n_chars", ["source", "doc_id"], size=2).count()
+    auto_date_histogram(events, target_buckets=20).count()
+    assert rd.dis_max_topk(
+        ["table hash", "window spark"], k=10, tie_breaker=0.3
+    ).count() == 10
+    assert rd.pinned_topk([3, 7], "table hash merge", k=10).count() == 10
+    timings["round4f_ops"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "index-build + BM25 query engine + pipeline ops wall time "
         "(build sf docs, query set, build 20k synthetic corpus, "
         "dedup/ANN/text-analysis, positions+serving features, "
         "trigram grep, curation stages, content-free reindex, "
-        "pipeline-aggs/geo/semdedup/index-sort ops "
+        "pipeline-aggs/geo/semdedup/index-sort ops, "
+        "substring/line dedup + metric aggs "
         "over sf documents)",
         "value": round(total, 3),
         "unit": "sec",

@@ -551,29 +551,43 @@ def dup_spans(
         .select("h")
     )
     dup_wins = wins.join(dup_keys, "h").select("doc_id", "pos")
-    per_doc_wins = wins.groupBy("doc_id").agg(
-        F.count("*").alias("n_windows")
-    )
-    per_doc_dups = dup_wins.groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_windows")
-    )
-    coverage = (
-        dup_wins.select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("cpos"),
+    # n_windows is closed-form — never pay a scan for it (and the two
+    # remaining consumers of the window frame both shuffle by h, so
+    # Catalyst reuses one exchange for the count and the join-back)
+    n_wins_expr = F.when(
+        F.col("n_chars") >= k,
+        F.expr(f"(n_chars - {k}) div {stride}") + 1,
+    ).otherwise(F.lit(0).cast("long"))
+    # coverage = exact interval-union length over the doc's sorted dup
+    # window starts: sum of min(k, next_start - start) with the last
+    # interval contributing k. One doc_id-keyed aggregation whose state
+    # is the doc's own dup-position list (bounded by doc length) — no
+    # k-fold position explode, no distinct expand.
+    per_doc_dups = (
+        dup_wins.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sort_array(F.collect_list("pos")).alias("ps"),
         )
-        .groupBy("doc_id")
-        .agg(F.countDistinct("cpos").alias("dup_chars"))
+        .select(
+            "doc_id",
+            "n_dup_windows",
+            F.expr(
+                f"aggregate(zip_with(ps, concat(slice(ps, 2, size(ps) - 1),"
+                f" array(element_at(ps, -1) + {k})),"
+                f" (a, b) -> least(cast(b - a as bigint),"
+                f" cast({k} as bigint))),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ).alias("dup_chars"),
+        )
     )
     return (
         base.select("doc_id", "n_chars")
-        .join(per_doc_wins, "doc_id", "left")
         .join(per_doc_dups, "doc_id", "left")
-        .join(coverage, "doc_id", "left")
         .select(
             "doc_id",
             "n_chars",
-            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            n_wins_expr.alias("n_windows"),
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
             F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
             F.when(
