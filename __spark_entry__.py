@@ -3063,6 +3063,75 @@ def _q_sort_page2(spark, sf_dir):
     )
 
 
+SEMDECON_T = 0.35
+
+
+def _q_semantic_decontam(spark, sf_dir):
+    # embedding-space benchmark decontamination: max cosine vs the
+    # broadcast bench slice, thresholded — the semantic screen next to
+    # the n-gram `decontaminate` stage
+    from yase_spark.similarity import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_decontaminate(emb, "label = 0", threshold=SEMDECON_T)
+
+
+def _q_diversified_sample(spark, sf_dir):
+    # ES diversified_sampler: at most 15 docs per lang, 50 total, in
+    # deterministic hash order
+    from yase_spark.aggs import diversified_sampler
+
+    return diversified_sampler(
+        _docs(spark, sf_dir), "lang", n=50, max_per_value=15
+    )
+
+
+def _q_t_test(spark, sf_dir):
+    # ES t_test (Welch): is mean n_chars different between en and zh?
+    # exact integer power sums; the t statistic is one shared-text
+    # double expression over them
+    from yase_spark.aggs import t_test
+
+    return t_test(_docs(spark, sf_dir), "lang = 'en'", "lang = 'zh'",
+                  "n_chars")
+
+
+def _q_ilm_topk(spark, sf_dir):
+    # the full ILM lifecycle end-to-end: three sealed generations
+    # (max_docs=1: every batch rolls), policy keeps 2 (generation 1
+    # DELETED, survivors force-merged + vacuumed), then the stream-wide
+    # federated search — the oracle is the BM25 ranking over ONLY the
+    # surviving two batches, so an under- or over-deletion breaks the
+    # hash, and so does any merge/vacuum read damage
+    from yase_spark.rollover import ilm_policy, rollover_append, rollover_search
+
+    key = ("ilm", sf_dir)
+    if key not in _CACHE:
+        wh = tempfile.mkdtemp(prefix="yase_ilm_")
+        cfg = IndexConfig(
+            build_groups=2, shuffle_partitions=16, hot_term_df=10**9
+        )
+        full = _corpus_shape(spark, sf_dir)
+        for i in range(3):
+            s = rollover_append(
+                spark, wh, "code",
+                full.filter(F.pmod(F.col("path").cast("long"), F.lit(3)) == i),
+                cfg, max_docs=1,
+            )
+            assert s["rolled"] and s["generations"] == i + 1
+        out = ilm_policy(spark, wh, "code", cfg, keep_generations=2)
+        assert out["deleted"] == ["code-000001"]
+        assert out["merged"] == ["code-000002", "code-000003"]
+        _CACHE[key] = (wh, cfg)
+    wh, cfg = _CACHE[key]
+    rows = rollover_search(spark, wh, "code", " ".join(BM25_TERMS), k=10,
+                           cfg=cfg)
+    return spark.createDataFrame(
+        [(int(p), round(s, 5)) for _r, _repo, p, _c, s in rows] or [],
+        schema="doc_id long, score_r double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is driver-iteration order; the driver's CORRECTNESS
     # window covers ~50 entries/round (VERDICT r3). The window is a
@@ -3083,6 +3152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max": _q_dis_max,
         "pinned_topk": _q_pinned_topk,
         "sort_page2": _q_sort_page2,
+        "semantic_decontam": _q_semantic_decontam,
+        "diversified_sample": _q_diversified_sample,
+        "t_test_nchars": _q_t_test,
+        "ilm_topk": _q_ilm_topk,
         # --- window rank 9-26: round-4 fifth block (all full-oracle,
         # never driver-checked) ---
         "stem_topk": _q_stem_topk,
@@ -4961,6 +5034,56 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id) + {_np} AS rank,
        doc_id, 0 AS pinned, round(score, 5) AS score_r
 FROM org
 """
+    )
+    o["semantic_decontam"] = f"""
+WITH b AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE label = 0),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE NOT (label = 0)),
+s AS (SELECT c.vec_id, max(list_cosine_similarity(b.qe, c.e)) AS ms
+      FROM c CROSS JOIN b GROUP BY 1)
+SELECT vec_id, round(ms, 6) AS max_sim_r,
+       CAST(round(ms, 6) >= {SEMDECON_T} AS INT) AS contaminated
+FROM s
+"""
+    o["diversified_sample"] = """
+WITH h AS (SELECT doc_id, lang,
+                  CAST(concat('0x', substr(md5(concat('d0',
+                       CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY h, doc_id) AS per_value_seq
+      FROM h)
+SELECT doc_id, lang, h FROM r WHERE per_value_seq <= 15
+ORDER BY h, doc_id LIMIT 50
+"""
+    from yase_spark.aggs import t_test_expr
+
+    _tt = t_test_expr("n_a", "s_a", "q_a", "n_b", "s_b", "q_b")
+    o["t_test_nchars"] = f"""
+WITH a AS (
+  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q_a,
+         CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN lang = 'zh' THEN n_chars ELSE 0 END) AS BIGINT) AS s_b,
+         CAST(sum(CASE WHEN lang = 'zh' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q_b
+  FROM documents)
+SELECT n_a, n_b,
+       round(cast(s_a as double) / cast(n_a as double), 6) AS mean_a_r,
+       round(cast(s_b as double) / cast(n_b as double), 6) AS mean_b_r,
+       round({_tt}, 6) AS t_r
+FROM a
+"""
+    _ilm_t_sql = (
+        "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents "
+        "WHERE doc_id % 3 IN (1, 2)), "
+        "t AS (SELECT * FROM tok WHERE term <> '')"
+    )
+    o["ilm_topk"] = _bm25_oracle_sql(
+        "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+        "ORDER BY score DESC, doc_id LIMIT 10",
+        t_sql=_ilm_t_sql,
     )
     _srt = ", ".join(f"'{t}'" for t in BM25_TERMS)
     o["sort_page2"] = f"""

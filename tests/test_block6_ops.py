@@ -363,3 +363,95 @@ def test_sort_after_pages_tile(spark, tiny_index):
         rd.topk_sort_field(
             q, "doc_len", k=10, early_terminate=True, after=cursor
         )
+
+
+# --------------------------------------- semantic decontamination
+def test_semantic_decontaminate_replay(spark):
+    import numpy as np
+
+    from yase_spark.similarity import semantic_decontaminate
+
+    rng = np.random.default_rng(7)
+    bench = rng.standard_normal((3, 8)).astype("float32")
+    rows = []
+    for i, b in enumerate(bench):
+        rows.append((i, [float(x) for x in b], 1))
+    # candidate 10 = a scaled copy of bench 0 (cosine 1.0), candidate 11
+    # = a noisy paraphrase of bench 1, candidates 12.. random
+    rows.append((10, [float(x) for x in bench[0] * 3.0], 0))
+    noisy = bench[1] + 0.1 * rng.standard_normal(8).astype("float32")
+    rows.append((11, [float(x) for x in noisy], 0))
+    for i in range(12, 20):
+        rows.append((i, [float(x) for x in rng.standard_normal(8)], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, is_bench int"
+    )
+    got = {
+        r["vec_id"]: (r["max_sim_r"], r["contaminated"])
+        for r in semantic_decontaminate(
+            emb, "is_bench = 1", threshold=0.9
+        ).collect()
+    }
+    assert set(got) == set(range(10, 20))  # bench rows are not candidates
+    # python replay
+    B = bench.astype("float64")
+    for vid, vec, isb in rows:
+        if isb:
+            continue
+        v = np.array(vec, dtype="float64")
+        sims = (B @ v) / (np.linalg.norm(B, axis=1) * np.linalg.norm(v))
+        want = round(float(sims.max()), 6)
+        assert got[vid][0] == pytest.approx(want, abs=2e-6), vid
+        assert got[vid][1] == int(got[vid][0] >= 0.9)
+    assert got[10][1] == 1 and got[11][1] == 1
+    assert sum(c for _, c in got.values()) == 2  # randoms stay clean
+
+
+# --------------------------------------- diversified sampler / t_test
+def _h60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_diversified_sampler_replay(spark):
+    from yase_spark.aggs import diversified_sampler
+
+    rows = [(i, ["a", "b", "c"][i % 3] if i < 30 else "a") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = [
+        (r["doc_id"], r["grp"], r["h"])
+        for r in diversified_sampler(
+            d, "grp", n=8, max_per_value=3, id_col="doc_id"
+        ).collect()
+    ]
+    # python replay: per-value 3 lowest hashes, then global 8 lowest
+    by_val = {}
+    for i, g in rows:
+        by_val.setdefault(g, []).append((_h60_py(f"d0{i}"), i))
+    kept = []
+    for g, hs in by_val.items():
+        for h, i in sorted(hs)[:3]:
+            kept.append((h, i, g))
+    want = [(i, g, h) for h, i, g in sorted(kept)[:8]]
+    assert got == want
+    # diversity bound holds even though value 'a' dominates the input
+    from collections import Counter
+
+    assert max(Counter(g for _, g, _ in got).values()) <= 3
+
+
+def test_t_test_hand_computed(spark):
+    from yase_spark.aggs import t_test
+
+    rows = [(1, "a", 10), (2, "a", 12), (3, "a", 14),
+            (4, "b", 20), (5, "b", 26)]
+    d = spark.createDataFrame(rows, "doc_id long, grp string, v long")
+    r = t_test(d, "grp = 'a'", "grp = 'b'", "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["mean_a_r"] == 12.0 and r["mean_b_r"] == 23.0
+    # Welch by hand: var_a = 4, var_b = 18; t = -11 / sqrt(4/3 + 9)
+    import math
+
+    want = (12.0 - 23.0) / math.sqrt(4.0 / 3.0 + 18.0 / 2.0)
+    assert r["t_r"] == pytest.approx(round(want, 6), abs=1e-9)

@@ -115,3 +115,76 @@ def test_bad_stream_inputs(spark, tmp_path):
         rollover_now(wh, "nope")
     with pytest.raises(ValueError):
         stream_readers(spark, wh, "nope", CFG)
+
+
+def test_ilm_policy_delete_merge_sweep(spark, tmp_path):
+    from yase_spark.catalog import Catalog
+    from yase_spark.rollover import ilm_policy
+
+    wh = str(tmp_path / "ilm")
+    # max_docs=1: every append seals its generation -> 3 sealed gens
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        s = rollover_append(spark, wh, "code", _batch(spark, lo, hi), CFG,
+                            max_docs=1)
+        assert s["rolled"]
+    assert get_state(wh, "code")["generations"] == [
+        "code-000001", "code-000002", "code-000003"
+    ]
+    # plant an orphan generation-shaped dir (crashed build remnant)
+    os.makedirs(os.path.join(wh, "code-000009"))
+    out = ilm_policy(spark, wh, "code", CFG, keep_generations=2)
+    assert out["deleted"] == ["code-000001"]
+    assert out["swept"] == ["code-000009"]
+    assert out["merged"] == ["code-000002", "code-000003"]
+    assert not os.path.exists(os.path.join(wh, "code-000001"))
+    assert get_state(wh, "code")["generations"] == [
+        "code-000002", "code-000003"
+    ]
+    # retention is visible to serving: the stream ranks ONLY survivors,
+    # score-identical to one merged index over the surviving corpus
+    rows = rollover_search(spark, wh, "code", "json getPage", k=10, cfg=CFG)
+    assert rows and all(30 <= int(p) < 90 for _r, _repo, p, _c, _s in rows)
+    merged_root = str(tmp_path / "merged")
+    build_index(
+        spark, _batch(spark, 30, 90), merged_root, CFG
+    )
+    want = IndexReader(spark, merged_root, CFG).topk("json getPage", 10)
+    m = {
+        r["doc_id"]: r["path"]
+        for r in IndexReader(spark, merged_root, CFG)
+        .cat.read(spark, "docs").select("doc_id", "path").collect()
+    }
+    assert [(p, round(s, 12)) for _r, _repo, p, _c, s in rows] == [
+        (m[d], round(s, 12)) for _rk, d, s in want
+    ]
+    # write alias untouched (still the newest generation)
+    assert resolve_alias(f"alias://{wh}/code-write").endswith("code-000003")
+    # idempotent: nothing left to delete/sweep; merges/vacuums no-op
+    # (no new catalog commits on the surviving generations)
+    vers = [
+        Catalog(r).current_version("segments")
+        for r in generation_roots(wh, "code")
+    ]
+    out2 = ilm_policy(spark, wh, "code", CFG, keep_generations=2)
+    assert out2["deleted"] == [] and out2["swept"] == []
+    assert [
+        Catalog(r).current_version("segments")
+        for r in generation_roots(wh, "code")
+    ] == vers
+
+
+def test_ilm_policy_validation(spark, tmp_path):
+    from yase_spark.rollover import ilm_policy
+
+    wh = str(tmp_path / "ilmv")
+    with pytest.raises(ValueError, match="no generations"):
+        ilm_policy(spark, wh, "code", CFG)
+    rollover_append(spark, wh, "code", _batch(spark, 0, 10), CFG)
+    with pytest.raises(ValueError, match="keep_generations"):
+        ilm_policy(spark, wh, "code", CFG, keep_generations=0)
+    # a 1-generation unsealed stream: nothing sealed, nothing deleted
+    out = ilm_policy(spark, wh, "code", CFG, keep_generations=1)
+    assert out == {
+        "deleted": [], "swept": [], "merged": [], "vacuumed": [],
+        "kept": ["code-000001"],
+    }

@@ -539,3 +539,105 @@ def auto_date_histogram(
         .withColumn("interval_s", F.lit(iv_s).cast("long"))
         .orderBy("bucket_start")
     )
+
+
+def diversified_sampler(
+    docs: DataFrame,
+    field: str,
+    n: int = 100,
+    max_per_value: int = 2,
+    salt: str = "d0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``diversified_sampler`` aggregation: a fixed-size,
+    de-biased sample — at most ``max_per_value`` docs per ``field``
+    value (so one dominant host/author/repo cannot own the sample),
+    filled in deterministic hash order up to ``n`` rows. Downstream
+    sub-aggregations run over the returned frame.
+
+    Determinism: the sample is the ``n`` lowest 60-bit md5 keys of
+    (salt, id) — reproducible across runs, engines, and cluster sizes
+    (the repo's standard Bernoulli-key device, here in fixed-size
+    form). Scale shape: ONE field-partitioned window keeps
+    max_per_value rows of state per value, then orderBy(h).limit(n)
+    compiles to TakeOrderedAndProject — never a global sort."""
+    from pyspark.sql import Window
+
+    from .curation import _h60
+
+    h = F.expr(_h60(f"concat('{salt}', cast({id_col} as string))"))
+    w = Window.partitionBy(field).orderBy(F.asc("h"), F.asc(id_col))
+    return (
+        docs.withColumn("h", h)
+        .withColumn("per_value_seq", F.row_number().over(w))
+        .filter(F.col("per_value_seq") <= max_per_value)
+        .orderBy(F.asc("h"), F.asc(id_col))
+        .limit(n)
+        .select(id_col, field, "h")
+    )
+
+
+def t_test_expr(
+    n_a: str, s_a: str, q_a: str, n_b: str, s_b: str, q_b: str
+) -> str:
+    """Welch's two-sample t statistic as ONE shared SQL expression over
+    exact integer power sums — the facet_stats parity device: both the
+    engine and any replaying engine evaluate the IDENTICAL text on the
+    IDENTICAL integers, so the double result matches bitwise. Sample
+    variance via the explicit two-sum formula (a built-in single-pass
+    Welford estimator would not hash-match)."""
+    m_a = f"(cast({s_a} as double) / cast({n_a} as double))"
+    m_b = f"(cast({s_b} as double) / cast({n_b} as double))"
+    v_a = (
+        f"((cast({q_a} as double) - cast({s_a} as double) * {m_a})"
+        f" / cast({n_a} - 1 as double))"
+    )
+    v_b = (
+        f"((cast({q_b} as double) - cast({s_b} as double) * {m_b})"
+        f" / cast({n_b} - 1 as double))"
+    )
+    return (
+        f"({m_a} - {m_b}) / sqrt({v_a} / cast({n_a} as double)"
+        f" + {v_b} / cast({n_b} as double))"
+    )
+
+
+def t_test(
+    docs: DataFrame,
+    predicate_a: str,
+    predicate_b: str,
+    value_expr: str = "n_chars",
+) -> DataFrame:
+    """ES ``t_test`` aggregation (heteroscedastic / Welch, the ES
+    default): is the metric's mean different between two row slices?
+    One conditional aggregation collects exact integer power sums
+    (n, sum, sum-of-squares per slice — map-side combinable, one
+    corpus pass, no shuffle beyond the single global reduce), then the
+    t statistic is one shared-text double expression over those six
+    integers (``t_test_expr``). Output one row:
+    (n_a, n_b, mean_a_r, mean_b_r, t_r)."""
+    d = docs.withColumn("__v", F.expr(value_expr))
+    agg = d.agg(
+        F.sum(F.expr(f"case when {predicate_a} then 1 else 0 end")).alias("n_a"),
+        F.sum(F.expr(f"case when {predicate_a} then __v else 0 end")).alias("s_a"),
+        F.sum(
+            F.expr(f"case when {predicate_a} then __v * __v else 0 end")
+        ).alias("q_a"),
+        F.sum(F.expr(f"case when {predicate_b} then 1 else 0 end")).alias("n_b"),
+        F.sum(F.expr(f"case when {predicate_b} then __v else 0 end")).alias("s_b"),
+        F.sum(
+            F.expr(f"case when {predicate_b} then __v * __v else 0 end")
+        ).alias("q_b"),
+    )
+    t = t_test_expr("n_a", "s_a", "q_a", "n_b", "s_b", "q_b")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.expr("cast(s_a as double) / cast(n_a as double)"), 6).alias(
+            "mean_a_r"
+        ),
+        F.round(F.expr("cast(s_b as double) / cast(n_b as double)"), 6).alias(
+            "mean_b_r"
+        ),
+        F.round(F.expr(t), 6).alias("t_r"),
+    )

@@ -162,3 +162,92 @@ def rollover_search(
     return dfs_query_then_fetch(
         stream_readers(spark, warehouse, stream, cfg), query, k=k
     )
+
+
+def ilm_policy(
+    spark: SparkSession,
+    warehouse: str,
+    stream: str,
+    cfg: IndexConfig | None = None,
+    keep_generations: int | None = None,
+    merge_sealed: bool = True,
+    vacuum_keep: int = 1,
+) -> dict:
+    """ES ILM phase executor over a rollover stream — the hot / warm /
+    delete lifecycle a long-lived data stream runs on a schedule:
+
+    * **hot**: the newest UNSEALED generation keeps taking writes and
+      is never touched here.
+    * **warm** (``merge_sealed``): every sealed generation is
+      read-optimized — ``force_merge`` (one segment row per term; a
+      no-op when already merged, so re-running the policy is free) and
+      ``vacuum(keep_last=vacuum_keep)`` (expire superseded snapshots,
+      physically reclaim COW-superseded bucket dirs).
+    * **delete** (``keep_generations``): the oldest generations beyond
+      the newest ``keep_generations`` are dropped — the retention step
+      that keeps a time-series stream's footprint bounded. The newest
+      generation is never deleted.
+
+    Crash consistency: the state file is rewritten (atomic
+    ``os.replace``) BEFORE any directory is removed, so readers never
+    resolve a half-deleted generation; a crash between the two leaves
+    an orphan directory that the next policy run sweeps (any
+    ``<stream>-NNNNNN`` dir not in the state file). Idempotent: merges
+    no-op, vacuums converge, the delete set is empty on a re-run.
+
+    At 100 TB each action is O(generation), never O(stream): merge and
+    vacuum rewrite only the sealed generation's affected buckets, and
+    delete is a directory unlink — which is exactly why ES caps
+    generation size with rollover in the first place."""
+    import re
+    import shutil
+
+    cfg = cfg or IndexConfig()
+    state = get_state(warehouse, stream)
+    if not state["generations"]:
+        raise ValueError(f"stream {stream!r} has no generations")
+    gens = list(state["generations"])
+    # delete phase first (never merge a generation we are about to drop)
+    deleted: list[str] = []
+    if keep_generations is not None:
+        if keep_generations < 1:
+            raise ValueError("keep_generations must be >= 1")
+        deleted = gens[: max(0, len(gens) - keep_generations)]
+        if deleted:
+            state["generations"] = gens[len(deleted):]
+            _write_state(warehouse, stream, state)
+    wh = os.path.abspath(warehouse)
+    for name in deleted:
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    # orphan sweep: generation-shaped dirs no longer (or never) listed —
+    # the crash window above, or a crashed rollover_append build
+    live = set(state["generations"])
+    pat = re.compile(re.escape(stream) + r"-\d{6}$")
+    swept = []
+    for entry in sorted(os.listdir(wh)):
+        if pat.match(entry) and entry not in live and os.path.isdir(
+            os.path.join(wh, entry)
+        ):
+            shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
+            swept.append(entry)
+    # warm phase: every remaining sealed generation (all but the newest,
+    # plus the newest itself when the stream is sealed)
+    merged: list[str] = []
+    vacuumed: list[str] = []
+    if merge_sealed:
+        sealed = state["generations"][:-1]
+        if state["sealed"]:
+            sealed = list(state["generations"])
+        for name in sealed:
+            b = IndexBuilder(spark, os.path.join(wh, name), cfg)
+            b.force_merge()
+            b.vacuum(keep_last=vacuum_keep)
+            merged.append(name)
+            vacuumed.append(name)
+    return {
+        "deleted": deleted,
+        "swept": swept,
+        "merged": merged,
+        "vacuumed": vacuumed,
+        "kept": list(state["generations"]),
+    }

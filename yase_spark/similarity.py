@@ -659,3 +659,43 @@ def semantic_dedup(
     return groups.select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "keep"
     ).orderBy("vec_id")
+
+
+def semantic_decontaminate(
+    emb: DataFrame, bench_predicate: str, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    counterpart of ``curation.decontaminate``'s n-gram overlap: a
+    candidate document is contaminated when its embedding's cosine
+    similarity to ANY held-out benchmark vector reaches ``threshold``
+    (paraphrased eval leakage that exact n-gram overlap misses; the
+    standard second screen next to the lexical one). ``bench_predicate``
+    selects the benchmark rows out of the embeddings table; candidates
+    are everything else. Output per candidate: (vec_id, max_sim_r,
+    contaminated) — max similarity kept so the threshold is auditable
+    and tunable offline.
+
+    Scale shape: the benchmark set BROADCASTS (eval suites are small by
+    construction — the same broadcast-the-contaminant posture as the
+    n-gram stage) and the candidate side streams map-only through one
+    JVM cosine fold per (candidate, bench) pair + ONE vec_id-keyed max
+    aggregation; the corpus-sized side never shuffles by anything but
+    its own id. Exact — no LSH recall question inside a correctness
+    screen; the IVF/PQ lanes remain the fallback if the benchmark side
+    ever stops being broadcastable."""
+    bench = emb.filter(F.expr(bench_predicate)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.filter(~F.expr(bench_predicate)).select("vec_id", "embedding")
+    sims = cand.join(F.broadcast(bench)).withColumn(
+        "sim", F.expr(_COS_SQL)
+    )
+    return (
+        sims.groupBy("vec_id")
+        .agg(F.round(F.max("sim"), 6).alias("max_sim_r"))
+        .select(
+            "vec_id",
+            "max_sim_r",
+            (F.col("max_sim_r") >= threshold).cast("int").alias("contaminated"),
+        )
+    )

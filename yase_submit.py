@@ -262,7 +262,8 @@ def main(argv=None) -> int:
                  "adjacency", "multi_terms", "bucket_sort", "pct_ranks",
                  "dsir", "policy", "hll", "heavy_hitters", "kmv",
                  "sampled_pct", "weighted_avg", "top_metrics", "auto_hist",
-                 "line_dedup", "dup_spans"],
+                 "line_dedup", "dup_spans", "t_test", "diversified",
+                 "semantic_decontam"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -379,6 +380,21 @@ def main(argv=None) -> int:
     )
     p.add_argument("--stream", help="rollover: stream name")
     p.add_argument(
+        "--ilm-keep", type=int, default=None,
+        help="rollover: run the ILM policy — keep the newest N "
+        "generations (delete older), force-merge + vacuum the sealed "
+        "survivors, sweep orphan generation dirs",
+    )
+    p.add_argument(
+        "--predicate-b", default=None,
+        help="aggs --op t_test: the second slice's SQL predicate "
+        "(--predicate is the first)",
+    )
+    p.add_argument(
+        "--per-value", type=int, default=2,
+        help="aggs --op diversified: max sampled docs per --group-col value",
+    )
+    p.add_argument(
         "--max-docs", type=int, default=None,
         help="rollover: seal the open generation once it reaches this "
         "many docs (the ES max_docs condition)",
@@ -424,6 +440,19 @@ def main(argv=None) -> int:
             raise SystemExit("rollover: pass --warehouse and --stream")
         if args.now:
             print(json.dumps(rollover_now(args.warehouse, args.stream)))
+            return 0
+        if args.ilm_keep is not None:
+            # the ILM executor: retention-delete beyond --ilm-keep,
+            # force-merge + vacuum the sealed survivors, sweep orphans
+            from yase_spark.config import IndexConfig as _IC
+            from yase_spark.rollover import ilm_policy
+
+            spark = _spark(args)
+            spark.sparkContext.setLogLevel("WARN")
+            print(json.dumps(ilm_policy(
+                spark, args.warehouse, args.stream, _IC(),
+                keep_generations=args.ilm_keep,
+            )))
             return 0
         if args.corpus:
             from yase_spark.config import IndexConfig as _IC
@@ -1192,6 +1221,37 @@ def main(argv=None) -> int:
             from yase_spark.neardup import dup_spans
 
             out_df = dup_spans(docs, k=max(args.k, 4))
+        elif args.op == "t_test":
+            from yase_spark.aggs import t_test
+
+            if not args.predicate or not args.predicate_b:
+                raise SystemExit(
+                    "aggs --op t_test needs --predicate and --predicate-b"
+                )
+            out_df = t_test(
+                docs, args.predicate, args.predicate_b,
+                args.value_col or "n_chars",
+            )
+        elif args.op == "diversified":
+            from yase_spark.aggs import diversified_sampler
+
+            out_df = diversified_sampler(
+                docs, args.group_col or "lang", n=max(args.k, 1),
+                max_per_value=args.per_value,
+            )
+        elif args.op == "semantic_decontam":
+            # --corpus points at an embeddings-shaped table; --predicate
+            # selects the benchmark slice; --threshold is the cosine bar
+            from yase_spark.similarity import semantic_decontaminate
+
+            if not args.predicate:
+                raise SystemExit(
+                    "aggs --op semantic_decontam needs --predicate "
+                    "(the benchmark slice)"
+                )
+            out_df = semantic_decontaminate(
+                docs, args.predicate, threshold=args.threshold
+            )
         elif args.op == "sampled_pct":
             # deterministic-sample percentiles; --ps like percentiles,
             # --k is the per-group sample size
