@@ -3132,6 +3132,44 @@ def _q_ilm_topk(spark, sf_dir):
     )
 
 
+BOOL_PREFIX_Q = "table ha"
+
+
+def _q_bool_prefix(spark, sf_dir):
+    # ES match_bool_prefix: term clause 'table' + prefix clause 'ha',
+    # ranked as the scoring MultiTermQuery rewrite; the oracle scores
+    # every term in (full terms ∪ LIKE 'ha%') — identical sets while
+    # the expansion stays under the cap
+    rd = _reader(spark, sf_dir)
+    rows = rd.match_bool_prefix(BOOL_PREFIX_Q, k=10, max_expansions=1024)
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+def _q_topk_cached(spark, sf_dir):
+    # request cache: the SECOND call serves from the version-keyed
+    # shared registry with zero Spark jobs and must still hash-match
+    # the plain BM25 oracle
+    rd = _reader(spark, sf_dir)
+    q = " ".join(BM25_TERMS)
+    rd.topk_cached(q, 10)
+    rows = rd.topk_cached(q, 10)  # the cache hit is what gets checked
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is driver-iteration order; the driver's CORRECTNESS
     # window covers ~50 entries/round (VERDICT r3). The window is a
@@ -3156,6 +3194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_sample": _q_diversified_sample,
         "t_test_nchars": _q_t_test,
         "ilm_topk": _q_ilm_topk,
+        "bool_prefix_topk": _q_bool_prefix,
+        "topk_cached": _q_topk_cached,
         # --- window rank 9-26: round-4 fifth block (all full-oracle,
         # never driver-checked) ---
         "stem_topk": _q_stem_topk,
@@ -5084,6 +5124,17 @@ FROM a
         "SELECT doc_id, round(score, 5) AS score_r FROM sc "
         "ORDER BY score DESC, doc_id LIMIT 10",
         t_sql=_ilm_t_sql,
+    )
+    _bp_full = ", ".join(f"'{t}'" for t in BOOL_PREFIX_Q.split()[:-1])
+    _bp_pre = BOOL_PREFIX_Q.split()[-1]
+    o["bool_prefix_topk"] = _bm25_oracle_sql(
+        "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+        "ORDER BY score DESC, doc_id LIMIT 10",
+        term_pred=f"(term IN ({_bp_full}) OR term LIKE '{_bp_pre}%')",
+    )
+    o["topk_cached"] = _bm25_oracle_sql(
+        "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+        "ORDER BY score DESC, doc_id LIMIT 10"
     )
     _srt = ", ".join(f"'{t}'" for t in BM25_TERMS)
     o["sort_page2"] = f"""

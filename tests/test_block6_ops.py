@@ -455,3 +455,81 @@ def test_t_test_hand_computed(spark):
 
     want = (12.0 - 23.0) / math.sqrt(4.0 / 3.0 + 18.0 / 2.0)
     assert r["t_r"] == pytest.approx(round(want, 6), abs=1e-9)
+
+
+# ------------------------------ match_bool_prefix / request cache
+def test_match_bool_prefix_replay(spark, tiny_index):
+    from yase_spark.query import naive_topk
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    # "json ge" — full term 'json', prefix 'ge' (getPage/get... parts)
+    exp = rd._expander().prefix_capped("ge", 50)
+    assert exp, "prefix 'ge' expands to nothing — fixture term is wrong"
+    terms = list(dict.fromkeys(["json"] + exp))
+    got = rd.match_bool_prefix("json ge", k=10, max_expansions=50)
+    tps = [tp for tp in rd.fetch_terms(terms).values() if tp is not None]
+    want = naive_topk(tps, 10, cfg.k1, cfg.b, rd.avgdl)
+    assert [(d, round(s, 9)) for _r, d, s in got] == [
+        (d, round(s, 9)) for _r, d, s in want
+    ]
+    # single-token query (uncapped) degenerates to the pure prefix
+    # ranking of the same expansion set
+    got1 = rd.match_bool_prefix("ge", k=5, max_expansions=1024)
+    want1 = rd.multi_term_topk("prefix", "ge", k=5)
+    assert [(d, round(s, 9)) for _r, d, s in got1] == [
+        (d, round(s, 9)) for _r, d, s in want1
+    ]
+    # the cap degrades, never raises
+    assert rd.match_bool_prefix("json g", k=5, max_expansions=2)
+
+
+def test_topk_cached_hit_share_and_invalidate(spark, tmp_path):
+    import pytest as _pt
+
+    from yase_spark.config import IndexConfig
+    from yase_spark.index import IndexBuilder, build_index
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("r", f"{i:04d}", "c", "py",
+             f"alpha{i % 7} beta gamma json getPage delta{i % 3}")
+            for i in range(40)
+        ],
+        schema=schema,
+    )
+    cfg = IndexConfig(build_groups=1, shuffle_partitions=4, ngrams=False)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, cfg)
+    rd = IndexReader(spark, root, cfg)
+    q = "json getpage alpha1"
+    r1 = rd.topk_cached(q, 5)
+    assert r1 == rd.topk(q, 5)
+    # a second call must not touch the index at all
+    rd.fetch_terms = None  # any fetch would raise TypeError
+    assert rd.topk_cached(q, 5) == r1
+    # the cache is shared ACROSS readers of the same version
+    rd2 = IndexReader(spark, root, cfg)
+    rd2.fetch_terms = None
+    assert rd2.topk_cached(q, 5) == r1
+    # a commit (delete) bumps the version: new readers miss, and the
+    # fresh result reflects the tombstone
+    top_doc = r1[0][1]
+    IndexBuilder(spark, root, cfg).delete([top_doc])
+    rd3 = IndexReader(spark, root, cfg)
+    r3 = rd3.topk_cached(q, 5)
+    assert top_doc not in [d for _r, d, _s in r3]
+    # LRU bound holds
+    rd4 = IndexReader(spark, root, cfg)
+    with _pt.MonkeyPatch.context() as mp:
+        mp.setattr(type(rd4), "RESULTS_CACHE_MAX", 3)
+        for i in range(6):
+            rd4.topk_cached(f"alpha{i % 7} beta", 3)
+        assert len(rd4._shared.results) <= 3
+    # an unshared reader serves uncached (and still correctly)
+    rd5 = IndexReader(spark, root, cfg, shared_meta=False)
+    assert rd5.topk_cached(q, 5) == r3

@@ -235,6 +235,9 @@ class _SharedIndexMeta:
         # 1 = loaded, -1 = unavailable/too big for residency
         self.doclens = None                      # np.int32[n_docs + 1] | None
         self.doclens_state = 0
+        # request cache (IndexReader.topk_cached): (query, k) -> rows;
+        # version-keyed like everything here, so never stale
+        self.results: dict = {}
 
 
 _META_REGISTRY: dict[tuple, _SharedIndexMeta] = {}
@@ -2247,6 +2250,68 @@ class IndexReader:
         got = self.fetch_terms(terms)
         tps = [got[t] for t in terms if got[t] is not None]
         return wand_topk(tps, k, self.cfg.k1, self.cfg.b, self.avgdl)
+
+    def match_bool_prefix(
+        self, query: str, k: int = 10, max_expansions: int = 50
+    ):
+        """ES ``match_bool_prefix``: every analyzed token is a term
+        clause except the LAST, which is a prefix — "quick brown f"
+        matches docs containing quick, brown, or anything starting with
+        f (the unordered complement of ``match_phrase_prefix``, which
+        demands adjacency). The prefix expands through the sorted
+        dictionary CAPPED at ``max_expansions`` in df-DESC order
+        (``prefix_capped`` — search-as-you-type must degrade, never
+        error), and the union of full terms + expansions ranks as an
+        ordinary BM25 disjunction on the block-max WAND executor — the
+        scoring MultiTermQuery rewrite, consistent with
+        ``multi_term_topk`` (Lucene's constant-score prefix default is
+        deliberately not reproduced: a ranked suggest surface wants the
+        idf signal). Returns [(rank, doc_id, score)]."""
+        toks = analyze_query(query)
+        if not toks or k <= 0:
+            return []
+        full, pre = toks[:-1], toks[-1]
+        expansions = self._expander().prefix_capped(pre, max_expansions)
+        terms = list(dict.fromkeys(full + expansions))
+        if not terms:
+            return []
+        got = self.fetch_terms(terms)
+        tps = [got[t] for t in terms if got[t] is not None]
+        if not tps:
+            return []
+        return wand_topk(tps, k, self.cfg.k1, self.cfg.b, self.avgdl)
+
+    # ---------------------------------------------- request cache
+    RESULTS_CACHE_MAX = 256
+
+    def topk_cached(self, query: str, k: int = 10):
+        """ES shard-request-cache analogue: memoize ranked top-k
+        results in the process-shared per-index-VERSION registry
+        (``_SharedIndexMeta``), so a repeated query costs zero Spark
+        jobs for every reader of the same index version. Invalidation
+        is STRUCTURAL, never TTL: any append/delete/compact bumps a
+        catalog version, new readers key onto a fresh registry entry,
+        and the stale entry ages out of the FIFO registry — exactly why
+        ES keys its request cache on the shard's reader version.
+        Bounded: ``RESULTS_CACHE_MAX`` entries per version, LRU; each
+        entry is k rows. A reader without shared metadata
+        (``shared_meta=False``) serves uncached."""
+        if self._shared is None:
+            return self.topk(query, k)
+        key = ("topk", query, int(k))
+        sh = self._shared
+        with sh.lock:
+            hit = sh.results.get(key)
+            if hit is not None:
+                sh.results.pop(key)      # LRU touch: reinsert newest
+                sh.results[key] = hit
+                return [tuple(r) for r in hit]
+        rows = [tuple(r) for r in self.topk(query, k)]
+        with sh.lock:
+            sh.results[key] = tuple(rows)
+            while len(sh.results) > self.RESULTS_CACHE_MAX:
+                sh.results.pop(next(iter(sh.results)))
+        return rows
 
     # ---------------------------------------------------- synonyms
     def synonyms_for(self, terms: list[str]) -> dict[str, list[str]]:

@@ -178,7 +178,8 @@ def main(argv=None) -> int:
                  "phrase_prefix", "terms", "highlight", "mlt", "hybrid",
                  "msm", "rescore", "federated", "span_near", "span_first",
                  "span_not", "qs", "sort", "stem", "decay", "random",
-                 "terms_set", "boosting", "ltr", "dis_max", "pinned"],
+                 "terms_set", "boosting", "ltr", "dis_max", "pinned",
+                 "bool_prefix"],
         default="topk",
     )
     p.add_argument(
@@ -243,6 +244,11 @@ def main(argv=None) -> int:
         "--rescore-phrase",
         help="query --kind rescore: phrase whose positional match adds "
         "--rescore-bonus within the top --rescore-window candidates",
+    )
+    p.add_argument(
+        "--cached", action="store_true",
+        help="query --kind topk: serve through the version-keyed "
+        "request cache (repeat queries cost zero Spark jobs)",
     )
     p.add_argument(
         "--tie", type=float, default=0.0,
@@ -896,8 +902,14 @@ def main(argv=None) -> int:
                 rows = rd.topk_after(
                     args.q, args.k, after=(float(sc), int(did))
                 )
+            elif args.cached:
+                rows = rd.topk_cached(args.q, args.k)
             else:
                 rows = rd.topk(args.q, args.k)
+            out = [{"rank": r, "doc_id": d, "score": s} for r, d, s in rows]
+        elif args.kind == "bool_prefix":
+            # ES match_bool_prefix: last token is a prefix clause
+            rows = rd.match_bool_prefix(args.q, args.k)
             out = [{"rank": r, "doc_id": d, "score": s} for r, d, s in rows]
         elif args.kind == "hybrid":
             # BM25 + vector RRF fusion: --q is the text query, --emb /
