@@ -3132,6 +3132,68 @@ def _q_ilm_topk(spark, sf_dir):
     )
 
 
+RF_PIVOT, RF_BOOST = 100.0, 2.0
+
+
+def _q_rank_feature(spark, sf_dir):
+    # ES rank_feature (saturation): score = BM25 + boost·dl/(dl+pivot)
+    # — additive document importance; the oracle evaluates the SAME
+    # generated expression text over the token-count dl
+    rd = _reader(spark, sf_dir)
+    res = rd.topk_rank_feature(
+        " ".join(BM25_TERMS), "doc_len", k=10,
+        pivot=RF_PIVOT, boost=RF_BOOST,
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+def _q_stream_rollover(spark, sf_dir):
+    # the ES data-stream WRITE path driven end-to-end: two corpus file
+    # waves stream through foreachBatch into rollover generations
+    # (max_docs=1 seals each), a replay run ingests nothing, and the
+    # stream-wide federated search must equal the FULL-corpus BM25
+    # ranking — generation boundaries invisible, exactly-once proven by
+    # the hash (a double-ingest would change every df)
+    from yase_spark.rollover import rollover_search
+    from yase_spark.streaming import stream_rollover
+
+    key = ("stream_roll", sf_dir)
+    if key not in _CACHE:
+        wh = tempfile.mkdtemp(prefix="yase_sroll_")
+        inbox = tempfile.mkdtemp(prefix="yase_sroll_in_")
+        ckpt = tempfile.mkdtemp(prefix="yase_sroll_ck_")
+        cfg = IndexConfig(
+            build_groups=2, shuffle_partitions=16, hot_term_df=10**9
+        )
+        full = _corpus_shape(spark, sf_dir)
+        half = F.pmod(F.col("path").cast("long"), F.lit(2))
+        full.filter(half == 0).coalesce(1).write.mode("append").parquet(inbox)
+        full.filter(half == 1).coalesce(1).write.mode("append").parquet(inbox)
+        for _ in range(2):  # second run = pure replay, must no-op
+            q = stream_rollover(
+                spark, inbox, wh, "ds", ckpt, cfg, max_docs=1,
+                max_files_per_trigger=1,
+            )
+            q.awaitTermination()
+        from yase_spark.rollover import get_state
+
+        assert get_state(wh, "ds")["generations"] == [
+            "ds-000001", "ds-000002"
+        ]
+        _CACHE[key] = (wh, cfg)
+    wh, cfg = _CACHE[key]
+    rows = rollover_search(spark, wh, "ds", " ".join(BM25_TERMS), k=10,
+                           cfg=cfg)
+    return spark.createDataFrame(
+        [(int(p), round(s, 5)) for _r, _repo, p, _c, s in rows] or [],
+        schema="doc_id long, score_r double",
+    )
+
+
 BOOL_PREFIX_Q = "table ha"
 
 
@@ -3196,6 +3258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ilm_topk": _q_ilm_topk,
         "bool_prefix_topk": _q_bool_prefix,
         "topk_cached": _q_topk_cached,
+        "rank_feature_topk": _q_rank_feature,
+        "stream_rollover_topk": _q_stream_rollover,
         # --- window rank 9-26: round-4 fifth block (all full-oracle,
         # never driver-checked) ---
         "stem_topk": _q_stem_topk,
@@ -5133,6 +5197,19 @@ FROM a
         term_pred=f"(term IN ({_bp_full}) OR term LIKE '{_bp_pre}%')",
     )
     o["topk_cached"] = _bm25_oracle_sql(
+        "SELECT doc_id, round(score, 5) AS score_r FROM sc "
+        "ORDER BY score DESC, doc_id LIMIT 10"
+    )
+    _rf = IndexReader.rank_feature_expr(
+        "dl.dl", function="saturation", pivot=RF_PIVOT, boost=RF_BOOST
+    )
+    o["rank_feature_topk"] = _bm25_oracle_sql(
+        f"""SELECT sc.doc_id,
+       round(sc.score + {_rf}, 5) AS score_r
+FROM sc JOIN dl ON sc.doc_id = dl.doc_id
+ORDER BY sc.score + {_rf} DESC, sc.doc_id LIMIT 10"""
+    )
+    o["stream_rollover_topk"] = _bm25_oracle_sql(
         "SELECT doc_id, round(score, 5) AS score_r FROM sc "
         "ORDER BY score DESC, doc_id LIMIT 10"
     )

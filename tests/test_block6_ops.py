@@ -533,3 +533,47 @@ def test_topk_cached_hit_share_and_invalidate(spark, tmp_path):
     # an unshared reader serves uncached (and still correctly)
     rd5 = IndexReader(spark, root, cfg, shared_meta=False)
     assert rd5.topk_cached(q, 5) == r3
+
+
+# ----------------------------------------------- rank_feature query
+def test_rank_feature_replay_and_functions(spark, tiny_index):
+    import math
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    q = "json page"
+    bm25 = _full_scores(rd, q)
+    dl = {
+        r["doc_id"]: r["doc_len"]
+        for r in rd.cat.read(spark, "docs").select("doc_id", "doc_len").collect()
+    }
+
+    def feat(x, fn, pivot, boost=2.0, e=2.0):
+        if fn == "saturation":
+            return boost * x / (x + pivot)
+        if fn == "log":
+            return boost * math.log(pivot + x)
+        return boost * x**e / (x**e + pivot**e)
+
+    for fn in ("saturation", "log", "sigmoid"):
+        got = {
+            r["doc_id"]: r["score"]
+            for r in rd.topk_rank_feature(
+                q, "doc_len", k=10**9, function=fn, pivot=100.0,
+                boost=2.0, exponent=2.0,
+            ).collect()
+        }
+        assert set(got) == set(bm25)
+        for d in bm25:
+            want = bm25[d] + feat(float(dl[d]), fn, 100.0)
+            assert got[d] == pytest.approx(want, rel=1e-9), (fn, d)
+
+    # additive semantics: matching is unchanged, every matched doc's
+    # score strictly exceeds its BM25 (the feature is positive here)
+    got_sat = {
+        r["doc_id"]: r["score"]
+        for r in rd.topk_rank_feature(q, "doc_len", k=10**9).collect()
+    }
+    assert all(got_sat[d] > bm25[d] for d in bm25)
+    with pytest.raises(ValueError, match="rank_feature function"):
+        rd.topk_rank_feature(q, "doc_len", function="linear")

@@ -188,3 +188,54 @@ def test_ilm_policy_validation(spark, tmp_path):
         "deleted": [], "swept": [], "merged": [], "vacuumed": [],
         "kept": ["code-000001"],
     }
+
+
+def test_stream_rollover_generations_and_replay(spark, tmp_path):
+    """Streaming data-stream writes: file micro-batches land in
+    rollover generations, max_docs seals per batch boundary, a re-run
+    with the same checkpoint ingests nothing new, and the stream
+    search equals one merged index over the union corpus."""
+    from yase_spark.streaming import stream_rollover
+
+    wh = str(tmp_path / "wh")
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    # two waves, one file each (maxFilesPerTrigger=1 -> 2 micro-batches)
+    _batch(spark, 0, 40).coalesce(1).write.mode("append").parquet(inbox)
+    _batch(spark, 40, 80).coalesce(1).write.mode("append").parquet(inbox)
+    q = stream_rollover(
+        spark, inbox, wh, "ds", ckpt, CFG, max_docs=1,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    st = get_state(wh, "ds")
+    assert st["generations"] == ["ds-000001", "ds-000002"]
+    assert st["sealed"]  # the last batch met the condition too
+    # replay: same checkpoint, no new files -> nothing changes
+    q = stream_rollover(
+        spark, inbox, wh, "ds", ckpt, CFG, max_docs=1,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    assert get_state(wh, "ds") == st
+    # a third wave starts generation 3
+    _batch(spark, 80, 100).coalesce(1).write.mode("append").parquet(inbox)
+    q = stream_rollover(
+        spark, inbox, wh, "ds", ckpt, CFG, max_docs=1,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    assert get_state(wh, "ds")["generations"][-1] == "ds-000003"
+    # stream-wide search == one merged index over the union corpus
+    rows = rollover_search(spark, wh, "ds", "json getPage", k=10, cfg=CFG)
+    merged_root = str(tmp_path / "merged")
+    build_index(spark, _batch(spark, 0, 100), merged_root, CFG)
+    rb = IndexReader(spark, merged_root, CFG)
+    m = {
+        r["doc_id"]: r["path"]
+        for r in rb.cat.read(spark, "docs").select("doc_id", "path").collect()
+    }
+    want = rb.topk("json getPage", 10)
+    assert [(p, round(s, 9)) for _r, _repo, p, _c, s in rows] == [
+        (m[d], round(s, 9)) for _rk, d, s in want
+    ]

@@ -3229,6 +3229,74 @@ class IndexReader:
         return self._take_ranked(scored, k)
 
     @staticmethod
+    def rank_feature_expr(
+        field: str, function: str = "saturation", pivot: float = 1.0,
+        boost: float = 1.0, exponent: float = 1.0,
+    ) -> str:
+        """SQL text of the ES ``rank_feature`` query functions over a
+        numeric docs-column expression — emitted as SHARED text (the
+        decay_expr parity device: every constant double-cast so any
+        replaying engine stays on the IEEE double path):
+
+        - saturation: boost · x / (x + pivot)   (the ES default)
+        - log:        boost · ln(pivot + x)     (pivot = ES scaling)
+        - sigmoid:    boost · x^exp / (x^exp + pivot^exp)
+
+        All three are monotone in the feature, bounded (saturation and
+        sigmoid in [0, boost)), and ADD to the query score — the ES
+        semantics where rank_feature is a should clause boosting by
+        document importance (pagerank, freshness, stars) without ever
+        changing matching."""
+        x = f"cast({field} as double)"
+        p = f"cast({float(pivot)} as double)"
+        b = f"cast({float(boost)} as double)"
+        if function == "saturation":
+            return f"{b} * {x} / ({x} + {p})"
+        if function == "log":
+            return f"{b} * ln({p} + {x})"
+        if function == "sigmoid":
+            e = f"cast({float(exponent)} as double)"
+            return (
+                f"{b} * pow({x}, {e}) / (pow({x}, {e}) + pow({p}, {e}))"
+            )
+        raise ValueError(
+            f"unknown rank_feature function {function!r} "
+            "(saturation | log | sigmoid)"
+        )
+
+    def topk_rank_feature(
+        self, query: str, field: str, k: int = 10,
+        function: str = "saturation", pivot: float = 1.0,
+        boost: float = 1.0, exponent: float = 1.0,
+    ) -> DataFrame:
+        """Ranked top-k with an additive ``rank_feature`` clause (the
+        ES ``rank_feature`` query as a should clause next to the match):
+        score = BM25(query) + rank_feature(field) — static document
+        importance folded into relevance without touching matching
+        (``topk_function_score`` is the MULTIPLICATIVE sibling). Same
+        lane shape: contribution sum, one docs-dimension join, the
+        feature expression in JVM codegen, TakeOrdered."""
+        expr_txt = self.rank_feature_expr(
+            field, function=function, pivot=pivot, boost=boost,
+            exponent=exponent,
+        )
+        qterms = analyze_query(query)
+        if not qterms:
+            return self.spark.createDataFrame(
+                [], schema="rank long, doc_id long, score double"
+            )
+        per_doc = (
+            self.contrib_df(qterms)
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("bm25"))
+        )
+        docs = self.cat.read(self.spark, "docs")
+        scored = per_doc.join(docs, "doc_id").select(
+            "doc_id", (F.col("bm25") + F.expr(expr_txt)).alias("score")
+        )
+        return self._take_ranked(scored, k)
+
+    @staticmethod
     def decay_expr(
         kind: str, field: str, origin: float, scale: float,
         decay: float = 0.5, offset: float = 0.0,

@@ -486,3 +486,69 @@ def stream_percolate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_rollover(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: str,
+    stream_name: str,
+    checkpoint_dir: str,
+    cfg: IndexConfig | None = None,
+    max_docs: int | None = None,
+    max_files_per_trigger: int | None = None,
+    fmt: str = "parquet",
+):
+    """Streaming writes into an ILM rollover stream — the ES DATA
+    STREAM write path: documents arrive as files, each micro-batch
+    lands in the stream's current write generation via
+    ``rollover.rollover_append`` (bootstrap build for a fresh
+    generation, bucket-COW append otherwise), and the ``max_docs``
+    condition seals generations as they fill — so ingest, rollover,
+    and the downstream ILM policy compose into the full managed
+    lifecycle without a batch scheduler in the loop.
+
+    Exactly-once under replay, for the same reasons as
+    ``stream_index`` and one more: a replayed micro-batch re-enters
+    ``rollover_append``, whose bootstrap path resumes/no-ops on the
+    build fingerprint, whose append path no-ops on the committed delta
+    tag, and whose seal decision recomputes from the generation's doc
+    count — deterministic, so the state file converges to the same
+    bytes. The crash window between a generation's build commit and
+    the state-file write replays into the SAME generation name (the
+    name derives from the state list length) and resumes the committed
+    build rather than starting a sibling.
+
+    ``max_files_per_trigger`` bounds micro-batch size exactly as in
+    ``stream_index`` — with rollover it additionally bounds how far a
+    generation can overshoot ``max_docs`` (a generation seals at the
+    first batch boundary at or past the condition, the ES semantics)."""
+    from .rollover import rollover_append
+
+    cfg = cfg or IndexConfig()
+    schema = (
+        "repo string, path string, commit string, lang string, content string"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt in ("jsonl", "json", "ndjson"):
+        stream = reader.json(input_dir)
+    elif fmt == "parquet":
+        stream = reader.parquet(input_dir)
+    else:
+        raise ValueError(f"unsupported streaming corpus format {fmt!r}")
+
+    def ingest(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rollover_append(
+            spark, warehouse, stream_name, batch_df, cfg, max_docs=max_docs
+        )
+
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -179,7 +179,7 @@ def main(argv=None) -> int:
                  "msm", "rescore", "federated", "span_near", "span_first",
                  "span_not", "qs", "sort", "stem", "decay", "random",
                  "terms_set", "boosting", "ltr", "dis_max", "pinned",
-                 "bool_prefix"],
+                 "bool_prefix", "rank_feature"],
         default="topk",
     )
     p.add_argument(
@@ -244,6 +244,24 @@ def main(argv=None) -> int:
         "--rescore-phrase",
         help="query --kind rescore: phrase whose positional match adds "
         "--rescore-bonus within the top --rescore-window candidates",
+    )
+    p.add_argument(
+        "--rf-field", default="doc_len",
+        help="query --kind rank_feature: numeric docs column",
+    )
+    p.add_argument(
+        "--rf-function", choices=["saturation", "log", "sigmoid"],
+        default="saturation",
+        help="query --kind rank_feature: ES feature function",
+    )
+    p.add_argument(
+        "--pivot", type=float, default=100.0,
+        help="query --kind rank_feature: saturation/sigmoid pivot "
+        "(log: the scaling term)",
+    )
+    p.add_argument(
+        "--rf-boost", type=float, default=1.0,
+        help="query --kind rank_feature: feature clause boost",
     )
     p.add_argument(
         "--cached", action="store_true",
@@ -679,8 +697,25 @@ def main(argv=None) -> int:
         from yase_spark.query import IndexReader
         from yase_spark.streaming import stream_index
 
-        ckpt = args.ckpt or args.index.rstrip("/") + "_ckpt"
         cfg = IndexConfig(build_groups=args.groups) if args.groups else IndexConfig()
+        if args.warehouse and args.stream:
+            # data-stream write path: micro-batches land in rollover
+            # generations; --max-docs seals per batch boundary
+            from yase_spark.rollover import get_state
+            from yase_spark.streaming import stream_rollover
+
+            ckpt = args.ckpt or args.warehouse.rstrip("/") + "_ckpt"
+            q = stream_rollover(
+                spark, args.corpus, args.warehouse, args.stream, ckpt,
+                cfg, max_docs=args.max_docs, fmt=args.format or "parquet",
+            )
+            q.awaitTermination()
+            print(json.dumps({
+                "warehouse": args.warehouse, "checkpoint": ckpt,
+                **get_state(args.warehouse, args.stream),
+            }))
+            return 0
+        ckpt = args.ckpt or args.index.rstrip("/") + "_ckpt"
         q = stream_index(spark, args.corpus, args.index, ckpt, cfg,
                          fmt=args.format or "parquet")
         q.awaitTermination()
@@ -911,6 +946,13 @@ def main(argv=None) -> int:
             # ES match_bool_prefix: last token is a prefix clause
             rows = rd.match_bool_prefix(args.q, args.k)
             out = [{"rank": r, "doc_id": d, "score": s} for r, d, s in rows]
+        elif args.kind == "rank_feature":
+            # additive document-importance clause over a docs column
+            rows = rd.topk_rank_feature(
+                args.q, args.rf_field, k=args.k, function=args.rf_function,
+                pivot=args.pivot, boost=args.rf_boost,
+            ).collect()
+            out = [r.asDict() for r in rows]
         elif args.kind == "hybrid":
             # BM25 + vector RRF fusion: --q is the text query, --emb /
             # --qvec pick the vector query; both rankings to depth 2k
