@@ -176,3 +176,42 @@ def test_ivf_materialized_probe_prunes_partitions(spark, tmp_path):
         ivf_read_topk(spark, root, n_queries=4, k=10).collect(), key=key
     )
     assert [key(r) for r in full] == [key(r) for r in exact]
+
+
+def test_block6_ops_plan_shapes(spark):
+    """Sixth-block operators keep their claimed plan shapes: substring
+    dedup and line dedup stay pure JVM (no Python eval nodes anywhere),
+    weighted_avg/t_test reduce with partial (map-side) aggregation, and
+    semantic decontamination broadcasts the benchmark side."""
+    from yase_spark.aggs import t_test, weighted_avg
+    from yase_spark.curation import line_dedup
+    from yase_spark.neardup import dup_spans
+    from yase_spark.similarity import semantic_decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta line{i % 3}\nshared line", "en", 30 + i)
+         for i in range(20)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    ds = _plan(dup_spans(docs, k=8))
+    assert "BatchEvalPython" not in ds and "ArrowEvalPython" not in ds, (
+        "substring dedup must be pure JVM"
+    )
+    ld = _plan(line_dedup(docs, min_docs=2))
+    assert "BatchEvalPython" not in ld and "ArrowEvalPython" not in ld
+    wa = _plan(weighted_avg(docs, ["lang"], "n_chars", "doc_id % 7 + 1"))
+    assert "partial_sum" in wa or "HashAggregate" in wa
+    assert "BatchEvalPython" not in wa
+    tt = _plan(t_test(docs, "lang = 'en'", "lang = 'zh'", "n_chars"))
+    # one global reduce: no grouping-key exchange, only the final
+    # single-partition gather
+    assert "BatchEvalPython" not in tt
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 2.0], int(i < 3)) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sd = _plan(semantic_decontaminate(emb, "label = 1"))
+    assert "BroadcastExchange" in sd or "BroadcastNestedLoopJoin" in sd, (
+        "benchmark side must broadcast:\n" + sd[:1200]
+    )
+    assert "BatchEvalPython" not in sd
