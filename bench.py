@@ -339,6 +339,12 @@ def main() -> None:
         ["table hash", "window spark"], k=10, tie_breaker=0.3
     ).count() == 10
     assert rd.pinned_topk([3, 7], "table hash merge", k=10).count() == 10
+    assert len(rd.match_bool_prefix("table ha", k=10)) == 10
+    assert rd.topk_rank_feature("table hash merge", "doc_len", k=10).count() == 10
+    rd.topk_cached("table hash merge", 10)
+    t_hit = time.perf_counter()
+    assert len(rd.topk_cached("table hash merge", 10)) == 10
+    extras["cache_hit_ms"] = round((time.perf_counter() - t_hit) * 1e3, 3)
     timings["round4f_ops"] = time.perf_counter() - t0
 
     total = sum(timings.values())

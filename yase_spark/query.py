@@ -3280,6 +3280,9 @@ class IndexReader:
             field, function=function, pivot=pivot, boost=boost,
             exponent=exponent,
         )
+        # TakeOrdered allocates a k-sized heap per partition — clamp the
+        # "give me everything" k to the corpus size (as in dis_max_topk)
+        k = min(int(k), self.n_docs)
         qterms = analyze_query(query)
         if not qterms:
             return self.spark.createDataFrame(
