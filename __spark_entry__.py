@@ -3234,14 +3234,15 @@ def _q_topk_cached(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order is driver-iteration order; the driver's CORRECTNESS
-    # window covers ~50 entries/round (VERDICT r3). The window is a
-    # deliberate ranking: the fifth-block additions lead (newest code,
-    # zero driver rows), then one never-checked representative per
-    # module/lane from earlier blocks; sibling variants spill to next
-    # round's window (they lead the spillover section), the r1-r3-green
-    # core last. preflight.py value-checks ALL entries every session
-    # regardless.
-    return {
+    # window covers ~50 entries/round (23/40/50 across r1-r3, so r3 is
+    # the first capped round). Window ranking: VERDICT r3 item 1's 25
+    # never-driver-checked round-3 entries lead (its explicit "Done"
+    # criterion is a green CORRECTNESS_r04 row for each), then the
+    # round-4 sixth/fifth-block additions (newest code, zero driver
+    # rows), then the remaining never-checked spillover, the
+    # r1-r3-green core last. preflight.py value-checks ALL entries
+    # every session regardless.
+    base = {
         # --- window rank 1-8: round-4 sixth block (newest, all
         # full-oracle) ---
         "dup_spans": _q_dup_spans,
@@ -3438,6 +3439,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_df_agg": _q_stream_df_agg,
         "bool_and_distributed": _q_bool_and_distributed,
     }
+    # VERDICT r3 item 1: these 25 entries have never had a driver
+    # CORRECTNESS row in any round; hoist them to the front of the
+    # window (cheap single-job ops first, the two streaming e2e last
+    # in case the window is time-budgeted rather than count-capped).
+    window_first = [
+        "prefix_expand",
+        "multi_term_search",
+        "multi_term_topk",
+        "facet_counts",
+        "highlight_topk",
+        "more_like_this",
+        "spell_suggest",
+        "related_terms",
+        "collocations",
+        "significant_terms",
+        "score_explain",
+        "decontaminate",
+        "stratified_sample",
+        "chunk_docs",
+        "pack_sequences",
+        "pii_scrub",
+        "repetition_stats",
+        "tfidf_vectors",
+        "image_resize",
+        "frame_sample",
+        "ann_ivf_topk",
+        "ann_pq_topk",
+        "ann_ivf_pq_topk",
+        "stream_event_windows",
+        "stream_sessionize",
+    ]
+    ordered = {k: base[k] for k in window_first}
+    ordered.update((k, v) for k, v in base.items() if k not in ordered)
+    return ordered
 
 
 def _bm25_oracle_sql(
