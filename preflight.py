@@ -22,6 +22,55 @@ TABLES = [
 ]
 
 
+def _canon(v):
+    """Type-strict canonical form of a result cell.
+
+    The driver's value hash is type-sensitive (``1`` and ``1.0`` hash
+    differently), so plain Python ``==`` is too lax: it let the
+    round-4 ``repetition_stats`` HUGEINT->float64 oracle drift through
+    preflight while the driver flagged it. Canonicalize each cell to a
+    (type-tag, value) tuple so int/float/bool/decimal drift fails HERE.
+    NULL-likes (None / NaN / NaT / pd.NA) all map to one null tag —
+    Spark collect() yields None where DuckDB's pandas frame yields NaN
+    for the same SQL NULL, and NaN != NaN under ``==`` would false-fail.
+    """
+    import datetime
+    import decimal
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NA or v is pd.NaT:
+        return ("null",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("null",) if math.isnan(f) else ("f", f)
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    if isinstance(v, np.ndarray):
+        return ("l", tuple(_canon(x) for x in v.tolist()))
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, _canon(x)) for k, x in v.items())))
+    if isinstance(v, pd.Timestamp):
+        return ("t", v.isoformat())
+    if isinstance(v, datetime.datetime):
+        return ("t", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("t", v.isoformat())
+    return ("o", repr(v))
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     here = os.path.dirname(os.path.abspath(__file__))
@@ -52,12 +101,14 @@ def main() -> int:
         try:
             df = fn(spark, sf)
             cols = sorted(df.columns)
-            got = sorted(tuple(r[c] for c in cols) for r in df.collect())
+            got = sorted(
+                tuple(_canon(r[c]) for c in cols) for r in df.collect()
+            )
             if name in oracles:
                 wdf = con.sql(oracles[name]).df()
                 wcols = sorted(wdf.columns)
                 want = sorted(
-                    tuple(r)
+                    tuple(_canon(v) for v in r)
                     for r in wdf[wcols].itertuples(index=False, name=None)
                 )
                 ok = cols == wcols and got == want

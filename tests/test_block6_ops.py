@@ -204,6 +204,26 @@ def test_weighted_avg_hand(wdocs):
     assert got == {"en": (1000, 5, 200.0), "zh": (400, 4, 100.0)}
 
 
+def test_weighted_avg_skips_null_values(spark):
+    # ES skips a doc missing the VALUE field: its weight must not
+    # deflate the average (regression — w_sum used to count it)
+    rows = [
+        ("en", 100, 1, 1),
+        ("en", None, 99, 2),   # null value, huge weight: skipped
+        ("en", 300, 1, 3),
+        ("zh", 50, None, 4),   # null weight: skipped
+        ("zh", 150, 2, 5),
+    ]
+    d = spark.createDataFrame(
+        rows, "lang string, n_chars long, w long, doc_id long"
+    )
+    got = {
+        r["lang"]: (r["vw_sum"], r["w_sum"], r["wavg"])
+        for r in weighted_avg(d, ["lang"], "n_chars", "w").collect()
+    }
+    assert got == {"en": (400, 2, 200.0), "zh": (300, 2, 150.0)}
+
+
 def test_top_metrics_window_and_ties(spark):
     rows = [
         ("a", 5, 100.0, 1),
@@ -330,6 +350,13 @@ def test_pinned_topk_semantics(spark, tiny_index):
     rows2 = rd.pinned_topk([10**9], q, k=5).collect()
     assert [r["pinned"] for r in rows2] == [0] * 5
     assert [r["doc_id"] for r in rows2] == [d for _, d, _ in organic[:5]]
+    # regression: unknown ids must be dropped BEFORE the k-truncation —
+    # k dead ids up front must not evict a valid pinned id at position
+    # k+1 while budget remains (ES pins the survivors up to k)
+    dead = [10**9 + i for i in range(3)]
+    rows3 = rd.pinned_topk(dead + [pin_mid], q, k=3).collect()
+    assert rows3[0]["doc_id"] == pin_mid and rows3[0]["pinned"] == 1
+    assert [r["pinned"] for r in rows3] == [1, 0, 0]
 
 
 # -------------------------------------------- sort + search_after

@@ -130,9 +130,15 @@ def test_ilm_policy_delete_merge_sweep(spark, tmp_path):
     assert get_state(wh, "code")["generations"] == [
         "code-000001", "code-000002", "code-000003"
     ]
-    # plant an orphan generation-shaped dir (crashed build remnant)
+    # plant an orphan generation-shaped dir (crashed build remnant).
+    # Under the default 1h age gate a just-written dir is treated as an
+    # in-flight build and survives; with the gate lowered it is swept.
     os.makedirs(os.path.join(wh, "code-000009"))
-    out = ilm_policy(spark, wh, "code", CFG, keep_generations=2)
+    safe = ilm_policy(spark, wh, "code", CFG, merge_sealed=False)
+    assert safe["swept"] == []
+    assert os.path.isdir(os.path.join(wh, "code-000009"))
+    out = ilm_policy(spark, wh, "code", CFG, keep_generations=2,
+                     orphan_min_age_s=0.0)
     assert out["deleted"] == ["code-000001"]
     assert out["swept"] == ["code-000009"]
     assert out["merged"] == ["code-000002", "code-000003"]
@@ -171,6 +177,38 @@ def test_ilm_policy_delete_merge_sweep(spark, tmp_path):
         Catalog(r).current_version("segments")
         for r in generation_roots(wh, "code")
     ] == vers
+
+
+def test_append_after_ilm_delete_mints_fresh_name(spark, tmp_path):
+    """Regression: generation names are minted from the persisted
+    monotonic counter, not len(generations) — after an ILM retention
+    delete shrinks the list, the next rollover must NOT reuse a live
+    generation's name (which would rebuild over it and federate the
+    same docs twice)."""
+    from yase_spark.rollover import ilm_policy
+
+    wh = str(tmp_path / "ilmseq")
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        s = rollover_append(spark, wh, "code", _batch(spark, lo, hi), CFG,
+                            max_docs=1)
+        assert s["rolled"]
+    ilm_policy(spark, wh, "code", CFG, keep_generations=2,
+               merge_sealed=False)
+    assert get_state(wh, "code")["generations"] == [
+        "code-000002", "code-000003"
+    ]
+    # all sealed -> this append starts a NEW generation
+    s = rollover_append(spark, wh, "code", _batch(spark, 60, 80), CFG,
+                        max_docs=1)
+    assert s["created"] and s["generation"] == "code-000004"
+    gens = get_state(wh, "code")["generations"]
+    assert gens == ["code-000002", "code-000003", "code-000004"]
+    assert len(set(gens)) == len(gens)
+    # the stream serves each surviving doc exactly once
+    rows = rollover_search(spark, wh, "code", "json getPage", k=100,
+                           cfg=CFG)
+    paths = [p for _r, _repo, p, _c, _s in rows]
+    assert sorted(paths) == sorted({f"{i:04d}" for i in range(20, 80)})
 
 
 def test_ilm_policy_validation(spark, tmp_path):

@@ -435,7 +435,14 @@ def weighted_avg(
     integer sums (one map-side-combinable aggregate) and the single
     division at the end is the only floating-point step, which is what
     makes the result bitwise replayable by any engine. One hash
-    aggregate keyed by the bucket tuple; output is bucket-sized."""
+    aggregate keyed by the bucket tuple; output is bucket-sized.
+
+    NULL semantics match ES: a document missing the VALUE field is
+    skipped entirely — its weight must not land in ``w_sum`` (the raw
+    ``sum(__w)`` would count it, since only the NULL ``__v * __w``
+    product is skipped, deflating the average). A document missing the
+    WEIGHT is likewise skipped (ES requires a weight; we take the
+    no-``missing``-configured behavior)."""
     if not keys:
         raise ValueError("weighted_avg needs at least one grouping key")
     d = docs.withColumn("__v", F.expr(value_expr)).withColumn(
@@ -443,7 +450,9 @@ def weighted_avg(
     )
     g = d.groupBy(*keys).agg(
         F.sum(F.expr("__v * __w")).alias("vw_sum"),
-        F.sum("__w").alias("w_sum"),
+        F.sum(
+            F.expr("CASE WHEN __v IS NOT NULL THEN __w END")
+        ).alias("w_sum"),
     )
     return g.select(
         *keys,

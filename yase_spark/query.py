@@ -2953,9 +2953,11 @@ class IndexReader:
         is the ordinary dispatched top-k asked for k + |pinned| rows
         (exclusion can displace at most |pinned| of them); the pinned
         list is serving-request-sized driver data."""
+        # Filter unknown/deleted ids BEFORE truncating to k: ES skips
+        # missing ids and still pins the rest, so a dead id early in
+        # the list must not consume budget that a valid id past
+        # position k could have used.
         ids = list(dict.fromkeys(int(i) for i in pinned_ids))
-        if len(ids) > k:
-            ids = ids[:k]
         known = {
             r["doc_id"]
             for r in self.cat.read(self.spark, "docs")
@@ -2965,7 +2967,7 @@ class IndexReader:
         }
         if self._deleted is not None:
             known -= set(int(d) for d in self._deleted)
-        ids = [i for i in ids if i in known]
+        ids = [i for i in ids if i in known][:k]
         organic = [
             (d, s)
             for _, d, s in self.topk(query, k + len(ids))

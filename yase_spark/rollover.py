@@ -57,13 +57,29 @@ def _state_path(warehouse: str, stream: str) -> str:
 
 
 def get_state(warehouse: str, stream: str) -> dict:
-    """{"generations": [names...], "sealed": bool} — sealed means the
-    newest generation takes no more writes."""
+    """{"generations": [names...], "sealed": bool, "last_seq": int} —
+    sealed means the newest generation takes no more writes; last_seq
+    is the monotonic generation counter (never reused, even after ILM
+    retention deletes shrink the generations list)."""
     try:
         with open(_state_path(warehouse, stream)) as f:
             return dict(json.load(f))
     except FileNotFoundError:
-        return {"generations": [], "sealed": False}
+        return {"generations": [], "sealed": False, "last_seq": 0}
+
+
+def _next_seq(state: dict) -> int:
+    """Next generation sequence number: one past the persisted
+    monotonic counter, floored by the max numeric suffix of the listed
+    generations (covers pre-``last_seq`` state files). Deriving this
+    from ``len(generations)`` would REUSE a name after an ILM retention
+    delete — e.g. delete gen 1 of [1,2,3] and the next append would
+    mint ``-000003`` again, rebuilding over the live newest generation
+    and federating it twice."""
+    seq = int(state.get("last_seq", 0))
+    for name in state["generations"]:
+        seq = max(seq, int(name.rsplit("-", 1)[1]))
+    return seq + 1
 
 
 def _write_state(warehouse: str, stream: str, state: dict) -> None:
@@ -98,10 +114,12 @@ def rollover_append(
     state = get_state(warehouse, stream)
     created = not state["generations"] or state["sealed"]
     if created:
-        name = f"{stream}-{len(state['generations']) + 1:06d}"
+        seq = _next_seq(state)
+        name = f"{stream}-{seq:06d}"
         root = os.path.join(os.path.abspath(warehouse), name)
         build_index(spark, corpus, root, cfg)
         state["generations"].append(name)
+        state["last_seq"] = seq
         state["sealed"] = False
     else:
         name = state["generations"][-1]
@@ -172,6 +190,8 @@ def ilm_policy(
     keep_generations: int | None = None,
     merge_sealed: bool = True,
     vacuum_keep: int = 1,
+    sweep_orphans: bool = True,
+    orphan_min_age_s: float = 3600.0,
 ) -> dict:
     """ES ILM phase executor over a rollover stream — the hot / warm /
     delete lifecycle a long-lived data stream runs on a schedule:
@@ -192,8 +212,15 @@ def ilm_policy(
     ``os.replace``) BEFORE any directory is removed, so readers never
     resolve a half-deleted generation; a crash between the two leaves
     an orphan directory that the next policy run sweeps (any
-    ``<stream>-NNNNNN`` dir not in the state file). Idempotent: merges
-    no-op, vacuums converge, the delete set is empty on a re-run.
+    ``<stream>-NNNNNN`` dir not in the state file). The sweep is
+    AGE-GATED (``orphan_min_age_s``, default 1 h): an in-flight
+    ``rollover_append`` bootstrap creates its generation dir before the
+    state commit and is indistinguishable from a crashed one by name
+    alone, so only dirs whose newest mtime predates the threshold are
+    removed — run the policy concurrently with ingest and the live
+    partial build survives. ``sweep_orphans=False`` disables the sweep
+    outright. Idempotent: merges no-op, vacuums converge, the delete
+    set is empty on a re-run.
 
     At 100 TB each action is O(generation), never O(stream): merge and
     vacuum rewrite only the sealed generation's affected buckets, and
@@ -201,6 +228,7 @@ def ilm_policy(
     generation size with rollover in the first place."""
     import re
     import shutil
+    import time
 
     cfg = cfg or IndexConfig()
     state = get_state(warehouse, stream)
@@ -220,15 +248,32 @@ def ilm_policy(
     for name in deleted:
         shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
     # orphan sweep: generation-shaped dirs no longer (or never) listed —
-    # the crash window above, or a crashed rollover_append build
+    # the crash window above, or a crashed rollover_append build.
+    # Age-gated: a dir still being written (any file newer than the
+    # threshold) is treated as an in-flight build, not an orphan.
     live = set(state["generations"])
     pat = re.compile(re.escape(stream) + r"-\d{6}$")
     swept = []
-    for entry in sorted(os.listdir(wh)):
-        if pat.match(entry) and entry not in live and os.path.isdir(
-            os.path.join(wh, entry)
-        ):
-            shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
+    if sweep_orphans:
+        now = time.time()
+        for entry in sorted(os.listdir(wh)):
+            path = os.path.join(wh, entry)
+            if not (pat.match(entry) and entry not in live
+                    and os.path.isdir(path)):
+                continue
+            newest = os.path.getmtime(path)
+            for dirpath, _dirs, files in os.walk(path):
+                for fn in files:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(
+                                os.path.join(dirpath, fn))
+                        )
+                    except OSError:
+                        newest = now  # vanished mid-walk: in-flight
+            if now - newest < orphan_min_age_s:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
             swept.append(entry)
     # warm phase: every remaining sealed generation (all but the newest,
     # plus the newest itself when the stream is sealed)

@@ -916,7 +916,25 @@ def main(argv=None) -> int:
                 cursor = None
                 if args.after:
                     v, i = args.after.rsplit(",", 1)
-                    cursor = (int(v) if v.lstrip("-").isdigit() else v, int(i))
+                    # type the cursor from the sort field's docs-table
+                    # dtype, not by sniffing the text: a float field's
+                    # '3.5' must parse as float and a numeric-LOOKING
+                    # value of a string field must stay a string —
+                    # either miscast makes the after-filter compare the
+                    # wrong type and pages skip or repeat
+                    tn = (
+                        rd.cat.read(spark, "docs")
+                        .schema[args.sort_field].dataType.typeName()
+                    )
+                    if tn in ("byte", "short", "integer", "long"):
+                        av = int(v)
+                    elif tn in ("float", "double") or tn.startswith(
+                        "decimal"
+                    ):
+                        av = float(v)
+                    else:
+                        av = v
+                    cursor = (av, int(i))
                 rows = rd.topk_sort_field(
                     args.q, args.sort_field, k=args.k, ascending=args.asc,
                     after=cursor,
