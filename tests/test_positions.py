@@ -330,6 +330,85 @@ def test_span_near_matches_brute_force(spark, pos_index, doc_texts):
     assert nonzero >= 5
 
 
+def brute_span_within(docs: dict, little: str, big, slop: int) -> list[int]:
+    """All-combinations oracle for span_within: a little occurrence p
+    inside SOME legal big tuple (one occurrence per clause, span
+    max-min <= (n-1)+slop, min <= p <= max)."""
+    hits = []
+    for d, text in docs.items():
+        pos = {}
+        for i, t in enumerate(parts_stream(text)):
+            pos.setdefault(t, []).append(i)
+        if little not in pos or any(t not in pos for t in big):
+            continue
+        limit = len(big) - 1 + slop
+        found = False
+        for combo in itertools.product(*(pos[t] for t in big)):
+            if max(combo) - min(combo) > limit:
+                continue
+            if any(min(combo) <= p <= max(combo) for p in pos[little]):
+                found = True
+                break
+        if found:
+            hits.append(d)
+    return sorted(hits)
+
+
+WITHINS = [
+    ("zone", ["copy", "lock"], 2),
+    ("page", ["get", "json"], 4),
+    ("exec", ["json", "page"], 6),
+    ("utc", ["count", "infer"], 3),
+    ("get", ["copy", "zone"], 5),
+    ("nosuchtoken", ["get", "page"], 3),   # absent little -> empty
+    ("page", ["get", "nosuchtoken"], 3),   # absent clause -> empty
+]
+
+
+def test_span_within_matches_brute_force(spark, pos_index, doc_texts):
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    nonzero = 0
+    for little, big, slop in WITHINS:
+        eng = rd.span_within(little, big, slop=slop).tolist()
+        ref = brute_span_within(doc_texts, little, big, slop)
+        assert eng == ref, (little, big, slop)
+        # span_containing is the same doc-level predicate, flipped args
+        assert rd.span_containing(big, little, slop=slop).tolist() == ref
+        nonzero += bool(eng)
+    assert nonzero >= 4
+    # within implies the big span matches at all
+    for little, big, slop in WITHINS[:3]:
+        w = set(rd.span_within(little, big, slop=slop).tolist())
+        near = set(rd.span_near(big, slop=slop).tolist())
+        assert w <= near, (little, big)
+
+
+def test_span_within_wide_tuple_not_missed(spark, tiny_corpus, tmp_path):
+    """The minimal-cover-only trap: the narrowest big tuple ending at
+    each anchor misses the little, but a wider still-legal tuple
+    contains it — 'wa ... little ... wa wb': tuple (wa@0, wb@4) spans
+    the little@2 while the narrowest cover (wa@3, wb@4) does not."""
+    from yase_spark.positions import build_positions
+
+    df = tiny_corpus.limit(1).select(
+        F.lit("r").alias("repo"), F.lit("p").alias("path"),
+        F.lit("c").alias("commit"), F.lit("py").alias("lang"),
+        F.lit("spanwa filler spanlit spanwa spanwb").alias("content"),
+    )
+    root = str(tmp_path / "withinidx")
+    cfg = IndexConfig(block_size=16)
+    build_index(spark, df, root, cfg)
+    build_positions(spark, root, df, cfg)
+    rd = IndexReader(spark, root, cfg)
+    # slop 3: limit = 1 + 3 = 4 >= span(0,4); the wide tuple is legal
+    assert rd.span_within("spanlit", ["spanwa", "spanwb"], slop=3).size == 1
+    # slop 0: only the narrow tuple (3,4) is legal; little@2 outside
+    assert rd.span_within("spanlit", ["spanwa", "spanwb"], slop=0).size == 0
+    # little ON the boundary counts (min <= p <= max)
+    assert rd.span_within("spanwb", ["spanwa", "spanwb"], slop=0).size == 1
+
+
 def test_span_near_unordered_vs_ordered(spark, pos_index, doc_texts):
     """Unordered is clause-order-invariant and a superset of ordered;
     on this corpus the containment is STRICT for a common pair (some doc

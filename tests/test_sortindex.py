@@ -189,6 +189,106 @@ def test_staleness_is_loud_and_auto_falls_back(spark, sidx):
             build_sort_index(spark, root, "doc_len", files=24)
 
 
+@pytest.mark.parametrize("ascending", [False, True])
+def test_cursor_pages_ride_et_lane_and_skip_files(
+    spark, tmp_path, ascending
+):
+    """sort + search_after through the early-terminated lane: pages
+    tile the full ordering bitwise vs the classic lane, and page 2+
+    SEEDS past the files wholly before the cursor (files_cursor_skipped
+    > 0, files_read < files_total) instead of re-scanning the prefix."""
+    root = str(tmp_path / "cursor")
+    cat = Catalog(root)
+    cat.write(
+        "docs",
+        spark.range(0, 2000).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("doc_len")
+        ),
+    )
+    # ~20 docs/file: a k=10 page crosses a file boundary every 2 pages,
+    # so the skip becomes observable from page 3 on
+    build_sort_index(spark, root, "doc_len", files=100)
+    classic_full = (
+        cat.read(spark, "docs")
+        .orderBy(
+            F.asc("doc_len") if ascending else F.desc("doc_len"),
+            F.asc("doc_id"),
+        )
+        .limit(55)
+        .collect()
+    )
+    want = [(r["doc_id"], r["doc_len"]) for r in classic_full]
+    got, cursor = [], None
+    # k=11 (not 10): 20-row files mean a k that divides the file size
+    # parks every cursor exactly ON a file boundary (lo == value), which
+    # is legitimately unskippable — equality needs the doc_id tie-break
+    for page in range(5):
+        out, stats = sorted_scan_topk(
+            spark, root, "doc_len", k=11, ascending=ascending,
+            after=cursor, return_stats=True,
+        )
+        rows = out.collect()
+        got.extend((r["doc_id"], r["doc_len"]) for r in rows)
+        cursor = (rows[-1]["doc_len"], rows[-1]["doc_id"])
+        if page == 0:
+            assert stats["files_cursor_skipped"] == 0
+        elif page >= 2:
+            # the served prefix is now at least one whole file: deep
+            # pages seed past it undecoded
+            assert stats["files_cursor_skipped"] > 0
+        assert stats["files_read"] < stats["files_total"]
+    assert got == want
+    # cursor strictly past ALL data: empty page, nothing read (a cursor
+    # ON the extreme value still reads one file — the doc_id tie-break
+    # is in data, not metadata)
+    end = (-1, 0) if not ascending else (2000, 0)
+    out, stats = sorted_scan_topk(
+        spark, root, "doc_len", k=10, ascending=ascending,
+        after=end, return_stats=True,
+    )
+    assert out.count() == 0 and stats["files_read"] == 0
+
+
+def test_cursor_equal_value_run_not_skipped(spark, tmp_path):
+    """A run of equal field values spanning files: the cursor sits
+    inside the run, so value metadata alone cannot prove a file served
+    — straddling files must be read and doc_id-filtered."""
+    root = str(tmp_path / "tiecur")
+    cat = Catalog(root)
+    cat.write(
+        "docs",
+        spark.range(0, 300).select(
+            F.col("id").alias("doc_id"), F.lit(7).alias("doc_len")
+        ),
+    )
+    build_sort_index(spark, root, "doc_len", files=10)
+    got, cursor = [], None
+    for _ in range(4):
+        out = sorted_scan_topk(
+            spark, root, "doc_len", k=25, after=cursor
+        )
+        rows = out.collect()
+        got.extend((r["doc_id"], r["doc_len"]) for r in rows)
+        cursor = (rows[-1]["doc_len"], rows[-1]["doc_id"])
+    # all-ties order is doc_id ASC; 4 pages of 25 = the first 100 ids
+    assert got == [(i, 7) for i in range(100)]
+
+
+def test_reader_cursor_dispatch_uses_et_lane(spark, sidx):
+    """IndexReader.topk_sort_field(after=) rides the ET lane when the
+    sibling is fresh and stays bitwise the classic lane — with a query
+    match set, both pages."""
+    root, cfg = sidx
+    rd = IndexReader(spark, root, cfg)
+    p1 = rd.topk_sort_field(Term("json"), "doc_len", k=10).collect()
+    cur = (p1[-1]["doc_len"], p1[-1]["doc_id"])
+    et = rd.topk_sort_field(Term("json"), "doc_len", k=10, after=cur)
+    classic = rd.topk_sort_field(
+        Term("json"), "doc_len", k=10, after=cur, early_terminate=False
+    )
+    assert _rows(et) == _rows(classic) and len(_rows(et)) == 10
+
+
 def test_validation(spark, sidx):
     root, _ = sidx
     with pytest.raises(ValueError, match="not a sortable"):

@@ -86,12 +86,24 @@ class IndexConfig:
     # bound task count.
     sort_partition_bytes: int = 4 << 20
 
+    # declared analysis chain (ES per-field analyzer filters) applied
+    # AFTER the pinned code tokenizer at build time and to query terms
+    # at read time (analysis.py — parity by construction, the reader
+    # adopts these with the rest of the semantic config). stop_words is
+    # the canonical space-separated string form so it JSON-round-trips
+    # through catalog properties without list/tuple type drift.
+    stop_words: str = ""
+    stem_tokens: bool = False
+
     # fields that change the index bytes or query results: a reader using
     # different values than the build silently returns wrong results
     # (e.g. term_buckets mismatch -> bucket-pruned fetch misses terms), so
     # the build persists them as catalog properties and the reader
     # validates / adopts them (ADVICE round 1).
-    SEMANTIC_FIELDS = ("k1", "b", "block_size", "term_buckets", "ngrams")
+    SEMANTIC_FIELDS = (
+        "k1", "b", "block_size", "term_buckets", "ngrams",
+        "stop_words", "stem_tokens",
+    )
 
     def semantic_dict(self) -> dict:
         return {f: getattr(self, f) for f in self.SEMANTIC_FIELDS}

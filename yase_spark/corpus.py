@@ -104,7 +104,9 @@ DOCMETA_TERM = "\x00docmeta"
 _DOCMETA_FIELDS = ["repo", "path", "commit", "lang", "content_sha256"]
 
 
-def fused_local_segments(sorted_corpus: DataFrame, ngrams: bool = True) -> DataFrame:
+def fused_local_segments(
+    sorted_corpus: DataFrame, ngrams: bool = True, chain=None
+) -> DataFrame:
     """THE single content pass of the build: the range-shuffled, sorted
     corpus partitions stream through ONE mapInArrow kernel that
 
@@ -192,7 +194,9 @@ def fused_local_segments(sorted_corpus: DataFrame, ngrams: bool = True) -> DataF
             ]
 
             # tokenize + count (C++), pairs with LOCAL doc ids
-            di, codes, tfs, dic, dlens = tokenize_count_arrow(content, ngrams=ngrams)
+            di, codes, tfs, dic, dlens = tokenize_count_arrow(
+                content, ngrams=ngrams, chain=chain
+            )
 
             # doc metadata chunk -> Arrow IPC bytes (one pseudo-row);
             # doc_len included so the docs table needs no join

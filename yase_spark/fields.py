@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .tokenize import analyze_query
 
 
 def fields_topk(
@@ -43,7 +42,14 @@ def fields_topk(
     (same doc-id space — checked). Returns (rank, doc_id, score) with
     the deterministic (score DESC, doc_id ASC) tie-break. A term the
     query mentions but a field never contains simply contributes
-    nothing for that field — the standard multi-field semantics."""
+    nothing for that field — the standard multi-field semantics.
+
+    Per-field ANALYSIS (the ES multi_match contract): each field's
+    query terms go through that field's own declared analyzer chain
+    (``rd._analyze`` — the chain the field index was built with), so a
+    stemmed title field and a raw content field each match their own
+    token space. A field whose chain filters the query to nothing
+    contributes nothing."""
     if not fields:
         raise ValueError("fields_topk needs at least one (reader, weight)")
     readers = [r for r, _ in fields]
@@ -55,12 +61,16 @@ def fields_topk(
                 f"{r.n_docs} — every field must be built from the same rows"
             )
     spark = readers[0].spark
-    qterms = analyze_query(query)
-    if not qterms:
+    per_field_terms = [rd._analyze(query) for rd, _ in fields]
+    contribs = [
+        rd.contrib_df(ts, weight=w)
+        for (rd, w), ts in zip(fields, per_field_terms)
+        if ts
+    ]
+    if not contribs:
         return spark.createDataFrame(
             [], schema="rank long, doc_id long, score double"
         )
-    contribs = [rd.contrib_df(qterms, weight=w) for rd, w in fields]
     allc = contribs[0]
     for c in contribs[1:]:
         allc = allc.unionByName(c)
@@ -102,15 +112,18 @@ def fields_dismax_topk(
                 f"{r.n_docs} — every field must be built from the same rows"
             )
     spark = readers[0].spark
-    qterms = analyze_query(query)
-    if not qterms:
+    # per-field analysis, like fields_topk: each field matches in its
+    # own chain's token space
+    per_field_terms = [rd._analyze(query) for rd, _ in fields]
+    tagged = [
+        rd.contrib_df(ts, weight=w).withColumn("fld", F.lit(i))
+        for i, ((rd, w), ts) in enumerate(zip(fields, per_field_terms))
+        if ts
+    ]
+    if not tagged:
         return spark.createDataFrame(
             [], schema="rank long, doc_id long, score double"
         )
-    tagged = [
-        rd.contrib_df(qterms, weight=w).withColumn("fld", F.lit(i))
-        for i, (rd, w) in enumerate(fields)
-    ]
     allc = tagged[0]
     for c in tagged[1:]:
         allc = allc.unionByName(c)
@@ -164,8 +177,17 @@ def fields_cross_topk(
                 f"field indexes cover different corpora: n_docs {n0} != "
                 f"{r.n_docs} — every field must be built from the same rows"
             )
+    chains = {r.chain for r in readers}
+    if len(chains) > 1:
+        # ES groups cross_fields by analyzer for the same reason: a
+        # blended per-TERM df is meaningless across incompatible token
+        # spaces (one field's 'tables' is another's 'table')
+        raise ValueError(
+            "fields_cross_topk requires every field to share one "
+            "analysis chain (ES cross_fields groups fields by analyzer)"
+        )
     spark = readers[0].spark
-    qterms = list(dict.fromkeys(analyze_query(query)))
+    qterms = list(dict.fromkeys(readers[0]._analyze(query)))
     if not qterms:
         return spark.createDataFrame(
             [], schema="rank long, doc_id long, score double"

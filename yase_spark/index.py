@@ -283,7 +283,11 @@ class IndexBuilder:
                 .repartitionByRange(n_part, *_KEY)
                 .sortWithinPartitions(*_KEY, "lang", "content")
             )
-            local = fused_local_segments(shuffled, ngrams=cfg.ngrams).withColumn(
+            from .analysis import chain_from_config
+
+            local = fused_local_segments(
+                shuffled, ngrams=cfg.ngrams, chain=chain_from_config(cfg)
+            ).withColumn(
                 "grp", F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int")
             )
             # corpus totals ride the write action (zero extra pass): every
@@ -925,7 +929,11 @@ class IndexBuilder:
                 fresh.repartitionByRange(n_part, *_KEY)
                 .sortWithinPartitions(*_KEY, "lang", "content")
             )
-            delta_local = fused_local_segments(shuffled, ngrams=cfg.ngrams).withColumn(
+            from .analysis import chain_from_config
+
+            delta_local = fused_local_segments(
+                shuffled, ngrams=cfg.ngrams, chain=chain_from_config(cfg)
+            ).withColumn(
                 "grp", F.pmod(F.xxhash64("term"), F.lit(cfg.build_groups)).cast("int")
             )
             # row count rides the write action (Observation, no extra

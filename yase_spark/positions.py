@@ -363,6 +363,16 @@ def build_positions(
     cat = Catalog(index_root)
     if not cat.exists("docs"):
         raise ValueError("build the main index first (docs table missing)")
+    props0 = cat.get_properties() or {}
+    icfg = props0.get("index_config") or {}
+    if icfg.get("stop_words") or icfg.get("stem_tokens"):
+        raise ValueError(
+            "positions sibling does not support analysis chains yet: the "
+            "main index was built with stop_words/stem_tokens, and the "
+            "positional kernel emits the UNCHAINED token stream — phrase "
+            "positions would disagree with the chained postings. Build "
+            "phrase-serving indexes without a chain."
+        )
     t0 = time.time()
     props = cat.get_properties() or {}
     state = props.get("positions_state")
@@ -856,6 +866,139 @@ class PositionsReader:
             if ok:
                 hits.append(int(d[lo]))
         return np.asarray(hits, dtype=np.int64)
+
+    def span_within_docs(
+        self, little: str, big: list[str], slop: int = 0
+    ) -> np.ndarray:
+        """Lucene/ES ``span_within``: sorted doc ids where an occurrence
+        of ``little`` lies INSIDE a match of the enclosing span —
+        ``big`` is an unordered span_near over single-term clauses with
+        the given slop (the common enclosing shape; Lucene's fully
+        general big-query nesting reduces to this for unit-term
+        clauses). A big match is a choice of one occurrence per clause
+        with ``max(p) - min(p) <= len(big) - 1 + slop``; ``little`` is
+        within it when ``min(p) <= p_little <= max(p)``.
+
+        Matching is NOT restricted to minimal covers — for each right
+        anchor ``r`` the full valid left range ``[l_min, l_max]`` is
+        considered (``l_max`` = narrowest cover start, coverage is
+        monotone leftward; ``l_min`` = the slop bound), so a little
+        inside a wider-but-still-legal enclosing tuple is found (a
+        minimal-cover-only scan provably misses those). One
+        ``searchsorted`` of the doc's little positions per anchor;
+        cost O(clause hits + littles·log) per candidate doc, candidate
+        docs = the clause∩little posting intersection — the Lucene
+        spans-enumeration cost shape.
+
+        ``span_containing(big, little)`` is the same doc-level
+        predicate (it differs only in WHICH span is emitted for
+        nesting, and this API returns doc ids), exposed as
+        :meth:`span_containing_docs` for ES parity."""
+        lp = analyze_phrase(little)
+        if len(lp) != 1:
+            raise ValueError(f"span_within little {little!r} analyzes to {lp}")
+        clauses: list[str] = []
+        for t in big:
+            ps = analyze_phrase(t)
+            if len(ps) != 1:
+                raise ValueError(
+                    f"span clause {t!r} analyzes to {ps} — big takes "
+                    "single-term clauses"
+                )
+            clauses.append(ps[0])
+        if len(set(clauses)) != len(clauses):
+            raise ValueError(
+                "big requires distinct clause terms (the unordered "
+                "distinct-occurrence contract, as in span_near)"
+            )
+        if not clauses or slop < 0:
+            return np.empty(0, dtype=np.int64)
+        lt = lp[0]
+        got = self.fetch(list(dict.fromkeys(clauses + [lt])))
+        if got[lt] is None or any(got[c] is None for c in clauses):
+            return np.empty(0, dtype=np.int64)
+        # candidates: docs holding the little AND every big clause
+        cand = got[lt].doc_ids
+        for c in sorted(clauses, key=lambda t: got[t].doc_ids.size):
+            cand = np.intersect1d(cand, got[c].doc_ids, assume_unique=True)
+            if cand.size == 0:
+                return cand
+        nt = len(clauses)
+        limit = nt - 1 + slop
+        # merged (rank<<POS_SHIFT | pos, clause) stream over candidates
+        doc_l, pos_l, tid_l = [], [], []
+        for ti, c in enumerate(clauses):
+            pp = got[c]
+            mask = np.isin(pp.doc_ids, cand, assume_unique=True)
+            cnts = pp.counts[mask]
+            doc_l.append(np.repeat(pp.doc_ids[mask], cnts))
+            pos_l.append(pp.pos[np.repeat(mask, pp.counts)])
+            tid_l.append(np.full(int(cnts.sum()), ti, dtype=np.int64))
+        d = np.concatenate(doc_l)
+        p = np.concatenate(pos_l)
+        t = np.concatenate(tid_l)
+        order = np.lexsort((p, d))
+        d, p, t = d[order], p[order], t[order]
+        pl = got[lt]
+        lmask = np.isin(pl.doc_ids, cand, assume_unique=True)
+        ld = np.repeat(pl.doc_ids[lmask], pl.counts[lmask])
+        lpos = pl.pos[np.repeat(lmask, pl.counts)]
+        bounds = np.append(
+            np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1]))), d.size
+        )
+        lbounds = np.append(
+            np.flatnonzero(np.concatenate(([True], ld[1:] != ld[:-1]))),
+            ld.size,
+        )
+        hits = []
+        counts = np.zeros(nt, dtype=np.int64)
+        for si in range(bounds.size - 1):
+            lo, hi = bounds[si], bounds[si + 1]
+            dp, dt = p[lo:hi], t[lo:hi]
+            ll, lh = lbounds[si], lbounds[si + 1]
+            dl = lpos[ll:lh]  # sorted: lexsort order within doc
+            counts[:] = 0
+            have = 0
+            l = 0
+            l_min = 0
+            ok = False
+            for r in range(dp.size):
+                if counts[dt[r]] == 0:
+                    have += 1
+                counts[dt[r]] += 1
+                while dp[r] - dp[l_min] > limit:
+                    l_min += 1
+                if have < nt:
+                    continue
+                # shrink to the narrowest cover ending at r
+                while counts[dt[l]] > 1:
+                    counts[dt[l]] -= 1
+                    l += 1
+                have_cover = l >= l_min  # narrowest cover within slop?
+                if have_cover:
+                    # any little inside [dp[l_min], dp[r]] is inside
+                    # SOME legal tuple ending at r (coverage holds for
+                    # every l' <= l, slop for every l' >= l_min)
+                    a = np.searchsorted(dl, dp[l_min], side="left")
+                    b = np.searchsorted(dl, dp[r], side="right")
+                    if b > a:
+                        ok = True
+                        break
+                # un-shrink bookkeeping is unnecessary: counts/l stay,
+                # coverage remains true until l passes a last occurrence
+            if ok:
+                hits.append(int(d[lo]))
+        return np.asarray(hits, dtype=np.int64)
+
+    def span_containing_docs(
+        self, big: list[str], little: str, slop: int = 0
+    ) -> np.ndarray:
+        """Lucene/ES ``span_containing``: matches of ``big`` (unordered
+        span_near) that contain a ``little`` occurrence. At doc-id
+        granularity this is exactly ``span_within`` with the arguments
+        flipped (the two differ in which SPAN is emitted, not in which
+        docs match) — see :meth:`span_within_docs`."""
+        return self.span_within_docs(little, big, slop=slop)
 
     def span_first_docs(self, term: str, end: int) -> np.ndarray:
         """Lucene ``span_first``: sorted doc ids where ``term`` occurs

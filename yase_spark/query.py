@@ -728,18 +728,26 @@ class TopK:
     k: int = 10
 
 
-def _ast_leaf_tokens(node, positive_only: bool = False) -> list[str]:
+def _ast_leaf_tokens(node, positive_only: bool = False, chain=None) -> list[str]:
     """Analyzed leaf tokens in DFS first-occurrence order — the fixed
     BM25 summation order for TopK over an AST (same contract as
     analyze_query for string queries). ``positive_only`` skips ``Not``
-    subtrees (scoring); the default includes them (fetch planning)."""
+    subtrees (scoring); the default includes them (fetch planning).
+    ``chain``: the index's analysis chain (analysis.AnalyzerChain),
+    applied to every leaf's tokens for query-side parity."""
+    from .analysis import chain_terms
+
     out: list[str] = []
+
+    def _an(terms):
+        return terms if chain is None or chain.is_noop \
+            else chain_terms(terms, chain)
 
     def walk(n):
         if isinstance(n, Term):
-            out.extend(analyze_query(n.t))
+            out.extend(_an(analyze_query(n.t)))
         elif isinstance(n, Phrase):
-            out.extend(analyze_phrase(n.q))
+            out.extend(_an(analyze_phrase(n.q)))
         elif isinstance(n, (And, Or)):
             for c in n.kids:
                 walk(c)
@@ -811,6 +819,13 @@ class IndexReader:
             self.cfg = IndexConfig(**known)
         else:
             self.cfg = cfg or IndexConfig()
+        # the index's declared analysis chain (analysis.py): adopted
+        # with the semantic config above, applied to every query string
+        # through self._analyze — parity is structural, not caller
+        # discipline
+        from .analysis import chain_from_config
+
+        self.chain = chain_from_config(self.cfg)
         # shared dictionary-sized state keyed by index VERSION (see
         # _SharedIndexMeta): any catalog commit bumps a version and lands
         # on a fresh entry, so staleness is structurally impossible
@@ -922,6 +937,20 @@ class IndexReader:
     # QUERIED terms only, payloads never cached); wipes wholesale when
     # exceeded rather than tracking LRU — refetch is one metadata job.
     META_CACHE_MAX_BLOCKS = 4_000_000
+
+    def _analyze(self, query: str) -> list[str]:
+        """Query-side analysis with the index's declared chain: the
+        pinned tokenizer first, then the chain's stopword filter and
+        stemmer (analysis.chain_terms — the driver mirror of the build
+        kernel's dictionary-level application). Every string-query lane
+        funnels through here, so a chained index can't be queried with
+        surface forms by accident."""
+        from .analysis import chain_terms
+
+        terms = analyze_query(query)
+        if self.chain.is_noop:
+            return terms
+        return chain_terms(terms, self.chain)
 
     def _mask_deleted(self, ids: np.ndarray) -> np.ndarray:
         """Boolean keep-mask over ``ids`` (True = not tombstoned)."""
@@ -1258,7 +1287,7 @@ class IndexReader:
         return {t: self._row_cache[t] for t in dict.fromkeys(terms)}
 
     def _lazy_cursors(self, query: str) -> list[LazyTermPostings]:
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         got = self.fetch_term_rows(qterms)
         out = []
         for t in qterms:
@@ -1357,7 +1386,7 @@ class IndexReader:
         partial; the warm cache stays full-fidelity)."""
         from .codec import slice_blocks
 
-        qterms = list(dict.fromkeys(analyze_query(query)))
+        qterms = list(dict.fromkeys(self._analyze(query)))
         empty_stats = {"blocks_selected": 0, "blocks_total": 0}
         if not qterms or k <= 0:
             return ([], empty_stats) if return_stats else []
@@ -1590,7 +1619,7 @@ class IndexReader:
         return res
 
     def _postings(self, query: str) -> list[TermPostings]:
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         got = self.fetch_terms(qterms)
         return [got[t] for t in qterms if got[t] is not None]
 
@@ -1633,7 +1662,7 @@ class IndexReader:
         structure earns its keep executor-side and in ``topk_lazy``,
         where CPU, not transfer, is the budget). Both paths return
         identical results (tests/test_lazy_wand.py)."""
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         uncached = [t for t in qterms if t not in self._cache]
         if uncached and self._total_postings_upper > self.driver_fetch_max_postings:
             dfs = self.term_dfs(uncached)
@@ -1722,7 +1751,7 @@ class IndexReader:
         it, count it — don't collect it). A term absent from the index
         yields an empty result (no doc can reach the full distinct-term
         count)."""
-        qterms = list(dict.fromkeys(analyze_query(query)))
+        qterms = list(dict.fromkeys(self._analyze(query)))
         if not qterms:
             return self.spark.createDataFrame([], schema="doc_id long")
         return (
@@ -1735,7 +1764,7 @@ class IndexReader:
 
     def bool_or_df(self, query: str) -> DataFrame:
         """Cluster-side boolean OR -> DataFrame(doc_id), distinct."""
-        qterms = list(dict.fromkeys(analyze_query(query)))
+        qterms = list(dict.fromkeys(self._analyze(query)))
         if not qterms:
             return self.spark.createDataFrame([], schema="doc_id long")
         return self._term_docs_df(qterms).select("doc_id").distinct()
@@ -1747,7 +1776,7 @@ class IndexReader:
         yields several tokens is their conjunction. Returns the sorted
         matching doc_id array. Use :meth:`search_df` when the RESULT
         itself may be corpus-sized."""
-        tokens = _ast_leaf_tokens(tree)
+        tokens = _ast_leaf_tokens(tree, chain=self.chain)
         got = self.fetch_terms(tokens)
 
         def docs_of(tok: str) -> np.ndarray:
@@ -1756,7 +1785,7 @@ class IndexReader:
 
         def ev(n) -> np.ndarray:
             if isinstance(n, Term):
-                toks = analyze_query(n.t)
+                toks = self._analyze(n.t)
                 if not toks:
                     return np.empty(0, dtype=np.int64)
                 sets = sorted((docs_of(t) for t in toks), key=lambda a: a.size)
@@ -1829,7 +1858,7 @@ class IndexReader:
                 no_phrase(n.expr)
 
         no_phrase(tree)
-        tokens = _ast_leaf_tokens(tree)
+        tokens = _ast_leaf_tokens(tree, chain=self.chain)
         if not tokens:
             return self.spark.createDataFrame([], schema="doc_id long")
         flag_of = {t: f"_l{i}" for i, t in enumerate(tokens)}
@@ -1845,7 +1874,7 @@ class IndexReader:
 
         def cond(n):
             if isinstance(n, Term):
-                toks = analyze_query(n.t)
+                toks = self._analyze(n.t)
                 if not toks:
                     return F.lit(False)
                 c = F.col(flag_of[toks[0]])
@@ -1892,7 +1921,7 @@ class IndexReader:
             return []
         # negated leaves filter but never score (standard retrieval
         # semantics — a MUST_NOT clause has no tf to reward)
-        tokens = _ast_leaf_tokens(node.expr, positive_only=True)
+        tokens = _ast_leaf_tokens(node.expr, positive_only=True, chain=self.chain)
         got = self.fetch_terms(tokens)
         scores = np.zeros(matched.size, dtype=np.float64)
         for t in tokens:  # DFS order -> fixed per-doc add order
@@ -2000,6 +2029,38 @@ class IndexReader:
             [(int(d),) for d in ids], schema="doc_id long"
         )
 
+    def span_within(
+        self, little: str, big: list[str], slop: int = 0
+    ) -> np.ndarray:
+        """Lucene/ES ``span_within``: docs where a ``little`` occurrence
+        lies inside an unordered span_near match of ``big`` — see
+        ``PositionsReader.span_within_docs``."""
+        return self._positions().span_within_docs(little, big, slop=slop)
+
+    def span_containing(
+        self, big: list[str], little: str, slop: int = 0
+    ) -> np.ndarray:
+        """Lucene/ES ``span_containing``: ``big`` matches containing a
+        ``little`` occurrence — doc-level identical to ``span_within``
+        with flipped arguments (see PositionsReader docstring)."""
+        return self._positions().span_containing_docs(big, little, slop=slop)
+
+    def span_within_df(
+        self, little: str, big: list[str], slop: int = 0
+    ) -> DataFrame:
+        ids = self.span_within(little, big, slop=slop)
+        return self.spark.createDataFrame(
+            [(int(d),) for d in ids], schema="doc_id long"
+        )
+
+    def span_containing_df(
+        self, big: list[str], little: str, slop: int = 0
+    ) -> DataFrame:
+        ids = self.span_containing(big, little, slop=slop)
+        return self.spark.createDataFrame(
+            [(int(d),) for d in ids], schema="doc_id long"
+        )
+
     def span_first_df(self, term: str, end: int) -> DataFrame:
         ids = self.span_first(term, end)
         return self.spark.createDataFrame(
@@ -2022,7 +2083,7 @@ class IndexReader:
         if matched.size == 0 or k <= 0:
             return []
         if tokens is None:
-            tokens = list(dict.fromkeys(analyze_query(query)))
+            tokens = list(dict.fromkeys(self._analyze(query)))
         got = self.fetch_terms(tokens)
         scores = np.zeros(matched.size, dtype=np.float64)
         for t in tokens:
@@ -2055,7 +2116,7 @@ class IndexReader:
         same (score DESC, doc_id ASC) tie-break as BM25 — only the
         contribution expression differs, which is the whole point of a
         similarity abstraction. Returns [(rank, doc_id, score)]."""
-        tokens = list(dict.fromkeys(analyze_query(query)))
+        tokens = list(dict.fromkeys(self._analyze(query)))
         if not tokens or k <= 0:
             return []
         got = self.fetch_terms(tokens)
@@ -2124,7 +2185,7 @@ class IndexReader:
         ``after=None`` returns page one (== ``topk`` modulo lane).
         Returns [(rank, doc_id, score)] with rank continuing 1..k
         within the page."""
-        tokens = list(dict.fromkeys(analyze_query(query)))
+        tokens = list(dict.fromkeys(self._analyze(query)))
         if not tokens or k <= 0:
             return []
         got = self.fetch_terms(tokens)
@@ -2192,7 +2253,7 @@ class IndexReader:
         rows = self.topk(query, k)
         if not rows:
             return []
-        qterms = list(dict.fromkeys(analyze_query(query)))
+        qterms = list(dict.fromkeys(self._analyze(query)))
         got = self.fetch_terms(qterms)
         out = []
         for r, d, total in rows:
@@ -2267,7 +2328,7 @@ class IndexReader:
         ``multi_term_topk`` (Lucene's constant-score prefix default is
         deliberately not reproduced: a ranked suggest surface wants the
         idf signal). Returns [(rank, doc_id, score)]."""
-        toks = analyze_query(query)
+        toks = self._analyze(query)
         if not toks or k <= 0:
             return []
         full, pre = toks[:-1], toks[-1]
@@ -2340,7 +2401,7 @@ class IndexReader:
         from .expand import MAX_EXPANSIONS
 
         limit = MAX_EXPANSIONS if limit is None else limit
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         syn = self.synonyms_for(qterms)
         out: list[str] = []
         seen: set[str] = set()
@@ -2419,7 +2480,7 @@ class IndexReader:
         from .expand import MAX_EXPANSIONS, s_stem
 
         limit = MAX_EXPANSIONS if limit is None else limit
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         by_stem = self.stems_for([s_stem(t) for t in qterms])
         out: list[str] = []
         seen: set[str] = set()
@@ -2646,7 +2707,7 @@ class IndexReader:
         the driver-fetch cap — same guard as ``topk`` (the ndarray
         return still materializes the RESULT driver-side; use
         ``bool_and_df`` when the result itself may be corpus-sized)."""
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         if self._total_postings_upper > self.driver_fetch_max_postings:
             dfs = self.term_dfs(qterms)
             if sum(dfs.values()) > self.driver_fetch_max_postings:
@@ -2662,7 +2723,7 @@ class IndexReader:
         """Driver boolean OR (sorted doc_id array); same cluster
         dispatch guard as ``bool_and``."""
         if self._total_postings_upper > self.driver_fetch_max_postings:
-            dfs = self.term_dfs(analyze_query(query))
+            dfs = self.term_dfs(self._analyze(query))
             if sum(dfs.values()) > self.driver_fetch_max_postings:
                 rows = self.bool_or_df(query).collect()
                 return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
@@ -2681,7 +2742,7 @@ class IndexReader:
         (tf, dl, df) tuples — in that case both orders are valid by the
         scoring rule and the deterministic doc_id tie-break still
         applies)."""
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         if not qterms:
             return self.spark.createDataFrame(
                 [], schema="rank long, doc_id long, score double"
@@ -2782,7 +2843,7 @@ class IndexReader:
         doc_id computes both the score and the distinct-matched count
         (shards split a term by disjoint doc ranges, so count(term) ==
         count of matched terms), then TakeOrdered merges P·k rows."""
-        qterms = list(dict.fromkeys(analyze_query(query)))
+        qterms = list(dict.fromkeys(self._analyze(query)))
         if not qterms or k <= 0 or min_match <= 0:
             return self.spark.createDataFrame(
                 [], schema="rank long, doc_id long, score double, matched long"
@@ -2860,7 +2921,7 @@ class IndexReader:
                 w = float(wtxt)
             else:
                 raw, w = chunk, 1.0
-            for t in analyze_query(raw):
+            for t in self._analyze(raw):
                 weights[t] = w
                 if t not in order:
                     order.append(t)
@@ -2903,7 +2964,7 @@ class IndexReader:
         k = min(int(k), self.n_docs)
         frames = []
         for qi, q in enumerate(queries):
-            qterms = analyze_query(q)
+            qterms = self._analyze(q)
             if not qterms:
                 continue
             frames.append(
@@ -3003,7 +3064,7 @@ class IndexReader:
         output is groups·k_per_group rows, never corpus-sized."""
         from pyspark.sql import Window
 
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         empty = self.spark.createDataFrame(
             [],
             schema=f"{field} string, group_rank long, hit_rank long, "
@@ -3058,7 +3119,7 @@ class IndexReader:
         TakeOrdered top-k. Nothing corpus-sized reaches the driver."""
         from pyspark.sql import Window
 
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         if not qterms:
             return self.spark.createDataFrame(
                 [], schema=f"rank long, {field} string, doc_id long, score double"
@@ -3114,11 +3175,13 @@ class IndexReader:
         combination: the next page strictly after a VALUE cursor in the
         (field, doc_id) sort order — exact and stable under
         re-execution like ``topk_after``, no offset skip/repeat. Cursor
-        pages serve from the classic lane (the early-terminated prefix
-        scan would need cursor-aware file skipping — files wholly
-        before the cursor could be skipped entirely; a documented
-        future optimization, not a correctness gap: the classic lane's
-        filter + TakeOrdered is exact at any depth)."""
+        pages ride the early-terminated lane too when the sibling is
+        fresh: the prefix scan seeds past every file wholly before the
+        cursor (``sortindex.sorted_scan_topk(after=)`` — metadata-only
+        skip; value-straddling files are read and row-filtered), so
+        page N+1 reads only the files overlapping the remaining
+        suffix. The classic lane's filter + TakeOrdered remains the
+        exact fallback at any depth."""
         from pyspark.sql import Window
 
         from . import sortindex
@@ -3129,7 +3192,7 @@ class IndexReader:
                 f"sort field {field!r} is not a docs-dimension column"
             )
         if isinstance(tree, str):
-            toks = analyze_query(tree)
+            toks = self._analyze(tree)
             if not toks:
                 return self.spark.createDataFrame(
                     [], schema=f"rank long, doc_id long, {field} string"
@@ -3141,13 +3204,6 @@ class IndexReader:
 
         pinned = isinstance(self.cat, PinnedCatalog)
         use_et = early_terminate
-        if after is not None:
-            if early_terminate:
-                raise ValueError(
-                    "search_after cursor pages serve from the classic lane "
-                    "(pass early_terminate=None or False)"
-                )
-            use_et = False
         if use_et is None:
             # a PIT reader must not serve from the LIVE sort sibling
             # (properties/sibling state are not snapshot-pinned)
@@ -3167,7 +3223,7 @@ class IndexReader:
             try:
                 return sortindex.sorted_scan_topk(
                     self.spark, self.cat.root, field, k=k,
-                    ascending=ascending, match_ids=match,
+                    ascending=ascending, match_ids=match, after=after,
                 )
             finally:
                 if match is not None:
@@ -3214,7 +3270,7 @@ class IndexReader:
         weights, length priors…). The expression must be positive for
         the ranking to stay meaningful; matching is unchanged — only
         scores scale. Same lane shape as ``topk_collapse``."""
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         if not qterms:
             return self.spark.createDataFrame(
                 [], schema="rank long, doc_id long, score double"
@@ -3285,7 +3341,7 @@ class IndexReader:
         # TakeOrdered allocates a k-sized heap per partition — clamp the
         # "give me everything" k to the corpus size (as in dis_max_topk)
         k = min(int(k), self.n_docs)
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         if not qterms:
             return self.spark.createDataFrame(
                 [], schema="rank long, doc_id long, score double"
@@ -3422,7 +3478,7 @@ class IndexReader:
         the requirement — the aggregate side is match-set-sized and the
         join keys on the same doc_id the aggregation just shuffled on,
         so AQE plans it without a second exchange of the big side."""
-        qterms = list(dict.fromkeys(analyze_query(query)))
+        qterms = list(dict.fromkeys(self._analyze(query)))
         if not qterms or k <= 0:
             return self.spark.createDataFrame(
                 [], schema="rank long, doc_id long, score double, matched long"
@@ -3467,8 +3523,8 @@ class IndexReader:
         doc_id-keyed on already-shuffled data."""
         if not (0.0 < negative_boost <= 1.0):
             raise ValueError("negative_boost must be in (0, 1]")
-        pos_terms = analyze_query(positive)
-        neg_terms = analyze_query(negative)
+        pos_terms = self._analyze(positive)
+        neg_terms = self._analyze(negative)
         if not pos_terms or k <= 0:
             return self.spark.createDataFrame(
                 [], schema="rank long, doc_id long, score double"
@@ -3570,7 +3626,7 @@ class IndexReader:
         """
         from .codec import slice_blocks
 
-        qterms = list(dict.fromkeys(analyze_query(query)))
+        qterms = list(dict.fromkeys(self._analyze(query)))
         if not qterms or k <= 0:
             return ([], {"n_ranges": 0, "blocks_decoded": 0, "blocks_total": 0}) \
                 if return_stats else []
@@ -3852,7 +3908,7 @@ class IndexReader:
         ranking the filtered corpus under the FULL-corpus statistics —
         the standard filtered-search contract (df/idf are collection
         stats, not slice stats). Returns (rank, doc_id, score)."""
-        qterms = analyze_query(query)
+        qterms = self._analyze(query)
         if not qterms:
             return self.spark.createDataFrame(
                 [], schema="rank long, doc_id long, score double"
@@ -3948,11 +4004,11 @@ class IndexReader:
         huge = []
         if queries and self._total_postings_upper > self.driver_fetch_max_postings:
             dfs = self.term_dfs(
-                [t for q in queries for t in analyze_query(q["query"])]
+                [t for q in queries for t in self._analyze(q["query"])]
             )
             small = []
             for q in queries:
-                if sum(dfs[t] for t in analyze_query(q["query"])) \
+                if sum(dfs[t] for t in self._analyze(q["query"])) \
                         > self.driver_fetch_max_postings:
                     huge.append(q)
                 else:
@@ -3960,7 +4016,7 @@ class IndexReader:
             queries = small
         pairs = []
         for q in queries:
-            for pos, t in enumerate(analyze_query(q["query"])):
+            for pos, t in enumerate(self._analyze(q["query"])):
                 pairs.append((q["query_id"], pos, t, int(q.get("k", 10))))
         huge_rows = [
             (q["query_id"], r, d, s)
@@ -4044,7 +4100,7 @@ class IndexReader:
         if prefetch:
             all_terms: list[str] = []
             for q in queries:
-                all_terms.extend(analyze_query(q["query"]))
+                all_terms.extend(self._analyze(q["query"]))
             self.fetch_terms(all_terms)
         results = {}
         lat = []

@@ -322,6 +322,7 @@ def sorted_scan_topk(
     ascending: bool = False,
     predicate: str | None = None,
     match_ids: DataFrame | None = None,
+    after: tuple | None = None,
     return_stats: bool = False,
 ):
     """Early-terminated exact top-k by ``field`` over the sorted
@@ -329,7 +330,21 @@ def sorted_scan_topk(
     (rank, doc_id, <field>) — identical to
     ``IndexReader.topk_sort_field`` — plus a stats dict
     (files_read/files_total/rows_in_read_files/generations) when
-    asked."""
+    asked.
+
+    ``after=(field_value, doc_id)`` is the sort + ``search_after``
+    cursor: rows strictly after the cursor in the (field, doc_id
+    ASC-tiebreak) order. Cursor pages stay early-terminated — each
+    generation's scan SEEDS at the first file that can contain a
+    post-cursor row, skipping files wholly on the served side
+    undecoded: descending order skips every file with ``lo > value``
+    (all its rows sort before the cursor), ascending skips
+    ``hi < value``. A file straddling the cursor value is read and
+    row-filtered — the doc_id tie-break lives in data, not metadata,
+    so value-equality can never be skipped on. Page depth therefore
+    costs O(files overlapping the remaining suffix), not O(pages·k)
+    re-scans, which is what makes deep paging over a 100-TB dimension
+    viable."""
     cat = Catalog(index_root)
     st = _state(cat, field)
     if st is None:
@@ -346,15 +361,28 @@ def sorted_scan_topk(
         else None
     )
     ordcol = F.col(field).asc() if ascending else F.col(field).desc()
-    # per-generation cursor over its sort-ordered file list
-    gens = [
-        {
-            "ranges": g["ranges"] if ascending else list(reversed(g["ranges"])),
-            "i": 0,
-            "batch": 1,
-        }
-        for g in st["generations"]
-    ]
+
+    def _cursor_skippable(e) -> bool:
+        """Every row of this file sorts strictly BEFORE the cursor
+        (already served on an earlier page), so the file needs no
+        read. Equality with the cursor value is never skippable: the
+        doc_id tie-break needs the rows."""
+        if after is None:
+            return False
+        av = after[0]
+        return e["hi"] < av if ascending else e["lo"] > av
+
+    files_skipped = 0
+    # per-generation cursor over its sort-ordered file list, seeded
+    # past the files wholly before the search_after cursor
+    gens = []
+    for g in st["generations"]:
+        ranges = g["ranges"] if ascending else list(reversed(g["ranges"]))
+        i = 0
+        while i < len(ranges) and _cursor_skippable(ranges[i]):
+            i += 1
+        files_skipped += i
+        gens.append({"ranges": ranges, "i": i, "batch": 1})
 
     def boundary_beaten(kth) -> bool:
         """kth strictly beats every generation's next unread boundary."""
@@ -383,6 +411,17 @@ def sorted_scan_topk(
         df = spark.read.parquet(*(os.path.join(troot, e["path"]) for e in take))
         if ftype is None:
             ftype = df.schema[field].dataType  # footer already read
+        if after is not None:
+            av, aid = after
+            strict = (
+                F.col(field) > F.lit(av)
+                if ascending
+                else F.col(field) < F.lit(av)
+            )
+            df = df.filter(
+                strict
+                | ((F.col(field) == F.lit(av)) & (F.col("doc_id") > aid))
+            )
         if predicate:
             df = df.filter(predicate)
         if match_ids is not None:
@@ -404,6 +443,13 @@ def sorted_scan_topk(
             break
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if ftype is None:
+        # cursor past all data: no file was read; type from one footer
+        first = st["generations"][0]["ranges"][0]["path"]
+        ftype = (
+            spark.read.parquet(os.path.join(troot, first))
+            .schema[field].dataType
+        )
     out = spark.createDataFrame(
         [(r + 1, d, v) for r, (v, d) in enumerate(acc)],
         schema=StructType(
@@ -418,6 +464,7 @@ def sorted_scan_topk(
     stats = {
         "files_total": len(all_ranges),
         "files_read": files_read,
+        "files_cursor_skipped": files_skipped,
         "rows_in_read_files": rows_read,
         "rows_total": sum(e["rows"] for e in all_ranges),
         "generations": len(gens),

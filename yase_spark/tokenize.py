@@ -178,7 +178,7 @@ def tokens_column(col, ngrams: bool = True):
     return F.concat(parts, fulls, bigrams)
 
 
-def tokenize_count_arrow(contents, ngrams: bool = True):
+def tokenize_count_arrow(contents, ngrams: bool = True, chain=None):
     """THE SAME pinned tokenizer fused with per-doc term counting,
     executed almost entirely in Arrow C++ kernels (RE2 regex over flat
     string buffers, no per-token Python objects).
@@ -201,6 +201,16 @@ def tokenize_count_arrow(contents, ngrams: bool = True):
     unique (doc, term) pairs with term-frequencies, the term dictionary
     (pa.StringArray), and per-doc total token counts — doc_idx is the
     0-based position within this batch.
+
+    ``chain`` (analysis.AnalyzerChain, duck-typed to avoid an import
+    cycle): the declared post-tokenizer filters. Applied at the
+    DICTIONARY level, which is the cheap place — stopword membership
+    and stemming are computed once per distinct term per batch
+    (vocabulary-sized Python work), then pushed onto the integer codes:
+    stopword pairs are dropped with their tf subtracted from doc_lens
+    (BM25 length norms see the filtered stream), stem folding remaps
+    codes and re-aggregates tf per (doc, stem). The C++ hot loop is
+    untouched.
     """
     import numpy as np
     import pyarrow as pa
@@ -267,7 +277,45 @@ def tokenize_count_arrow(contents, ngrams: bool = True):
     k = len(dictionary)
     key = all_docs.astype(np.int64) * k + codes
     uk, tfs = np.unique(key, return_counts=True)
-    return uk // k, uk % k, tfs.astype(np.int64), dictionary, doc_lens
+    di, codes, tfs = uk // k, uk % k, tfs.astype(np.int64)
+    if chain is not None and not getattr(chain, "is_noop", True):
+        di, codes, tfs, dictionary, doc_lens = _apply_chain_pairs(
+            di, codes, tfs, dictionary, doc_lens, n_docs, chain
+        )
+    return di, codes, tfs, dictionary, doc_lens
+
+
+def _apply_chain_pairs(di, codes, tfs, dictionary, doc_lens, n_docs, chain):
+    """Analysis-chain application over unique (doc, term-code, tf)
+    pairs: all per-token work happens on the batch-local DICTIONARY
+    (distinct terms), never on the token stream."""
+    import numpy as np
+    import pyarrow as pa
+
+    dic_py = dictionary.to_pylist()
+    if chain.stop_words:
+        stop = np.fromiter(
+            (t in chain.stop_words for t in dic_py), bool, len(dic_py)
+        )
+        drop = stop[codes]
+        if drop.any():
+            doc_lens = doc_lens - np.bincount(
+                di[drop], weights=tfs[drop], minlength=n_docs
+            ).astype(np.int64)
+            di, codes, tfs = di[~drop], codes[~drop], tfs[~drop]
+    if chain.stem:
+        from .expand import s_stem  # local: avoids a module-level cycle
+
+        stems = np.array([s_stem(t) for t in dic_py], dtype=object)
+        new_dic, old_to_new = np.unique(stems, return_inverse=True)
+        k2 = len(new_dic)
+        new_codes = old_to_new[codes]
+        key = di * k2 + new_codes
+        uk, inv = np.unique(key, return_inverse=True)
+        tfs = np.bincount(inv, weights=tfs).astype(np.int64)
+        di, codes = uk // k2, uk % k2
+        dictionary = pa.array(new_dic.tolist(), type=pa.string())
+    return di, codes, tfs, dictionary, doc_lens
 
 
 def tokenize_series(texts: pd.Series, ngrams: bool = True) -> pd.Series:
