@@ -163,6 +163,63 @@ SELECT doc_id, round(score, 5) AS score_r FROM sc
 ORDER BY score DESC, doc_id LIMIT 10
 """
 
+
+def _fields_chain_sql() -> str:
+    """Two-family BM25 oracle for fields_chain: family 1 is the raw
+    content field scoring the query verbatim; family 2 re-derives the
+    CHAINED token stream — stopwords (CHAIN_STOPS) filtered, then the
+    SAME s_stem_sql text applied — with doc lengths measured on the
+    filtered stream and query terms chained through the shared
+    chain_terms impl, so engine and oracle cannot drift on either the
+    filter or the stemmer."""
+    from yase_spark.analysis import AnalyzerChain, chain_terms
+    from yase_spark.expand import s_stem_sql
+
+    chain = AnalyzerChain(
+        stop_words=frozenset(CHAIN_STOPS.split()), stem=True
+    )
+    raw_terms = ", ".join(f"'{t}'" for t in CHAIN_QUERY.split())
+    chained = chain_terms(CHAIN_QUERY.split(), chain)
+    chain_q = ", ".join(f"'{t}'" for t in dict.fromkeys(chained))
+    stops = ", ".join(f"'{s}'" for s in sorted(chain.stop_words))
+    return f"""
+{_T_SQL},
+dl1 AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf1 AS (SELECT term, doc_id, count(*) AS tf FROM t WHERE term IN ({raw_terms}) GROUP BY 1, 2),
+df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+st1 AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl1),
+sc1 AS (
+  SELECT tf1.doc_id,
+         sum(ln(1.0 + (st1.n - df1.df + 0.5) / (df1.df + 0.5))
+             * (tf1.tf * {K1 + 1.0}) / (tf1.tf + {K1} * (1.0 - {B} + {B} * (dl1.dl / st1.avgdl)))
+         ) AS score
+  FROM tf1 JOIN df1 USING (term) JOIN dl1 USING (doc_id) CROSS JOIN st1
+  GROUP BY 1
+),
+t2 AS (SELECT doc_id, {s_stem_sql('term')} AS term FROM t
+       WHERE term NOT IN ({stops})),
+dl2 AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+tf2 AS (SELECT term, doc_id, count(*) AS tf FROM t2 WHERE term IN ({chain_q}) GROUP BY 1, 2),
+df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+st2 AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl2),
+sc2 AS (
+  SELECT tf2.doc_id,
+         sum(ln(1.0 + (st2.n - df2.df + 0.5) / (df2.df + 0.5))
+             * (tf2.tf * {K1 + 1.0}) / (tf2.tf + {K1} * (1.0 - {B} + {B} * (dl2.dl / st2.avgdl)))
+         ) AS score
+  FROM tf2 JOIN df2 USING (term) JOIN dl2 USING (doc_id) CROSS JOIN st2
+  GROUP BY 1
+),
+sc AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.score, 0) * 1.0 + coalesce(b.score, 0) * {CHAIN_W} AS score
+  FROM sc1 a FULL JOIN sc2 b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, round(score, 5) AS score_r FROM sc
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # token positions: array ordinality (stable), empties filtered, then
 # re-numbered per doc — matches the engine's parts-stream positions
 _POS_SQL = (
@@ -533,6 +590,60 @@ def _q_fields_dismax(spark, sf_dir):
     )
 
 
+CHAIN_STOPS = "the a"          # the only classic stopwords in the
+                               # synthetic code corpus's vocabulary
+CHAIN_QUERY = "tables the hash"  # plural (stems to an indexed term) +
+                               # stopword (chained field drops it, the
+                               # raw field scores it) + shared term
+CHAIN_W = 1.5
+
+
+def _chain_reader(spark, sf_dir):
+    """Second content index over the SAME corpus rows with a declared
+    non-default analysis chain (stopword filter + S-stemmer,
+    analysis.py): the ES per-field-analyzer shape — same doc-id space
+    (ids minted from the natural key only), different token space. The
+    chain is applied at build inside the one tokenize pass (Catalyst
+    expressions, doc_len measured after the filter) and adopted by the
+    reader from catalog properties, so query-side parity is by
+    construction."""
+    _reader(spark, sf_dir)
+    key = ("chain", sf_dir)
+    if key not in _CACHE:
+        import dataclasses
+
+        root = tempfile.mkdtemp(prefix="yase_ixc_")
+        cfg = dataclasses.replace(
+            _CACHE[sf_dir][1], stop_words=CHAIN_STOPS, stem_tokens=True
+        )
+        build_index(spark, _corpus_shape(spark, sf_dir), root, cfg)
+        _CACHE[key] = (root, cfg)
+    root, cfg = _CACHE[key]
+    return IndexReader(spark, root, cfg)
+
+
+def _q_fields_chain(spark, sf_dir):
+    # per-field analyzer chains on the multi-field surface (VERDICT r4
+    # item 6): raw content field (weight 1) + a chained field over the
+    # same text (stopwords 'the a' removed, S-stemmed; weight 1.5).
+    # Each field analyzes the query through its OWN chain — the raw
+    # field scores ['tables','the','hash'] ('tables' has zero df: the
+    # plural is absent from the vocab), the chained field scores
+    # ['table','hash'] with stemmed tf/df and filtered doc lengths. The
+    # oracle replays both families, family 2 through the SAME
+    # s_stem_sql text and stopword predicate.
+    from yase_spark.fields import fields_topk
+
+    rd1 = _reader(spark, sf_dir)
+    rd2 = _chain_reader(spark, sf_dir)
+    res = fields_topk([(rd1, 1.0), (rd2, CHAIN_W)], CHAIN_QUERY, k=10)
+    m = _orig_ids(rd1, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 def _q_grep_topk(spark, sf_dir):
     # ranked grep: the trigram match set of the literal selects, BM25
     # over the standard query terms ranks (full-corpus stats — the
@@ -654,6 +765,42 @@ def _q_span_first(spark, sf_dir):
     m = _orig_ids(rd, spark)
     return (
         rd.span_first_df(term, end)
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
+SPAN_WITHIN = ("query", ["merge", "group"], 4)   # little, big, slop
+SPAN_CONTAINING = (["table", "hash"], "key", 3)  # big, little, slop
+
+
+def _q_span_within(spark, sf_dir):
+    # Lucene span_within: an occurrence of the little term lies INSIDE
+    # a match of the enclosing unordered span (one occurrence per big
+    # clause, span <= (n-1)+slop, little between the tuple's min and
+    # max positions). The oracle enumerates ALL legal big tuples — so a
+    # minimal-cover-only matcher would fail this hash (the full-left-
+    # range anchor scan is the regression the gate pins).
+    little, big, slop = SPAN_WITHIN
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.span_within_df(little, big, slop=slop)
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
+def _q_span_containing(spark, sf_dir):
+    # Lucene span_containing: big matches that contain a little
+    # occurrence — doc-level the flip of span_within (differs in which
+    # SPAN is emitted, not which docs match); distinct term/slop config
+    # so it is a distinct test vector, not a re-hash of span_within
+    big, little, slop = SPAN_CONTAINING
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.span_containing_df(big, little, slop=slop)
         .join(m, "doc_id")
         .select(F.col("orig_doc_id").alias("doc_id"))
     )
@@ -1300,6 +1447,23 @@ def _q_ann_ivf_topk(spark, sf_dir):
     from yase_spark.similarity import ivf_ann_topk
 
     return ivf_ann_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_queries=8, k=10, n_centroids=16,
+    )
+
+
+def _q_ann_hnsw_topk(spark, sf_dir):
+    # IVF probing with HNSW-selected centroids (hnsw.py — the online
+    # kNN lever when K grows to 10^5+ lists): saturated (ef = nprobe =
+    # n_centroids) the graph search visits every node (base layer is
+    # connected via the prune-exempt chain) and probing every list is
+    # EXACTLY brute force, so the same full-value oracle validates the
+    # graph build + beam search + probe machinery end to end. Pruned
+    # ef/nprobe recall and the visited-count pruning telemetry are
+    # pytest-gated in tests/test_hnsw.py.
+    from yase_spark.hnsw import hnsw_ann_topk
+
+    return hnsw_ann_topk(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         n_queries=8, k=10, n_centroids=16,
     )
@@ -3293,6 +3457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backup_restore_topk": _q_backup_restore_topk,
         "snapshot_read": _q_snapshot_read,
         "span_near": _q_span_near,
+        "span_within": _q_span_within,
+        "span_containing": _q_span_containing,
+        "fields_chain": _q_fields_chain,
+        "ann_hnsw_topk": _q_ann_hnsw_topk,
         "topk_msm": _q_topk_msm,
         "topk_rescore": _q_topk_rescore,
         "qs_topk": _q_qs_topk,
@@ -3452,6 +3620,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # session regardless.
     window_first = [
         "repetition_stats",
+        # --- round-5 additions (VERDICT items 6/7/8: their "Done"
+        # criteria are green driver rows) ---
+        "fields_chain",
+        "span_within",
+        "span_containing",
+        "ann_hnsw_topk",
         # --- VERDICT item-3 explicit priorities ---
         "snapshot_read",
         "pit_page2",
@@ -4060,6 +4234,40 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "SELECT DISTINCT doc_id FROM f "
             f"WHERE term = '{SPAN_FIRST[0]}' AND p <= {SPAN_FIRST[1]}"
         ),
+        # span_within: FULL tuple enumeration — every (a, b) choice with
+        # span <= (n-1)+slop counts as an enclosing match, so a little
+        # inside a wider-but-legal tuple must be found (the anchor
+        # scan's full-left-range property); positions are relative, so
+        # 0/1-based conventions cancel
+        "span_within": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT l.doc_id FROM f l "
+            "JOIN f a ON a.doc_id = l.doc_id "
+            "JOIN f b ON b.doc_id = l.doc_id "
+            f"WHERE l.term = '{SPAN_WITHIN[0]}' "
+            f"AND a.term = '{SPAN_WITHIN[1][0]}' "
+            f"AND b.term = '{SPAN_WITHIN[1][1]}' "
+            "AND greatest(a.p, b.p) - least(a.p, b.p) "
+            f"<= {len(SPAN_WITHIN[1]) - 1 + SPAN_WITHIN[2]} "
+            "AND l.p BETWEEN least(a.p, b.p) AND greatest(a.p, b.p) "
+            "ORDER BY 1"
+        ),
+        # span_containing: doc-level the flip of span_within (big
+        # matches containing a little) — same enumeration, the
+        # SPAN_CONTAINING term/slop config
+        "span_containing": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT l.doc_id FROM f l "
+            "JOIN f a ON a.doc_id = l.doc_id "
+            "JOIN f b ON b.doc_id = l.doc_id "
+            f"WHERE l.term = '{SPAN_CONTAINING[1]}' "
+            f"AND a.term = '{SPAN_CONTAINING[0][0]}' "
+            f"AND b.term = '{SPAN_CONTAINING[0][1]}' "
+            "AND greatest(a.p, b.p) - least(a.p, b.p) "
+            f"<= {len(SPAN_CONTAINING[0]) - 1 + SPAN_CONTAINING[2]} "
+            "AND l.p BETWEEN least(a.p, b.p) AND greatest(a.p, b.p) "
+            "ORDER BY 1"
+        ),
         # percolation: CNF satisfaction replayed relationally
         "percolate": (
             "WITH toks AS (SELECT DISTINCT doc_id, unnest("
@@ -4207,6 +4415,10 @@ FROM f QUALIFY rank <= 10
         # boosts: content field (weight 1) + 'source lang' metadata
         # field (weight FIELD_W), full outer blend
         "fields_topk": _fields_sql(),
+        # per-field analysis chains: raw field + chained field (stop
+        # filter + shared s_stem_sql), each family's stats on its own
+        # token stream
+        "fields_chain": _fields_chain_sql(),
         # dis-max blend over the same two per-field score CTEs
         "fields_dismax": _fields_sql().replace(
             f"coalesce(a.score, 0) * 1.0 + coalesce(b.score, 0) * {FIELD_W} AS score",
@@ -4462,6 +4674,10 @@ WHERE g.doc_id = g.cluster_id AND q.quality_r >= 0.45
         # full-probe IVF == brute force (every vector is in exactly one
         # inverted list and every list is probed)
         "ann_ivf_topk": _ANN_SQL,
+        # saturated HNSW probe selection (ef = nprobe = K over a
+        # connected-by-construction graph) == full-probe IVF == brute
+        # force; pruned recall is pytest-gated (tests/test_hnsw.py)
+        "ann_hnsw_topk": _ANN_SQL,
         # saturated-codebook PQ (lossless reconstruction) + exact
         # re-rank == brute force; see tests/test_pq.py for the
         # compressed regime

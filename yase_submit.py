@@ -133,7 +133,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--method",
         choices=["exact", "lsh", "simhash", "semantic", "ivf", "pq",
-                 "ivfpq", "sq"],
+                 "ivfpq", "sq", "hnsw"],
         default="lsh",
         help="neardup/ann variant (ivf/pq/ivfpq are ann-only; semantic "
         "= SemDeDup over an embeddings-shaped --corpus)",
@@ -1560,6 +1560,7 @@ def main(argv=None) -> int:
             print(json.dumps([r.asDict() for r in out.limit(100).collect()]))
 
     elif args.cmd == "ann":
+        from yase_spark.hnsw import hnsw_ann_topk
         from yase_spark.pq import ivf_pq_topk, pq_ann_topk
         from yase_spark.similarity import (
             cosine_topk,
@@ -1581,6 +1582,13 @@ def main(argv=None) -> int:
                 "pq": lambda e, k: pq_ann_topk(e, k=k, m=16, ks=32, refine=3 * k),
                 "ivfpq": lambda e, k: ivf_pq_topk(e, k=k, m=16, ks=32, refine=3 * k),
                 "sq": lambda e, k: sq_ann_topk(e, k=k, rescore=8 * k),
+                # HNSW-selected probes over the IVF lists (hnsw.py):
+                # nprobe/ef default to half the lists — the pruned
+                # serving shape; the saturated oracle shape is the
+                # driver-contract row
+                "hnsw": lambda e, k: hnsw_ann_topk(
+                    e, k=k, n_centroids=16, nprobe=8, ef=12
+                ),
                 "exact": cosine_topk,
             }[args.method]
             out = fn(emb, k=args.k)
