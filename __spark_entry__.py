@@ -644,6 +644,25 @@ def _q_fields_chain(spark, sf_dir):
     )
 
 
+def _q_fields_combined(spark, sf_dir):
+    # combined_fields (Lucene CombinedFieldQuery / BM25F): raw tf and
+    # doc lengths BLEND across fields before the one BM25 saturation
+    # (tf' = sum w_f*tf_f, dl' = sum w_f*dl_f, avgdl' = sum w_f*avgdl_f,
+    # df' = max_f df_f) — none of which a per-field score sum can
+    # express. Content field at weight 1 + the 'source lang' metadata
+    # field at weight 2 (same analysis chain, as the mode requires).
+    from yase_spark.fields import fields_combined_topk
+
+    rd1 = _reader(spark, sf_dir)
+    rd2 = _fields_reader(spark, sf_dir)
+    res = fields_combined_topk([(rd1, 1.0), (rd2, FIELD_W)], FIELD_QUERY, k=10)
+    m = _orig_ids(rd1, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 def _q_grep_topk(spark, sf_dir):
     # ranked grep: the trigram match set of the literal selects, BM25
     # over the standard query terms ranks (full-corpus stats — the
@@ -3260,6 +3279,53 @@ def _q_t_test(spark, sf_dir):
                   "n_chars")
 
 
+MATRIX_A = "n_chars % 97"
+MATRIX_B = "(doc_id * 7 + n_chars) % 89"
+
+
+def _q_matrix_stats(spark, sf_dir):
+    # ES matrix_stats: per-field mean/variance/skew/kurt + pairwise
+    # cov/corr from ONE global reduce of nine power sums. The field
+    # expressions are small integers, so the double power sums stay
+    # under 2^53 — exact, order-free — and the oracle replays the
+    # IDENTICAL shared expression text (matrix_stats_exprs) over them
+    from yase_spark.aggs import matrix_stats
+
+    return matrix_stats(
+        _docs(spark, sf_dir), "a", "b", expr_a=MATRIX_A, expr_b=MATRIX_B
+    )
+
+
+def _q_string_stats(spark, sf_dir):
+    # ES string_stats over documents.text: length stats + the Shannon
+    # entropy (log2) of the corpus character distribution, folded over
+    # the alphabet-sized count table in char-sorted order
+    from yase_spark.aggs import string_stats
+
+    return string_stats(_docs(spark, sf_dir), "text")
+
+
+def _q_dispersion_stats(spark, sf_dir):
+    # ES boxplot + median_absolute_deviation, EXACT where ES ships
+    # TDigest sketches: linear-interpolation quartiles + MAD over
+    # n_chars (two global percentile reduces — MAD is a median OF
+    # residuals, not one-pass expressible)
+    from yase_spark.aggs import dispersion_stats
+
+    return dispersion_stats(_docs(spark, sf_dir), "n_chars")
+
+
+def _q_stats_bucket(spark, sf_dir):
+    # ES stats_bucket/avg_bucket/min_bucket/max_bucket/sum_bucket
+    # sibling pipeline aggs: per-event-type stats over the GAP-FILLED
+    # date_histogram bucket counts (a sibling avg over a gappy
+    # histogram must see the zero buckets)
+    from yase_spark.aggs import bucket_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bucket_stats(ev, hours=1)
+
+
 def _q_ilm_topk(spark, sf_dir):
     # the full ILM lifecycle end-to-end: three sealed generations
     # (max_docs=1: every batch rolls), policy keeps 2 (generation 1
@@ -3461,6 +3527,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_containing": _q_span_containing,
         "fields_chain": _q_fields_chain,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
+        "fields_combined": _q_fields_combined,
+        "matrix_stats": _q_matrix_stats,
+        "string_stats": _q_string_stats,
+        "dispersion_stats": _q_dispersion_stats,
+        "stats_bucket": _q_stats_bucket,
         "topk_msm": _q_topk_msm,
         "topk_rescore": _q_topk_rescore,
         "qs_topk": _q_qs_topk,
@@ -5985,5 +6056,139 @@ WITH h AS (SELECT cast(doc_id as varchar) AS key,
 SELECT row_number() OVER (ORDER BY h) AS rank, key, h
 FROM (SELECT DISTINCT key, h FROM h) QUALIFY rank <= {KMV_K}
 ORDER BY h
+"""
+    # combined_fields (BM25F): blended tf'/dl'/avgdl' + max-df pseudo
+    # stats over the two families, one saturation per (term, doc)
+    _cf_terms = ", ".join(f"'{t}'" for t in FIELD_QUERY.split())
+    o["fields_combined"] = f"""
+{_T_SQL},
+dl1 AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+tf1 AS (SELECT term, doc_id, count(*) AS tf FROM t WHERE term IN ({_cf_terms}) GROUP BY 1, 2),
+df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+st1 AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl1),
+tok2 AS (SELECT doc_id, unnest(regexp_split_to_array(
+           lower(source || ' ' || lang), '[^a-z0-9]+')) AS term FROM documents),
+t2 AS (SELECT * FROM tok2 WHERE term <> ''),
+dl2 AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+tf2 AS (SELECT term, doc_id, count(*) AS tf FROM t2 WHERE term IN ({_cf_terms}) GROUP BY 1, 2),
+df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+st2 AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl2),
+dfb AS (SELECT coalesce(a.term, b.term) AS term,
+               greatest(coalesce(a.df, 0), coalesce(b.df, 0)) AS df
+        FROM df1 a FULL JOIN df2 b ON a.term = b.term),
+cdl AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               coalesce(a.dl, 0) * 1.0 + coalesce(b.dl, 0) * {FIELD_W} AS cdl
+        FROM dl1 a FULL JOIN dl2 b ON a.doc_id = b.doc_id),
+ctf AS (SELECT coalesce(a.term, b.term) AS term,
+               coalesce(a.doc_id, b.doc_id) AS doc_id,
+               coalesce(a.tf, 0) * 1.0 + coalesce(b.tf, 0) * {FIELD_W} AS ctf
+        FROM tf1 a FULL JOIN tf2 b ON a.term = b.term AND a.doc_id = b.doc_id),
+sc AS (
+  SELECT ctf.doc_id,
+         sum(ln(1.0 + ((SELECT n FROM st1) - dfb.df + 0.5) / (dfb.df + 0.5))
+             * (ctf.ctf * {K1 + 1.0})
+             / (ctf.ctf + {K1} * (1.0 - {B} + {B} * (cdl.cdl
+                / ((SELECT avgdl FROM st1) * 1.0
+                   + (SELECT avgdl FROM st2) * {FIELD_W}))))
+         ) AS score
+  FROM ctf JOIN dfb USING (term) JOIN cdl USING (doc_id)
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 5) AS score_r FROM sc
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # matrix_stats: nine exact power sums (integer-valued field
+    # expressions, double sums < 2^53 => order-free), then the SAME
+    # shared expression text the engine evaluates
+    from yase_spark.aggs import matrix_stats_exprs
+
+    _me = matrix_stats_exprs("n", "a", "b")
+    o["matrix_stats"] = f"""
+WITH v AS (SELECT cast({MATRIX_A} as double) AS va,
+                  cast({MATRIX_B} as double) AS vb FROM documents),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(va) AS a_s1, sum(va * va) AS a_s2,
+             sum(va * va * va) AS a_s3, sum(va * va * va * va) AS a_s4,
+             sum(vb) AS b_s1, sum(vb * vb) AS b_s2,
+             sum(vb * vb * vb) AS b_s3, sum(vb * vb * vb * vb) AS b_s4,
+             sum(va * vb) AS sxy
+      FROM v)
+SELECT 'a' AS field, n,
+       round({_me["mean_a"]}, 6) AS mean_r,
+       round({_me["var_a"]}, 6) AS variance_r,
+       round({_me["skew_a"]}, 6) AS skew_r,
+       round({_me["kurt_a"]}, 6) AS kurt_r,
+       round({_me["cov"]}, 6) AS cov_r,
+       round({_me["corr"]}, 6) AS corr_r
+FROM s
+UNION ALL
+SELECT 'b' AS field, n,
+       round({_me["mean_b"]}, 6) AS mean_r,
+       round({_me["var_b"]}, 6) AS variance_r,
+       round({_me["skew_b"]}, 6) AS skew_r,
+       round({_me["kurt_b"]}, 6) AS kurt_r,
+       round({_me["cov"]}, 6) AS cov_r,
+       round({_me["corr"]}, 6) AS corr_r
+FROM s
+ORDER BY field
+"""
+    # string_stats: length reduce + alphabet-sized char counts; the
+    # entropy folds the SAME per-char terms in the SAME char-sorted
+    # order (ordered aggregate) the engine's array fold uses
+    o["string_stats"] = """
+WITH l AS (SELECT CAST(count(*) AS BIGINT) AS count,
+                  CAST(min(length(text)) AS BIGINT) AS min_length,
+                  CAST(max(length(text)) AS BIGINT) AS max_length,
+                  CAST(sum(length(text)) AS BIGINT) AS total_chars
+           FROM documents),
+ch AS (SELECT unnest(regexp_extract_all(text, '[\\s\\S]')) AS c FROM documents),
+cc AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY 1),
+tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cc),
+e AS (SELECT sum(-(cast(cnt as double) / cast(tot as double))
+               * log2(cast(cnt as double) / cast(tot as double))
+               ORDER BY c) AS entropy
+      FROM cc CROSS JOIN tt)
+SELECT count, min_length, max_length,
+       round(cast(total_chars as double) / cast(count as double), 6)
+         AS avg_length_r,
+       round(entropy, 6) AS entropy_r
+FROM l CROSS JOIN e
+"""
+    # boxplot + MAD: quantile_cont IS percentile_cont (linear
+    # interpolation) — the same definition Spark `percentile` uses
+    o["dispersion_stats"] = """
+WITH v AS (SELECT cast(n_chars as double) AS v FROM documents),
+box AS (SELECT min(v) AS vmin, quantile_cont(v, 0.25) AS q1,
+               quantile_cont(v, 0.5) AS q2, quantile_cont(v, 0.75) AS q3,
+               max(v) AS vmax
+        FROM v),
+mad AS (SELECT quantile_cont(abs(v.v - box.q2), 0.5) AS mad
+        FROM v CROSS JOIN box)
+SELECT round(vmin, 6) AS min_r, round(q1, 6) AS q1_r,
+       round(q2, 6) AS median_r, round(q3, 6) AS q3_r,
+       round(vmax, 6) AS max_r, round(mad, 6) AS mad_r
+FROM box CROSS JOIN mad
+"""
+    # sibling bucket stats over the gap-filled per-type histogram —
+    # the date_histogram oracle's dense axis, reduced per type
+    o["stats_bucket"] = """
+WITH h AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+ax AS (
+  SELECT event_type,
+         unnest(generate_series(min(bucket_start), max(bucket_start),
+                                INTERVAL '1 hour')) AS bucket_start
+  FROM h GROUP BY event_type),
+d AS (
+  SELECT ax.event_type, coalesce(h.n, 0) AS n
+  FROM ax LEFT JOIN h USING (event_type, bucket_start))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(n) AS BIGINT) AS min_n, CAST(max(n) AS BIGINT) AS max_n,
+       CAST(sum(n) AS BIGINT) AS sum_n,
+       round(cast(sum(n) as double) / cast(count(1) as double), 6)
+         AS avg_n_r
+FROM d GROUP BY 1 ORDER BY 1
 """
     return o

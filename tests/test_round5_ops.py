@@ -1,0 +1,195 @@
+"""Round-5 operator gates: combined_fields (BM25F) and the
+matrix_stats / string_stats / dispersion_stats / bucket_stats aggs.
+
+Each operator also carries a full driver oracle (__spark_entry__:
+fields_combined, matrix_stats, string_stats, dispersion_stats,
+stats_bucket); these tests gate the math against driver-side
+brute-force recomputations and hand cases, plus the mode's validation
+rules.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yase_spark.fields import fields_combined_topk
+from yase_spark.index import build_index
+from yase_spark.query import IndexReader
+from yase_spark.tokenize import analyze_query
+
+
+@pytest.fixture(scope="module")
+def two_fields(spark, tiny_corpus, tiny_index, tmp_path_factory):
+    """content index (shared fixture) + a path-field index over the
+    same corpus rows — same analysis chain, aligned doc ids."""
+    root, cfg, _ = tiny_index
+    froot = str(tmp_path_factory.mktemp("cfields") / "path_idx")
+    fcorpus = tiny_corpus.withColumn("content", F.col("path"))
+    build_index(spark, fcorpus, froot, cfg)
+    return (root, froot, cfg)
+
+
+def test_combined_single_field_weight1_equals_distributed(spark, two_fields):
+    """One field at weight 1 degenerates to plain BM25: tf'=tf, dl'=dl,
+    df'=df, avgdl'=avgdl."""
+    root, _froot, cfg = two_fields
+    rd = IndexReader(spark, root, cfg)
+    got = fields_combined_topk([(rd, 1.0)], "json getPage", k=10).collect()
+    want = rd.topk_distributed("json getPage", k=10).collect()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [
+        (r["rank"], r["doc_id"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) < 1e-9
+
+
+def test_combined_matches_eager_bm25f(spark, two_fields):
+    """fields_combined_topk == a driver-side BM25F recomputation:
+    blended tf/dl/avgdl, max-df pseudo stats, one saturation."""
+    root, froot, cfg = two_fields
+    rd1 = IndexReader(spark, root, cfg)
+    rd2 = IndexReader(spark, froot, cfg)
+    w1, w2 = 1.0, 2.0
+    query = "json java src"
+    tokens = list(dict.fromkeys(analyze_query(query)))
+
+    dfs = [rd.term_dfs(tokens) for rd in (rd1, rd2)]
+    blended = {
+        t: max(int(d.get(t, 0)) for d in dfs)
+        for t in tokens
+        if max(int(d.get(t, 0)) for d in dfs) > 0
+    }
+    dls = []
+    for rd in (rd1, rd2):
+        dls.append(
+            {
+                r["doc_id"]: r["doc_len"]
+                for r in rd.cat.read(spark, "docs")
+                .select("doc_id", "doc_len")
+                .collect()
+            }
+        )
+    cavgdl = w1 * rd1.avgdl + w2 * rd2.avgdl
+    n = rd1.n_docs
+
+    ctf: dict[tuple, float] = {}
+    for rd, w in ((rd1, w1), (rd2, w2)):
+        got = rd.fetch_terms(list(blended))
+        for t in blended:
+            tp = got.get(t)
+            if tp is None:
+                continue
+            for d, tf in zip(tp.doc_ids.tolist(), tp.tfs.tolist()):
+                ctf[(t, d)] = ctf.get((t, d), 0.0) + w * tf
+
+    expected: dict[int, float] = {}
+    for (t, d), v in ctf.items():
+        dfv = blended[t]
+        idf = math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+        cdl = w1 * dls[0][d] + w2 * dls[1][d]
+        s = (
+            idf
+            * (v * (cfg.k1 + 1.0))
+            / (v + cfg.k1 * (1.0 - cfg.b + cfg.b * cdl / cavgdl))
+        )
+        expected[d] = expected.get(d, 0.0) + s
+    want = sorted(expected.items(), key=lambda x: (-x[1], x[0]))[:10]
+
+    got = fields_combined_topk(
+        [(rd1, w1), (rd2, w2)], query, k=10
+    ).collect()
+    assert [(r["doc_id"]) for r in got] == [d for d, _ in want]
+    for g, (_, s) in zip(got, want):
+        assert abs(g["score"] - s) < 1e-9
+
+
+def test_combined_rejects_sub_one_weights(spark, two_fields):
+    root, _froot, cfg = two_fields
+    rd = IndexReader(spark, root, cfg)
+    with pytest.raises(ValueError, match=">= 1"):
+        fields_combined_topk([(rd, 0.5)], "json", k=5)
+
+
+def test_matrix_stats_matches_numpy(spark):
+    from yase_spark.aggs import matrix_stats
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 50, 400)
+    b = a * 3 + rng.integers(0, 25, 400)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], "x long, y long"
+    )
+    rows = {r["field"]: r for r in matrix_stats(df, "x", "y").collect()}
+    assert set(rows) == {"x", "y"}
+    for field, v in (("x", a.astype(np.float64)), ("y", b.astype(np.float64))):
+        r = rows[field]
+        n = v.size
+        mu = v.mean()
+        m2 = ((v - mu) ** 2).sum()
+        m3 = ((v - mu) ** 3).sum()
+        m4 = ((v - mu) ** 4).sum()
+        assert r["n"] == n
+        assert r["mean_r"] == pytest.approx(mu, abs=2e-6)
+        assert r["variance_r"] == pytest.approx(m2 / (n - 1), abs=2e-6)
+        assert r["skew_r"] == pytest.approx(
+            math.sqrt(n) * m3 / m2**1.5, abs=2e-6
+        )
+        # non-excess kurtosis: a normal field reads ~3
+        assert r["kurt_r"] == pytest.approx(n * m4 / (m2 * m2), abs=2e-6)
+    af, bf = a.astype(np.float64), b.astype(np.float64)
+    cov = ((af - af.mean()) * (bf - bf.mean())).sum() / (af.size - 1)
+    corr = cov / math.sqrt(af.var(ddof=1) * bf.var(ddof=1))
+    for r in rows.values():
+        assert r["cov_r"] == pytest.approx(cov, abs=2e-6)
+        assert r["corr_r"] == pytest.approx(corr, abs=2e-6)
+
+
+def test_string_stats_hand_case(spark):
+    from yase_spark.aggs import string_stats
+
+    df = spark.createDataFrame(
+        [("abca",), ("",), ("bb",)], "text string"
+    )
+    r = string_stats(df, "text").collect()[0]
+    assert (r["count"], r["min_length"], r["max_length"]) == (3, 0, 4)
+    assert r["avg_length_r"] == pytest.approx(2.0)
+    # chars: a:2 b:3 c:1 over 6
+    ps = [2 / 6, 3 / 6, 1 / 6]
+    ent = -sum(p * math.log2(p) for p in ps)
+    assert r["entropy_r"] == pytest.approx(ent, abs=1e-6)
+
+
+def test_dispersion_stats_hand_case(spark):
+    from yase_spark.aggs import dispersion_stats
+
+    df = spark.createDataFrame(
+        [(v,) for v in (1, 2, 3, 4, 100)], "n_chars long"
+    )
+    r = dispersion_stats(df, "n_chars").collect()[0]
+    assert (r["min_r"], r["median_r"], r["max_r"]) == (1.0, 3.0, 100.0)
+    assert r["q1_r"] == pytest.approx(np.percentile([1, 2, 3, 4, 100], 25))
+    assert r["q3_r"] == pytest.approx(np.percentile([1, 2, 3, 4, 100], 75))
+    # MAD = median(|x - 3|) = median([2,1,0,1,97]) = 1
+    assert r["mad_r"] == pytest.approx(1.0)
+
+
+def test_bucket_stats_gap_fill(spark):
+    from yase_spark.aggs import bucket_stats
+
+    rows = [
+        ("x", "2024-01-01 00:10:00"),
+        ("x", "2024-01-01 00:20:00"),
+        ("x", "2024-01-01 02:30:00"),  # hour 1 is a GAP bucket
+        ("y", "2024-01-01 05:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {r["event_type"]: r for r in bucket_stats(ev, hours=1).collect()}
+    x = got["x"]
+    assert (x["n_buckets"], x["min_n"], x["max_n"], x["sum_n"]) == (3, 0, 2, 3)
+    assert x["avg_n_r"] == pytest.approx(1.0)
+    y = got["y"]
+    assert (y["n_buckets"], y["min_n"], y["max_n"], y["sum_n"]) == (1, 1, 1, 1)

@@ -650,3 +650,231 @@ def t_test(
         ),
         F.round(F.expr(t), 6).alias("t_r"),
     )
+
+
+def matrix_stats_exprs(n: str, pre_a: str, pre_b: str) -> dict[str, str]:
+    """ES ``matrix_stats`` arithmetic as SHARED SQL expression text over
+    exact power sums (the t_test_expr / facet_stats parity device) —
+    ``pre_a``/``pre_b`` prefix the per-field sum columns ``<p>_s1``
+    (Σx), ``<p>_s2`` (Σx²), ``<p>_s3`` (Σx³), ``<p>_s4`` (Σx⁴), plus
+    the cross sum ``sxy`` (Σ a·b). Definitions match the ES
+    RunningStats shapes: covariance/variance UNBIASED (n-1
+    denominator), correlation = cov/√(var_a·var_b), skewness =
+    √n·M3/M2^1.5 and kurtosis = n·M4/M2² over CENTRAL moment sums
+    M_k = Σ(x-μ)^k (non-excess kurtosis — a normal field reads 3)."""
+    exprs = {}
+    for p in (pre_a, pre_b):
+        mu = f"(cast({p}_s1 as double) / cast({n} as double))"
+        m2 = f"(cast({p}_s2 as double) - cast({n} as double) * {mu} * {mu})"
+        m3 = (
+            f"(cast({p}_s3 as double) - 3.0 * {mu} * cast({p}_s2 as double)"
+            f" + 2.0 * cast({n} as double) * {mu} * {mu} * {mu})"
+        )
+        m4 = (
+            f"(cast({p}_s4 as double) - 4.0 * {mu} * cast({p}_s3 as double)"
+            f" + 6.0 * {mu} * {mu} * cast({p}_s2 as double)"
+            f" - 3.0 * cast({n} as double) * {mu} * {mu} * {mu} * {mu})"
+        )
+        exprs[f"mean_{p}"] = mu
+        exprs[f"var_{p}"] = f"({m2} / cast({n} - 1 as double))"
+        exprs[f"skew_{p}"] = f"(sqrt(cast({n} as double)) * {m3} / pow({m2}, 1.5))"
+        exprs[f"kurt_{p}"] = f"(cast({n} as double) * {m4} / ({m2} * {m2}))"
+    exprs["cov"] = (
+        f"((cast(sxy as double) - cast({pre_a}_s1 as double)"
+        f" * cast({pre_b}_s1 as double) / cast({n} as double))"
+        f" / cast({n} - 1 as double))"
+    )
+    exprs["corr"] = (
+        f"({exprs['cov']} / sqrt({exprs[f'var_{pre_a}']}"
+        f" * {exprs[f'var_{pre_b}']}))"
+    )
+    return exprs
+
+
+def matrix_stats(
+    docs: DataFrame, field_a: str, field_b: str,
+    expr_a: str | None = None, expr_b: str | None = None,
+) -> DataFrame:
+    """ES ``matrix_stats`` over two numeric field expressions: per-field
+    count/mean/variance/skewness/kurtosis plus the pairwise
+    covariance/correlation, all from one global reduce of power sums
+    (n, Σx, Σx², Σx³, Σx⁴ per field + Σab — nine numbers, map-side
+    combinable, no data-keyed shuffle; the ES version streams the same
+    moments per shard and merges). The arithmetic is shared expression
+    text (:func:`matrix_stats_exprs`), so any engine replays the
+    doubles bitwise from the same sums — and for INTEGER-valued field
+    expressions whose power sums stay under 2^53 the double sums are
+    themselves exact integers (order-free), making the whole result
+    replayable bitwise.
+
+    Output: one row per field — (field, n, mean_r, variance_r, skew_r,
+    kurt_r, cov_r, corr_r); cov/corr repeat on both rows, as in the ES
+    response where each field carries its covariance/correlation
+    against the others."""
+    ea, eb = expr_a or field_a, expr_b or field_b
+    d = docs.select(
+        F.expr(ea).cast("double").alias("__a"),
+        F.expr(eb).cast("double").alias("__b"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__a").alias("a_s1"),
+        F.sum(F.expr("__a * __a")).alias("a_s2"),
+        F.sum(F.expr("__a * __a * __a")).alias("a_s3"),
+        F.sum(F.expr("__a * __a * __a * __a")).alias("a_s4"),
+        F.sum("__b").alias("b_s1"),
+        F.sum(F.expr("__b * __b")).alias("b_s2"),
+        F.sum(F.expr("__b * __b * __b")).alias("b_s3"),
+        F.sum(F.expr("__b * __b * __b * __b")).alias("b_s4"),
+        F.sum(F.expr("__a * __b")).alias("sxy"),
+    )
+    e = matrix_stats_exprs("n", "a", "b")
+    # bucket explosion on the single reduced row (adjacency_matrix
+    # device): two field rows via stack, nothing corpus-sized moves
+    return agg.select(
+        F.expr(
+            f"stack(2, "
+            f"'{field_a}', {e['mean_a']}, {e['var_a']}, {e['skew_a']}, {e['kurt_a']}, "
+            f"'{field_b}', {e['mean_b']}, {e['var_b']}, {e['skew_b']}, {e['kurt_b']}"
+            f") as (field, mean, variance, skew, kurt)"
+        ),
+        F.col("n"),
+        F.expr(e["cov"]).alias("cov"),
+        F.expr(e["corr"]).alias("corr"),
+    ).select(
+        "field", "n",
+        F.round("mean", 6).alias("mean_r"),
+        F.round("variance", 6).alias("variance_r"),
+        F.round("skew", 6).alias("skew_r"),
+        F.round("kurt", 6).alias("kurt_r"),
+        F.round("cov", 6).alias("cov_r"),
+        F.round("corr", 6).alias("corr_r"),
+    ).orderBy("field")
+
+
+def string_stats(docs: DataFrame, field: str = "text") -> DataFrame:
+    """ES ``string_stats`` (with ``show_distribution``'s underlying
+    machinery) over a string field: count, min/max/avg length, and the
+    Shannon entropy (log base 2) of the CHARACTER distribution across
+    all values — ES computes exactly this from per-character counts.
+
+    Scale shape: lengths are one global reduce of four numbers; the
+    character distribution is an explode to one row per character THEN
+    an immediate hash agg to alphabet-sized rows (map-side combine does
+    the heavy lifting: each partition emits its own char counts, only
+    |alphabet| rows shuffle), and the entropy folds over the
+    dictionary-sized count table in a deterministic char-sorted order.
+    Empty strings contribute length 0 and no characters, like ES."""
+    lens = docs.select(F.length(F.col(field)).alias("__l")).agg(
+        F.count(F.lit(1)).alias("count"),
+        # long, not Spark's int32 length type: replaying engines type
+        # min/max over lengths as BIGINT (the dtype-identity gate)
+        F.min("__l").cast("long").alias("min_length"),
+        F.max("__l").cast("long").alias("max_length"),
+        F.sum("__l").alias("total_chars"),
+    )
+    chars = (
+        docs.select(F.explode(F.split(F.col(field), "")).alias("c"))
+        .filter(F.length("c") > 0)
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # entropy = -Σ p·log2(p): fold the alphabet-sized count table in
+    # char-sorted order (fixed IEEE add order — the analyzer-order
+    # summation device) via one sorted-array aggregate
+    ent = chars.agg(
+        F.sum("cnt").alias("tot"),
+        F.expr(
+            "array_sort(collect_list(named_struct('c', c, 'cnt', cnt)))"
+        ).alias("dist"),
+    ).select(
+        F.expr(
+            "aggregate(dist, cast(0.0 as double), (acc, x) -> acc - "
+            "(cast(x.cnt as double) / cast(tot as double)) * "
+            "log2(cast(x.cnt as double) / cast(tot as double)))"
+        ).alias("entropy")
+    )
+    return lens.crossJoin(ent).select(
+        "count", "min_length", "max_length",
+        F.round(
+            F.expr("cast(total_chars as double) / cast(count as double)"), 6
+        ).alias("avg_length_r"),
+        F.round("entropy", 6).alias("entropy_r"),
+    )
+
+
+def dispersion_stats(docs: DataFrame, value_expr: str = "n_chars") -> DataFrame:
+    """ES ``boxplot`` + ``median_absolute_deviation`` in one row, EXACT
+    where ES ships TDigest approximations: min, q1, median, q3, max
+    (linear-interpolation percentiles — the percentile_cont definition
+    Spark `percentile` and DuckDB `quantile_cont` share) and
+    MAD = median(|x - median|).
+
+    Two corpus passes by necessity (MAD is a median OF residuals
+    against the median — not one-pass expressible exactly), each a
+    single global percentile reduce; the median scalar moves to pass 2
+    via a broadcast crossJoin of the one-row frame, never a collect."""
+    v = docs.select(F.expr(value_expr).cast("double").alias("__v"))
+    box = v.agg(
+        F.min("__v").alias("vmin"),
+        F.expr("percentile(__v, 0.25d)").alias("q1"),
+        F.expr("percentile(__v, 0.5d)").alias("q2"),
+        F.expr("percentile(__v, 0.75d)").alias("q3"),
+        F.max("__v").alias("vmax"),
+    )
+    mad = (
+        v.crossJoin(F.broadcast(box.select("q2")))
+        .select(F.expr("abs(__v - q2)").alias("__r"))
+        .agg(F.expr("percentile(__r, 0.5d)").alias("mad"))
+    )
+    return box.crossJoin(F.broadcast(mad)).select(
+        F.round("vmin", 6).alias("min_r"),
+        F.round("q1", 6).alias("q1_r"),
+        F.round("q2", 6).alias("median_r"),
+        F.round("q3", 6).alias("q3_r"),
+        F.round("vmax", 6).alias("max_r"),
+        F.round("mad", 6).alias("mad_r"),
+    )
+
+
+def bucket_stats(events: DataFrame, hours: int = 1) -> DataFrame:
+    """The ES sibling pipeline aggregations — ``stats_bucket`` /
+    ``avg_bucket`` / ``min_bucket`` / ``max_bucket`` / ``sum_bucket`` —
+    over each event_type's date_histogram doc counts: one row per type
+    with the bucket-count stats. Buckets are the GAP-FILLED dense axis
+    (min_doc_count=0, each type's own [min, max] range — the same
+    semantics as date_histogram_pipeline: a sibling avg over a gappy
+    histogram must see the zero buckets).
+
+    Scale shape: one corpus-reducing hash agg to bucket rows, then the
+    dense-axis explode + stats run on bucket-sized data."""
+    iv = f"{hours} hour"
+    hist = events.groupBy(
+        F.window("ts", iv).start.alias("bucket_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    axis = (
+        hist.groupBy("event_type")
+        .agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr(f"interval {iv}"))).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    dense = axis.join(hist, ["event_type", "bucket_start"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    return (
+        dense.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.min("n").alias("min_n"),
+            F.max("n").alias("max_n"),
+            F.sum("n").alias("sum_n"),
+            F.round(
+                F.expr("cast(sum(n) as double) / cast(count(1) as double)"), 6
+            ).alias("avg_n_r"),
+        )
+        .orderBy("event_type")
+    )

@@ -29,6 +29,8 @@ lane is the documented dispatch for bulk scoring).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -210,6 +212,120 @@ def fields_cross_topk(
         .groupBy("doc_id")
         .agg(F.sum("c").alias("score"))
     )
+    top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", "score"
+    )
+
+def fields_combined_topk(
+    fields: list[tuple], query: str, k: int = 10
+) -> DataFrame:
+    """ES ``combined_fields`` query (Lucene ``CombinedFieldQuery``) —
+    the BM25F shape of Robertson/Zaragoza/Taylor 2004 ("Simple BM25
+    extension to multiple weighted fields"): blend the fields into ONE
+    synthetic field BEFORE saturation, which none of the field-centric
+    modes can express (BM25's tf saturation is not additive, so
+    ``sum_f BM25_f`` over-rewards a term spread across fields)::
+
+        tf'(t,d)  = sum_f w_f * tf_f(t,d)        # raw tf blends
+        dl'(d)    = sum_f w_f * dl_f(d)          # lengths blend
+        avgdl'    = sum_f w_f * avgdl_f          # exact: same N per field
+        df'(t)    = max_f df_f(t)                # Lucene merged stats
+        score(d)  = sum_t idf(df') * sat(tf'(t,d); dl'(d))
+
+    Like ``cross_fields``, every field must share one analysis chain
+    (blending raw tf across incompatible token spaces is meaningless —
+    the same grouping rule ES applies), and Lucene additionally
+    requires ``w_f >= 1`` — enforced here too so the pseudo-field
+    length can never shrink below a real field's.
+
+    Scale shape: per-field RAW tf frames come from the bucket-pruned
+    executor decode (``IndexReader.tf_df``), union by partition concat,
+    and blend in ONE (term, doc_id) hash agg; the combined length is a
+    second union+agg over the fields' doc-dimension projections
+    (doc_id, doc_len — column-pruned scans); candidates join lengths on
+    doc_id (candidate side is query-selective, so AQE broadcasts it
+    against the corpus-sized length frame); the dictionary-sized
+    blended-idf map ships as a literal. One more doc_id agg feeds
+    TakeOrderedAndProject — three map-side-combinable aggregations
+    total, nothing corpus-sized at the driver."""
+    if not fields:
+        raise ValueError("fields_combined_topk needs at least one (reader, weight)")
+    readers = [r for r, _ in fields]
+    n0 = readers[0].n_docs
+    for r in readers[1:]:
+        if r.n_docs != n0:
+            raise ValueError(
+                f"field indexes cover different corpora: n_docs {n0} != "
+                f"{r.n_docs} — every field must be built from the same rows"
+            )
+    chains = {r.chain for r in readers}
+    if len(chains) > 1:
+        raise ValueError(
+            "fields_combined_topk requires every field to share one "
+            "analysis chain (raw tf blends only within one token space)"
+        )
+    for _, w in fields:
+        if w < 1.0:
+            raise ValueError(
+                f"combined_fields weights must be >= 1 (Lucene rule), got {w}"
+            )
+    spark = readers[0].spark
+    rd0 = readers[0]
+    qterms = list(dict.fromkeys(rd0._analyze(query)))
+    empty = "rank long, doc_id long, score double"
+    if not qterms:
+        return spark.createDataFrame([], schema=empty)
+    per_field_dfs = [rd.term_dfs(qterms) for rd in readers]
+    blended = {t: max(int(d.get(t, 0)) for d in per_field_dfs) for t in qterms}
+    blended = {t: v for t, v in blended.items() if v > 0}
+    if not blended:
+        return spark.createDataFrame([], schema=empty)
+    live = list(blended)
+    k1, b = rd0.cfg.k1, rd0.cfg.b
+    cavgdl = sum(w * rd.avgdl for rd, w in fields)
+    tfs = [
+        rd.tf_df(live).select(
+            "term", "doc_id",
+            (F.col("tf").cast("double") * F.lit(float(w))).alias("wtf"),
+        )
+        for rd, w in fields
+    ]
+    allt = tfs[0]
+    for t in tfs[1:]:
+        allt = allt.unionByName(t)
+    ctf = allt.groupBy("term", "doc_id").agg(F.sum("wtf").alias("ctf"))
+    dls = [
+        rd.cat.read(rd.spark, "docs").select(
+            "doc_id",
+            (F.col("doc_len").cast("double") * F.lit(float(w))).alias("wdl"),
+        )
+        for rd, w in fields
+    ]
+    alld = dls[0]
+    for d in dls[1:]:
+        alld = alld.unionByName(d)
+    cdl = alld.groupBy("doc_id").agg(F.sum("wdl").alias("cdl"))
+    idf = {
+        t: math.log(1.0 + (n0 - v + 0.5) / (v + 0.5)) for t, v in blended.items()
+    }
+    idf_col = F.create_map(
+        *[F.lit(x) for tv in idf.items() for x in tv]
+    )
+    per_term = ctf.join(cdl, "doc_id").select(
+        "doc_id",
+        (
+            idf_col[F.col("term")]
+            * (F.col("ctf") * F.lit(k1 + 1.0))
+            / (
+                F.col("ctf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("cdl") / F.lit(cavgdl))
+            )
+        ).alias("c"),
+    )
+    per_doc = per_term.groupBy("doc_id").agg(F.sum("c").alias("score"))
     top = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(

@@ -2831,6 +2831,50 @@ class IndexReader:
             schema += ", term string"
         return segs.mapInPandas(contribs, schema=schema)
 
+    def tf_df(self, qterms: list[str]) -> DataFrame:
+        """RAW per-term frequencies for ``qterms`` as a (term, doc_id,
+        tf) DataFrame — the same bucket-pruned executor-side segment
+        decode as :meth:`contrib_df`, emitting frequencies instead of
+        scores. The building block of TERM-CENTRIC cross-field scoring
+        (fields.fields_combined_topk), where tf must combine ACROSS
+        fields before any BM25 saturation — a contribution lane can't
+        express that (saturation is not additive). Tombstone-masked
+        like every serving lane; shards split a term by disjoint doc
+        ranges, so no (term, doc) pair ever repeats."""
+        buckets = sorted({term_bucket(t, self.cfg.term_buckets) for t in qterms})
+        segs = self._segments.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(qterms)
+        ).select("term", "n", "payload")
+        bdel_d = (
+            self.spark.sparkContext.broadcast(self._deleted)
+            if self._deleted is not None
+            else None
+        )
+
+        def rows(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out_t, out_doc, out_tf = [], [], []
+                for r in pdf.itertuples():
+                    ids, tfs, _dls = decode_postings(bytes(r.payload), int(r.n))
+                    if bdel_d is not None:
+                        keep = ~np.isin(ids, bdel_d.value, assume_unique=True)
+                        ids, tfs = ids[keep], tfs[keep]
+                    out_t.append(np.full(ids.size, r.term, dtype=object))
+                    out_doc.append(ids)
+                    out_tf.append(tfs)
+                if out_doc:
+                    yield pd.DataFrame(
+                        {
+                            "term": np.concatenate(out_t),
+                            "doc_id": np.concatenate(out_doc),
+                            "tf": np.concatenate(out_tf),
+                        }
+                    )
+
+        return segs.mapInPandas(rows, schema="term string, doc_id long, tf long")
+
     def topk_msm(self, query: str, min_match: int, k: int = 10) -> DataFrame:
         """Ranked top-k with ``minimum_should_match`` (the ES/Lucene
         BooleanQuery knob): only docs matching at least ``min_match``
