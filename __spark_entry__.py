@@ -776,6 +776,20 @@ def _q_span_or_near(spark, sf_dir):
     return res.join(m, "doc_id").select(F.col("orig_doc_id").alias("doc_id"))
 
 
+def _q_span_multi(spark, sf_dir):
+    # ES span_multi (Lucene SpanMultiTermQueryWrapper): the prefix 's'
+    # rewrites into a span_or over every dictionary term it matches
+    # (slow/small/sort/spark/stream/...), unordered within span 1+slop
+    # of 'hash' — the oracle replays the expansion as term LIKE 's%'
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    ids = rd.span_multi_near("prefix", "s", [PHRASE[1]], slop=1)
+    res = spark.createDataFrame(
+        [(int(d),) for d in ids] or [], schema="doc_id long"
+    )
+    return res.join(m, "doc_id").select(F.col("orig_doc_id").alias("doc_id"))
+
+
 def _q_span_first(spark, sf_dir):
     # Lucene span_first: the term within the first `end` tokens of the
     # doc's parts stream (span end <= end)
@@ -3326,6 +3340,40 @@ def _q_stats_bucket(spark, sf_dir):
     return bucket_stats(ev, hours=1)
 
 
+def _q_geo_bounds(spark, sf_dir):
+    # ES geo_bounds: one global min/max reduce; bitwise (min/max over
+    # doubles is order-free)
+    from yase_spark.geo import geo_bounds
+
+    return geo_bounds(_docs(spark, sf_dir))
+
+
+def _q_geo_centroid(spark, sf_dir):
+    # ES geo_centroid: exact integer lattice sums, shared-text divisions
+    from yase_spark.geo import geo_centroid
+
+    return geo_centroid(_docs(spark, sf_dir))
+
+
+def _q_rate_agg(spark, sf_dir):
+    # ES rate agg: hourly buckets normalized to per-minute, over the
+    # gap-filled dense axis (a zero bucket has rate 0)
+    from yase_spark.aggs import rate_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rate_agg(ev, hours=1, unit_minutes=1)
+
+
+def _q_cumulative_cardinality(spark, sf_dir):
+    # ES cumulative_cardinality (exact where ES ships HLL): distinct
+    # users seen so far per hour bucket, via each user's FIRST bucket
+    # + a bucket-sized running sum — one corpus shuffle, keyed by user
+    from yase_spark.aggs import cumulative_cardinality
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cumulative_cardinality(ev, hours=1, key="user_id")
+
+
 def _q_ilm_topk(spark, sf_dir):
     # the full ILM lifecycle end-to-end: three sealed generations
     # (max_docs=1: every batch rolls), policy keeps 2 (generation 1
@@ -3532,6 +3580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_stats": _q_string_stats,
         "dispersion_stats": _q_dispersion_stats,
         "stats_bucket": _q_stats_bucket,
+        "geo_bounds": _q_geo_bounds,
+        "geo_centroid": _q_geo_centroid,
+        "rate_buckets": _q_rate_agg,
+        "cumulative_cardinality": _q_cumulative_cardinality,
+        "span_multi": _q_span_multi,
         "topk_msm": _q_topk_msm,
         "topk_rescore": _q_topk_rescore,
         "qs_topk": _q_qs_topk,
@@ -6191,4 +6244,76 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
          AS avg_n_r
 FROM d GROUP BY 1 ORDER BY 1
 """
+    # geo_bounds/geo_centroid: the multiply-mod lattice replay; bounds
+    # are order-free min/max, the centroid divides exact integer sums
+    o["geo_bounds"] = """
+WITH g AS (SELECT ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+                  ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+           FROM documents)
+SELECT max(lat) AS top_left_lat, min(lon) AS top_left_lon,
+       min(lat) AS bottom_right_lat, max(lon) AS bottom_right_lon
+FROM g
+"""
+    o["geo_centroid"] = """
+WITH s AS (SELECT CAST(count(*) AS BIGINT) AS count,
+                  CAST(sum((doc_id * 7919) % 18000) AS BIGINT) AS s_lat,
+                  CAST(sum((doc_id * 104729) % 36000) AS BIGINT) AS s_lon
+           FROM documents)
+SELECT count,
+       round(cast(s_lat as double) / cast(count as double) / 100.0 - 90.0, 6)
+         AS lat_r,
+       round(cast(s_lon as double) / cast(count as double) / 100.0 - 180.0, 6)
+         AS lon_r
+FROM s
+"""
+    # rate: hourly date_histogram normalized to per-minute over the
+    # dense axis (hours=1, unit=minute => divide by 60)
+    o["rate_buckets"] = """
+WITH h AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+         CAST(count(*) AS BIGINT) AS n, sum(value) AS sv
+  FROM events GROUP BY 1, 2),
+ax AS (
+  SELECT event_type,
+         unnest(generate_series(min(bucket_start), max(bucket_start),
+                                INTERVAL '1 hour')) AS bucket_start
+  FROM h GROUP BY event_type),
+d AS (
+  SELECT ax.event_type, ax.bucket_start,
+         coalesce(h.n, 0) AS n, coalesce(h.sv, 0.0) AS sv
+  FROM ax LEFT JOIN h USING (event_type, bucket_start))
+SELECT event_type, bucket_start, n,
+       round(cast(n as double) / 60.0, 6) AS rate_r,
+       round(sv / 60.0, 6) AS value_rate_r
+FROM d ORDER BY event_type, bucket_start
+"""
+    # cumulative_cardinality: each key's FIRST bucket, counts per first
+    # bucket, running sum over the gap-filled global axis — the exact
+    # replay of the engine's one-shuffle shape
+    o["cumulative_cardinality"] = """
+WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, user_id
+           FROM events),
+f AS (SELECT user_id, min(bucket_start) AS fb FROM b GROUP BY 1),
+nv AS (SELECT fb AS bucket_start, CAST(count(*) AS BIGINT) AS new_values
+       FROM f GROUP BY 1),
+ax AS (SELECT unnest(generate_series(min(bucket_start), max(bucket_start),
+                                     INTERVAL '1 hour')) AS bucket_start
+       FROM b),
+d AS (SELECT ax.bucket_start, coalesce(nv.new_values, 0) AS new_values
+      FROM ax LEFT JOIN nv USING (bucket_start))
+SELECT bucket_start, CAST(new_values AS BIGINT) AS new_values,
+       CAST(sum(new_values) OVER (ORDER BY bucket_start) AS BIGINT)
+         AS cum_distinct
+FROM d ORDER BY bucket_start
+"""
+    # span_multi: prefix expansion as term LIKE, unordered pair window
+    # |pa - pb| <= (n-1)+slop = 2
+    o["span_multi"] = (
+        f"WITH {_POS_SQL} "
+        "SELECT DISTINCT a.doc_id FROM f a "
+        "JOIN f b ON b.doc_id = a.doc_id "
+        f"WHERE a.term LIKE 's%' AND b.term = '{PHRASE[1]}' "
+        "AND abs(a.p - b.p) <= 2 "
+        "ORDER BY 1"
+    )
     return o

@@ -193,3 +193,101 @@ def test_bucket_stats_gap_fill(spark):
     assert x["avg_n_r"] == pytest.approx(1.0)
     y = got["y"]
     assert (y["n_buckets"], y["min_n"], y["max_n"], y["sum_n"]) == (1, 1, 1, 1)
+
+
+def test_geo_bounds_matches_brute(spark):
+    from yase_spark.geo import geo_bounds, with_geo
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    pts = with_geo(df).select("lat", "lon").collect()
+    r = geo_bounds(df).collect()[0]
+    assert r["top_left_lat"] == max(p["lat"] for p in pts)
+    assert r["top_left_lon"] == min(p["lon"] for p in pts)
+    assert r["bottom_right_lat"] == min(p["lat"] for p in pts)
+    assert r["bottom_right_lon"] == max(p["lon"] for p in pts)
+
+
+def test_geo_centroid_matches_brute(spark):
+    from yase_spark.geo import geo_centroid
+
+    ids = list(range(3, 400, 7))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    r = geo_centroid(df).collect()[0]
+    lat = sum((i * 7919) % 18000 for i in ids) / len(ids) / 100.0 - 90.0
+    lon = sum((i * 104729) % 36000 for i in ids) / len(ids) / 100.0 - 180.0
+    assert r["count"] == len(ids)
+    assert r["lat_r"] == pytest.approx(lat, abs=1e-6)
+    assert r["lon_r"] == pytest.approx(lon, abs=1e-6)
+
+
+def test_rate_agg_gap_fill(spark):
+    from yase_spark.aggs import rate_agg
+
+    rows = [
+        ("x", "2024-01-01 00:10:00", 30.0),
+        ("x", "2024-01-01 00:50:00", 30.0),
+        ("x", "2024-01-01 02:30:00", 120.0),  # hour 1 is a gap
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    got = rate_agg(ev, hours=1, unit_minutes=1).collect()
+    assert [(r["n"], r["rate_r"], r["value_rate_r"]) for r in got] == [
+        (2, round(2 / 60.0, 6), 1.0),
+        (0, 0.0, 0.0),
+        (1, round(1 / 60.0, 6), 2.0),
+    ]
+
+
+def test_cumulative_cardinality_counts_first_appearances(spark):
+    from yase_spark.aggs import cumulative_cardinality
+
+    rows = [
+        (1, "2024-01-01 00:05:00"),
+        (2, "2024-01-01 00:15:00"),
+        (1, "2024-01-01 02:05:00"),  # returning user: NOT new in h2
+        (3, "2024-01-01 02:10:00"),
+        (1, "2024-01-01 03:10:00"),  # h3: no new users at all
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = cumulative_cardinality(ev, hours=1, key="user_id").collect()
+    assert [(r["new_values"], r["cum_distinct"]) for r in got] == [
+        (2, 2),  # h0: users 1, 2
+        (0, 2),  # h1: gap bucket
+        (1, 3),  # h2: user 3 is new, user 1 is not
+        (0, 3),  # h3: only returning users
+    ]
+
+
+def test_span_multi_matches_brute_force(spark, pos_index, doc_texts):
+    from tests.test_positions import parts_stream
+
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    prefix, other, slop = "s", "json", 1
+    alts = rd.expand_terms("prefix", prefix)
+    assert len(alts) >= 2, "need a real multi-term expansion"
+    eng = rd.span_multi_near("prefix", prefix, [other], slop=slop).tolist()
+
+    hits = []
+    limit = 1 + slop
+    for d, text in doc_texts.items():
+        pos = {}
+        for i, t in enumerate(parts_stream(text)):
+            pos.setdefault(t, []).append(i)
+        a = [p for t in pos if t.startswith(prefix) for p in pos[t]]
+        b = pos.get(other, [])
+        if any(abs(pa - pb) <= limit for pa in a for pb in b):
+            hits.append(d)
+    assert eng == sorted(hits)
+    assert len(eng) > 0
+
+
+def test_span_multi_empty_expansion(spark, pos_index):
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    assert rd.span_multi_near("prefix", "zzzq", ["json"]).size == 0

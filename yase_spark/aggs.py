@@ -878,3 +878,88 @@ def bucket_stats(events: DataFrame, hours: int = 1) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def rate_agg(
+    events: DataFrame, hours: int = 1, unit_minutes: int = 1
+) -> DataFrame:
+    """ES ``rate`` aggregation inside a date_histogram: per-bucket doc
+    count and value sum normalized to a time unit (bucket interval /
+    unit — e.g. hourly buckets at unit=minute divide by 60). Buckets
+    are the GAP-FILLED dense axis per event_type (a zero bucket has
+    rate 0, exactly as ES reports it). One corpus-reducing hash agg;
+    the axis explode and the per-unit division run on bucket-sized
+    data. The divisions are shared expression text over exact
+    integers (count) / the one summed double."""
+    iv = f"{hours} hour"
+    per = float(hours * 60) / float(unit_minutes)
+    hist = events.groupBy(
+        F.window("ts", iv).start.alias("bucket_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    axis = (
+        hist.groupBy("event_type")
+        .agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr(f"interval {iv}"))).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    dense = (
+        axis.join(hist, ["event_type", "bucket_start"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("sv", F.coalesce("sv", F.lit(0.0)))
+    )
+    return dense.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.round(F.expr(f"cast(n as double) / {per!r}"), 6).alias("rate_r"),
+        F.round(F.expr(f"sv / {per!r}"), 6).alias("value_rate_r"),
+    ).orderBy("event_type", "bucket_start")
+
+
+def cumulative_cardinality(
+    events: DataFrame, hours: int = 1, key: str = "user_id"
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation, EXACT where
+    ES ships HLL sketches: per date_histogram bucket, the number of
+    DISTINCT ``key`` values seen in any bucket up to and including it
+    (and the bucket's new-value count — the "incremental" read ES
+    documents this agg for).
+
+    Scale shape: the corpus shuffles ONCE, keyed by ``key``, to each
+    value's FIRST bucket (min — map-side combinable); everything after
+    (first-bucket counts, the gap-filled dense axis, the running sum)
+    is bucket-sized. Never a (bucket x key) distinct explosion — the
+    naive per-bucket countDistinct-over-prefix is quadratic in buckets
+    and reshuffles the corpus per bucket."""
+    from pyspark.sql import Window
+
+    iv = f"{hours} hour"
+    b = events.select(
+        F.window("ts", iv).start.alias("bucket_start"), F.col(key).alias("__k")
+    )
+    first = b.groupBy("__k").agg(F.min("bucket_start").alias("fb"))
+    nv = first.groupBy(F.col("fb").alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("new_values")
+    )
+    axis = b.agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    ).select(
+        F.explode(F.sequence("lo", "hi", F.expr(f"interval {iv}"))).alias(
+            "bucket_start"
+        )
+    )
+    dense = axis.join(nv, "bucket_start", "left").withColumn(
+        "new_values", F.coalesce("new_values", F.lit(0))
+    )
+    w = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return dense.select(
+        "bucket_start",
+        "new_values",
+        F.sum("new_values").over(w).alias("cum_distinct"),
+    ).orderBy("bucket_start")

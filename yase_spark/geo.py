@@ -183,3 +183,52 @@ def geotile_grid(docs: DataFrame, zoom: int = 4) -> DataFrame:
         .agg(F.count("*").alias("doc_count"))
         .orderBy("tile")
     )
+
+def geo_bounds(docs: DataFrame) -> DataFrame:
+    """ES ``geo_bounds`` aggregation: the smallest lat/lon rectangle
+    containing every matching point — ONE global min/max reduce (four
+    numbers, map-side combinable, no data-keyed shuffle). min/max over
+    doubles is order-free, so the result replays bitwise in any
+    engine. ES's ``wrap_longitude`` (minimal dateline-crossing box) is
+    not implemented: bounds are reported in plain [-180, 180) space.
+    Output one row (top_left_lat, top_left_lon, bottom_right_lat,
+    bottom_right_lon) — ES's corner convention: top-left = (max lat,
+    min lon), bottom-right = (min lat, max lon)."""
+    return with_geo(docs).agg(
+        F.max("lat").alias("top_left_lat"),
+        F.min("lon").alias("top_left_lon"),
+        F.min("lat").alias("bottom_right_lat"),
+        F.max("lon").alias("bottom_right_lon"),
+    )
+
+
+def geo_centroid(docs: DataFrame) -> DataFrame:
+    """ES ``geo_centroid`` aggregation: the arithmetic mean of the
+    matching coordinates, plus the point count. Computed over the
+    fixture's INTEGER lattice values (``with_geo`` pre-shift), so the
+    two sums are exact integers — order-free — and the centroid is two
+    shared-text double divisions over them, replayable bitwise (the
+    matrix_stats device; a real coordinate column would sum doubles
+    and report at the rounded precision instead). One global reduce of
+    three numbers. Output (count, lat_r, lon_r)."""
+    agg = docs.select(
+        ((F.col("doc_id") * _LAT_P) % 18000).alias("ilat"),
+        ((F.col("doc_id") * _LON_P) % 36000).alias("ilon"),
+    ).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.sum("ilat").alias("s_lat"),
+        F.sum("ilon").alias("s_lon"),
+    )
+    return agg.select(
+        "count",
+        F.round(
+            F.expr("cast(s_lat as double) / cast(count as double) / 100.0 - 90.0"),
+            6,
+        ).alias("lat_r"),
+        F.round(
+            F.expr(
+                "cast(s_lon as double) / cast(count as double) / 100.0 - 180.0"
+            ),
+            6,
+        ).alias("lon_r"),
+    )

@@ -1999,6 +1999,38 @@ class IndexReader:
             terms, slop=slop, in_order=in_order
         )
 
+    def span_multi_near(
+        self, kind: str, pattern: str, others: list, slop: int = 0, **kw
+    ) -> np.ndarray:
+        """ES ``span_multi`` (Lucene ``SpanMultiTermQueryWrapper``):
+        wrap a multi-term query — ``kind`` in prefix|wildcard|regex|
+        fuzzy — as a SPAN CLAUSE by rewriting it into a span_or over
+        the dictionary terms it matches (exactly Lucene's SpanOr
+        rewrite), then run the unordered span_near with the remaining
+        clauses. The expansion is the Q15 dictionary scan
+        (range-pruned sorted dictionary, df-ordered deterministic cap,
+        loud past max_expansions — the maxClauseCount contract), so
+        the positional matcher never sees an unbounded clause.
+        Unordered only, like every span_or clause.
+
+        This index is DUAL-GRANULARITY (compound identifiers index
+        alongside their split parts), while the positional stream is
+        parts-only — so expansions that analyze to multiple parts
+        (``sync_list`` -> sync, list) are PHRASES, not span terms, and
+        are dropped from the clause: exactly the span_near single-term
+        contract, applied to the rewrite set. Lucene never faces this
+        (one token space per field)."""
+        from .tokenize import analyze_phrase
+
+        alts = [
+            t
+            for t in self.expand_terms(kind, pattern, **kw)
+            if len(analyze_phrase(t)) == 1
+        ]
+        if not alts:
+            return np.empty(0, dtype=np.int64)
+        return self.span_near([alts, *others], slop=slop, in_order=False)
+
     def span_first(self, term: str, end: int) -> np.ndarray:
         """Lucene ``span_first``: docs where ``term`` occurs at 0-based
         position < ``end`` — see ``PositionsReader.span_first_docs``."""

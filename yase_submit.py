@@ -179,7 +179,7 @@ def main(argv=None) -> int:
                  "msm", "rescore", "federated", "span_near", "span_first",
                  "span_not", "qs", "sort", "stem", "decay", "random",
                  "terms_set", "boosting", "ltr", "dis_max", "pinned",
-                 "bool_prefix", "rank_feature"],
+                 "bool_prefix", "rank_feature", "span_multi"],
         default="topk",
     )
     p.add_argument(
@@ -287,7 +287,8 @@ def main(argv=None) -> int:
                  "dsir", "policy", "hll", "heavy_hitters", "kmv",
                  "sampled_pct", "weighted_avg", "top_metrics", "auto_hist",
                  "line_dedup", "dup_spans", "t_test", "diversified",
-                 "semantic_decontam"],
+                 "semantic_decontam", "matrix", "string_stats", "boxplot",
+                 "stats_bucket", "rate", "cum_card", "bounds", "centroid"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -324,6 +325,10 @@ def main(argv=None) -> int:
     p.add_argument(
         "--group-col", default="lang",
         help="aggs: bucket column for cardinality/percentiles",
+    )
+    p.add_argument(
+        "--value-col-b", default=None,
+        help="aggs --op matrix: the second numeric SQL expression",
     )
     p.add_argument(
         "--value-col", default=None,
@@ -1125,6 +1130,19 @@ def main(argv=None) -> int:
                     clauses, slop=args.slop, in_order=args.in_order
                 )
             ]
+        elif args.kind == "span_multi":
+            # --q "prefix* other [other2...]": the *-suffixed first
+            # token expands (span_multi rewrite); rest are span clauses
+            toks = args.q.split()
+            if not toks or not toks[0].endswith("*"):
+                raise SystemExit(
+                    "query --kind span_multi wants --q 'prefix* other...'"
+                )
+            out = [
+                int(x) for x in rd.span_multi_near(
+                    "prefix", toks[0][:-1], toks[1:], slop=args.slop
+                )
+            ]
         elif args.kind == "span_not":
             # --q "include exclude[|exclude2...]"; window via --pre/--post
             inc, exc = args.q.split()
@@ -1311,6 +1329,38 @@ def main(argv=None) -> int:
                 docs, args.group_col or "lang", n=max(args.k, 1),
                 max_per_value=args.per_value,
             )
+        elif args.op == "matrix":
+            from yase_spark.aggs import matrix_stats
+
+            out_df = matrix_stats(
+                docs, "a", "b",
+                expr_a=args.value_col or "n_chars % 97",
+                expr_b=args.value_col_b or "(doc_id * 7 + n_chars) % 89",
+            )
+        elif args.op == "string_stats":
+            from yase_spark.aggs import string_stats
+
+            out_df = string_stats(docs, "text")
+        elif args.op == "boxplot":
+            from yase_spark.aggs import dispersion_stats
+
+            out_df = dispersion_stats(docs, args.value_col or "n_chars")
+        elif args.op == "stats_bucket":
+            # --corpus points at an events-shaped table
+            from yase_spark.aggs import bucket_stats
+
+            out_df = bucket_stats(docs, hours=1)
+        elif args.op == "rate":
+            # --corpus points at an events-shaped table; --k is the
+            # rate unit in minutes
+            from yase_spark.aggs import rate_agg
+
+            out_df = rate_agg(docs, hours=1, unit_minutes=max(args.k, 1))
+        elif args.op == "cum_card":
+            # --corpus points at an events-shaped table
+            from yase_spark.aggs import cumulative_cardinality
+
+            out_df = cumulative_cardinality(docs, hours=1, key="user_id")
         elif args.op == "semantic_decontam":
             # --corpus points at an embeddings-shaped table; --predicate
             # selects the benchmark slice; --threshold is the cosine bar
@@ -1371,8 +1421,18 @@ def main(argv=None) -> int:
             out_df = geo_within(docs, lat, lon, args.radius_km)
         elif args.op == "grid":
             out_df = geotile_grid(docs, zoom=args.zoom)
+        elif args.op == "bounds":
+            from yase_spark.geo import geo_bounds
+
+            out_df = geo_bounds(docs)
+        elif args.op == "centroid":
+            from yase_spark.geo import geo_centroid
+
+            out_df = geo_centroid(docs)
         else:
-            raise SystemExit("geo needs --op bbox|near|within|grid")
+            raise SystemExit(
+                "geo needs --op bbox|near|within|grid|bounds|centroid"
+            )
         if args.out:
             out_df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"written": args.out, "rows": out_df.count()}))
