@@ -347,6 +347,58 @@ def main() -> None:
     extras["cache_hit_ms"] = round((time.perf_counter() - t_hit) * 1e3, 3)
     timings["round4f_ops"] = time.perf_counter() - t0
 
+    # ---- phase 11: round-5 operators ---------------------------------
+    # combined_fields (second metadata-field index build + BM25F blend),
+    # span_multi / span_within / span_containing, HNSW-probed ANN, the
+    # matrix/string/dispersion/sibling-bucket agg family, geo bounds/
+    # centroid, rate + cumulative_cardinality, and a cursor page through
+    # the early-terminated sorted lane
+    from yase_spark.aggs import (
+        bucket_stats,
+        cumulative_cardinality,
+        dispersion_stats,
+        matrix_stats,
+        rate_agg,
+        string_stats,
+    )
+    from yase_spark.fields import fields_combined_topk
+    from yase_spark.geo import geo_bounds, geo_centroid
+    from yase_spark.hnsw import hnsw_ann_topk
+
+    t0 = time.perf_counter()
+    froot = tempfile.mkdtemp(prefix="yase_bench_f_")
+    fcorpus = docs.select(
+        F.lit("docs").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("lang"),
+        F.concat_ws(" ", "source", "lang").alias("content"),
+    )
+    build_index(spark, fcorpus, froot, cfg)
+    rdf = IndexReader(spark, froot, cfg)
+    assert fields_combined_topk(
+        [(rd, 1.0), (rdf, 2.0)], "table hash src3", k=10
+    ).count() == 10
+    extras["span_multi_hits"] = int(
+        rd.span_multi_near("prefix", "s", ["hash"], slop=1).size
+    )
+    rd.span_within("zone", ["copy", "lock"], slop=4)
+    rd.span_containing(["copy", "lock"], "zone", slop=4)
+    assert hnsw_ann_topk(emb, n_queries=8, k=10, n_centroids=16).count() > 0
+    matrix_stats(docs, "a", "b", expr_a="n_chars % 97",
+                 expr_b="(doc_id * 7 + n_chars) % 89").count()
+    string_stats(docs, "text").count()
+    dispersion_stats(docs, "n_chars").count()
+    bucket_stats(events, hours=1).count()
+    rate_agg(events, hours=1, unit_minutes=1).count()
+    cumulative_cardinality(events, hours=1, key="user_id").count()
+    geo_bounds(docs).count()
+    geo_centroid(docs).count()
+    page1 = rd.topk_sort_field(None, "doc_len", k=10).collect()
+    cur = (page1[-1]["doc_len"], page1[-1]["doc_id"])
+    assert rd.topk_sort_field(None, "doc_len", k=10, after=cur).count() == 10
+    timings["round5_ops"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "index-build + BM25 query engine + pipeline ops wall time "
