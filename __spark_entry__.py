@@ -3374,6 +3374,32 @@ def _q_cumulative_cardinality(spark, sf_dir):
     return cumulative_cardinality(ev, hours=1, key="user_id")
 
 
+TERMS_SHARDS, TERMS_SHARD_SIZE, TERMS_SIZE = 4, 8, 10
+
+
+def _q_terms_shard_error(spark, sf_dir):
+    # ES terms agg with the distributed doc_count_error_upper_bound
+    # semantics: per-shard top-shard_size truncation, merged RETURNED
+    # counts (may undercount), per-term error = sum of last returned
+    # counts of the shards that truncated the term away
+    from yase_spark.aggs import terms_sharded
+
+    return terms_sharded(
+        _docs(spark, sf_dir), n_shards=TERMS_SHARDS,
+        shard_size=TERMS_SHARD_SIZE, size=TERMS_SIZE,
+    )
+
+
+def _q_normalize_buckets(spark, sf_dir):
+    # ES normalize pipeline agg: rescale_0_1 / percent_of_sum /
+    # population z-score over the gap-filled per-type histogram, all
+    # shared-text arithmetic over exact integer reductions
+    from yase_spark.aggs import normalize_buckets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return normalize_buckets(ev, hours=1)
+
+
 def _q_ilm_topk(spark, sf_dir):
     # the full ILM lifecycle end-to-end: three sealed generations
     # (max_docs=1: every batch rolls), policy keeps 2 (generation 1
@@ -3585,6 +3611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_buckets": _q_rate_agg,
         "cumulative_cardinality": _q_cumulative_cardinality,
         "span_multi": _q_span_multi,
+        "terms_shard_error": _q_terms_shard_error,
+        "normalize_buckets": _q_normalize_buckets,
         "topk_msm": _q_topk_msm,
         "topk_rescore": _q_topk_rescore,
         "qs_topk": _q_qs_topk,
@@ -6316,4 +6344,70 @@ FROM d ORDER BY bucket_start
         "AND abs(a.p - b.p) <= 2 "
         "ORDER BY 1"
     )
+    # terms agg error bounds: per-shard truncation replayed with the
+    # same (cnt DESC, term ASC) window; merged counts are RETURNED
+    # counts only; err = total shard-floor sum minus the floors of
+    # shards that returned the term
+    o["terms_shard_error"] = f"""
+{_T_SQL},
+td AS (SELECT DISTINCT doc_id % {TERMS_SHARDS} AS shard, doc_id, term FROM t),
+c AS (SELECT shard, term, CAST(count(*) AS BIGINT) AS cnt
+      FROM td GROUP BY 1, 2),
+r AS (SELECT shard, term, cnt,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY cnt DESC, term) AS rn
+      FROM c),
+e AS (SELECT shard,
+             CAST(CASE WHEN max(rn) < {TERMS_SHARD_SIZE} THEN 0
+                  ELSE min(CASE WHEN rn = {TERMS_SHARD_SIZE} THEN cnt END)
+                  END AS BIGINT) AS err
+      FROM r GROUP BY 1),
+tot AS (SELECT CAST(sum(err) AS BIGINT) AS total_err FROM e),
+m AS (SELECT r.term, CAST(sum(r.cnt) AS BIGINT) AS doc_count,
+             CAST(sum(e.err) AS BIGINT) AS present_err
+      FROM r JOIN e USING (shard) WHERE r.rn <= {TERMS_SHARD_SIZE}
+      GROUP BY 1)
+SELECT term, doc_count,
+       CAST(tot.total_err - m.present_err AS BIGINT)
+         AS doc_count_error_upper_bound
+FROM m CROSS JOIN tot
+ORDER BY doc_count DESC, term LIMIT {TERMS_SIZE}
+"""
+    # normalize: the same dense axis as stats_bucket; shared-text
+    # arithmetic over exact per-type integer reductions
+    o["normalize_buckets"] = """
+WITH h AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+ax AS (
+  SELECT event_type,
+         unnest(generate_series(min(bucket_start), max(bucket_start),
+                                INTERVAL '1 hour')) AS bucket_start
+  FROM h GROUP BY event_type),
+d AS (
+  SELECT ax.event_type, ax.bucket_start, coalesce(h.n, 0) AS n
+  FROM ax LEFT JOIN h USING (event_type, bucket_start)),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2,
+         CAST(min(n) AS BIGINT) AS mn, CAST(max(n) AS BIGINT) AS mx
+  FROM d GROUP BY 1)
+SELECT d.event_type, d.bucket_start, d.n,
+       round(CASE WHEN mx = mn THEN 0.0 ELSE
+             cast(n - mn as double) / cast(mx - mn as double) END, 6)
+         AS rescale_r,
+       round(cast(n as double) / cast(s1 as double), 6) AS pct_of_sum_r,
+       round(CASE WHEN (cast(s2 as double) / cast(nb as double)
+                  - (cast(s1 as double) / cast(nb as double))
+                    * (cast(s1 as double) / cast(nb as double))) <= 0.0
+             THEN 0.0 ELSE
+             (cast(n as double) - (cast(s1 as double) / cast(nb as double)))
+             / sqrt(cast(s2 as double) / cast(nb as double)
+                    - (cast(s1 as double) / cast(nb as double))
+                      * (cast(s1 as double) / cast(nb as double))) END, 6)
+         AS zscore_r
+FROM d JOIN st USING (event_type)
+ORDER BY event_type, bucket_start
+"""
     return o

@@ -291,3 +291,74 @@ def test_span_multi_empty_expansion(spark, pos_index):
     root, cfg = pos_index
     rd = IndexReader(spark, root, cfg)
     assert rd.span_multi_near("prefix", "zzzq", ["json"]).size == 0
+
+
+def test_terms_sharded_error_bounds_brute(spark):
+    """Engine == a from-scratch replay of the ES merged-shard
+    semantics, on data engineered so truncation actually bites."""
+    from yase_spark.aggs import terms_sharded
+
+    # asymmetric shards: shard 0 is a-heavy (plus unique rares pushing
+    # its table past shard_size), shard 1 is b-heavy with a0 appearing
+    # only 3 times — below shard 1's floor, so shard 1 truncates a0 and
+    # the merged a0 count undercounts the true global 23 by exactly the
+    # error bound's covered amount
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, f"a0 a1 a2 a3 r{i}"))
+        else:
+            rows.append((i, "b0 b1 b2 b3" + (" a0" if i < 6 else "")))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_shards, shard_size, size = 2, 4, 6
+    got = terms_sharded(
+        df, n_shards=n_shards, shard_size=shard_size, size=size
+    ).collect()
+
+    # brute force
+    per_shard: dict[int, dict[str, int]] = {}
+    for i, text in rows:
+        for t in set(text.split()):
+            per_shard.setdefault(i % n_shards, {}).setdefault(t, 0)
+            per_shard[i % n_shards][t] += 1
+    returned, floors = {}, {}
+    for sh, tbl in per_shard.items():
+        ranked = sorted(tbl.items(), key=lambda x: (-x[1], x[0]))
+        top = ranked[:shard_size]
+        floors[sh] = top[-1][1] if len(ranked) >= shard_size else 0
+        for t, c in top:
+            returned.setdefault(t, {})[sh] = c
+    merged = []
+    for t, by_shard in returned.items():
+        cnt = sum(by_shard.values())
+        err = sum(f for sh, f in floors.items() if sh not in by_shard)
+        merged.append((t, cnt, err))
+    merged.sort(key=lambda x: (-x[1], x[0]))
+    want = merged[:size]
+    assert [
+        (r["term"], r["doc_count"], r["doc_count_error_upper_bound"])
+        for r in got
+    ] == want
+    assert any(e > 0 for _, _, e in want), "test data must force truncation"
+
+
+def test_normalize_buckets_hand_case(spark):
+    from yase_spark.aggs import normalize_buckets
+
+    rows = [
+        ("x", "2024-01-01 00:10:00"),
+        ("x", "2024-01-01 00:20:00"),
+        ("x", "2024-01-01 02:30:00"),  # axis: n = [2, 0, 1]
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = normalize_buckets(ev, hours=1).collect()
+    ns = [2, 0, 1]
+    mean = 1.0
+    var = sum((n - mean) ** 2 for n in ns) / 3
+    for r, n in zip(got, ns):
+        assert r["n"] == n
+        assert r["rescale_r"] == pytest.approx(n / 2.0)
+        assert r["pct_of_sum_r"] == pytest.approx(n / 3.0, abs=1e-6)
+        assert r["zscore_r"] == pytest.approx((n - mean) / var**0.5, abs=1e-6)

@@ -963,3 +963,145 @@ def cumulative_cardinality(
         "new_values",
         F.sum("new_values").over(w).alias("cum_distinct"),
     ).orderBy("bucket_start")
+
+
+def terms_sharded(
+    docs: DataFrame,
+    n_shards: int = 4,
+    shard_size: int = 8,
+    size: int = 10,
+    split: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """ES ``terms`` aggregation with the DISTRIBUTED error-bound
+    semantics (``doc_count_error_upper_bound``): each shard returns its
+    top ``shard_size`` terms by document count; the coordinator sums
+    the RETURNED counts per term (which may undercount — a shard that
+    truncated a term away contributes nothing) and bounds the miss:
+    a term's error is the sum, over shards that did NOT return it, of
+    that shard's LAST returned count — the largest count the term could
+    have had there and still been truncated. A shard with fewer
+    distinct terms than ``shard_size`` returned everything: error 0.
+    This is the semantics that makes honest distributed top-N possible
+    without shipping every shard's full term table — the raison d'être
+    of ES's shard_size knob, reproduced exactly.
+
+    Scale shape: one (shard, term, doc) distinct + count agg (the only
+    corpus-sized pass); the per-shard truncation is a window
+    PARTITIONED BY shard over term-table-sized data; the merge,
+    per-shard last-counts, and the total-minus-present error arithmetic
+    run over (n_shards x shard_size) rows. Shards here are a
+    deterministic hash split of doc_id — on a real deployment the
+    partition/segment boundary plays the role.
+
+    Output: (term, doc_count, doc_count_error_upper_bound), merged
+    count DESC / term ASC, top ``size``."""
+    from pyspark.sql import Window
+
+    if n_shards < 1 or shard_size < 1 or size < 1:
+        raise ValueError("n_shards, shard_size and size must be >= 1")
+    toks = (
+        docs.select(
+            (F.col("doc_id") % n_shards).alias("shard"),
+            "doc_id",
+            F.explode(F.split(F.lower("text"), split)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    counts = toks.groupBy("shard", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    returned = ranked.filter(F.col("rn") <= shard_size)
+    # a shard's error contribution: its shard_size-th count, or 0 when
+    # it returned every term it has
+    errs = (
+        ranked.groupBy("shard")
+        .agg(
+            F.max("rn").alias("n_terms"),
+            F.min(F.when(F.col("rn") == shard_size, F.col("cnt"))).alias(
+                "last_cnt"
+            ),
+        )
+        .select(
+            "shard",
+            F.when(F.col("n_terms") < shard_size, F.lit(0))
+            .otherwise(F.col("last_cnt"))
+            .cast("long")
+            .alias("err"),
+        )
+    )
+    total = errs.agg(F.sum("err").alias("total_err"))
+    merged = (
+        returned.join(errs, "shard")
+        .groupBy("term")
+        .agg(
+            F.sum("cnt").alias("doc_count"),
+            F.sum("err").alias("present_err"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "doc_count",
+            (F.col("total_err") - F.col("present_err")).alias(
+                "doc_count_error_upper_bound"
+            ),
+        )
+    )
+    return merged.orderBy(F.desc("doc_count"), F.asc("term")).limit(size)
+
+
+def normalize_buckets(events: DataFrame, hours: int = 1) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation over each event_type's
+    gap-filled date_histogram doc counts — the three canonical methods
+    in one row: ``rescale_0_1`` ((n-min)/(max-min), 0 when the axis is
+    constant), ``percent_of_sum`` (n/Σn), and population ``z-score``
+    ((n-μ)/σ). All arithmetic is shared expression text over EXACT
+    integer per-type reductions (count, Σn, Σn², min, max — the
+    matrix_stats device), so any engine replays the doubles bitwise.
+
+    Scale shape: one corpus-reducing hash agg to bucket rows; the
+    dense axis, the per-type five-number reduce, and the normalize
+    expressions all run on bucket-sized data."""
+    iv = f"{hours} hour"
+    hist = events.groupBy(
+        F.window("ts", iv).start.alias("bucket_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    axis = (
+        hist.groupBy("event_type")
+        .agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr(f"interval {iv}"))).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    dense = axis.join(hist, ["event_type", "bucket_start"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("n").alias("s1"),
+        F.sum(F.expr("n * n")).alias("s2"),
+        F.min("n").alias("mn"),
+        F.max("n").alias("mx"),
+    )
+    d = dense.join(stats, "event_type")
+    rescale = (
+        "CASE WHEN mx = mn THEN 0.0 ELSE "
+        "cast(n - mn as double) / cast(mx - mn as double) END"
+    )
+    pct = "cast(n as double) / cast(s1 as double)"
+    mean = "(cast(s1 as double) / cast(nb as double))"
+    var = f"(cast(s2 as double) / cast(nb as double) - {mean} * {mean})"
+    z = f"CASE WHEN {var} <= 0.0 THEN 0.0 ELSE (cast(n as double) - {mean}) / sqrt({var}) END"
+    return d.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.round(F.expr(rescale), 6).alias("rescale_r"),
+        F.round(F.expr(pct), 6).alias("pct_of_sum_r"),
+        F.round(F.expr(z), 6).alias("zscore_r"),
+    ).orderBy("event_type", "bucket_start")

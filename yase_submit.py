@@ -288,7 +288,8 @@ def main(argv=None) -> int:
                  "sampled_pct", "weighted_avg", "top_metrics", "auto_hist",
                  "line_dedup", "dup_spans", "t_test", "diversified",
                  "semantic_decontam", "matrix", "string_stats", "boxplot",
-                 "stats_bucket", "rate", "cum_card", "bounds", "centroid"],
+                 "stats_bucket", "rate", "cum_card", "bounds", "centroid",
+                 "terms_error", "normalize"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -1361,6 +1362,19 @@ def main(argv=None) -> int:
             from yase_spark.aggs import cumulative_cardinality
 
             out_df = cumulative_cardinality(docs, hours=1, key="user_id")
+        elif args.op == "terms_error":
+            # --k is the coordinator size; per-shard size = 2*k
+            from yase_spark.aggs import terms_sharded
+
+            out_df = terms_sharded(
+                docs, n_shards=4, shard_size=max(2 * args.k, 2),
+                size=max(args.k, 1),
+            )
+        elif args.op == "normalize":
+            # --corpus points at an events-shaped table
+            from yase_spark.aggs import normalize_buckets
+
+            out_df = normalize_buckets(docs, hours=1)
         elif args.op == "semantic_decontam":
             # --corpus points at an embeddings-shaped table; --predicate
             # selects the benchmark slice; --threshold is the cosine bar
