@@ -3400,6 +3400,47 @@ def _q_normalize_buckets(spark, sf_dir):
     return normalize_buckets(ev, hours=1)
 
 
+FILTERS_AGG = {
+    "english": "lang = 'en'",
+    "long_doc": "n_chars >= 700",
+    "spark": "text like '%spark%'",
+}
+MISSING_FIELD = "nullif(regexp_extract(text, 'vector[a-z]*', 0), '')"
+
+
+def _q_filters_agg(spark, sf_dir):
+    # ES filters agg: named overlapping predicate buckets + the
+    # disjoint _other_ bucket, each with count + avg(n_chars) — one
+    # corpus pass of conditional aggregates, unpivoted with stack
+    from yase_spark.aggs import filters_agg
+
+    return filters_agg(_docs(spark, sf_dir), FILTERS_AGG, other_bucket=True)
+
+
+def _q_missing_agg(spark, sf_dir):
+    # ES missing + value_count over a sparse DERIVED field (the first
+    # 'vector…' token, NULL when the doc has none), per lang
+    from yase_spark.aggs import missing_agg
+
+    return missing_agg(_docs(spark, sf_dir), MISSING_FIELD, group_col="lang")
+
+
+def _q_categorize_text(spark, sf_dir):
+    # ES categorize_text, deterministic core: numeric/hex tokens
+    # wildcarded to '#', category = first-3-token template, top-10
+    from yase_spark.aggs import categorize_text
+
+    return categorize_text(_docs(spark, sf_dir), "text", prefix_tokens=3, size=10)
+
+
+def _q_boxplot_agg(spark, sf_dir):
+    # ES boxplot per source: exact interpolated quartiles + the Tukey
+    # whiskers as nearest data points inside the 1.5*IQR fences
+    from yase_spark.aggs import boxplot_agg
+
+    return boxplot_agg(_docs(spark, sf_dir), "n_chars", group_col="source")
+
+
 def _q_ilm_topk(spark, sf_dir):
     # the full ILM lifecycle end-to-end: three sealed generations
     # (max_docs=1: every batch rolls), policy keeps 2 (generation 1
@@ -3613,6 +3654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_multi": _q_span_multi,
         "terms_shard_error": _q_terms_shard_error,
         "normalize_buckets": _q_normalize_buckets,
+        "filters_agg": _q_filters_agg,
+        "missing_agg": _q_missing_agg,
+        "categorize_text": _q_categorize_text,
+        "boxplot_agg": _q_boxplot_agg,
         "topk_msm": _q_topk_msm,
         "topk_rescore": _q_topk_rescore,
         "qs_topk": _q_qs_topk,
@@ -3818,8 +3863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup",
         "stream_percolate",
         # --- remaining never-driver-checked ---
-        "span_not",
-        "span_or_near",
+        # (span_not / span_or_near dropped from this block: both got
+        # green driver rows in r4 — keeping them here would waste two
+        # of the ~50 window slots a never-checked entry could use)
         "topk_rescore",
         "date_histogram",
         "date_histogram_diff",
@@ -6409,5 +6455,75 @@ SELECT d.event_type, d.bucket_start, d.n,
          AS zscore_r
 FROM d JOIN st USING (event_type)
 ORDER BY event_type, bucket_start
+"""
+    # filters agg: one conditional-sum pass, unpivoted — the avg is the
+    # same double division of exact integer sums the engine emits
+    _fa = list(FILTERS_AGG.items())
+    _fa_sums = ", ".join(
+        f"CAST(sum(CASE WHEN {p} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}, "
+        f"sum(CASE WHEN {p} THEN n_chars END) AS s{i}"
+        for i, (_, p) in enumerate(_fa)
+    )
+    _fa_other = "NOT (" + " OR ".join(f"({p})" for _, p in _fa) + ")"
+    _fa_rows = " UNION ALL ".join(
+        f"SELECT '{n}' AS bucket, n{i} AS n_docs, "
+        f"round(cast(s{i} as double) / nullif(cast(n{i} as double), 0.0), 6) "
+        "AS avg_metric_r FROM s"
+        for i, (n, _) in enumerate(_fa)
+    )
+    o["filters_agg"] = f"""
+WITH s AS (SELECT {_fa_sums},
+  CAST(sum(CASE WHEN {_fa_other} THEN 1 ELSE 0 END) AS BIGINT) AS no,
+  sum(CASE WHEN {_fa_other} THEN n_chars END) AS so
+  FROM documents)
+{_fa_rows}
+UNION ALL SELECT '_other_', no,
+  round(cast(so as double) / nullif(cast(no as double), 0.0), 6) FROM s
+ORDER BY bucket
+"""
+    o["missing_agg"] = f"""
+SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count({MISSING_FIELD}) AS BIGINT) AS n_values,
+       CAST(count(*) - count({MISSING_FIELD}) AS BIGINT) AS n_missing
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+    # categorize_text: identical template in DuckDB list ops (1-based
+    # end-inclusive slice [1:3] == Spark slice(.., 1, 3))
+    o["categorize_text"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+keyed AS (
+  SELECT doc_id,
+         array_to_string(list_transform(ts[1:3],
+           t -> CASE WHEN regexp_matches(t, '^[0-9]+$')
+                       OR regexp_matches(t, '^0x[0-9a-f]+$')
+                THEN '#' ELSE t END), ' ') AS category
+  FROM toks)
+SELECT category, CAST(count(*) AS BIGINT) AS n_docs,
+       max(doc_id) AS exemplar_doc_id
+FROM keyed WHERE category <> ''
+GROUP BY 1 ORDER BY n_docs DESC, category LIMIT 10
+"""
+    # boxplot: quantile_cont == Spark percentile (both percentile_cont);
+    # fences compared UNROUNDED on both sides — identical doubles
+    o["boxplot_agg"] = """
+WITH v AS (SELECT source AS grp, cast(n_chars as double) AS v FROM documents),
+q AS (SELECT grp, min(v) AS vmin, quantile_cont(v, 0.25) AS q1,
+             quantile_cont(v, 0.5) AS q2, quantile_cont(v, 0.75) AS q3,
+             max(v) AS vmax
+      FROM v GROUP BY 1),
+f AS (SELECT *, q1 - 1.5 * (q3 - q1) AS flo, q3 + 1.5 * (q3 - q1) AS fhi
+      FROM q),
+w AS (SELECT v.grp, min(CASE WHEN v.v >= f.flo THEN v.v END) AS lo,
+             max(CASE WHEN v.v <= f.fhi THEN v.v END) AS hi
+      FROM v JOIN f USING (grp) GROUP BY 1)
+SELECT f.grp, round(vmin, 6) AS min_r, round(q1, 6) AS q1_r,
+       round(q2, 6) AS median_r, round(q3, 6) AS q3_r,
+       round(vmax, 6) AS max_r, round(lo, 6) AS lower_r,
+       round(hi, 6) AS upper_r
+FROM f JOIN w USING (grp) ORDER BY grp
 """
     return o

@@ -1105,3 +1105,200 @@ def normalize_buckets(events: DataFrame, hours: int = 1) -> DataFrame:
         F.round(F.expr(pct), 6).alias("pct_of_sum_r"),
         F.round(F.expr(z), 6).alias("zscore_r"),
     ).orderBy("event_type", "bucket_start")
+
+
+def filters_agg(
+    docs: DataFrame,
+    filters: dict[str, str],
+    other_bucket: bool = True,
+    metric_expr: str = "n_chars",
+) -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per predicate plus
+    the optional ``_other_`` bucket (documents matching NO named
+    filter — ES ``other_bucket_key`` semantics). Buckets may overlap
+    (a doc lands in every filter it satisfies), unlike ``terms``; the
+    ``_other_`` bucket is disjoint from all of them by construction.
+    Each bucket carries its doc count and an avg sub-aggregation over
+    ``metric_expr`` (NULL when the bucket is empty, like ES).
+
+    Scale shape: ONE corpus pass — every bucket is a pair of
+    conditional aggregates (``sum(case when pred)``) inside a single
+    global reduce with full map-side partial combine; no shuffle is
+    keyed by anything corpus-sized and no per-bucket scan exists. The
+    one-row reduce is then unpivoted to bucket rows with ``stack``
+    (bucket-count-sized, driver-free). At 100 TB this is strictly one
+    read of the table regardless of how many filters are declared."""
+    if not filters or "_other_" in filters:
+        raise ValueError("filters_agg needs >=1 named filter; '_other_' is reserved")
+    names = list(filters)
+    aggs = []
+    for i, name in enumerate(names):
+        pred = filters[name]
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")).alias(f"__n{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(f"CASE WHEN {pred} THEN ({metric_expr}) END")
+            ).alias(f"__s{i}")
+        )
+    if other_bucket:
+        none = "NOT (" + " OR ".join(f"({filters[n]})" for n in names) + ")"
+        aggs.append(F.sum(F.expr(f"CASE WHEN {none} THEN 1 ELSE 0 END")).alias("__no"))
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {none} THEN ({metric_expr}) END")).alias("__so")
+        )
+    one = docs.agg(*aggs)
+    pairs = ", ".join(
+        f"'{n}', __n{i}, __s{i}" for i, n in enumerate(names)
+    )
+    if other_bucket:
+        pairs += ", '_other_', __no, __so"
+    k = len(names) + (1 if other_bucket else 0)
+    return (
+        one.select(
+            F.expr(f"stack({k}, {pairs}) AS (bucket, n_docs, __sum)")
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            F.round(
+                F.expr("cast(__sum as double) / nullif(cast(n_docs as double), 0.0)"),
+                6,
+            ).alias("avg_metric_r"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def missing_agg(
+    docs: DataFrame,
+    field_expr: str,
+    group_col: str = "lang",
+) -> DataFrame:
+    """ES ``missing`` + ``value_count`` aggregations over an OPTIONAL
+    field, per group: ``n_docs`` (the group's doc count), ``n_values``
+    (``value_count`` — docs where the field evaluates non-NULL) and
+    ``n_missing`` (``missing`` — docs where it is NULL). The field is
+    an expression so schemaless sparse fields work: e.g.
+    ``nullif(regexp_extract(text, 'vector[a-z]*', 0), '')`` is a field
+    that exists only on documents mentioning ``vector``-tokens, the
+    exact sparse-field shape the two ES aggs were built to audit
+    (``n_values + n_missing == n_docs`` is a checkable invariant).
+
+    Scale shape: one hash aggregate keyed by the bounded group column;
+    the field expression is JVM codegen inside the scan; map-side
+    combine reduces each partition to |groups| rows before the only
+    shuffle."""
+    return (
+        docs.withColumn("__f", F.expr(field_expr))
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__f").alias("n_values"),
+            F.sum(
+                F.expr("CASE WHEN __f IS NULL THEN 1 ELSE 0 END")
+            ).alias("n_missing"),
+        )
+        .orderBy("grp")
+    )
+
+
+def categorize_text(
+    docs: DataFrame,
+    field: str = "text",
+    prefix_tokens: int = 3,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``categorize_text`` aggregation, deterministically: group
+    semi-structured text by a normalized token-prefix template. ES's
+    categorizer tokenizes, WILDCARDS numeric/hex tokens, and clusters
+    on the leading token sequence (drain-style log templating); this
+    implementation keeps exactly the deterministic core — lowercase
+    alphanumeric tokenization, each all-digit or 0x-hex token replaced
+    by ``#``, category key = the first ``prefix_tokens`` normalized
+    tokens joined by a single space — and drops the adaptive merge
+    step (which is run-order-dependent in ES and thus unreproducible
+    across engines by design). Output: top-``size`` categories by doc
+    count (ties broken by category text), with max_matched doc_id as
+    the auditable exemplar.
+
+    Scale shape: the template key is pure JVM string work inside the
+    scan (split/transform/slice/concat — no Python), one hash agg with
+    map-side combine keyed by the template, then a top-``size``
+    TakeOrderedAndProject over category-sized rows."""
+    if prefix_tokens < 1:
+        raise ValueError("prefix_tokens must be >= 1")
+    key = (
+        f"concat_ws(' ', slice(transform("
+        f"  filter(split(lower({field}), '[^a-z0-9]+'), t -> t <> ''),"
+        f"  t -> CASE WHEN t rlike '^[0-9]+$' OR t rlike '^0x[0-9a-f]+$'"
+        f"       THEN '#' ELSE t END), 1, {int(prefix_tokens)}))"
+    )
+    return (
+        docs.select(F.expr(key).alias("category"), "doc_id")
+        .filter(F.col("category") != "")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("doc_id").alias("exemplar_doc_id"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("category"))
+        .limit(size)
+    )
+
+
+def boxplot_agg(
+    docs: DataFrame,
+    value_expr: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """ES ``boxplot`` aggregation per group, EXACT where ES ships a
+    TDigest approximation: min, q1, median, q3, max (linear-
+    interpolation percentiles — the percentile_cont definition Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share) plus the two
+    WHISKERS with ES's documented semantics — ``lower`` is the
+    smallest observed value inside the Tukey fence ``q1 - 1.5*IQR``
+    and ``upper`` the largest observed value inside ``q3 + 1.5*IQR``
+    (nearest actual data points, NOT the fences themselves).
+
+    Scale shape: two corpus passes by necessity (the whiskers are
+    conditional extrema against fences derived from pass-1 quantiles):
+    pass 1 is one hash agg keyed by the bounded group column; the
+    group-sized fence table broadcasts back for pass 2's conditional
+    min/max — no corpus-sized shuffle beyond the two keyed aggs, no
+    driver materialization."""
+    v = docs.select(
+        F.col(group_col).alias("grp"), F.expr(value_expr).cast("double").alias("__v")
+    )
+    q = v.groupBy("grp").agg(
+        F.min("__v").alias("vmin"),
+        F.expr("percentile(__v, 0.25d)").alias("q1"),
+        F.expr("percentile(__v, 0.5d)").alias("q2"),
+        F.expr("percentile(__v, 0.75d)").alias("q3"),
+        F.max("__v").alias("vmax"),
+    ).withColumn("fence_lo", F.expr("q1 - 1.5d * (q3 - q1)")).withColumn(
+        "fence_hi", F.expr("q3 + 1.5d * (q3 - q1)")
+    )
+    wh = (
+        v.join(F.broadcast(q.select("grp", "fence_lo", "fence_hi")), "grp")
+        .groupBy("grp")
+        .agg(
+            F.min(F.expr("CASE WHEN __v >= fence_lo THEN __v END")).alias("lower"),
+            F.max(F.expr("CASE WHEN __v <= fence_hi THEN __v END")).alias("upper"),
+        )
+    )
+    return (
+        q.join(wh, "grp")
+        .select(
+            "grp",
+            F.round("vmin", 6).alias("min_r"),
+            F.round("q1", 6).alias("q1_r"),
+            F.round("q2", 6).alias("median_r"),
+            F.round("q3", 6).alias("q3_r"),
+            F.round("vmax", 6).alias("max_r"),
+            F.round("lower", 6).alias("lower_r"),
+            F.round("upper", 6).alias("upper_r"),
+        )
+        .orderBy("grp")
+    )
