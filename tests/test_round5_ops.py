@@ -362,3 +362,156 @@ def test_normalize_buckets_hand_case(spark):
         assert r["rescale_r"] == pytest.approx(n / 2.0)
         assert r["pct_of_sum_r"] == pytest.approx(n / 3.0, abs=1e-6)
         assert r["zscore_r"] == pytest.approx((n - mean) / var**0.5, abs=1e-6)
+
+
+def test_filters_agg_brute(spark):
+    """filters_agg == a row-at-a-time replay: overlapping named
+    buckets, disjoint _other_, NULL avg on an empty bucket."""
+    from yase_spark.aggs import filters_agg
+
+    rows = [
+        (1, "en", 100, "alpha spark"),
+        (2, "en", 900, "beta"),
+        (3, "de", 900, "spark gamma"),
+        (4, "fr", 50, "delta"),
+        (5, "en", 700, "spark epsilon"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, text string"
+    )
+    filters = {
+        "english": "lang = 'en'",
+        "long_doc": "n_chars >= 700",
+        "spark": "text like '%spark%'",
+        "never": "n_chars < 0",  # empty bucket: avg must be NULL
+    }
+    got = {
+        r["bucket"]: (r["n_docs"], r["avg_metric_r"])
+        for r in filters_agg(df, filters, other_bucket=True).collect()
+    }
+
+    preds = {
+        "english": lambda r: r[1] == "en",
+        "long_doc": lambda r: r[2] >= 700,
+        "spark": lambda r: "spark" in r[3],
+        "never": lambda r: r[2] < 0,
+    }
+    want = {}
+    for name, p in preds.items():
+        hit = [r for r in rows if p(r)]
+        avg = round(sum(r[2] for r in hit) / len(hit), 6) if hit else None
+        want[name] = (len(hit), avg)
+    other = [r for r in rows if not any(p(r) for p in preds.values())]
+    want["_other_"] = (
+        len(other),
+        round(sum(r[2] for r in other) / len(other), 6) if other else None,
+    )
+    assert got == want
+    assert want["never"] == (0, None)          # empty named bucket
+    assert want["_other_"][0] == 1             # doc 4 matches nothing
+    # buckets overlap: doc 5 is in english AND long_doc AND spark
+    assert sum(n for n, _ in want.values()) > len(rows)
+
+
+def test_filters_agg_validation(spark):
+    from yase_spark.aggs import filters_agg
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        filters_agg(df, {})
+    with pytest.raises(ValueError, match="reserved"):
+        filters_agg(df, {"_other_": "id > 0"})
+
+
+def test_missing_agg_brute(spark):
+    """missing + value_count over a sparse derived field, per group;
+    the ES invariant n_values + n_missing == n_docs holds per row."""
+    from yase_spark.aggs import missing_agg
+
+    rows = [
+        (1, "en", "uses vectorization heavily"),
+        (2, "en", "no match here"),
+        (3, "en", "vector ops"),
+        (4, "de", "plain text"),
+        (5, "de", "vectors everywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    expr = "nullif(regexp_extract(text, 'vector[a-z]*', 0), '')"
+    got = missing_agg(df, expr, group_col="lang").collect()
+    by = {r["grp"]: (r["n_docs"], r["n_values"], r["n_missing"]) for r in got}
+    assert by == {"de": (2, 1, 1), "en": (3, 2, 1)}
+    for n, v, m in by.values():
+        assert v + m == n
+
+
+def test_categorize_text_templates(spark):
+    """numeric and 0x-hex tokens wildcard to '#'; the category is the
+    first-N-token normalized template; top-size by count then text."""
+    from yase_spark.aggs import categorize_text
+
+    rows = [
+        (1, "Error 404 at /api/users"),
+        (2, "error 500 at /api/posts"),
+        (3, "ERROR 503 at 0xdeadbeef"),
+        (4, "login ok for user 7"),
+        (5, "login ok for user 9"),
+        (6, "???"),  # tokenizes to nothing -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = categorize_text(df, "text", prefix_tokens=3, size=10).collect()
+    assert [(r["category"], r["n_docs"], r["exemplar_doc_id"]) for r in got] == [
+        ("error # at", 3, 3),
+        ("login ok for", 2, 5),
+    ]
+
+    with pytest.raises(ValueError):
+        categorize_text(df, "text", prefix_tokens=0)
+
+
+def test_categorize_text_size_and_ties(spark):
+    from yase_spark.aggs import categorize_text
+
+    rows = [(1, "b x"), (2, "a y"), (3, "c z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = categorize_text(df, "text", prefix_tokens=2, size=2).collect()
+    # all counts tie at 1 -> lexicographic category order, capped at 2
+    assert [r["category"] for r in got] == ["a y", "b x"]
+
+
+def test_boxplot_agg_matches_numpy(spark):
+    """Exact quartiles == numpy linear interpolation; whiskers are the
+    nearest observed values inside the Tukey fences (a planted outlier
+    is excluded from the whisker but still sets max)."""
+    from yase_spark.aggs import boxplot_agg
+
+    vals = [10.0, 12.0, 13.0, 15.0, 16.0, 18.0, 20.0, 22.0, 500.0]
+    rows = [(i, "s0", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+    r = boxplot_agg(df, "n_chars", group_col="source").collect()[0]
+
+    q1, q2, q3 = (float(np.percentile(vals, p)) for p in (25, 50, 75))
+    iqr = q3 - q1
+    lo_fence, hi_fence = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    lower = min(v for v in vals if v >= lo_fence)
+    upper = max(v for v in vals if v <= hi_fence)
+    assert r["min_r"] == pytest.approx(min(vals))
+    assert r["q1_r"] == pytest.approx(q1)
+    assert r["median_r"] == pytest.approx(q2)
+    assert r["q3_r"] == pytest.approx(q3)
+    assert r["max_r"] == pytest.approx(max(vals))   # outlier IS the max
+    assert r["lower_r"] == pytest.approx(lower)
+    assert r["upper_r"] == pytest.approx(upper)
+    assert r["upper_r"] < 500.0                     # ...but not the whisker
+
+
+def test_boxplot_agg_groups_independent(spark):
+    from yase_spark.aggs import boxplot_agg
+
+    rows = [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 10.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+    got = {r["grp"]: r for r in boxplot_agg(df, "n_chars").collect()}
+    assert got["a"]["median_r"] == pytest.approx(2.0)
+    # single-value group: every stat collapses to the value
+    b = got["b"]
+    assert {b[c] for c in ("min_r", "q1_r", "median_r", "q3_r", "max_r",
+                           "lower_r", "upper_r")} == {10.0}
