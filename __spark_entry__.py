@@ -3863,9 +3863,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup",
         "stream_percolate",
         # --- remaining never-driver-checked ---
-        # (span_not / span_or_near dropped from this block: both got
-        # green driver rows in r4 — keeping them here would waste two
-        # of the ~50 window slots a never-checked entry could use)
+        # (span_not / span_or_near re-added: the r4 VERDICT table lists
+        # them as r4-green, but CORRECTNESS_r04.json has no row for
+        # either — the file is authoritative, so they are in fact
+        # never-checked and belong in the window)
+        "span_not",
+        "span_or_near",
         "topk_rescore",
         "date_histogram",
         "date_histogram_diff",
@@ -3896,6 +3899,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_topk",
         "composite_agg",
         "topk_msm",
+        # --- round-5 operator additions (never-checked; behind the
+        # VERDICT item-3 list but ahead of every already-green entry,
+        # so ANY window size prioritizes entries without driver rows) ---
+        "fields_combined",
+        "matrix_stats",
+        "string_stats",
+        "dispersion_stats",
+        "stats_bucket",
+        "geo_bounds",
+        "geo_centroid",
+        "rate_buckets",
+        "cumulative_cardinality",
+        "span_multi",
+        "terms_shard_error",
+        "normalize_buckets",
+        "filters_agg",
+        "missing_agg",
+        "categorize_text",
+        "boxplot_agg",
     ]
     ordered = {k: base[k] for k in window_first}
     ordered.update((k, v) for k, v in base.items() if k not in ordered)
