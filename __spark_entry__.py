@@ -839,6 +839,65 @@ def _q_span_containing(spark, sf_dir):
     )
 
 
+# intervals rule configs; term vocab per the span family (df-verified)
+INTERVALS_ALLOF = {"all_of": {"ordered": True, "max_gaps": 3, "intervals": [
+    {"match": {"query": "table"}},
+    {"match": {"query": "hash"}},
+    {"match": {"query": "merge"}},
+]}}
+INTERVALS_ANYOF = {"any_of": {"intervals": [
+    {"match": {"query": "table hash", "ordered": True, "max_gaps": 0}},
+    {"match": {"query": "group key", "max_gaps": 2}},
+]}}
+INTERVALS_NESTED = {"all_of": {"ordered": True, "intervals": [
+    {"match": {"query": "table hash", "ordered": True, "max_gaps": 1}},
+    {"match": {"query": "merge"}},
+]}}
+
+
+def _q_intervals_allof(spark, sf_dir):
+    # ES intervals, all_of over unit-term leaves with the PARENT gap
+    # constraint active: table < hash < merge with combined gaps
+    # (span+1 - 3) <= 3 — unit leaves are all minimal, so the SQL
+    # all-choices enumeration is exactly the minimal-interval result
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.intervals_df(INTERVALS_ALLOF)
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
+def _q_intervals_anyof(spark, sf_dir):
+    # ES intervals, any_of union of an exact ordered phrase and an
+    # unordered sloppy pair — leaf-level max_gaps arithmetic in both
+    # modes; doc-level union is minimality-insensitive
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.intervals_df(INTERVALS_ANYOF)
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
+def _q_intervals_nested(spark, sf_dir):
+    # ES intervals, ordered all_of over a multi-term leaf: the phrase
+    # leaf's own max_gaps bites, the parent only orders (max_gaps=-1
+    # default) — with no parent gap filter, all-tuples existence ==
+    # minimal-interval existence (replacing a sub-interval by its
+    # contained minimal core only relaxes ordering constraints), so
+    # the SQL tuple enumeration is exact
+    rd = _pos_reader(spark, sf_dir)
+    m = _orig_ids(rd, spark)
+    return (
+        rd.intervals_df(INTERVALS_NESTED)
+        .join(m, "doc_id")
+        .select(F.col("orig_doc_id").alias("doc_id"))
+    )
+
+
 PERC_QUERIES = [
     (1, [["customer", "supplier"], ["query"]]),
     (2, [["window"], ["stream", "batch"]]),
@@ -3640,6 +3699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": _q_span_near,
         "span_within": _q_span_within,
         "span_containing": _q_span_containing,
+        "intervals_allof": _q_intervals_allof,
+        "intervals_anyof": _q_intervals_anyof,
+        "intervals_nested": _q_intervals_nested,
         "fields_chain": _q_fields_chain,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         "fields_combined": _q_fields_combined,
@@ -3823,6 +3885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_within",
         "span_containing",
         "ann_hnsw_topk",
+        "intervals_allof",
+        "intervals_anyof",
+        "intervals_nested",
         # --- VERDICT item-3 explicit priorities ---
         "snapshot_read",
         "pit_page2",
@@ -4486,6 +4551,48 @@ SELECT doc_id, term, count(*) AS cnt FROM allt GROUP BY 1, 2
             "AND greatest(a.p, b.p) - least(a.p, b.p) "
             f"<= {len(SPAN_CONTAINING[0]) - 1 + SPAN_CONTAINING[2]} "
             "AND l.p BETWEEN least(a.p, b.p) AND greatest(a.p, b.p) "
+            "ORDER BY 1"
+        ),
+        # intervals all_of over unit leaves: full choice enumeration —
+        # unit intervals are all minimal, parent gaps = span+1-3
+        "intervals_allof": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT a.doc_id FROM f a "
+            "JOIN f b ON b.doc_id = a.doc_id "
+            "JOIN f c ON c.doc_id = a.doc_id "
+            "WHERE a.term = 'table' AND b.term = 'hash' "
+            "AND c.term = 'merge' "
+            "AND b.p > a.p AND c.p > b.p "
+            "AND (c.p - a.p + 1) - 3 <= 3 "
+            "ORDER BY 1"
+        ),
+        # intervals any_of: exact phrase OR unordered pair within
+        # width 4 (gaps = width-2 <= 2); union is minimality-free
+        "intervals_anyof": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT doc_id FROM ("
+            "  SELECT a.doc_id FROM f a JOIN f b "
+            "  ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
+            "  WHERE a.term = 'table' AND b.term = 'hash' "
+            "  UNION ALL "
+            "  SELECT g.doc_id FROM f g JOIN f k "
+            "  ON k.doc_id = g.doc_id "
+            "  WHERE g.term = 'group' AND k.term = 'key' "
+            "  AND abs(g.p - k.p) <= 3"
+            ") ORDER BY 1"
+        ),
+        # intervals nested: ordered all_of with NO parent gap filter —
+        # all-tuples existence == minimal existence, so plain
+        # enumeration: table<hash within leaf gaps 1, then merge after
+        "intervals_nested": (
+            f"WITH {_POS_SQL} "
+            "SELECT DISTINCT a.doc_id FROM f a "
+            "JOIN f b ON b.doc_id = a.doc_id "
+            "JOIN f c ON c.doc_id = a.doc_id "
+            "WHERE a.term = 'table' AND b.term = 'hash' "
+            "AND c.term = 'merge' "
+            "AND b.p > a.p AND (b.p - a.p + 1) - 2 <= 1 "
+            "AND c.p > b.p "
             "ORDER BY 1"
         ),
         # percolation: CNF satisfaction replayed relationally

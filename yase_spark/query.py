@@ -2099,6 +2099,19 @@ class IndexReader:
             [(int(d),) for d in ids], schema="doc_id long"
         )
 
+    def intervals(self, rule) -> np.ndarray:
+        """ES ``intervals`` query (match / any_of / all_of rule tree,
+        minimal-interval semantics) — see ``yase_spark.intervals``."""
+        from .intervals import intervals_docs
+
+        return intervals_docs(self._positions(), rule)
+
+    def intervals_df(self, rule) -> DataFrame:
+        ids = self.intervals(rule)
+        return self.spark.createDataFrame(
+            [(int(d),) for d in ids], schema="doc_id long"
+        )
+
     def rank_doc_set(
         self, matched, query: str, k: int = 10,
         tokens: list[str] | None = None,

@@ -179,7 +179,7 @@ def main(argv=None) -> int:
                  "msm", "rescore", "federated", "span_near", "span_first",
                  "span_not", "qs", "sort", "stem", "decay", "random",
                  "terms_set", "boosting", "ltr", "dis_max", "pinned",
-                 "bool_prefix", "rank_feature", "span_multi"],
+                 "bool_prefix", "rank_feature", "span_multi", "intervals"],
         default="topk",
     )
     p.add_argument(
@@ -1144,6 +1144,12 @@ def main(argv=None) -> int:
                     "prefix", toks[0][:-1], toks[1:], slop=args.slop
                 )
             ]
+        elif args.kind == "intervals":
+            # ES intervals query: --q is the JSON rule tree, e.g.
+            # '{"all_of": {"ordered": true, "max_gaps": 3, "intervals":
+            #   [{"match": {"query": "table"}}, ...]}}'
+            rule = json.loads(args.q)
+            out = [int(x) for x in rd.intervals(rule)]
         elif args.kind == "span_not":
             # --q "include exclude[|exclude2...]"; window via --pre/--post
             inc, exc = args.q.split()
