@@ -3555,6 +3555,46 @@ def _q_rank_feature(spark, sf_dir):
     )
 
 
+DF_ORIGIN, DF_PIVOT, DF_BOOST = 600.0, 200.0, 1.5
+
+
+def _q_distance_feature(spark, sf_dir):
+    # ES distance_feature: score = BM25 + boost·pivot/(pivot+|dl-origin|)
+    # — additive proximity boost (recency/geo reduce to this numeric
+    # form); the oracle evaluates the SAME generated expression text
+    rd = _reader(spark, sf_dir)
+    res = rd.topk_distance_feature(
+        " ".join(BM25_TERMS), "doc_len", origin=DF_ORIGIN,
+        pivot=DF_PIVOT, boost=DF_BOOST, k=10,
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+def _q_moving_fn(spark, sf_dir):
+    # ES moving_fn over the gap-filled date_histogram: trailing-3
+    # min/max/sum/stdDev/ewma per event_type — ewma seeds with the
+    # window's oldest value and folds v·α + acc·(1−α), exactly
+    # MovingFunctions.ewma (the oracle replays with list_reduce)
+    from yase_spark.aggs import moving_fn
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return moving_fn(ev, hours=1, window=3, alpha=0.3)
+
+
+def _q_bucket_script(spark, sf_dir):
+    # ES bucket_script + bucket_selector semantics on one frame: per
+    # time bucket, error rate and value intensity scripts over sibling
+    # conditional aggregates; `selected` pins the selector verdicts
+    from yase_spark.aggs import bucket_script
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bucket_script(ev, hours=1, numer_type="error")
+
+
 def _q_stream_rollover(spark, sf_dir):
     # the ES data-stream WRITE path driven end-to-end: two corpus file
     # waves stream through foreachBatch into rollover generations
@@ -3702,6 +3742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_allof": _q_intervals_allof,
         "intervals_anyof": _q_intervals_anyof,
         "intervals_nested": _q_intervals_nested,
+        "distance_feature_topk": _q_distance_feature,
+        "moving_fn_agg": _q_moving_fn,
+        "bucket_script_agg": _q_bucket_script,
         "fields_chain": _q_fields_chain,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         "fields_combined": _q_fields_combined,
@@ -3888,6 +3931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_allof",
         "intervals_anyof",
         "intervals_nested",
+        "distance_feature_topk",
+        "moving_fn_agg",
+        "bucket_script_agg",
         # --- VERDICT item-3 explicit priorities ---
         "snapshot_read",
         "pit_page2",
@@ -5842,6 +5888,70 @@ FROM a
 FROM sc JOIN dl ON sc.doc_id = dl.doc_id
 ORDER BY sc.score + {_rf} DESC, sc.doc_id LIMIT 10"""
     )
+    _dfx = IndexReader.distance_feature_expr(
+        "dl.dl", origin=DF_ORIGIN, pivot=DF_PIVOT, boost=DF_BOOST
+    )
+    o["distance_feature_topk"] = _bm25_oracle_sql(
+        f"""SELECT sc.doc_id,
+       round(sc.score + {_dfx}, 5) AS score_r
+FROM sc JOIN dl ON sc.doc_id = dl.doc_id
+ORDER BY sc.score + {_dfx} DESC, sc.doc_id LIMIT 10"""
+    )
+    # moving_fn: the gap-filled axis CTE (the normalize_buckets device),
+    # trailing-3 window functions; ewma replays the engine's EXACT fold
+    # (seed = oldest window value, then v*a + acc*(1-a)) via the
+    # windowed list + list_reduce — DuckDB's list_reduce seeds with the
+    # first element and folds the rest, the identical IEEE order
+    o["moving_fn_agg"] = """
+WITH h AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+         event_type AS grp, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+ax AS (
+  SELECT grp,
+         unnest(generate_series(min(bucket_start), max(bucket_start),
+                                INTERVAL '1 hour')) AS bucket_start
+  FROM h GROUP BY grp),
+d AS (
+  SELECT ax.grp, ax.bucket_start, coalesce(h.n, 0) AS n
+  FROM ax LEFT JOIN h USING (grp, bucket_start)),
+w AS (
+  SELECT grp, bucket_start, n,
+    min(n) OVER tw AS mov_min,
+    max(n) OVER tw AS mov_max,
+    sum(n) OVER tw AS mov_sum,
+    sum(cast(n as double) * cast(n as double)) OVER tw AS s2,
+    sum(cast(n as double)) OVER tw AS s1,
+    count(*) OVER tw AS m,
+    list(cast(n as double)) OVER tw AS vs
+  FROM d
+  WINDOW tw AS (PARTITION BY grp ORDER BY bucket_start
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+SELECT grp, bucket_start, n,
+  CAST(mov_min AS BIGINT) AS mov_min,
+  CAST(mov_max AS BIGINT) AS mov_max,
+  CAST(mov_sum AS BIGINT) AS mov_sum,
+  round(sqrt(greatest(cast(0 as double),
+        s2 / m - pow(s1 / m, cast(2 as double)))), 6) AS mov_stddev_r,
+  round(list_reduce(vs, (acc, v) ->
+        v * cast(0.3 as double)
+        + acc * (cast(1 as double) - cast(0.3 as double))), 6) AS ewma_r
+FROM w ORDER BY grp, bucket_start
+"""
+    o["bucket_script_agg"] = """
+WITH h AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_numer,
+         sum(value) AS sum_value
+  FROM events GROUP BY 1)
+SELECT bucket_start, n_total, n_numer,
+  round(cast(n_numer as double) / cast(n_total as double), 6) AS rate_r,
+  round(sum_value / cast(n_total as double), 6) AS intensity_r,
+  (cast(n_numer as double) / cast(n_total as double)) > 0.2 AS selected
+FROM h ORDER BY bucket_start
+"""
     o["stream_rollover_topk"] = _bm25_oracle_sql(
         "SELECT doc_id, round(score, 5) AS score_r FROM sc "
         "ORDER BY score DESC, doc_id LIMIT 10"

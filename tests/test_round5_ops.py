@@ -515,3 +515,116 @@ def test_boxplot_agg_groups_independent(spark):
     b = got["b"]
     assert {b[c] for c in ("min_r", "q1_r", "median_r", "q3_r", "max_r",
                            "lower_r", "upper_r")} == {10.0}
+
+
+# ----------------------------------------- distance_feature query
+def test_distance_feature_replay(spark, tiny_index):
+    from yase_spark.index import build_index  # noqa: F401  (fixture dep)
+
+    root, cfg, _ = tiny_index
+    rd = IndexReader(spark, root, cfg)
+    q = "json page"
+    bm25 = {d: s for _, d, s in rd.topk(q, 10**9, use_wand=False)}
+    dl = {
+        r["doc_id"]: r["doc_len"]
+        for r in rd.cat.read(spark, "docs").select("doc_id", "doc_len").collect()
+    }
+    origin, pivot, boost = 900.0, 150.0, 2.0
+    got = {
+        r["doc_id"]: r["score"]
+        for r in rd.topk_distance_feature(
+            q, "doc_len", origin=origin, pivot=pivot, boost=boost, k=10**9
+        ).collect()
+    }
+    assert set(got) == set(bm25)
+    for d in bm25:
+        want = bm25[d] + boost * pivot / (pivot + abs(float(dl[d]) - origin))
+        assert got[d] == pytest.approx(want, rel=1e-9)
+    # proximity semantics: the boost is maximal AT the origin and
+    # monotone-decreasing in |dl - origin|
+    feats = sorted(
+        (abs(float(dl[d]) - origin), got[d] - bm25[d]) for d in bm25
+    )
+    assert all(f <= boost for _, f in feats)
+    for (d1, f1), (d2, f2) in zip(feats, feats[1:]):
+        if d1 < d2:
+            assert f1 > f2
+    with pytest.raises(ValueError, match="pivot"):
+        rd.topk_distance_feature(q, "doc_len", origin=0.0, pivot=0.0)
+
+
+# ----------------------------------------- moving_fn / bucket_script
+def test_moving_fn_hand_case(spark):
+    from yase_spark.aggs import moving_fn
+
+    rows = [
+        ("x", "2024-01-01 00:10:00"),
+        ("x", "2024-01-01 00:20:00"),
+        ("x", "2024-01-01 00:30:00"),   # h0: 3
+        ("x", "2024-01-01 01:30:00"),   # h1: 1
+        # h2: gap -> 0
+        ("x", "2024-01-01 03:10:00"),
+        ("x", "2024-01-01 03:20:00"),   # h3: 2
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    alpha = 0.3
+    got = moving_fn(ev, hours=1, window=3, alpha=alpha).collect()
+    ns = [3, 1, 0, 2]
+
+    def ewma(vs):
+        acc = float(vs[0])
+        for v in vs[1:]:
+            acc = v * alpha + acc * (1 - alpha)
+        return acc
+
+    for i, r in enumerate(got):
+        w = ns[max(0, i - 2): i + 1]
+        assert r["n"] == ns[i]
+        assert r["mov_min"] == min(w)
+        assert r["mov_max"] == max(w)
+        assert r["mov_sum"] == sum(w)
+        m = sum(w) / len(w)
+        std = (sum(v * v for v in w) / len(w) - m * m) ** 0.5
+        assert r["mov_stddev_r"] == pytest.approx(std, abs=1e-6)
+        assert r["ewma_r"] == pytest.approx(ewma(w), abs=1e-6)
+
+
+def test_moving_fn_validation(spark):
+    from yase_spark.aggs import moving_fn
+
+    ev = spark.createDataFrame(
+        [("x", "2024-01-01 00:00:00")], "event_type string, ts_s string"
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="window"):
+        moving_fn(ev, window=0)
+    with pytest.raises(ValueError, match="alpha"):
+        moving_fn(ev, alpha=0.0)
+
+
+def test_bucket_script_hand_case(spark):
+    from yase_spark.aggs import bucket_script
+
+    rows = [
+        ("error", "2024-01-01 00:05:00", 2.0),
+        ("click", "2024-01-01 00:15:00", 4.0),
+        ("click", "2024-01-01 00:25:00", 6.0),   # h0: 1/3 err, avg 4.0
+        ("click", "2024-01-01 01:05:00", 10.0),  # h1: 0/1 err
+        ("error", "2024-01-01 02:05:00", 1.0),   # h2: 1/1 err
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    got = bucket_script(ev, hours=1, numer_type="error").collect()
+    assert [
+        (r["n_total"], r["n_numer"], r["rate_r"], r["intensity_r"],
+         r["selected"])
+        for r in got
+    ] == [
+        (3, 1, pytest.approx(1 / 3, abs=1e-6), pytest.approx(4.0), True),
+        (1, 0, 0.0, 10.0, False),
+        (1, 1, 1.0, 1.0, True),
+    ]

@@ -1302,3 +1302,141 @@ def boxplot_agg(
         )
         .orderBy("grp")
     )
+
+
+def moving_fn(
+    events: DataFrame, hours: int = 1, window: int = 3,
+    alpha: float = 0.3, key: str = "event_type",
+) -> DataFrame:
+    """ES ``moving_fn`` pipeline aggregation with the full
+    ``MovingFunctions`` family over a gap-filled ``date_histogram``:
+    per key and bucket, the trailing-``window`` (current bucket
+    inclusive) ``min`` / ``max`` / ``sum`` / population ``stdDev`` and
+    ``ewma(alpha)`` — ES's exponentially weighted moving average,
+    which seeds with the window's OLDEST value then folds forward
+    ``acc = v·alpha + acc·(1 − alpha)`` (MovingFunctions.ewma).
+
+    The dense per-key bucket axis (``min_doc_count=0`` gap-fill, each
+    key's own [min, max] range) is materialized ONCE as a sorted
+    struct array per key, then ``posexplode`` + ``slice`` hand every
+    bucket its exact trailing window — all five functions are
+    ``F.aggregate``/``array_*`` folds over that slice in whole-stage
+    codegen, so the fold order (oldest → newest) is explicit and
+    engine-replayable rather than an artifact of window-frame
+    collection order.
+
+    Scale shape: one hash aggregate reduces raw events to bucket rows;
+    the array build, explode, and folds run over bucket-sized data
+    (time_range/interval rows per key). Per-key arrays are
+    time-bounded, not corpus-bounded — the 100-TB knob is the
+    interval, exactly as in date_histogram_pipeline."""
+    if window < 1:
+        raise ValueError("moving window must be >= 1 bucket")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    iv = f"{hours} hour"
+    hist = events.groupBy(
+        F.window("ts", iv).start.alias("bucket_start"),
+        F.col(key).alias("grp"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    axis = (
+        hist.groupBy("grp")
+        .agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi"))
+        .select(
+            "grp",
+            F.explode(F.sequence("lo", "hi", F.expr(f"interval {iv}"))).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    dense = axis.join(hist, ["grp", "bucket_start"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    series = dense.groupBy("grp").agg(
+        F.sort_array(F.collect_list(F.struct("bucket_start", "n"))).alias("sn")
+    )
+    a = f"cast({float(alpha)} as double)"
+    w = int(window)
+    # pos is 0-based; slice() is 1-based inclusive: trailing window =
+    # elements [max(0, pos-w+1) .. pos]
+    vals = (
+        f"transform(slice(sn, greatest(1, pos + 2 - {w}), "
+        f"pos + 2 - greatest(1, pos + 2 - {w})), x -> cast(x.n as double))"
+    )
+    return (
+        series.select("grp", "sn", F.posexplode("sn").alias("pos", "b"))
+        .select(
+            "grp",
+            F.col("b.bucket_start").alias("bucket_start"),
+            F.col("b.n").alias("n"),
+            F.expr(vals).alias("__w"),
+        )
+        .select(
+            "grp",
+            "bucket_start",
+            "n",
+            F.expr("cast(array_min(__w) as bigint)").alias("mov_min"),
+            F.expr("cast(array_max(__w) as bigint)").alias("mov_max"),
+            F.expr(
+                "cast(aggregate(__w, cast(0 as double), (s, x) -> s + x) "
+                "as bigint)"
+            ).alias("mov_sum"),
+            F.round(
+                F.expr(
+                    "sqrt(greatest(cast(0 as double), "
+                    "aggregate(__w, cast(0 as double), (s, x) -> s + x * x) "
+                    "  / size(__w) "
+                    "- pow(aggregate(__w, cast(0 as double), (s, x) -> s + x)"
+                    "      / size(__w), cast(2 as double))))"
+                ),
+                6,
+            ).alias("mov_stddev_r"),
+            F.round(
+                F.expr(
+                    f"aggregate(slice(__w, 2, size(__w) - 1), "
+                    f"element_at(__w, 1), "
+                    f"(acc, v) -> v * {a} + acc * (cast(1 as double) - {a}))"
+                ),
+                6,
+            ).alias("ewma_r"),
+        )
+        .orderBy("grp", "bucket_start")
+    )
+
+
+def bucket_script(
+    events: DataFrame, hours: int = 1, numer_type: str = "error",
+) -> DataFrame:
+    """ES ``bucket_script`` pipeline aggregation: per date_histogram
+    bucket, a script over sibling metrics — the canonical error-rate
+    shape ``errors / total`` plus ``value`` intensity
+    ``sum(value) / count`` (two scripts over three sibling aggs).
+    Companion ``bucket_selector`` semantics ride the same frame: the
+    ``selected`` flag marks buckets the ES selector (``rate > 0.2``)
+    would keep, WITHOUT dropping rows (the driver hash then pins both
+    the script values and the selector verdicts).
+
+    Scale shape: one hash aggregate with conditional sums keyed by the
+    time bucket — sibling metrics are CASE expressions inside the same
+    reduce, never per-sibling scans; script arithmetic is bucket-sized
+    column math."""
+    hist = events.groupBy(
+        F.window("ts", f"{hours} hour").start.alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.expr(f"CASE WHEN event_type = '{numer_type}' THEN 1 ELSE 0 END")
+        ).alias("n_numer"),
+        F.sum("value").alias("sum_value"),
+    )
+    rate = "cast(n_numer as double) / cast(n_total as double)"
+    return hist.select(
+        "bucket_start",
+        "n_total",
+        "n_numer",
+        F.round(F.expr(rate), 6).alias("rate_r"),
+        F.round(
+            F.expr("sum_value / cast(n_total as double)"), 6
+        ).alias("intensity_r"),
+        (F.expr(rate) > 0.2).alias("selected"),
+    ).orderBy("bucket_start")

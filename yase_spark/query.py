@@ -3447,6 +3447,58 @@ class IndexReader:
         return self._take_ranked(scored, k)
 
     @staticmethod
+    def distance_feature_expr(
+        field: str, origin: float, pivot: float, boost: float = 1.0
+    ) -> str:
+        """SQL text of the ES ``distance_feature`` query function over
+        a numeric docs-column expression: ``boost · pivot / (pivot +
+        |field − origin|)`` — 1·boost AT the origin, boost/2 at
+        distance ``pivot``, monotone-decreasing beyond. ES applies it
+        to date/geo proximity; dates reduce to this numeric form in
+        epoch units, geo passes a haversine expression as ``field``
+        with ``origin = 0`` (the distance IS the deviation). Emitted
+        as SHARED expression text with every constant double-cast (the
+        rank_feature/decay parity device)."""
+        if pivot <= 0:
+            raise ValueError("pivot must be > 0")
+        x = f"abs(cast({field} as double) - cast({float(origin)} as double))"
+        p = f"cast({float(pivot)} as double)"
+        b = f"cast({float(boost)} as double)"
+        return f"{b} * {p} / ({p} + {x})"
+
+    def topk_distance_feature(
+        self, query: str, field: str, origin: float, pivot: float,
+        k: int = 10, boost: float = 1.0,
+    ) -> DataFrame:
+        """Ranked top-k with an additive ``distance_feature`` clause:
+        score = BM25(query) + boost·pivot/(pivot + |field − origin|) —
+        the ES recency/proximity boost (distance_feature is the
+        proximity sibling of ``topk_rank_feature``: importance decays
+        with distance from an origin instead of growing with a
+        feature). Same lane shape: contribution sum, one
+        docs-dimension join, the feature expression in JVM codegen,
+        TakeOrdered."""
+        expr_txt = self.distance_feature_expr(
+            field, origin=origin, pivot=pivot, boost=boost
+        )
+        k = min(int(k), self.n_docs)
+        qterms = self._analyze(query)
+        if not qterms:
+            return self.spark.createDataFrame(
+                [], schema="rank long, doc_id long, score double"
+            )
+        per_doc = (
+            self.contrib_df(qterms)
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("bm25"))
+        )
+        docs = self.cat.read(self.spark, "docs")
+        scored = per_doc.join(docs, "doc_id").select(
+            "doc_id", (F.col("bm25") + F.expr(expr_txt)).alias("score")
+        )
+        return self._take_ranked(scored, k)
+
+    @staticmethod
     def decay_expr(
         kind: str, field: str, origin: float, scale: float,
         decay: float = 0.5, offset: float = 0.0,

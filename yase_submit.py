@@ -179,7 +179,8 @@ def main(argv=None) -> int:
                  "msm", "rescore", "federated", "span_near", "span_first",
                  "span_not", "qs", "sort", "stem", "decay", "random",
                  "terms_set", "boosting", "ltr", "dis_max", "pinned",
-                 "bool_prefix", "rank_feature", "span_multi", "intervals"],
+                 "bool_prefix", "rank_feature", "span_multi", "intervals",
+                 "distance_feature"],
         default="topk",
     )
     p.add_argument(
@@ -273,6 +274,10 @@ def main(argv=None) -> int:
         help="query --kind dis_max: ES tie_breaker (0 = pure max)",
     )
     p.add_argument(
+        "--field-expr", default="nullif(regexp_extract(text, 'vector[a-z]*', 0), '')",
+        help="aggs --op missing: SQL expression of the (sparse) field",
+    )
+    p.add_argument(
         "--weight-expr", default="1",
         help="aggs --op weighted_avg: SQL weight expression per row",
     )
@@ -289,7 +294,8 @@ def main(argv=None) -> int:
                  "line_dedup", "dup_spans", "t_test", "diversified",
                  "semantic_decontam", "matrix", "string_stats", "boxplot",
                  "stats_bucket", "rate", "cum_card", "bounds", "centroid",
-                 "terms_error", "normalize"],
+                 "terms_error", "normalize", "filters", "missing",
+                 "categorize", "moving_fn", "bucket_script"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -977,6 +983,13 @@ def main(argv=None) -> int:
                 pivot=args.pivot, boost=args.rf_boost,
             ).collect()
             out = [r.asDict() for r in rows]
+        elif args.kind == "distance_feature":
+            # additive proximity clause: boost*pivot/(pivot+|field-origin|)
+            rows = rd.topk_distance_feature(
+                args.q, args.rf_field, origin=args.origin,
+                pivot=args.pivot, boost=args.rf_boost, k=args.k,
+            ).collect()
+            out = [r.asDict() for r in rows]
         elif args.kind == "hybrid":
             # BM25 + vector RRF fusion: --q is the text query, --emb /
             # --qvec pick the vector query; both rankings to depth 2k
@@ -1376,6 +1389,28 @@ def main(argv=None) -> int:
                 docs, n_shards=4, shard_size=max(2 * args.k, 2),
                 size=max(args.k, 1),
             )
+        elif args.op == "filters":
+            # --filters is the adjacency-style named-predicate JSON
+            from yase_spark.aggs import filters_agg
+
+            out_df = filters_agg(docs, json.loads(args.filters))
+        elif args.op == "missing":
+            from yase_spark.aggs import missing_agg
+
+            out_df = missing_agg(docs, args.field_expr)
+        elif args.op == "categorize":
+            from yase_spark.aggs import categorize_text
+
+            out_df = categorize_text(docs, size=args.k)
+        elif args.op == "moving_fn":
+            # --corpus points at an events-shaped table
+            from yase_spark.aggs import moving_fn
+
+            out_df = moving_fn(docs, hours=1, window=3)
+        elif args.op == "bucket_script":
+            from yase_spark.aggs import bucket_script
+
+            out_df = bucket_script(docs, hours=1)
         elif args.op == "normalize":
             # --corpus points at an events-shaped table
             from yase_spark.aggs import normalize_buckets
