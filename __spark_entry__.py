@@ -3595,6 +3595,43 @@ def _q_bucket_script(spark, sf_dir):
     return bucket_script(ev, hours=1, numer_type="error")
 
 
+GEO_RING_EDGES = [3000.0, 8000.0, 15000.0]
+CTX_COMPLETE = ("ta", {"en": 2.0, "de": 1.5})
+FIS_VOCAB, FIS_SUPPORT = 12, 0.05
+
+
+def _q_geo_rings(spark, sf_dir):
+    # ES geo_distance AGGREGATION: ring buckets around (10, 20) with
+    # half-open [from, to) edges, gap-filled (empty rings reported)
+    from yase_spark.geo import geo_distance_rings
+
+    return geo_distance_rings(
+        _docs(spark, sf_dir), 10.0, 20.0, edges_km=GEO_RING_EDGES
+    )
+
+
+def _q_contexts_complete(spark, sf_dir):
+    # ES completion suggester with category contexts: per-context df
+    # weights, boost per context, max over matching contexts
+    from yase_spark.expand import contexts_complete
+
+    prefix, ctxs = CTX_COMPLETE
+    return contexts_complete(
+        _docs(spark, sf_dir), prefix, ctxs, k=10, ctx_col="lang"
+    )
+
+
+def _q_frequent_item_sets(spark, sf_dir):
+    # ES frequent_item_sets: CLOSED co-occurring term sets (size <= 3)
+    # over the top-12 df vocabulary at 5% fractional support
+    from yase_spark.aggs import frequent_item_sets
+
+    return frequent_item_sets(
+        _docs(spark, sf_dir), vocab_size=FIS_VOCAB,
+        min_support=FIS_SUPPORT, max_size=3,
+    )
+
+
 def _q_stream_rollover(spark, sf_dir):
     # the ES data-stream WRITE path driven end-to-end: two corpus file
     # waves stream through foreachBatch into rollover generations
@@ -3745,6 +3782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature_topk": _q_distance_feature,
         "moving_fn_agg": _q_moving_fn,
         "bucket_script_agg": _q_bucket_script,
+        "geo_rings": _q_geo_rings,
+        "contexts_complete": _q_contexts_complete,
+        "frequent_item_sets": _q_frequent_item_sets,
         "fields_chain": _q_fields_chain,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         "fields_combined": _q_fields_combined,
@@ -3934,6 +3974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature_topk",
         "moving_fn_agg",
         "bucket_script_agg",
+        "geo_rings",
+        "contexts_complete",
+        "frequent_item_sets",
         # --- VERDICT item-3 explicit priorities ---
         "snapshot_read",
         "pit_page2",
@@ -5951,6 +5994,85 @@ SELECT bucket_start, n_total, n_numer,
   round(sum_value / cast(n_total as double), 6) AS intensity_r,
   (cast(n_numer as double) / cast(n_total as double)) > 0.2 AS selected
 FROM h ORDER BY bucket_start
+"""
+    # geo_distance rings: identical haversine text as geo_distance_topk,
+    # half-open CASE, VALUES ring dimension for the gap-fill
+    o["geo_rings"] = """
+WITH g AS (SELECT doc_id,
+    ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+    ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents),
+d AS (SELECT doc_id,
+    2 * 6371.0088 * asin(sqrt(
+        pow(sin((radians(lat) - radians(10.0)) / 2), 2)
+        + cos(radians(10.0)) * cos(radians(lat))
+          * pow(sin((radians(lon) - radians(20.0)) / 2), 2))) AS dist
+  FROM g),
+r AS (SELECT CASE WHEN dist < 3000.0 THEN 0 WHEN dist < 8000.0 THEN 1
+                  WHEN dist < 15000.0 THEN 2 ELSE 3 END AS ring, dist
+      FROM d),
+a AS (SELECT ring, CAST(count(*) AS BIGINT) AS doc_count,
+             sum(dist) AS sd FROM r GROUP BY 1),
+rings(ring, from_km, to_km) AS (VALUES
+  (0, CAST(NULL AS DOUBLE), 3000.0), (1, 3000.0, 8000.0),
+  (2, 8000.0, 15000.0), (3, 15000.0, CAST(NULL AS DOUBLE)))
+SELECT CAST(rings.ring AS BIGINT) AS ring, from_km, to_km,
+       coalesce(doc_count, 0) AS doc_count,
+       round(CASE WHEN doc_count > 0
+             THEN sd / cast(doc_count as double) END, 6) AS avg_km_r
+FROM rings LEFT JOIN a USING (ring) ORDER BY ring
+"""
+    # contexts completion: per-(ctx, term) distinct-doc df, boost CASE,
+    # max over matching contexts — identical arithmetic text
+    _cc_prefix, _cc = CTX_COMPLETE
+    _cc_in = ", ".join(f"'{c}'" for c in _cc)
+    _cc_case = "CASE " + " ".join(
+        f"WHEN ctx = '{c}' THEN cast('{float(b)!r}' as double)"
+        for c, b in _cc.items()
+    ) + " END"
+    o["contexts_complete"] = f"""
+WITH tok AS (SELECT doc_id, lang AS ctx,
+    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents WHERE lang IN ({_cc_in})),
+t AS (SELECT DISTINCT doc_id, ctx, term FROM tok
+      WHERE term LIKE '{_cc_prefix}%'),
+d AS (SELECT ctx, term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1, 2),
+s AS (SELECT term,
+        round(max(({_cc_case}) * cast(df as double)), 6) AS score_r
+      FROM d GROUP BY 1)
+SELECT term, score_r FROM s ORDER BY score_r DESC, term LIMIT 10
+"""
+    # frequent_item_sets: full enumeration over the bounded vocab via
+    # ordered self-joins, ceil-threshold support, closedness by
+    # equal-support one-larger superset (transitively sufficient)
+    o["frequent_item_sets"] = f"""
+WITH tok AS (SELECT doc_id,
+    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents),
+t AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+dfq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+vocab AS (SELECT term FROM dfq ORDER BY df DESC, term LIMIT {FIS_VOCAB}),
+it AS (SELECT doc_id, term FROM t JOIN vocab USING (term)),
+nd AS (SELECT ceil({FIS_SUPPORT} * count(*)) AS thresh FROM documents),
+s1 AS (SELECT term AS item_set, 1 AS sz, CAST(count(*) AS BIGINT) AS support
+       FROM it GROUP BY 1),
+s2 AS (SELECT x.term || ' ' || y.term AS item_set, 2 AS sz,
+              CAST(count(*) AS BIGINT) AS support
+       FROM it x JOIN it y ON y.doc_id = x.doc_id AND y.term > x.term
+       GROUP BY 1),
+s3 AS (SELECT x.term || ' ' || y.term || ' ' || z.term AS item_set, 3 AS sz,
+              CAST(count(*) AS BIGINT) AS support
+       FROM it x JOIN it y ON y.doc_id = x.doc_id AND y.term > x.term
+       JOIN it z ON z.doc_id = x.doc_id AND z.term > y.term
+       GROUP BY 1),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+f AS (SELECT u.* FROM u, nd WHERE support >= thresh)
+SELECT item_set, CAST(sz AS BIGINT) AS size, support
+FROM f
+WHERE NOT EXISTS (
+  SELECT 1 FROM f b WHERE b.sz = f.sz + 1 AND b.support = f.support
+  AND list_has_all(string_split(b.item_set, ' '),
+                   string_split(f.item_set, ' ')))
+ORDER BY support DESC, item_set
 """
     o["stream_rollover_topk"] = _bm25_oracle_sql(
         "SELECT doc_id, round(score, 5) AS score_r FROM sc "

@@ -628,3 +628,152 @@ def test_bucket_script_hand_case(spark):
         (1, 0, 0.0, 10.0, False),
         (1, 1, 1.0, 1.0, True),
     ]
+
+
+# ------------------------------------- geo_distance rings aggregation
+def test_geo_distance_rings_hand(spark):
+    import math as m
+
+    from yase_spark.geo import geo_distance_rings
+
+    ids = list(range(1, 60))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    edges = [4000.0, 9000.0]
+    got = geo_distance_rings(df, 10.0, 20.0, edges_km=edges).collect()
+
+    def hav(lat, lon):
+        dphi = m.radians(lat) - m.radians(10.0)
+        dl = m.radians(lon) - m.radians(20.0)
+        a = (
+            m.sin(dphi / 2) ** 2
+            + m.cos(m.radians(10.0)) * m.cos(m.radians(lat))
+            * m.sin(dl / 2) ** 2
+        )
+        return 2 * 6371.0088 * m.asin(m.sqrt(a))
+
+    rings = {0: [], 1: [], 2: []}
+    for i in ids:
+        lat = (i * 7919) % 18000 / 100.0 - 90.0
+        lon = (i * 104729) % 36000 / 100.0 - 180.0
+        d = hav(lat, lon)
+        rings[0 if d < 4000 else 1 if d < 9000 else 2].append(d)
+    assert [(r["ring"], r["from_km"], r["to_km"], r["doc_count"]) for r in got] == [
+        (0, None, 4000.0, len(rings[0])),
+        (1, 4000.0, 9000.0, len(rings[1])),
+        (2, 9000.0, None, len(rings[2])),
+    ]
+    for r in got:
+        ds = rings[r["ring"]]
+        if ds:
+            assert r["avg_km_r"] == pytest.approx(sum(ds) / len(ds), abs=1e-5)
+        else:
+            assert r["avg_km_r"] is None
+
+    with pytest.raises(ValueError, match="increasing"):
+        geo_distance_rings(df, 0, 0, edges_km=[5.0, 5.0])
+
+
+def test_geo_distance_rings_empty_ring_reported(spark):
+    from yase_spark.geo import geo_distance_rings
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    got = geo_distance_rings(df, 0.0, 0.0, edges_km=[1.0, 2.0]).collect()
+    assert len(got) == 3
+    assert sum(r["doc_count"] for r in got) == 1
+    assert sum(1 for r in got if r["doc_count"] == 0) == 2
+
+
+# --------------------------------------- context-aware completion
+def test_contexts_complete_max_boost(spark):
+    from yase_spark.expand import contexts_complete
+
+    rows = [
+        (1, "en", "tableau table"),
+        (2, "en", "table set"),
+        (3, "de", "table tab"),
+        (4, "de", "table tab"),
+        (5, "fr", "table tabby tabby"),  # fr NOT requested: invisible
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = contexts_complete(
+        df, "ta", {"en": 2.0, "de": 1.5}, k=10, ctx_col="lang"
+    ).collect()
+    # df(en): table 2, tableau 1; df(de): table 2, tab 2
+    # score = max(2.0*df_en, 1.5*df_de): table max(4,3)=4; tab 3; tableau 2
+    assert [(r["term"], r["score_r"]) for r in got] == [
+        ("table", 4.0), ("tab", 3.0), ("tableau", 2.0),
+    ]
+    with pytest.raises(ValueError, match="context"):
+        contexts_complete(df, "ta", {})
+    with pytest.raises(ValueError, match="prefix"):
+        contexts_complete(df, "", {"en": 1.0})
+
+
+# --------------------------------------- frequent_item_sets
+def test_frequent_item_sets_brute(spark):
+    import itertools as it
+
+    from yase_spark.aggs import frequent_item_sets
+
+    rows = [
+        (1, "a b c"),
+        (2, "a b c"),
+        (3, "a b"),
+        (4, "a c x"),
+        (5, "b y"),
+        (6, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    min_support, vocab_size = 0.34, 4  # threshold = ceil(0.34*6) = 3
+    got = [
+        (r["item_set"], r["size"], r["support"])
+        for r in frequent_item_sets(
+            df, vocab_size=vocab_size, min_support=min_support, max_size=3
+        ).collect()
+    ]
+
+    # reference: full enumeration + closedness
+    docs = {d: set(t.split()) for d, t in rows}
+    dfreq = {}
+    for s in docs.values():
+        for t in s:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    vocab = set(
+        t for t, _ in sorted(dfreq.items(), key=lambda x: (-x[1], x[0]))[:vocab_size]
+    )
+    support = {}
+    for k in (1, 2, 3):
+        for combo in it.combinations(sorted(vocab), k):
+            sup = sum(1 for s in docs.values() if set(combo) <= s)
+            if sup >= 3:
+                support[combo] = sup
+    closed = [
+        (" ".join(c), len(c), sup)
+        for c, sup in support.items()
+        if not any(
+            set(c) < set(c2) and s2 == sup for c2, s2 in support.items()
+        )
+    ]
+    closed.sort(key=lambda x: (-x[2], x[0]))
+    assert got == closed
+    # the hand-checkable core: {a,b,c} (support 3) is closed and
+    # absorbs {b,c} (equal support 3); {a,c} (support 4) absorbs
+    # {c} (equal support 4); {a} and {b} (support 5) stay
+    assert ("a b c", 3, 3) in got
+    assert ("a b", 2, 4) in got
+    assert ("a c", 2, 4) in got
+    assert ("b c", 2, 3) not in got
+    assert ("c", 1, 4) not in got
+    assert ("a", 1, 5) in got and ("b", 1, 5) in got
+
+
+def test_frequent_item_sets_validation(spark):
+    from yase_spark.aggs import frequent_item_sets
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_size"):
+        frequent_item_sets(df, max_size=4)
+    with pytest.raises(ValueError, match="min_support"):
+        frequent_item_sets(df, min_support=0.0)
+    with pytest.raises(ValueError, match="min_set_size"):
+        frequent_item_sets(df, min_set_size=5)

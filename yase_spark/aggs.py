@@ -1440,3 +1440,124 @@ def bucket_script(
         ).alias("intensity_r"),
         (F.expr(rate) > 0.2).alias("selected"),
     ).orderBy("bucket_start")
+
+
+def frequent_item_sets(
+    docs: DataFrame,
+    vocab_size: int = 30,
+    min_support: float = 0.02,
+    max_size: int = 3,
+    min_set_size: int = 1,
+    split: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation (8.x), deterministically:
+    CLOSED frequent sets of co-occurring items up to ``max_size`` = 3,
+    where items are the corpus's top-``vocab_size`` terms by document
+    frequency (ties by term — the bounded item universe ES gets from a
+    keyword field's cardinality) and a set's support is the number of
+    documents containing ALL its items. ``min_support`` is the ES
+    fractional support (threshold = ceil(frac · n_docs)); CLOSED means
+    no strict superset has the same support (the ES result contract —
+    non-closed sets are redundant: their support equals a reported
+    superset's).
+
+    Output (item_set, size, support), item_set the space-joined sorted
+    items, ordered (support DESC, item_set ASC).
+
+    Scale shape: the Apriori lattice never materializes — the bounded
+    vocabulary broadcasts into the token scan, each doc reduces to its
+    sorted distinct item array (one hash agg), and k-sets are
+    ``transform``/``slice`` combination expressions over those arrays
+    (pure codegen; fan-out bounded by C(|vocab ∩ doc|, k)). Support
+    counting is one hash agg per size on set-keyed rows; the
+    closedness anti-joins run on the support-filtered RESULT frames
+    (broadcast nested loop over bucket-sized data). At 100 TB the
+    vocabulary bound is the knob — it caps per-doc fan-out
+    independent of corpus size."""
+    if not 1 <= max_size <= 3:
+        raise ValueError("max_size must be in [1, 3]")
+    if not 0.0 < min_support <= 1.0:
+        raise ValueError("min_support must be a fraction in (0, 1]")
+    if not 1 <= min_set_size <= max_size:
+        raise ValueError("min_set_size must be in [1, max_size]")
+    spark = docs.sparkSession
+    n_docs = docs.count()
+    thresh = int(-(-min_support * n_docs // 1))  # ceil
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), split)).alias("term")
+    ).filter(F.col("term") != "").distinct()
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(vocab_size))
+        .select("term")
+    )
+    items = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("term")).alias("it"))
+    )
+    frames = []
+    sets1 = items.select(F.explode("it").alias("a")).select(
+        F.col("a").alias("item_set")
+    )
+    frames.append((1, sets1))
+    if max_size >= 2:
+        pairs = (
+            "flatten(transform(it, (x, i) -> "
+            "transform(slice(it, i + 2, size(it) - i - 1), "
+            "y -> concat(x, ' ', y))))"
+        )
+        frames.append(
+            (2, items.select(F.explode(F.expr(pairs)).alias("item_set")))
+        )
+    if max_size >= 3:
+        triples = (
+            "flatten(transform(it, (x, i) -> "
+            "flatten(transform(slice(it, i + 2, size(it) - i - 1), (y, j) -> "
+            "transform(slice(it, i + j + 3, size(it) - i - j - 2), "
+            "z -> concat(x, ' ', y, ' ', z))))))"
+        )
+        frames.append(
+            (3, items.select(F.explode(F.expr(triples)).alias("item_set")))
+        )
+    freq = {}
+    for size, frame in frames:
+        freq[size] = (
+            frame.groupBy("item_set")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= thresh)
+            .withColumn("size", F.lit(size))
+        )
+    # closedness: drop S when a strict superset one larger has EQUAL
+    # support (transitive: equal-support chains collapse to the top)
+    kept = []
+    for size in sorted(freq):
+        cur = freq[size]
+        if size + 1 in freq:
+            sup = freq[size + 1].select(
+                F.col("item_set").alias("__big"),
+                F.col("support").alias("__bsup"),
+            )
+            # containment over the space-joined SORTED items: every
+            # item of S appears as a token of the superset string
+            cond = (
+                F.expr(
+                    "size(array_except(split(item_set, ' '), "
+                    "split(__big, ' '))) = 0"
+                )
+                & (F.col("support") == F.col("__bsup"))
+            )
+            cur = cur.join(F.broadcast(sup), cond, "left_anti")
+        kept.append(cur)
+    out = kept[0]
+    for frame in kept[1:]:
+        out = out.unionByName(frame)
+    return (
+        out.filter(F.col("size") >= min_set_size)
+        .select(
+            "item_set", F.col("size").cast("long").alias("size"), "support"
+        )
+        .orderBy(F.desc("support"), F.asc("item_set"))
+    )

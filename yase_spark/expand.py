@@ -336,3 +336,61 @@ class TermExpander:
             d.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits),
             limit,
         )
+
+
+def contexts_complete(
+    docs: DataFrame,
+    prefix: str,
+    contexts: dict[str, float],
+    k: int = 10,
+    ctx_col: str = "lang",
+    split: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """ES completion suggester with CATEGORY CONTEXTS: suggestions are
+    filtered to the requested context values and boosted per context —
+    a suggestion matching several contexts scores with the MAX of its
+    boosted weights (the ES contexts contract: boosts don't stack
+    across contexts). The weight of (term, ctx) here is its distinct
+    document frequency WITHIN that context (the ES index-time weight
+    generalized to corpus statistics):
+
+        score(term) = max over requested ctx of boost_ctx · df(term, ctx)
+
+    Ties break (score DESC, term ASC), deterministic.
+
+    Scale shape: the context filter lands on the scan (bounded IN
+    list), the per-(ctx, term) distinct-doc count is one hash
+    aggregate with map-side combine, the max-over-contexts is a
+    second bucket-sized agg, and top-k compiles to
+    TakeOrderedAndProject. At 100 TB the right layout is the published
+    (ctx, term, df) dictionary sibling — this operator IS that table's
+    builder query with the prefix predicate pushed down."""
+    if not contexts:
+        raise ValueError("contexts_complete needs >= 1 context boost")
+    if not prefix:
+        raise ValueError("empty prefix")
+    vals = list(contexts)
+    boost = "CASE " + " ".join(
+        f"WHEN ctx = '{v}' THEN cast({float(contexts[v])!r} as double)"
+        for v in vals
+    ) + " END"
+    per_ctx = (
+        docs.filter(F.col(ctx_col).isin(vals))
+        .select(
+            "doc_id",
+            F.col(ctx_col).alias("ctx"),
+            F.explode(F.split(F.lower("text"), split)).alias("term"),
+        )
+        .filter(F.col("term").startswith(prefix))
+        .groupBy("ctx", "term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return (
+        per_ctx.select(
+            "term", F.expr(f"({boost}) * cast(df as double)").alias("__s")
+        )
+        .groupBy("term")
+        .agg(F.round(F.max("__s"), 6).alias("score_r"))
+        .orderBy(F.desc("score_r"), F.asc("term"))
+        .limit(k)
+    )

@@ -232,3 +232,61 @@ def geo_centroid(docs: DataFrame) -> DataFrame:
             6,
         ).alias("lon_r"),
     )
+
+
+def geo_distance_rings(
+    docs: DataFrame, lat: float, lon: float,
+    edges_km: list[float] | None = None,
+) -> DataFrame:
+    """ES ``geo_distance`` AGGREGATION: ring buckets around an origin —
+    ``[{to: e0}, {from: e0, to: e1}, ..., {from: eN}]`` (half-open
+    ``from <= d < to``, exactly the ES contract), doc count and mean
+    distance per ring. Empty rings are reported with zero counts
+    (``min_doc_count=0`` shape) so the bucket axis is stable.
+
+    Scale shape: ONE pass — the exact haversine and the ring CASE are
+    JVM codegen inside the scan, one hash aggregate on the ring
+    ordinal (bounded bucket count), then a broadcast join against the
+    ring dimension frame for the gap-fill. No corpus-sized shuffle."""
+    edges = [float(e) for e in (edges_km or [1000.0, 5000.0, 10000.0])]
+    if edges != sorted(edges) or len(set(edges)) != len(edges) or not edges:
+        raise ValueError("edges_km must be strictly increasing and non-empty")
+    d = with_geo(docs).withColumn(
+        "dist", haversine_km(F.lit(lat), F.lit(lon), "lat", "lon")
+    )
+    conds = f"CASE WHEN dist < {edges[0]!r}D THEN 0 "
+    for i in range(1, len(edges)):
+        conds += f"WHEN dist < {edges[i]!r}D THEN {i} "
+    conds += f"ELSE {len(edges)} END"
+    got = (
+        d.groupBy(F.expr(conds).alias("ring"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("dist").alias("sum_dist"),
+        )
+    )
+    spark = docs.sparkSession
+    bounds = [(i,
+               edges[i - 1] if i > 0 else None,
+               edges[i] if i < len(edges) else None)
+              for i in range(len(edges) + 1)]
+    rings = spark.createDataFrame(
+        bounds, schema="ring int, from_km double, to_km double"
+    )
+    return (
+        rings.join(got, "ring", "left")
+        .select(
+            F.col("ring").cast("long").alias("ring"),
+            "from_km",
+            "to_km",
+            F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+            F.round(
+                F.expr(
+                    "CASE WHEN doc_count > 0 "
+                    "THEN sum_dist / cast(doc_count as double) END"
+                ),
+                6,
+            ).alias("avg_km_r"),
+        )
+        .orderBy("ring")
+    )

@@ -295,7 +295,8 @@ def main(argv=None) -> int:
                  "semantic_decontam", "matrix", "string_stats", "boxplot",
                  "stats_bucket", "rate", "cum_card", "bounds", "centroid",
                  "terms_error", "normalize", "filters", "missing",
-                 "categorize", "moving_fn", "bucket_script"],
+                 "categorize", "moving_fn", "bucket_script", "rings",
+                 "contexts", "item_sets"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -348,6 +349,9 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--ids", help="aggs --op term_vectors: comma-separated doc ids",
+    )
+    p.add_argument(
+        "--edges", help="geo --op rings: comma-separated ring edges in km",
     )
     p.add_argument(
         "--prefix", help="suggest --op complete: completion prefix",
@@ -1389,6 +1393,20 @@ def main(argv=None) -> int:
                 docs, n_shards=4, shard_size=max(2 * args.k, 2),
                 size=max(args.k, 1),
             )
+        elif args.op == "item_sets":
+            from yase_spark.aggs import frequent_item_sets
+
+            out_df = frequent_item_sets(
+                docs, vocab_size=12, min_support=args.threshold or 0.05
+            )
+        elif args.op == "contexts":
+            # context-aware completion over the corpus: --filters is the
+            # {context: boost} JSON, --prefix the completion prefix
+            from yase_spark.expand import contexts_complete
+
+            out_df = contexts_complete(
+                docs, args.prefix, json.loads(args.filters), k=args.k
+            )
         elif args.op == "filters":
             # --filters is the adjacency-style named-predicate JSON
             from yase_spark.aggs import filters_agg
@@ -1476,6 +1494,17 @@ def main(argv=None) -> int:
             out_df = geo_within(docs, lat, lon, args.radius_km)
         elif args.op == "grid":
             out_df = geotile_grid(docs, zoom=args.zoom)
+        elif args.op == "rings":
+            # ES geo_distance aggregation: ring buckets around --origin
+            # (as "lat,lon" via --bbox reuse is confusing; fixed 10,20
+            # matches the driver entry; pass --edges for custom rings)
+            from yase_spark.geo import geo_distance_rings
+
+            edges = (
+                [float(x) for x in args.edges.split(",")]
+                if args.edges else None
+            )
+            out_df = geo_distance_rings(docs, lat, lon, edges)
         elif args.op == "bounds":
             from yase_spark.geo import geo_bounds
 
