@@ -399,6 +399,53 @@ def main() -> None:
     assert rd.topk_sort_field(None, "doc_len", k=10, after=cur).count() == 10
     timings["round5_ops"] = time.perf_counter() - t0
 
+    # ---- round-5 second wave: intervals + distance_feature + the
+    # filters/missing/categorize/boxplot + moving_fn/bucket_script/
+    # geo-rings/contexts/frequent-item-sets agg family
+    from yase_spark.aggs import (
+        boxplot_agg,
+        bucket_script,
+        categorize_text,
+        filters_agg,
+        frequent_item_sets,
+        missing_agg,
+        moving_fn,
+    )
+    from yase_spark.expand import contexts_complete
+    from yase_spark.geo import geo_distance_rings
+
+    t0 = time.perf_counter()
+    extras["intervals_allof_hits"] = int(
+        rd.intervals(
+            {"all_of": {"ordered": True, "max_gaps": 3, "intervals": [
+                {"match": {"query": "table"}},
+                {"match": {"query": "hash"}},
+                {"match": {"query": "merge"}},
+            ]}}
+        ).size
+    )
+    rd.intervals({"any_of": {"intervals": [
+        {"match": {"query": "table hash", "ordered": True, "max_gaps": 0}},
+        {"match": {"query": "group key", "max_gaps": 2}},
+    ]}})
+    assert rd.topk_distance_feature(
+        "table hash merge", "doc_len", origin=600.0, pivot=200.0, k=10
+    ).count() == 10
+    filters_agg(docs, {"english": "lang = 'en'", "long": "n_chars >= 700"}).count()
+    missing_agg(
+        docs, "nullif(regexp_extract(text, 'vector[a-z]*', 0), '')"
+    ).count()
+    categorize_text(docs, "text").count()
+    boxplot_agg(docs, "n_chars").count()
+    moving_fn(events, hours=1, window=3, alpha=0.3).count()
+    bucket_script(events, hours=1).count()
+    geo_distance_rings(docs, 10.0, 20.0, [3000.0, 8000.0, 15000.0]).count()
+    contexts_complete(docs, "ta", {"en": 2.0, "de": 1.5}, k=10).count()
+    extras["frequent_item_sets"] = frequent_item_sets(
+        docs, vocab_size=12, min_support=0.05
+    ).count()
+    timings["round5b_ops"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "index-build + BM25 query engine + pipeline ops wall time "
