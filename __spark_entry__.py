@@ -2355,6 +2355,59 @@ def _q_spell_suggest(spark, sf_dir):
     return spell_suggest(spark, rd.cat.root, SPELL_PROBES, k=SPELL_K)
 
 
+SPELL_MODE_PROBES = ["table", "tble", "hash", "xyzq"]
+
+
+def _q_spell_popular(spark, sf_dir):
+    # ES term-suggester suggest_mode=popular: a correction must have
+    # df STRICTLY greater than the typed word's own df (0 when OOV) —
+    # 'table'/'hash' set real floors, 'tble'/'xyzq' floor at 0
+    from yase_spark.suggest import spell_suggest
+
+    rd = _suggest_reader(spark, sf_dir)
+    return spell_suggest(
+        spark, rd.cat.root, SPELL_MODE_PROBES, k=SPELL_K,
+        suggest_mode="popular",
+    )
+
+
+def _q_spell_missing(spark, sf_dir):
+    # ES suggest_mode=missing: suggestions ONLY for words absent from
+    # the dictionary — the in-vocabulary probes vanish from the output
+    from yase_spark.suggest import spell_suggest
+
+    rd = _suggest_reader(spark, sf_dir)
+    return spell_suggest(
+        spark, rd.cat.root, SPELL_MODE_PROBES, k=SPELL_K,
+        suggest_mode="missing",
+    )
+
+
+IP_RANGES = [
+    (None, "64.0.0.0"),
+    ("64.0.0.0", "192.0.0.0"),
+    ("128.0.0.0", None),  # overlaps the middle range — ES-legal
+]
+
+
+def _q_ip_range(spark, sf_dir):
+    # ES ip_range agg over the deterministic derived IPv4 (the with_geo
+    # device): half-open [from, to), overlapping ranges legal, one
+    # conditional-sum pass unpivoted with stack
+    from yase_spark.aggs import ip_range_agg
+
+    return ip_range_agg(_docs(spark, sf_dir), IP_RANGES)
+
+
+def _q_percentiles_bucket(spark, sf_dir):
+    # ES percentiles_bucket: exact interpolated percentiles OF the
+    # gap-filled per-hour doc counts, per event_type
+    from yase_spark.aggs import percentiles_bucket
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return percentiles_bucket(ev, hours=1)
+
+
 PSUG_Q, PSUG_K, PSUG_PW, PSUG_A = "spak tble", 3, 3, 0.4
 
 
@@ -3785,6 +3838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rings": _q_geo_rings,
         "contexts_complete": _q_contexts_complete,
         "frequent_item_sets": _q_frequent_item_sets,
+        "spell_popular": _q_spell_popular,
+        "spell_missing": _q_spell_missing,
+        "ip_range": _q_ip_range,
+        "percentiles_bucket": _q_percentiles_bucket,
         "fields_chain": _q_fields_chain,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         "fields_combined": _q_fields_combined,
@@ -3977,6 +4034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rings",
         "contexts_complete",
         "frequent_item_sets",
+        "spell_popular",
+        "spell_missing",
+        "ip_range",
+        "percentiles_bucket",
         # --- VERDICT item-3 explicit priorities ---
         "snapshot_read",
         "pit_page2",
@@ -6073,6 +6134,81 @@ WHERE NOT EXISTS (
   AND list_has_all(string_split(b.item_set, ' '),
                    string_split(f.item_set, ' ')))
 ORDER BY support DESC, item_set
+"""
+    _smp = ", ".join(f"('{w}')" for w in SPELL_MODE_PROBES)
+    o["spell_popular"] = f"""
+{_T_SQL},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+probes(word) AS (VALUES {_smp}),
+own AS (SELECT p.word, coalesce(d.df, 0) AS own_df
+        FROM probes p LEFT JOIN d ON d.term = p.word),
+cand AS (
+  SELECT o.word, d.term AS suggestion, d.df FROM own o CROSS JOIN d
+  WHERE levenshtein(o.word, d.term) = 1 AND d.df > o.own_df)
+SELECT word,
+       row_number() OVER (PARTITION BY word ORDER BY df DESC, suggestion) AS rank,
+       suggestion, df
+FROM cand QUALIFY rank <= {SPELL_K}
+"""
+    o["spell_missing"] = f"""
+{_T_SQL},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+probes(word) AS (VALUES {_smp}),
+oov AS (SELECT word FROM probes
+        WHERE word NOT IN (SELECT term FROM d)),
+cand AS (
+  SELECT word, term AS suggestion, df FROM oov CROSS JOIN d
+  WHERE levenshtein(word, term) = 1)
+SELECT word,
+       row_number() OVER (PARTITION BY word ORDER BY df DESC, suggestion) AS rank,
+       suggestion, df
+FROM cand QUALIFY rank <= {SPELL_K}
+"""
+    # ip_range: same derived uint32, conditional sums, stack-shaped
+    _ipv = lambda s_: (  # noqa: E731
+        (lambda p: (p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3])(
+            [int(x) for x in s_.split(".")]
+        )
+    )
+    _ip_sums, _ip_rows = [], []
+    for _i, (_lo, _hi) in enumerate(IP_RANGES):
+        _c = []
+        if _lo is not None:
+            _c.append(f"ip >= {_ipv(_lo)}")
+        if _hi is not None:
+            _c.append(f"ip < {_ipv(_hi)}")
+        _pred = " AND ".join(_c) or "true"
+        _ip_sums.append(
+            f"CAST(sum(CASE WHEN {_pred} THEN 1 ELSE 0 END) AS BIGINT) AS n{_i}"
+        )
+        _ip_rows.append(
+            f"SELECT '{_lo or '*'}-{_hi or '*'}' AS bucket, n{_i} "
+            "AS doc_count FROM s"
+        )
+    o["ip_range"] = f"""
+WITH d AS (SELECT (doc_id * 2654435761) % 4294967296 AS ip FROM documents),
+s AS (SELECT {", ".join(_ip_sums)} FROM d)
+{" UNION ALL ".join(_ip_rows)}
+ORDER BY bucket
+"""
+    o["percentiles_bucket"] = """
+WITH h AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+ax AS (
+  SELECT event_type,
+         unnest(generate_series(min(bucket_start), max(bucket_start),
+                                INTERVAL '1 hour')) AS bucket_start
+  FROM h GROUP BY event_type),
+d AS (
+  SELECT ax.event_type, coalesce(h.n, 0) AS n
+  FROM ax LEFT JOIN h USING (event_type, bucket_start))
+SELECT event_type,
+       round(quantile_cont(cast(n as double), 0.25), 6) AS p25_r,
+       round(quantile_cont(cast(n as double), 0.5), 6) AS p50_r,
+       round(quantile_cont(cast(n as double), 0.75), 6) AS p75_r
+FROM d GROUP BY 1 ORDER BY 1
 """
     o["stream_rollover_topk"] = _bm25_oracle_sql(
         "SELECT doc_id, round(score, 5) AS score_r FROM sc "

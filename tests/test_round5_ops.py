@@ -777,3 +777,57 @@ def test_frequent_item_sets_validation(spark):
         frequent_item_sets(df, min_support=0.0)
     with pytest.raises(ValueError, match="min_set_size"):
         frequent_item_sets(df, min_set_size=5)
+
+
+# ----------------------------------------- ip_range / percentiles_bucket
+def test_ip_range_hand(spark):
+    from yase_spark.aggs import ip_range_agg, with_ip
+
+    ids = list(range(1, 200))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    ranges = [(None, "64.0.0.0"), ("64.0.0.0", "192.0.0.0"),
+              ("128.0.0.0", None)]
+    got = {r["bucket"]: r["doc_count"]
+           for r in ip_range_agg(df, ranges).collect()}
+    ips = [(i * 2654435761) % 2**32 for i in ids]
+    b0, b1, b2 = 64 << 24, 192 << 24, 128 << 24
+    want = {
+        "*-64.0.0.0": sum(1 for v in ips if v < b0),
+        "64.0.0.0-192.0.0.0": sum(1 for v in ips if b0 <= v < b1),
+        "128.0.0.0-*": sum(1 for v in ips if v >= b2),
+    }
+    assert got == want
+    # overlap: the middle and last ranges both see [128, 192) ips
+    assert sum(want.values()) > len(ids) * 0.99  # overlapping by design
+
+    # the dotted string round-trips the integer
+    row = with_ip(df).filter(F.col("doc_id") == 7).collect()[0]
+    parts = [int(x) for x in row["ip_s"].split(".")]
+    assert ((parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8)
+            | parts[3]) == row["ip"]
+
+    with pytest.raises(ValueError, match="range"):
+        ip_range_agg(df, [])
+    with pytest.raises(ValueError, match="IPv4"):
+        ip_range_agg(df, [("1.2.3", None)])
+
+
+def test_percentiles_bucket_hand(spark):
+    import numpy as np
+
+    from yase_spark.aggs import percentiles_bucket
+
+    rows = (
+        [("x", "2024-01-01 00:10:00")] * 3
+        + [("x", "2024-01-01 01:10:00")]
+        # h2 gap -> 0
+        + [("x", "2024-01-01 03:10:00")] * 2
+    )
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    r = percentiles_bucket(ev, hours=1).collect()[0]
+    ns = [3.0, 1.0, 0.0, 2.0]
+    assert r["p25_r"] == pytest.approx(float(np.percentile(ns, 25)), abs=1e-6)
+    assert r["p50_r"] == pytest.approx(float(np.percentile(ns, 50)), abs=1e-6)
+    assert r["p75_r"] == pytest.approx(float(np.percentile(ns, 75)), abs=1e-6)

@@ -419,3 +419,44 @@ def _brute_lev(a, b):
                 d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
             )
     return d[n]
+
+
+def test_suggest_modes(spark, sugg_ix):
+    """ES term-suggester suggest_mode: missing drops in-vocabulary
+    probes entirely; popular keeps only corrections with df strictly
+    above the probe's own df; both replayed from the raw dictionary."""
+    dic = _dict_terms(spark, sugg_ix)
+    probes = ["spark", "spork", "tble", "zzz"]
+
+    # --- missing: only OOV probes produce rows
+    got = spell_suggest(
+        spark, sugg_ix, probes, k=5, suggest_mode="missing"
+    ).collect()
+    words = {r["word"] for r in got}
+    for w in probes:
+        if w in dic:
+            assert w not in words, f"{w} is in-vocabulary, must be dropped"
+    by_word = {}
+    for r in got:
+        by_word.setdefault(r["word"], []).append(r)
+    for w in [p for p in probes if p not in dic]:
+        exp = _brute(dic, w)
+        rows = sorted(by_word.get(w, []), key=lambda r: r["rank"])
+        assert [(r["suggestion"], r["df"]) for r in rows] == exp
+
+    # --- popular: df must strictly beat the probe's own df
+    got = spell_suggest(
+        spark, sugg_ix, probes, k=5, suggest_mode="popular"
+    ).collect()
+    by_word = {}
+    for r in got:
+        by_word.setdefault(r["word"], []).append(r)
+    for w in probes:
+        floor = dic.get(w, 0)
+        exp = [(s, d) for s, d in _brute(dic, w) if d > floor]
+        rows = sorted(by_word.get(w, []), key=lambda r: r["rank"])
+        assert [(r["suggestion"], r["df"]) for r in rows] == exp, w
+        assert [r["rank"] for r in rows] == list(range(1, len(exp) + 1))
+
+    with pytest.raises(ValueError, match="suggest_mode"):
+        spell_suggest(spark, sugg_ix, ["x"], suggest_mode="maybe")

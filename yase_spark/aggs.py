@@ -1561,3 +1561,121 @@ def frequent_item_sets(
         )
         .orderBy(F.desc("support"), F.asc("item_set"))
     )
+
+
+# deterministic derived IPv4 (the with_geo device, network-shaped): a
+# multiply-mod scatter over the full 32-bit space, so range buckets cut
+# real boundaries; prime coprime to 2^32 => a bijection of doc_id mod 2^32
+_IP_P = 2654435761  # Knuth's multiplicative-hash prime
+
+
+def with_ip(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic ``ip`` (uint32 as BIGINT) and its dotted
+    string derived from doc_id — integer ops only, replayable bitwise
+    in any engine (the with_geo device for network data)."""
+    d = docs.withColumn("ip", (F.col("doc_id") * _IP_P) % F.lit(2**32))
+    return d.withColumn(
+        "ip_s",
+        F.concat_ws(
+            ".",
+            (F.col("ip") / 16777216).cast("long") % 256,
+            (F.col("ip") / 65536).cast("long") % 256,
+            (F.col("ip") / 256).cast("long") % 256,
+            F.col("ip") % 256,
+        ),
+    )
+
+
+def ip_range_agg(
+    docs: DataFrame, ranges: list[tuple[str | None, str | None]]
+) -> DataFrame:
+    """ES ``ip_range`` aggregation: doc counts per half-open IP range
+    ``[from, to)`` (ES's contract — ``from`` inclusive, ``to``
+    exclusive; ``None`` = unbounded). Ranges are dotted-quad strings;
+    empty ranges are reported with zero counts (stable bucket axis).
+
+    Scale shape: dotted quads parse to uint32 ONCE driver-side; each
+    range is a pair of integer comparisons in the scan (codegen), the
+    bucket CASE feeds one bounded hash aggregate, and the range
+    dimension broadcasts back for the gap-fill — the geo_rings shape.
+    Overlapping ranges are legal in ES (a doc can land in several), so
+    buckets are independent conditional SUMS in one pass, not a
+    partition of the data."""
+    if not ranges:
+        raise ValueError("ip_range_agg needs >= 1 range")
+
+    def val(s):
+        if s is None:
+            return None
+        parts = [int(x) for x in s.split(".")]
+        if len(parts) != 4 or any(not 0 <= p <= 255 for p in parts):
+            raise ValueError(f"bad IPv4 {s!r}")
+        return (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+
+    d = with_ip(docs)
+    aggs = []
+    for i, (lo, hi) in enumerate(ranges):
+        lo_v, hi_v = val(lo), val(hi)
+        conds = []
+        if lo_v is not None:
+            conds.append(f"ip >= {lo_v}")
+        if hi_v is not None:
+            conds.append(f"ip < {hi_v}")
+        pred = " AND ".join(conds) or "true"
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")).alias(f"__n{i}")
+        )
+    one = d.agg(*aggs)
+    pairs = ", ".join(
+        "'{}', __n{}".format(
+            f"{lo or '*'}-{hi or '*'}", i
+        )
+        for i, (lo, hi) in enumerate(ranges)
+    )
+    return (
+        one.select(
+            F.expr(f"stack({len(ranges)}, {pairs}) AS (bucket, doc_count)")
+        )
+        .orderBy("bucket")
+    )
+
+
+def percentiles_bucket(
+    events: DataFrame, hours: int = 1,
+    percents: tuple[float, ...] = (25.0, 50.0, 75.0),
+) -> DataFrame:
+    """ES ``percentiles_bucket`` pipeline aggregation: exact
+    (linear-interpolation) percentiles OF the gap-filled
+    date_histogram's per-bucket doc counts, per event_type — the
+    sibling-pipeline "what does a typical hour look like" readout.
+    Exact where ES ships the same interpolation over collected bucket
+    values (percentiles_bucket is NOT TDigest in ES either — it sees
+    every sibling bucket).
+
+    Scale shape: one hash aggregate to bucket rows, the sequence()
+    gap-fill, then one percentile reduce per event_type over
+    bucket-sized data."""
+    iv = f"{hours} hour"
+    hist = events.groupBy(
+        F.window("ts", iv).start.alias("bucket_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    axis = (
+        hist.groupBy("event_type")
+        .agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr(f"interval {iv}"))).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    dense = axis.join(hist, ["event_type", "bucket_start"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    cols = [
+        F.round(
+            F.expr(f"percentile(cast(n as double), {p / 100.0!r}D)"), 6
+        ).alias(f"p{p:g}_r".replace(".", "_"))
+        for p in percents
+    ]
+    return dense.groupBy("event_type").agg(*cols).orderBy("event_type")

@@ -122,6 +122,7 @@ def spell_suggest(
     index_root: str,
     words: list[str],
     k: int = 5,
+    suggest_mode: str = "always",
 ) -> DataFrame:
     """Top-``k`` distance-1 corrections per query word.
 
@@ -130,6 +131,19 @@ def spell_suggest(
     dictionary term's neighborhood yields no rows (callers treat that
     as "no suggestion"). Exactness: the deletion join over-generates,
     the JVM ``levenshtein`` verifies, identical matches are dropped.
+
+    ``suggest_mode`` is the ES term-suggester contract:
+
+    - ``always`` (default): suggest for every word;
+    - ``missing``: suggest ONLY for words absent from the dictionary
+      (the everyday did-you-mean trigger);
+    - ``popular``: only suggestions with df STRICTLY greater than the
+      word's own df (0 when OOV) — corrections must be more frequent
+      than what the user typed.
+
+    Both extra modes cost one vocabulary-sided IN-list df lookup for
+    the query words (dictionary-pruned, never corpus-touching), then a
+    candidate-frame filter.
 
     Plan shape: the probe side is len(words) * (avgL+1) rows built on
     the driver, so the join BROADCASTS it; the deletions scan carries an
@@ -171,6 +185,34 @@ def spell_suggest(
             .filter(F.levenshtein("word", "term") == 1)
             .select("word", "term", "df")
         )
+    if suggest_mode not in ("always", "missing", "popular"):
+        raise ValueError(
+            f"unknown suggest_mode {suggest_mode!r} (always|missing|popular)"
+        )
+    if suggest_mode != "always":
+        from .expand import dictionary_is_fresh
+
+        dic = (
+            cat.read(spark, "dictionary")
+            if dictionary_is_fresh(cat)
+            else cat.read(spark, "segments").select("term", "df").distinct()
+        )
+        own = {
+            r["term"]: r["df"]
+            for r in dic.filter(F.col("term").isin(list(words))).collect()
+        }
+        if suggest_mode == "missing":
+            keep = [w_ for w_ in words if w_ not in own]
+            cand = cand.filter(F.col("word").isin(keep) if keep else F.lit(False))
+        else:  # popular
+            own_df = F.create_map(
+                *[F.lit(x) for kv in own.items() for x in kv]
+            ) if own else None
+            floor = (
+                F.coalesce(own_df[F.col("word")], F.lit(0))
+                if own_df is not None else F.lit(0)
+            )
+            cand = cand.filter(F.col("df") > floor)
     from pyspark.sql import Window
 
     w = Window.partitionBy("word").orderBy(F.desc("df"), F.asc("term"))

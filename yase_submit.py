@@ -296,7 +296,7 @@ def main(argv=None) -> int:
                  "stats_bucket", "rate", "cum_card", "bounds", "centroid",
                  "terms_error", "normalize", "filters", "missing",
                  "categorize", "moving_fn", "bucket_script", "rings",
-                 "contexts", "item_sets"],
+                 "contexts", "item_sets", "ip_range", "pct_bucket"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -352,6 +352,11 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--edges", help="geo --op rings: comma-separated ring edges in km",
+    )
+    p.add_argument(
+        "--suggest-mode", choices=["always", "missing", "popular"],
+        default="always",
+        help="suggest (spell): ES term-suggester suggest_mode",
     )
     p.add_argument(
         "--prefix", help="suggest --op complete: completion prefix",
@@ -1393,6 +1398,19 @@ def main(argv=None) -> int:
                 docs, n_shards=4, shard_size=max(2 * args.k, 2),
                 size=max(args.k, 1),
             )
+        elif args.op == "ip_range":
+            from yase_spark.aggs import ip_range_agg
+
+            ranges = [
+                tuple(None if x in ("", "*") else x for x in r.split("-"))
+                for r in (args.filters or "*-64.0.0.0,64.0.0.0-*").split(",")
+            ]
+            out_df = ip_range_agg(docs, ranges)
+        elif args.op == "pct_bucket":
+            # --corpus points at an events-shaped table
+            from yase_spark.aggs import percentiles_bucket
+
+            out_df = percentiles_bucket(docs, hours=1)
         elif args.op == "item_sets":
             from yase_spark.aggs import frequent_item_sets
 
@@ -1659,7 +1677,8 @@ def main(argv=None) -> int:
             if not deletions_are_fresh(Catalog(args.index)):
                 build_deletion_index(spark, args.index)
             rows = spell_suggest(
-                spark, args.index, args.q.split(), k=args.k
+                spark, args.index, args.q.split(), k=args.k,
+                suggest_mode=args.suggest_mode,
             ).collect()
             print(json.dumps([r.asDict() for r in rows]))
 
