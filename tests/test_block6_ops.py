@@ -385,8 +385,11 @@ def test_sort_after_pages_tile(spark, tiny_index):
         q, "doc_len", k=10, ascending=True, after=ca
     ).collect()
     assert [r["doc_id"] for r in pa1 + pa2] == [r["doc_id"] for r in fa]
-    # a cursor page cannot demand the early-terminated lane
-    with pytest.raises(ValueError, match="classic lane"):
+    # round-5 contract change: cursor pages RIDE the early-terminated
+    # lane when the sibling exists (gated in test_sortindex.py); on an
+    # index WITHOUT the sibling, demanding it raises the missing-index
+    # error (early_terminate=True means "require the sibling")
+    with pytest.raises(ValueError, match="no sort index"):
         rd.topk_sort_field(
             q, "doc_len", k=10, early_terminate=True, after=cursor
         )
