@@ -3685,6 +3685,26 @@ def _q_frequent_item_sets(spark, sf_dir):
     )
 
 
+DSUB_K = 25
+
+
+def _q_dedup_substrings(spark, sf_dir):
+    # Lee et al. 2022 substring-dedup REMOVAL: cut every duplicated
+    # k-window except its globally-first occurrence; the fold over
+    # sorted cut starts reconstructs the kept text exactly
+    from yase_spark.neardup import dedup_substrings
+
+    return dedup_substrings(_docs(spark, sf_dir), k=DSUB_K)
+
+
+def _q_random_sampler(spark, sf_dir):
+    # ES random_sampler agg: deterministic hash-probability sample,
+    # 1/p-scaled estimates, exact counts beside them for the hash pin
+    from yase_spark.aggs import random_sampler_agg
+
+    return random_sampler_agg(_docs(spark, sf_dir), 0.25, group_col="lang")
+
+
 def _q_stream_rollover(spark, sf_dir):
     # the ES data-stream WRITE path driven end-to-end: two corpus file
     # waves stream through foreachBatch into rollover generations
@@ -3838,6 +3858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rings": _q_geo_rings,
         "contexts_complete": _q_contexts_complete,
         "frequent_item_sets": _q_frequent_item_sets,
+        "dedup_substrings": _q_dedup_substrings,
+        "random_sampler": _q_random_sampler,
         "spell_popular": _q_spell_popular,
         "spell_missing": _q_spell_missing,
         "ip_range": _q_ip_range,
@@ -4038,6 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_rings",
         "contexts_complete",
         "frequent_item_sets",
+        "dedup_substrings",
         # --- VERDICT item-3 explicit priorities ---
         "snapshot_read",
         "pit_page2",
@@ -6142,6 +6165,50 @@ WHERE NOT EXISTS (
   AND list_has_all(string_split(b.item_set, ' '),
                    string_split(f.item_set, ' ')))
 ORDER BY support DESC, item_set
+"""
+    # substring-dedup removal: windows by RAW substring (independent of
+    # the engine's h60 shuffle key, the line_dedup device), keeper =
+    # row_number 1 in (doc_id, pos) order, kept text rebuilt from the
+    # per-character coverage anti-join
+    o["dedup_substrings"] = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+wins AS (
+  SELECT doc_id, i.i AS pos, substr(text, i.i, {DSUB_K}) AS s
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, n - {DSUB_K} + 1)) AS i) i
+  WHERE n >= {DSUB_K}),
+rk AS (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn,
+              count(*) OVER (PARTITION BY s) AS occ
+       FROM wins),
+cuts AS (SELECT doc_id, pos FROM rk WHERE occ >= 2 AND rn > 1),
+chars AS (SELECT d.doc_id, i.i AS ci, substr(d.text, i.i, 1) AS ch
+          FROM d CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, n)) AS i) i),
+cov AS (SELECT DISTINCT c.doc_id, c.pos + o.o AS ci
+        FROM cuts c CROSS JOIN LATERAL (
+          SELECT unnest(generate_series(0, {DSUB_K - 1})) AS o) o),
+kept AS (SELECT ch.doc_id,
+                string_agg(ch.ch, '' ORDER BY ch.ci) AS text_clean
+         FROM chars ch LEFT JOIN cov
+           ON cov.doc_id = ch.doc_id AND cov.ci = ch.ci
+         WHERE cov.ci IS NULL GROUP BY 1)
+SELECT d.doc_id, coalesce(kept.text_clean, '') AS text_clean,
+       CAST(d.n AS BIGINT) AS n_chars,
+       CAST(d.n - length(coalesce(kept.text_clean, '')) AS BIGINT)
+         AS removed_chars
+FROM d LEFT JOIN kept USING (doc_id)
+"""
+    o["random_sampler"] = f"""
+SELECT lang AS grp,
+  CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296
+                     < {int(0.25 * 2**32)} THEN 1 ELSE 0 END) AS BIGINT)
+    AS sampled_docs,
+  round(CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296
+                      < {int(0.25 * 2**32)} THEN 1 ELSE 0 END) AS DOUBLE)
+        * cast('{1.0 / 0.25!r}' as double), 6) AS est_docs_r,
+  CAST(count(*) AS BIGINT) AS exact_docs
+FROM documents GROUP BY 1 ORDER BY 1
 """
     _smp = ", ".join(f"('{w}')" for w in SPELL_MODE_PROBES)
     o["spell_popular"] = f"""

@@ -831,3 +831,104 @@ def test_percentiles_bucket_hand(spark):
     assert r["p25_r"] == pytest.approx(float(np.percentile(ns, 25)), abs=1e-6)
     assert r["p50_r"] == pytest.approx(float(np.percentile(ns, 50)), abs=1e-6)
     assert r["p75_r"] == pytest.approx(float(np.percentile(ns, 75)), abs=1e-6)
+
+
+# --------------------------------------- substring dedup REMOVAL
+def _brute_dedup_substrings(rows, k):
+    """From-scratch replay: windows by VALUE, keeper = globally-first
+    (doc_id, pos) per duplicated substring, cut the rest, fold."""
+    wins = {}
+    for d, t in rows:
+        for p in range(1, len(t) - k + 2):
+            wins.setdefault(t[p - 1: p - 1 + k], []).append((d, p))
+    cuts = {}
+    for occs in wins.values():
+        if len(occs) >= 2:
+            keeper = min(occs)
+            for d, p in occs:
+                if (d, p) != keeper:
+                    cuts.setdefault(d, []).append(p)
+    out = {}
+    for d, t in rows:
+        ps = sorted(cuts.get(d, []))
+        txt, cur = "", 1
+        for p in ps:
+            if p > cur:
+                txt += t[cur - 1: p - 1]
+            cur = max(cur, p + k)
+        txt += t[cur - 1:]
+        out[d] = txt
+    return out
+
+
+def test_dedup_substrings_brute(spark):
+    from yase_spark.neardup import dedup_substrings
+
+    pasta = "x" * 0 + "the same copied paragraph body"  # len 30
+    rows = [
+        (1, f"alpha {pasta} omega"),
+        (2, f"beta {pasta} gamma"),          # later copy: cut
+        (3, f"{pasta} {pasta} tail"),        # intra-doc repeat too
+        (4, "completely novel text with nothing repeated at all here"),
+        (5, "tiny"),                          # below k: untouched
+    ]
+    k = 25
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["removed_chars"])
+        for r in dedup_substrings(df, k=k).collect()
+    }
+    want = _brute_dedup_substrings(rows, k)
+    for d, t in rows:
+        assert got[d][0] == want[d], d
+        assert got[d][1] == len(t) - len(want[d])
+    # exactly one copy of the pasta survives across the corpus
+    joined = " | ".join(got[d][0] for d, _ in rows)
+    assert joined.count(pasta) == 1
+    # the globally-first occurrence (doc 1) is the survivor
+    assert pasta in got[1][0]
+    assert got[4] == (rows[3][1], 0)
+    assert got[5] == ("tiny", 0)
+
+
+def test_dedup_substrings_randomized(spark):
+    import numpy as np
+
+    from yase_spark.neardup import dedup_substrings
+
+    rng = np.random.default_rng(23)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = []
+    for d in range(1, 13):
+        n = int(rng.integers(10, 30))
+        rows.append((d, "".join(rng.choice(vocab, size=n))))
+    k = 8
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in dedup_substrings(df, k=k).collect()
+    }
+    want = _brute_dedup_substrings(rows, k)
+    assert got == want
+
+
+# --------------------------------------- random_sampler agg
+def test_random_sampler_hand(spark):
+    from yase_spark.aggs import random_sampler_agg
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(1, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    p = 0.25
+    got = {r["grp"]: r for r in random_sampler_agg(df, p).collect()}
+    thresh = int(p * 2**32)
+    for grp in ("en", "de"):
+        ids = [i for i, l in rows if l == grp]
+        sampled = sum(1 for i in ids if (i * 2654435761) % 2**32 < thresh)
+        r = got[grp]
+        assert r["sampled_docs"] == sampled
+        assert r["exact_docs"] == len(ids)
+        assert r["est_docs_r"] == pytest.approx(sampled / p, abs=1e-6)
+        # the estimator lands near truth (hash uniformity sanity)
+        assert abs(r["est_docs_r"] - len(ids)) / len(ids) < 0.35
+    with pytest.raises(ValueError, match="probability"):
+        random_sampler_agg(df, 0.0)

@@ -1679,3 +1679,49 @@ def percentiles_bucket(
         for p in percents
     ]
     return dense.groupBy("event_type").agg(*cols).orderBy("event_type")
+
+
+def random_sampler_agg(
+    docs: DataFrame, probability: float, group_col: str = "lang"
+) -> DataFrame:
+    """ES ``random_sampler`` aggregation (8.2), deterministically: child
+    aggregations run over a probability sample of the documents and
+    report counts SCALED by 1/p (the ES contract — the sampler is a
+    background-agg accelerator, not a statistics change). Membership is
+    a pure hash of doc_id (Knuth multiplicative, the with_ip device):
+    ``(doc_id · P) mod 2^32 < p · 2^32`` — deterministic, replayable in
+    any engine, and uniform across the id space, which is what ES's
+    per-shard random streams give up (theirs is seed-dependent and
+    unreproducible across engines by design; the hash IS this engine's
+    seed). Output per group: sampled doc count, 1/p-scaled estimate,
+    and the group's exact count beside it (the honesty column — at 100
+    TB you would NOT compute it; it is here so the driver hash pins the
+    estimator against truth).
+
+    Scale shape: the membership predicate is integer codegen in the
+    scan (a real deployment pushes it into a partition/bucket filter);
+    one hash aggregate with conditional sums — the sample and the exact
+    column share a single pass."""
+    if not 0.0 < probability <= 1.0:
+        raise ValueError("probability must be in (0, 1]")
+    thresh = int(probability * 2**32)
+    member = f"((doc_id * 2654435761) % 4294967296) < {thresh}"
+    inv_p = f"cast('{1.0 / probability!r}' as double)"
+    return (
+        docs.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.sum(F.expr(f"CASE WHEN {member} THEN 1 ELSE 0 END")).alias(
+                "sampled_docs"
+            ),
+            F.count(F.lit(1)).alias("exact_docs"),
+        )
+        .select(
+            "grp",
+            "sampled_docs",
+            F.round(
+                F.expr(f"cast(sampled_docs as double) * {inv_p}"), 6
+            ).alias("est_docs_r"),
+            "exact_docs",
+        )
+        .orderBy("grp")
+    )

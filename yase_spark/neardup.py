@@ -599,3 +599,98 @@ def dup_spans(
             .alias("dup_char_frac"),
         )
     )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring REMOVAL (the action stage of Lee et
+    al. 2022, arXiv:2107.06499 — ``dup_spans`` is the detection stage):
+    every k-char window whose substring occurs >= 2 times in the corpus
+    is cut from the text EXCEPT at its globally-first occurrence
+    (min (doc_id, position) — the paper's "remove all but one copy"),
+    so one copy of every duplicated span survives, deterministically.
+
+    Output: (doc_id, text_clean, n_chars, removed_chars) —
+    ``removed_chars`` is the exact interval-union length of the cut
+    windows (overlaps counted once).
+
+    Scale shape: the dup_spans machinery verbatim — window explode with
+    the 60-bit md5 shuffle key (window text never shuffles), one hash
+    aggregate electing the keeper occurrence per duplicated hash
+    (struct-min, deterministic), the join-back flags cut positions, and
+    the REMOVAL is a single per-doc fold over the sorted cut starts
+    (``aggregate`` with a (text, cursor) struct accumulator: emit the
+    uncovered gap before each cut, advance the cursor past it) — no
+    per-character explode, no interval pre-merge (the cursor max
+    handles overlaps), whole-stage codegen. stride is pinned to 1:
+    removal needs every window position (subsampled detection cannot
+    say WHICH chars to cut)."""
+    from .curation import _h60
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("n_chars"),
+    )
+    wins = (
+        base.filter(F.col("n_chars") >= k)
+        .select(
+            "doc_id",
+            "__t",
+            F.explode(
+                F.expr(f"sequence(1, length(__t) - {k} + 1)")
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(_h60(f"substring(__t, pos, {k})")).alias("h"),
+        )
+    )
+    keepers = (
+        wins.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct("doc_id", "pos")).alias("keep"),
+        )
+        .filter(F.col("occ") >= 2)
+        .select("h", "keep.doc_id", "keep.pos")
+        .withColumnsRenamed({"doc_id": "k_doc", "pos": "k_pos"})
+    )
+    cuts = (
+        wins.join(keepers, "h")
+        .filter(
+            ~((F.col("doc_id") == F.col("k_doc")) & (F.col("pos") == F.col("k_pos")))
+        )
+        .select("doc_id", "pos")
+    )
+    per_doc = cuts.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    # fold: walk sorted cut starts, emitting each uncovered gap and
+    # advancing the cursor to max(cur, p + k); finish with the tail
+    fold = (
+        f"aggregate(ps, named_struct('txt', '', 'cur', 1), "
+        f"(acc, p) -> named_struct("
+        f"  'txt', concat(acc.txt, CASE WHEN p > acc.cur "
+        f"         THEN substring(__t, acc.cur, p - acc.cur) ELSE '' END), "
+        f"  'cur', greatest(acc.cur, p + {k})), "
+        f"acc -> concat(acc.txt, substring(__t, acc.cur)))"
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ps").isNull(), F.col("__t"))
+            .otherwise(F.expr(fold))
+            .alias("text_clean"),
+            "n_chars",
+        )
+        .withColumn(
+            "removed_chars", F.col("n_chars") - F.length("text_clean")
+        )
+    )

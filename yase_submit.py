@@ -133,7 +133,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--method",
         choices=["exact", "lsh", "simhash", "semantic", "ivf", "pq",
-                 "ivfpq", "sq", "hnsw"],
+                 "ivfpq", "sq", "hnsw", "substrings"],
         default="lsh",
         help="neardup/ann variant (ivf/pq/ivfpq are ann-only; semantic "
         "= SemDeDup over an embeddings-shaped --corpus)",
@@ -296,7 +296,8 @@ def main(argv=None) -> int:
                  "stats_bucket", "rate", "cum_card", "bounds", "centroid",
                  "terms_error", "normalize", "filters", "missing",
                  "categorize", "moving_fn", "bucket_script", "rings",
-                 "contexts", "item_sets", "ip_range", "pct_bucket"],
+                 "contexts", "item_sets", "ip_range", "pct_bucket",
+                 "random_sampler"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -1398,6 +1399,10 @@ def main(argv=None) -> int:
                 docs, n_shards=4, shard_size=max(2 * args.k, 2),
                 size=max(args.k, 1),
             )
+        elif args.op == "random_sampler":
+            from yase_spark.aggs import random_sampler_agg
+
+            out_df = random_sampler_agg(docs, args.threshold or 0.25)
         elif args.op == "ip_range":
             from yase_spark.aggs import ip_range_agg
 
@@ -1704,7 +1709,13 @@ def main(argv=None) -> int:
                 print(json.dumps([r.asDict() for r in out.limit(100).collect()]))
             spark.stop()
             return 0
-        if args.method == "exact":
+        if args.method == "substrings":
+            # Lee et al. substring-dedup removal: cut duplicated
+            # k-windows except their globally-first occurrence
+            from yase_spark.neardup import dedup_substrings
+
+            out = dedup_substrings(docs, k=args.k or 25)
+        elif args.method == "exact":
             out = jaccard_pairs(docs, threshold=args.threshold)
         elif args.method == "lsh":
             out = minhash_lsh_pairs(docs, threshold=args.threshold)
