@@ -446,6 +446,27 @@ def main() -> None:
     ).count()
     timings["round5b_ops"] = time.perf_counter() - t0
 
+    # ---- round-5 third wave: substring-dedup removal (corpus-sized
+    # window explode — the honest cost, same as dup_spans), ip_range,
+    # percentiles_bucket, random_sampler
+    from yase_spark.aggs import (
+        ip_range_agg,
+        percentiles_bucket,
+        random_sampler_agg,
+    )
+    from yase_spark.neardup import dedup_substrings
+
+    t0 = time.perf_counter()
+    extras["dedup_substrings_removed"] = int(
+        dedup_substrings(docs, k=25)
+        .agg(F.sum("removed_chars")).collect()[0][0]
+    )
+    ip_range_agg(docs, [(None, "64.0.0.0"), ("64.0.0.0", "192.0.0.0"),
+                        ("128.0.0.0", None)]).count()
+    percentiles_bucket(events, hours=1).count()
+    random_sampler_agg(docs, 0.25).count()
+    timings["round5c_ops"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "index-build + BM25 query engine + pipeline ops wall time "
