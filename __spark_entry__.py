@@ -3705,6 +3705,117 @@ def _q_random_sampler(spark, sf_dir):
     return random_sampler_agg(_docs(spark, sf_dir), 0.25, group_col="lang")
 
 
+# --- round-5 fourth wave: lookup / nested / runtime / slice / polygon /
+# moving-percentiles / sampler ---
+
+MGET_IDS = [5, 10**12 + 7, 1, 42, 10**12 + 8, 33]
+TLOOKUP_ID, TLOOKUP_MAX = 7, 12
+NESTED_LEN, NESTED_PREFIX = 6, "s"
+RTF_FIELDS = {
+    "n_tokens": "size(filter(split(lower(text), '[^a-z0-9]+'), t -> t <> ''))",
+    "chars_per_token": (
+        "cast(n_chars as double) / cast(greatest(n_tokens, 1) as double)"
+    ),
+}
+SLICE_ID, SLICE_MAX = 2, 5
+POLY_V = [(4000, 3000), (12000, 2000), (16000, 9000), (10000, 15000), (3000, 11000)]
+SAMPLER_TERMS = ["spark", "window", "hash", "join"]
+
+
+def _q_mget_docs(spark, sf_dir):
+    # ES mget: one row per requested id in request order, found=false
+    # for absent ids; the corpus is touched once through a pushed
+    # IN-list point read. The NUMERIC payload of a not-found row is
+    # pinned to -1 at the contract boundary: a NULL in a BIGINT column
+    # materializes as float64 through the oracle's pandas frame (the
+    # repetition_stats HUGEINT class), so the sentinel keeps both
+    # sides int64. The engine itself returns faithful NULLs.
+    from yase_spark.lookup import mget
+
+    return mget(_docs(spark, sf_dir), MGET_IDS).withColumn(
+        "n_chars", F.coalesce("n_chars", F.lit(-1)).cast("long")
+    )
+
+
+def _q_terms_lookup(spark, sf_dir):
+    # ES terms query, lookup form: the filter's term set is doc 7's
+    # top-12 tokens (tf desc/term asc cap); constant-score semi-join,
+    # ranked by distinct lookup terms matched
+    from yase_spark.lookup import terms_lookup
+
+    return terms_lookup(
+        _docs(spark, sf_dir), TLOOKUP_ID, max_terms=TLOOKUP_MAX, k=15
+    )
+
+
+def _q_nested_topk(spark, sf_dir):
+    # ES nested query: SAME-OBJECT len>=6 AND startswith('s') over the
+    # token-object array; flat_match shows the flattened-mapping
+    # verdict diverging (nearly-all-docs vs true same-object hits)
+    from yase_spark.nested import nested_match
+
+    return nested_match(
+        _docs(spark, sf_dir), min_len=NESTED_LEN, prefix=NESTED_PREFIX, k=15
+    )
+
+
+def _q_runtime_field(spark, sf_dir):
+    # ES runtime fields (schema-on-read): declare n_tokens +
+    # chars_per_token at query time, filter and sort on them — pure
+    # codegen projection, zero stored bytes
+    from yase_spark.fields import runtime_field_topk
+
+    res = runtime_field_topk(
+        _docs(spark, sf_dir),
+        RTF_FIELDS,
+        where="n_tokens >= 20",
+        order_by="chars_per_token",
+        k=15,
+    )
+    return res.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("chars_per_token", 6).alias("chars_per_token_r"),
+    )
+
+
+def _q_sliced_export(spark, sf_dir):
+    # ES sliced scroll: slice 2 of 5 by the engine-replayable md5-60
+    # key — disjoint parallel export, membership identical in any
+    # SQL engine
+    from yase_spark.mixing import sliced_scroll
+
+    return sliced_scroll(_docs(spark, sf_dir), SLICE_ID, SLICE_MAX)
+
+
+def _q_geo_polygon(spark, sf_dir):
+    # ES geo_polygon: convex containment as 64-bit INTEGER half-plane
+    # tests on the with_geo lattice — no float boundary ambiguity
+    from yase_spark.geo import geo_polygon
+
+    return geo_polygon(_docs(spark, sf_dir), POLY_V, k=25)
+
+
+def _q_moving_percentiles(spark, sf_dir):
+    # ES moving_percentiles (deterministic core): trailing-4-bucket
+    # exact p50/p90 with explicit quantile_cont lerp over the
+    # gap-filled hourly histogram
+    from yase_spark.aggs import moving_percentiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return moving_percentiles(ev, hours=1, window=4, percents=(0.5, 0.9))
+
+
+def _q_sampler_agg(spark, sf_dir):
+    # ES sampler agg: per-shard top-25 by matched-term _score, sub-agg
+    # (per-lang count/mean length) over the union of kept docs
+    from yase_spark.aggs import sampler_agg
+
+    return sampler_agg(
+        _docs(spark, sf_dir), SAMPLER_TERMS, n_shards=4, shard_size=25
+    )
+
+
 def _q_stream_rollover(spark, sf_dir):
     # the ES data-stream WRITE path driven end-to-end: two corpus file
     # waves stream through foreachBatch into rollover generations
@@ -3860,6 +3971,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_item_sets": _q_frequent_item_sets,
         "dedup_substrings": _q_dedup_substrings,
         "random_sampler": _q_random_sampler,
+        "mget_docs": _q_mget_docs,
+        "terms_lookup_topk": _q_terms_lookup,
+        "nested_topk": _q_nested_topk,
+        "runtime_field_topk": _q_runtime_field,
+        "sliced_export": _q_sliced_export,
+        "geo_polygon": _q_geo_polygon,
+        "moving_percentiles_agg": _q_moving_percentiles,
+        "sampler_agg": _q_sampler_agg,
         "spell_popular": _q_spell_popular,
         "spell_missing": _q_spell_missing,
         "ip_range": _q_ip_range,
@@ -4061,6 +4180,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contexts_complete",
         "frequent_item_sets",
         "dedup_substrings",
+        # fourth-wave machinery representatives (newest code, zero
+        # driver rows): the point-read/lookup lane, the same-object
+        # nested semantics, and the windowed-percentile fold; their
+        # wave siblings (runtime/slice/polygon/sampler) spill below
+        "mget_docs",
+        "terms_lookup_topk",
+        "nested_topk",
+        "moving_percentiles_agg",
         # --- VERDICT item-3 explicit priorities ---
         "snapshot_read",
         "pit_page2",
@@ -6209,6 +6336,129 @@ SELECT lang AS grp,
         * cast('{1.0 / 0.25!r}' as double), 6) AS est_docs_r,
   CAST(count(*) AS BIGINT) AS exact_docs
 FROM documents GROUP BY 1 ORDER BY 1
+"""
+    # --- round-5 fourth wave ---
+    _mg = ", ".join(f"({p}, {i})" for p, i in enumerate(MGET_IDS))
+    o["mget_docs"] = f"""
+WITH req(req_pos, doc_id) AS (VALUES {_mg})
+SELECT CAST(req.req_pos AS INT) AS req_pos,
+       CAST(req.doc_id AS BIGINT) AS doc_id,
+       d.lang IS NOT NULL AS found, d.lang, d.source,
+       CAST(coalesce(d.n_chars, -1) AS BIGINT) AS n_chars
+FROM req LEFT JOIN documents d ON d.doc_id = req.doc_id
+ORDER BY req_pos
+"""
+    o["terms_lookup_topk"] = f"""
+{_T_SQL},
+lt AS (SELECT term FROM (
+  SELECT term, count(*) AS tf FROM t WHERE doc_id = {TLOOKUP_ID}
+  GROUP BY 1 ORDER BY tf DESC, term ASC LIMIT {TLOOKUP_MAX})),
+m AS (SELECT DISTINCT t.doc_id, t.term FROM t JOIN lt USING (term))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms
+FROM m GROUP BY 1 ORDER BY matched_terms DESC, doc_id LIMIT 15
+"""
+    _nh = f"t -> len(t) >= {NESTED_LEN} AND t LIKE '{NESTED_PREFIX}%'"
+    o["nested_topk"] = f"""
+WITH f AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+x AS (
+  SELECT doc_id,
+    CAST(len(list_filter(ts, {_nh})) AS BIGINT) AS n_hits,
+    CAST(list_position(list_transform(ts, {_nh}), true) AS BIGINT)
+      AS first_pos,
+    len(list_filter(ts, t -> len(t) >= {NESTED_LEN})) > 0 AND
+    len(list_filter(ts, t -> t LIKE '{NESTED_PREFIX}%')) > 0 AS flat_match
+  FROM f)
+SELECT doc_id, n_hits, first_pos, flat_match
+FROM x WHERE n_hits >= 1 ORDER BY n_hits DESC, doc_id LIMIT 15
+"""
+    _ntk = (
+        "CAST(len(list_filter(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+'), t -> t <> '')) AS BIGINT)"
+    )
+    o["runtime_field_topk"] = f"""
+WITH r AS (
+  SELECT doc_id, {_ntk} AS n_tokens,
+         CAST(n_chars AS DOUBLE)
+           / CAST(greatest({_ntk}, 1) AS DOUBLE) AS cpt
+  FROM documents)
+SELECT doc_id, n_tokens, round(cpt, 6) AS chars_per_token_r
+FROM r WHERE n_tokens >= 20 ORDER BY cpt DESC, doc_id LIMIT 15
+"""
+    o["sliced_export"] = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE CAST(concat('0x', substr(md5(concat('slice',
+        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+      % {SLICE_MAX} = {SLICE_ID}
+ORDER BY doc_id
+"""
+    _pv = POLY_V
+    _pc = " AND ".join(
+        f"({_pv[(i + 1) % len(_pv)][0] - _pv[i][0]} * (ilat - {_pv[i][1]})"
+        f" - {_pv[(i + 1) % len(_pv)][1] - _pv[i][1]} * (ilon - {_pv[i][0]}))"
+        " >= 0"
+        for i in range(len(_pv))
+    )
+    o["geo_polygon"] = f"""
+WITH p AS (SELECT doc_id, (doc_id * 7919) % 18000 AS ilat,
+                  (doc_id * 104729) % 36000 AS ilon FROM documents),
+i AS (SELECT * FROM p WHERE {_pc}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS inside_total FROM i)
+SELECT doc_id, ilat / 100.0 - 90.0 AS lat, ilon / 100.0 - 180.0 AS lon,
+       inside_total
+FROM i CROSS JOIN tot ORDER BY doc_id LIMIT 25
+"""
+
+    def _mp_lerp(p: float) -> str:
+        h = f"(cast({p} as double) * CAST(len(s) - 1 AS DOUBLE))"
+        lo = f"CAST(floor({h}) AS INT)"
+        return (
+            f"s[{lo} + 1] + ({h} - CAST({lo} AS DOUBLE)) * "
+            f"(coalesce(s[least({lo} + 2, len(s))], s[{lo} + 1]) "
+            f"- s[{lo} + 1])"
+        )
+
+    o["moving_percentiles_agg"] = f"""
+WITH h AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+         event_type AS grp, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+ax AS (
+  SELECT grp,
+         unnest(generate_series(min(bucket_start), max(bucket_start),
+                                INTERVAL '1 hour')) AS bucket_start
+  FROM h GROUP BY grp),
+d AS (
+  SELECT ax.grp, ax.bucket_start, coalesce(h.n, 0) AS n
+  FROM ax LEFT JOIN h USING (grp, bucket_start)),
+w AS (
+  SELECT grp, bucket_start, n,
+         list_sort(list(cast(n as double)) OVER tw) AS s
+  FROM d
+  WINDOW tw AS (PARTITION BY grp ORDER BY bucket_start
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+SELECT grp, bucket_start, n,
+       round({_mp_lerp(0.5)}, 6) AS p50_r,
+       round({_mp_lerp(0.9)}, 6) AS p90_r
+FROM w ORDER BY grp, bucket_start
+"""
+    _st = ", ".join(f"'{t}'" for t in SAMPLER_TERMS)
+    o["sampler_agg"] = f"""
+{_T_SQL},
+m AS (SELECT DISTINCT doc_id, term FROM t WHERE term IN ({_st})),
+sc AS (SELECT doc_id, count(*) AS score FROM m GROUP BY 1),
+r AS (SELECT doc_id, score,
+             row_number() OVER (PARTITION BY doc_id % 4
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM sc),
+k AS (SELECT doc_id, score FROM r WHERE rn <= 25)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(d.n_chars AS DOUBLE)), 6) AS avg_chars_r,
+       CAST(sum(k.score) AS BIGINT) AS sum_score
+FROM k JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1
 """
     _smp = ", ".join(f"('{w}')" for w in SPELL_MODE_PROBES)
     o["spell_popular"] = f"""

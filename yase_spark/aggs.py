@@ -1725,3 +1725,143 @@ def random_sampler_agg(
         )
         .orderBy("grp")
     )
+
+
+def moving_percentiles(
+    events: DataFrame, hours: int = 1, window: int = 4,
+    percents: tuple[float, ...] = (0.5, 0.9), key: str = "event_type",
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation, deterministic
+    core: per key, the trailing-``window`` percentiles of the gap-
+    filled ``date_histogram`` counts. ES slides a merged TDigest along
+    the buckets; the engine-checkable core is the EXACT percentile
+    over the same trailing window, with the standard linear
+    interpolation (C = 1, the ``quantile_cont`` convention): for the
+    window's sorted values s[1..m], ``h = p*(m-1)``, result =
+    ``s[floor(h)+1] + (h - floor(h)) * (s[floor(h)+2] - s[floor(h)+1])``
+    — every term an explicit expression, so any SQL engine replays the
+    identical IEEE arithmetic.
+
+    Same lane as ``moving_fn``: one corpus-sized hash aggregate down to
+    bucket rows, dense per-key axis as a sorted struct array,
+    posexplode + slice hands each bucket its window, the sort and lerp
+    run over window-sized arrays in codegen. The 100-TB knob is the
+    interval; window and percents are request-sized."""
+    if window < 1:
+        raise ValueError("moving window must be >= 1 bucket")
+    for p in percents:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError("percents must be in [0, 1]")
+    iv = f"{hours} hour"
+    hist = events.groupBy(
+        F.window("ts", iv).start.alias("bucket_start"),
+        F.col(key).alias("grp"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    axis = (
+        hist.groupBy("grp")
+        .agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi"))
+        .select(
+            "grp",
+            F.explode(F.sequence("lo", "hi", F.expr(f"interval {iv}"))).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    dense = axis.join(hist, ["grp", "bucket_start"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    series = dense.groupBy("grp").agg(
+        F.sort_array(F.collect_list(F.struct("bucket_start", "n"))).alias("sn")
+    )
+    w = int(window)
+    sl = (
+        f"array_sort(transform(slice(sn, greatest(1, pos + 2 - {w}), "
+        f"pos + 2 - greatest(1, pos + 2 - {w})), x -> cast(x.n as double)))"
+    )
+    out = series.select(
+        "grp", "sn", F.posexplode("sn").alias("pos", "b")
+    ).select(
+        "grp",
+        F.col("b.bucket_start").alias("bucket_start"),
+        F.col("b.n").alias("n"),
+        F.expr(sl).alias("__s"),
+    )
+    for p in percents:
+        pc = f"cast({float(p)} as double)"
+        h = f"({pc} * cast(size(__s) - 1 as double))"
+        lo = f"cast(floor({h}) as int)"
+        lerp = (
+            f"element_at(__s, {lo} + 1) + ({h} - cast({lo} as double)) * "
+            f"(coalesce(element_at(__s, least({lo} + 2, size(__s))), "
+            f"element_at(__s, {lo} + 1)) - element_at(__s, {lo} + 1))"
+        )
+        out = out.withColumn(
+            f"p{int(round(p * 100))}_r", F.round(F.expr(lerp), 6)
+        )
+    return out.drop("__s").orderBy("grp", "bucket_start")
+
+
+def sampler_agg(
+    docs: DataFrame,
+    score_terms: list[str],
+    n_shards: int = 4,
+    shard_size: int = 25,
+    split: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """ES ``sampler`` aggregation: restrict sub-aggregations to the
+    TOP-SCORING ``shard_size`` documents PER SHARD (by query ``_score``),
+    then aggregate over the sample — the cheap "only look at the best
+    matches" device that makes expensive sub-aggs (significant_terms
+    et al.) affordable. Distinct from ``diversified_sampler`` (adds a
+    de-dup key cap) and ``random_sampler`` (probability sample).
+
+    _score here is the document's matched-term count for
+    ``score_terms`` (a constant-score multi-term query — integer, so
+    the per-shard truncation is exactly replayable); shards are the
+    same deterministic ``doc_id % n_shards`` split the ``terms``
+    shard-error agg uses. Per shard keep top ``shard_size`` by
+    (_score DESC, doc_id ASC); the sub-agg reports per-lang doc count
+    + mean length over the union of kept docs.
+
+    Scale shape: one token-stream semi-join against the broadcast term
+    set reduces the corpus to (doc, score) rows; the truncation is a
+    window PARTITIONED BY shard over scored-match-sized data; sub-aggs
+    run over <= n_shards * shard_size rows. On the real index the
+    scored stream comes out of the postings fetch, same topology."""
+    from pyspark.sql import Window
+
+    if n_shards < 1 or shard_size < 1:
+        raise ValueError("n_shards and shard_size must be >= 1")
+    if not score_terms:
+        raise ValueError("score_terms must be non-empty")
+    terms = docs.sparkSession.createDataFrame(
+        [(t,) for t in score_terms], "term string"
+    )
+    scored = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), split)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    win = Window.partitionBy("shard").orderBy(F.desc("score"), F.asc("doc_id"))
+    kept = (
+        scored.withColumn("shard", F.col("doc_id") % n_shards)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= shard_size)
+    )
+    return (
+        kept.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias(
+                "avg_chars_r"
+            ),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .orderBy("lang")
+    )

@@ -331,3 +331,54 @@ def fields_combined_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "doc_id", "score"
     )
+
+
+def with_runtime_fields(docs: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """ES RUNTIME FIELDS (schema-on-read): a mapping of field name ->
+    SQL expression, materialized per query instead of per index. Each
+    expression may reference stored columns and previously declared
+    runtime fields (declaration order matters, as in ES scripts that
+    ``emit`` from other fields' values).
+
+    The whole point at 100 TB: runtime fields cost NOTHING at ingest
+    and evaluate inside whole-stage codegen at query time — a pure
+    projection, no shuffle, no stored bytes. Sorting/filtering on one
+    is exactly as pushable as the expression itself (Catalyst folds it
+    into the scan's projection; a filter over it prunes before any
+    downstream join). The trade is query-time CPU for index bytes —
+    the same trade ES documents.
+
+    Names must be new (shadowing a stored column raises — ES rejects
+    runtime/stored name clashes at mapping level)."""
+    out = docs
+    for name, expr in fields.items():
+        if name in out.columns:
+            raise ValueError(f"runtime field {name!r} shadows a stored column")
+        out = out.withColumn(name, F.expr(expr))
+    return out
+
+
+def runtime_field_topk(
+    docs: DataFrame,
+    fields: dict[str, str],
+    where: str,
+    order_by: str,
+    k: int = 15,
+    cols: tuple[str, ...] = ("doc_id",),
+    descending: bool = True,
+) -> DataFrame:
+    """Search sorted/filtered by a runtime field: declare, filter,
+    rank — filter and sort expressions may name any runtime field.
+    Deterministic: ties broken by doc_id ASC; the runtime values are
+    part of the output contract (rounded at the entry boundary like
+    every ranked surface)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rt = with_runtime_fields(docs, fields)
+    key = F.expr(order_by)
+    return (
+        rt.filter(F.expr(where))
+        .orderBy(key.desc() if descending else key.asc(), F.asc("doc_id"))
+        .limit(int(k))
+        .select(*cols, *fields.keys())
+    )

@@ -292,3 +292,63 @@ def geo_distance_rings(
         )
         .orderBy("ring")
     )
+
+
+def geo_polygon(
+    docs: DataFrame,
+    vertices: list[tuple[int, int]],
+    k: int = 25,
+) -> DataFrame:
+    """ES ``geo_polygon`` query over a CONVEX polygon, evaluated in the
+    EXACT integer lattice ``with_geo`` derives coordinates from.
+
+    ``vertices`` are (ilon, ilat) pairs in centi-degrees on the lattice
+    grid (ilon in [0, 36000), ilat in [0, 18000)), in COUNTER-CLOCKWISE
+    order. Containment is the textbook convex test — every edge's 2-D
+    cross product ``(x2-x1)(py-y1) - (y2-y1)(px-x1) >= 0`` — done in
+    64-bit INTEGER arithmetic, so there is no floating-point boundary
+    ambiguity anywhere and any SQL engine replays it bitwise (ES uses
+    the same half-plane sweep per triangle of its tessellation).
+
+    Scale shape: the test is a map-only conjunction of |V| integer
+    predicates — with real stored coordinate columns the polygon's
+    bounding box would be prepended as a pushed-down range prefilter
+    (the ``geo_within`` device); the derived-lattice fixture skips
+    that only because the inputs aren't stored columns. The total
+    count rides a broadcast 1-row aggregate, never a window over the
+    corpus.
+
+    Output: top ``k`` contained docs by doc_id with their (lat, lon),
+    plus the polygon-wide ``inside_total``.
+    """
+    if len(vertices) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pts = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * _LAT_P) % 18000).alias("ilat"),
+        ((F.col("doc_id") * _LON_P) % 36000).alias("ilon"),
+    )
+    cond = F.lit(True)
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        cond = cond & (
+            (F.lit(int(x2 - x1)) * (F.col("ilat") - F.lit(int(y1)))
+             - F.lit(int(y2 - y1)) * (F.col("ilon") - F.lit(int(x1))))
+            >= 0
+        )
+    inside = pts.filter(cond)
+    total = inside.agg(F.count(F.lit(1)).cast("long").alias("inside_total"))
+    return (
+        inside.select(
+            "doc_id",
+            (F.col("ilat") / 100.0 - 90.0).alias("lat"),
+            (F.col("ilon") / 100.0 - 180.0).alias("lon"),
+        )
+        .crossJoin(F.broadcast(total))
+        .orderBy("doc_id")
+        .limit(int(k))
+    )

@@ -1,0 +1,130 @@
+"""Document-lookup query surface — the Elasticsearch ``mget`` API and
+the ``terms`` query's *lookup* form (terms fetched from another
+document's field instead of being inlined in the request).
+
+Both are point-lookup shapes, and the 100-TB story is the same for
+each: the request side is REQUEST-SIZED (a handful of ids, one lookup
+document), so the only corpus-sized work allowed is a pushed-down
+IN-list / semi-join against the doc store — never a full scan that the
+driver then filters.
+
+* ``mget`` — one row per REQUESTED id, in request order, with ES's
+  ``found`` flag for ids that don't exist. The corpus is touched once
+  through ``doc_id IN (...)``: an IN-list predicate Catalyst pushes
+  into the parquet scan (row-group min/max pruning; on an id-sorted or
+  bucketed store this is a true point read). The outer join that
+  restores request order and manufactures ``found=false`` rows runs
+  AFTER the filter, over at most ``len(ids)`` rows on each side — the
+  big table is never on the outer side of anything.
+
+* ``terms_lookup`` — ES ``terms`` query with ``index``/``id``/``path``:
+  the filter's term set is the value of a field of one LOOKUP document.
+  Phase 1 reads ONE document (the same pushed IN-list shape as mget)
+  and derives its term set (distinct tokens, capped at ``max_terms`` by
+  tf DESC / term ASC — ES caps lookup terms at 65k for the same
+  reason: the set must stay broadcast-sized). Phase 2 is a semi-join of
+  the corpus token stream against that broadcast set — filter context,
+  constant score, exactly ES semantics — aggregated per doc into
+  ``matched_terms`` (how many DISTINCT lookup terms the doc contains).
+  At 100 TB phase 2 rides the inverted index instead of a token
+  re-scan: the term set keys a bucket-pruned postings fetch and the
+  per-doc distinct-count is the same one aggregation.
+
+Determinism: integer counts, (matched_terms DESC, doc_id ASC) order,
+explicit caps everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPLIT = "[^a-z0-9]+"
+
+
+def mget(
+    docs: DataFrame,
+    ids: list[int],
+    id_col: str = "doc_id",
+    cols: tuple[str, ...] = ("lang", "source", "n_chars"),
+) -> DataFrame:
+    """ES ``mget``: one output row per requested id, request order
+    preserved (``req_pos``), ``found`` false for absent ids (their
+    payload columns NULL, as ES returns no ``_source``)."""
+    if not ids:
+        raise ValueError("mget requires at least one id")
+    if len(ids) != len(set(ids)):
+        raise ValueError("mget ids must be unique (ES collapses dupes)")
+    spark = docs.sparkSession
+    req = spark.createDataFrame(
+        [(int(i), p) for p, i in enumerate(ids)], f"{id_col} long, req_pos int"
+    )
+    # corpus touched exactly once, through the pushed IN-list
+    hits = docs.filter(F.col(id_col).isin([int(i) for i in ids])).select(
+        id_col, *cols
+    )
+    return (
+        req.join(hits, id_col, "left")
+        .select(
+            "req_pos",
+            id_col,
+            F.col(cols[0]).isNotNull().alias("found"),
+            *cols,
+        )
+        .orderBy("req_pos")
+    )
+
+
+def lookup_terms(
+    docs: DataFrame,
+    lookup_id: int,
+    max_terms: int = 16,
+    split: str = SPLIT,
+) -> DataFrame:
+    """The lookup document's term set: distinct tokens of doc
+    ``lookup_id``, capped at ``max_terms`` by tf DESC / term ASC (the
+    deterministic stand-in for ES's document-order field array). One
+    pushed point-read; output is request-sized."""
+    if max_terms < 1:
+        raise ValueError("max_terms must be >= 1")
+    toks = (
+        docs.filter(F.col("doc_id") == int(lookup_id))
+        .select(F.explode(F.split(F.lower("text"), split)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(int(max_terms))
+    )
+    return toks.select("term")
+
+
+def terms_lookup(
+    docs: DataFrame,
+    lookup_id: int,
+    max_terms: int = 16,
+    k: int = 15,
+    split: str = SPLIT,
+) -> DataFrame:
+    """ES ``terms`` query, lookup form: docs containing ANY of the
+    lookup doc's terms (filter context — constant score), ranked for
+    output stability by ``matched_terms`` (distinct lookup terms
+    present) DESC, doc_id ASC, top ``k``. The lookup doc itself is a
+    legitimate hit, as in ES."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    terms = F.broadcast(lookup_terms(docs, lookup_id, max_terms, split))
+    stream = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), split)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        stream.join(terms, "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("matched_terms"))
+        .orderBy(F.desc("matched_terms"), F.asc("doc_id"))
+        .limit(int(k))
+    )

@@ -218,3 +218,37 @@ def importance_weights(
             F.round(F.sum("lr"), 5).alias("logw_r"),
         )
     )
+
+
+def sliced_scroll(
+    docs: DataFrame,
+    slice_id: int,
+    max_slices: int,
+    salt: str = "slice",
+    cols: tuple[str, ...] = ("lang", "source", "n_chars"),
+) -> DataFrame:
+    """ES SLICED SCROLL — the parallel-export primitive: slice ``i`` of
+    ``max`` owns exactly the docs with ``hash(_id) mod max == i``
+    (ES's ``slice: {id, max}`` on a scroll/PIT search). N workers each
+    request their own slice and the union is the corpus, disjoint by
+    construction — no coordination, no cursor contention.
+
+    Here the slice key is the house 60-bit md5 of (salt, doc_id) — the
+    same engine-replayable device as ``shuffle_export``, so any SQL
+    engine (and any other worker fleet) computes identical membership.
+    The slice predicate is map-only and rides WITH the scan: at 100 TB
+    each export worker streams its slice straight out of the parquet
+    splits it reads, shuffle-free once the presentation-level global
+    ``orderBy`` below becomes ``sortWithinPartitions`` (ES likewise
+    recommends ``_doc`` order inside a slice — the cheapest stable
+    order; the contract comparison is order-insensitive either way)."""
+    if max_slices <= 0:
+        raise ValueError("max_slices must be positive")
+    if not 0 <= slice_id < max_slices:
+        raise ValueError("slice_id must be in [0, max_slices)")
+    key = _h60(f"concat('{salt}', cast(doc_id as string))")
+    return (
+        docs.filter(F.expr(key) % max_slices == slice_id)
+        .select("doc_id", *cols)
+        .orderBy("doc_id")
+    )

@@ -188,3 +188,65 @@ def has_parent_children(
         children.join(F.broadcast(parents), "doc_id")
         .select("doc_id", "chunk_id", "lang", "n_tokens")
     )
+
+
+def nested_match(
+    docs: DataFrame,
+    min_len: int = 6,
+    prefix: str = "s",
+    k: int = 15,
+    split: str = SPLIT,
+) -> DataFrame:
+    """ES ``nested`` query over array-of-objects fields — the SAME-
+    OBJECT conjunction semantics that distinguishes nested mappings
+    from flattened ones.
+
+    The fixture derives the nested field from the token stream: each
+    token is an object ``{pos, len, tok}``. The query requires a
+    SINGLE object with ``len >= min_len AND tok LIKE prefix%`` — under
+    a flattened mapping, a doc with one long token and a SEPARATE
+    short prefix-matching token false-positives; nested semantics
+    reject it. The output exposes both verdicts (``n_hits`` vs
+    ``flat_match``) so the divergence is part of the checked contract
+    (on the synth corpus the flat query matches nearly every doc, the
+    nested one only true same-object hits).
+
+    Scale shape: entirely map-only — ``filter``/``size``/``exists``
+    over the in-row array in whole-stage codegen, no explode, no
+    shuffle before the final top-k (TakeOrderedAndProject). This is
+    the Lucene block-join locality argument done relationally: the
+    nested objects live WITH the parent row, so the same-object test
+    never leaves the row.
+
+    Output: docs with ``n_hits >= 1`` ranked n_hits DESC / doc_id ASC,
+    top ``k``, with the first matching object's position.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    if not prefix.isalnum():
+        raise ValueError("prefix must be alphanumeric")
+    toks = (
+        f"filter(split(lower(text), '{split}'), t -> t <> '')"
+    )
+    hit = (
+        f"t -> length(t) >= {int(min_len)} "
+        f"and startswith(t, '{prefix}')"
+    )
+    objs = docs.select(
+        "doc_id",
+        F.expr(f"size(filter({toks}, {hit}))").cast("long").alias("n_hits"),
+        F.expr(
+            f"array_position(transform({toks}, {hit}), true)"
+        ).cast("long").alias("first_pos"),
+        F.expr(
+            f"exists({toks}, t -> length(t) >= {int(min_len)}) "
+            f"and exists({toks}, t -> startswith(t, '{prefix}'))"
+        ).alias("flat_match"),
+    )
+    return (
+        objs.filter(F.col("n_hits") >= 1)
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(int(k))
+    )
