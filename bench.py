@@ -467,6 +467,43 @@ def main() -> None:
     random_sampler_agg(docs, 0.25).count()
     timings["round5c_ops"] = time.perf_counter() - t0
 
+    # ---- round-5 fourth wave: lookup/point-read lane, nested query,
+    # runtime fields, sliced scroll, geo_polygon, moving percentiles,
+    # sampler agg — all map-only or request-sized-shuffle shapes
+    from yase_spark.aggs import moving_percentiles, sampler_agg
+    from yase_spark.fields import runtime_field_topk
+    from yase_spark.geo import geo_polygon
+    from yase_spark.lookup import mget, terms_lookup
+    from yase_spark.mixing import sliced_scroll
+    from yase_spark.nested import nested_match
+
+    t0 = time.perf_counter()
+    mget(docs, [5, 10**12 + 7, 1, 42]).count()
+    terms_lookup(docs, 7, max_terms=12, k=15).count()
+    nested_match(docs, min_len=6, prefix="s", k=15).count()
+    runtime_field_topk(
+        docs,
+        {
+            "n_tokens": "size(filter(split(lower(text), '[^a-z0-9]+'), "
+            "t -> t <> ''))",
+            "cpt": "cast(n_chars as double) / "
+            "cast(greatest(n_tokens, 1) as double)",
+        },
+        where="n_tokens >= 20",
+        order_by="cpt",
+        k=15,
+    ).count()
+    extras["slice2_of_5_docs"] = int(sliced_scroll(docs, 2, 5).count())
+    geo_polygon(
+        docs,
+        [(4000, 3000), (12000, 2000), (16000, 9000), (10000, 15000),
+         (3000, 11000)],
+        k=25,
+    ).count()
+    moving_percentiles(events, hours=1, window=4).count()
+    sampler_agg(docs, ["spark", "window", "hash", "join"]).count()
+    timings["round5d_ops"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "index-build + BM25 query engine + pipeline ops wall time "
