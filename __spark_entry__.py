@@ -3816,6 +3816,70 @@ def _q_sampler_agg(spark, sf_dir):
     )
 
 
+# --- round-5 fifth wave: sparse_vector / geohash_grid / geo_line /
+# search template / field_caps ---
+
+SV_WEIGHTS = {"spark": 2.0, "stream": 1.5, "window": 1.0, "vector": 0.5}
+GEOHASH_PRECISION, GEOHASH_SIZE = 3, 20
+GEOLINE_SIZE = 10
+TEMPLATE_QS = "({{a}} OR {{b}}) AND table NOT {{neg}}"
+TEMPLATE_PARAMS = {"a": "window", "b": "spark", "neg": "merge"}
+
+
+def _q_sparse_vector(spark, sf_dir):
+    # ES sparse_vector (learned-sparse serving): dot product of the
+    # broadcast query weight map with w_d = ln(1+tf) — the BM25
+    # contribution lane with a different per-term expression
+    from yase_spark.features import sparse_vector_topk
+
+    return sparse_vector_topk(_docs(spark, sf_dir), SV_WEIGHTS, k=15)
+
+
+def _q_geohash_grid(spark, sf_dir):
+    # ES geohash_grid: base32 cells from the shared integer expression
+    # text (geohash_expr) — engine and oracle run the SAME string
+    from yase_spark.geo import geohash_grid
+
+    return geohash_grid(
+        _docs(spark, sf_dir), precision=GEOHASH_PRECISION, size=GEOHASH_SIZE
+    )
+
+
+def _q_geo_line(spark, sf_dir):
+    # ES geo_line: per-source track in doc_id order, truncated at 10
+    # points with the complete flag; integer "ilon:ilat" pairs so the
+    # line text never goes through float formatting
+    from yase_spark.geo import geo_line
+
+    return geo_line(_docs(spark, sf_dir), group_col="source", size=GEOLINE_SIZE)
+
+
+def _q_template_topk(spark, sf_dir):
+    # ES search template: strict mustache-lite render to the exact
+    # qs_topk query string, then the same parse + ranked serving; the
+    # oracle restates the boolean algebra at this entry's k
+    from yase_spark.qparse import parse_topk, render_template
+
+    rendered = render_template(TEMPLATE_QS, TEMPLATE_PARAMS)
+    rd = _reader(spark, sf_dir)
+    rows = rd.search_topk(parse_topk(rendered, k=12))
+    res = spark.createDataFrame(
+        [(d, s) for _, d, s in rows] or [], schema="doc_id long, score double"
+    )
+    m = _orig_ids(rd, spark)
+    return res.join(m, "doc_id").select(
+        F.col("orig_doc_id").alias("doc_id"), F.round("score", 5).alias("score_r")
+    )
+
+
+def _q_field_caps(spark, sf_dir):
+    # ES _field_caps: mapping-derived field capability rows (text =
+    # searchable only, keyword/numeric = both)
+    from yase_spark.lookup import field_caps
+
+    return field_caps(_docs(spark, sf_dir))
+
+
 def _q_stream_rollover(spark, sf_dir):
     # the ES data-stream WRITE path driven end-to-end: two corpus file
     # waves stream through foreachBatch into rollover generations
@@ -3979,6 +4043,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polygon": _q_geo_polygon,
         "moving_percentiles_agg": _q_moving_percentiles,
         "sampler_agg": _q_sampler_agg,
+        "sparse_vector_topk": _q_sparse_vector,
+        "geohash_grid": _q_geohash_grid,
+        "geo_line": _q_geo_line,
+        "template_topk": _q_template_topk,
+        "field_caps": _q_field_caps,
         "spell_popular": _q_spell_popular,
         "spell_missing": _q_spell_missing,
         "ip_range": _q_ip_range,
@@ -4188,6 +4257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_lookup_topk",
         "nested_topk",
         "moving_percentiles_agg",
+        # fifth-wave machinery representatives: the sparse-vector
+        # contribution lane and the shared-expression geohash encoder
+        "sparse_vector_topk",
+        "geohash_grid",
         # --- VERDICT item-3 explicit priorities ---
         "snapshot_read",
         "pit_page2",
@@ -6459,6 +6532,60 @@ SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(CAST(d.n_chars AS DOUBLE)), 6) AS avg_chars_r,
        CAST(sum(k.score) AS BIGINT) AS sum_score
 FROM k JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1
+"""
+    # --- round-5 fifth wave ---
+    _svw = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, cast({float(w)!r} as double) AS qw"
+        for t, w in SV_WEIGHTS.items()
+    )
+    o["sparse_vector_topk"] = f"""
+{_T_SQL},
+qw AS ({_svw}),
+tf AS (SELECT t.doc_id, t.term, qw.qw, count(*) AS tf
+       FROM t JOIN qw USING (term) GROUP BY 1, 2, 3),
+sc AS (SELECT doc_id,
+              sum(qw * ln(1.0 + CAST(tf AS DOUBLE))) AS score
+       FROM tf GROUP BY 1)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       doc_id, round(score, 6) AS score_r
+FROM sc ORDER BY score DESC, doc_id LIMIT 15
+"""
+    from yase_spark.geo import geohash_expr as _ghx
+
+    o["geohash_grid"] = f"""
+WITH p AS (SELECT (doc_id * 7919) % 18000 AS ilat,
+                  (doc_id * 104729) % 36000 AS ilon FROM documents)
+SELECT {_ghx(GEOHASH_PRECISION)} AS geohash,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM p GROUP BY 1 ORDER BY doc_count DESC, geohash LIMIT {GEOHASH_SIZE}
+"""
+    o["geo_line"] = f"""
+WITH p AS (SELECT source AS grp, doc_id,
+                  (doc_id * 7919) % 18000 AS ilat,
+                  (doc_id * 104729) % 36000 AS ilon FROM documents),
+g AS (SELECT grp,
+             list(struct_pack(doc_id := doc_id, ilon := ilon,
+                              ilat := ilat) ORDER BY doc_id) AS pts,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM p GROUP BY 1)
+SELECT grp, n_points, n_points <= {GEOLINE_SIZE} AS complete,
+       array_to_string(list_transform(pts[1:{GEOLINE_SIZE}],
+         x -> concat(CAST(x.ilon AS VARCHAR), ':',
+                     CAST(x.ilat AS VARCHAR))), ',') AS line
+FROM g ORDER BY grp
+"""
+    # search template: the rendered string IS the qs_topk query, so
+    # the oracle is that entry's boolean-algebra SQL at this k
+    o["template_topk"] = o["qs_topk"].replace("LIMIT 10", "LIMIT 12")
+    o["field_caps"] = """
+SELECT * FROM (VALUES
+  ('doc_id',  'long',    true, true),
+  ('lang',    'keyword', true, true),
+  ('n_chars', 'long',    true, true),
+  ('source',  'keyword', true, true),
+  ('text',    'text',    true, false)
+) AS t(field, es_type, searchable, aggregatable)
+ORDER BY field
 """
     _smp = ", ".join(f"('{w}')" for w in SPELL_MODE_PROBES)
     o["spell_popular"] = f"""

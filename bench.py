@@ -504,6 +504,23 @@ def main() -> None:
     sampler_agg(docs, ["spark", "window", "hash", "join"]).count()
     timings["round5d_ops"] = time.perf_counter() - t0
 
+    # ---- round-5 fifth wave: sparse-vector serving, geohash cells,
+    # geo_line tracks, search-template render+serve, field_caps
+    from yase_spark.features import sparse_vector_topk
+    from yase_spark.geo import geo_line, geohash_grid
+    from yase_spark.lookup import field_caps
+    from yase_spark.qparse import render_template
+
+    t0 = time.perf_counter()
+    sparse_vector_topk(
+        docs, {"spark": 2.0, "stream": 1.5, "window": 1.0, "vector": 0.5}
+    ).count()
+    geohash_grid(docs, precision=3, size=20).count()
+    geo_line(docs, group_col="source", size=10).count()
+    render_template("({{a}} OR {{b}}) AND table", {"a": "window", "b": "spark"})
+    field_caps(docs).count()
+    timings["round5e_ops"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "index-build + BM25 query engine + pipeline ops wall time "

@@ -75,3 +75,60 @@ def tfidf_vectors(reader) -> DataFrame:
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("t_df")), 6
         ).alias("tfidf_r"),
     )
+
+
+def sparse_vector_topk(
+    docs, query_weights: dict[str, float], k: int = 15,
+    split: str = "[^a-z0-9]+",
+):
+    """ES ``sparse_vector`` query (the learned-sparse / ELSER serving
+    shape, 8.15+): both sides are term->weight maps and the score is
+    their dot product. The engine-checkable deterministic core derives
+    the DOCUMENT weights from the corpus itself — ``w_d(t) =
+    ln(1 + tf(t, d))`` (the classic sublinear tf, an explicit
+    expression any SQL engine replays) — and takes the QUERY weights
+    as given (in ES they come from the text-expansion model; weights
+    are data, not code, so the serving topology is identical).
+
+    Scale shape: the query map is request-sized and broadcast; the
+    corpus token stream reduces to (doc, term in query) tf rows —
+    at 100 TB this is a bucket-pruned postings fetch, cost ∝ the
+    matched terms' lists, never a corpus scan — then ONE doc-keyed
+    weighted sum and a TakeOrderedAndProject cap. Exactly the BM25
+    contribution lane with a different per-term expression, which is
+    the point: learned-sparse serving reuses the inverted-index
+    machinery (that is why ES ships it on Lucene).
+
+    Output: (rank, doc_id, score_r) — score DESC, doc_id ASC, rounded
+    at the contract boundary."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not query_weights:
+        raise ValueError("query_weights must be non-empty")
+    spark = docs.sparkSession
+    qw = spark.createDataFrame(
+        [(t, float(w)) for t, w in query_weights.items()], "term string, qw double"
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), split)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .join(F.broadcast(qw), "term")
+        .groupBy("doc_id", "term", "qw")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.groupBy("doc_id").agg(
+        F.sum(
+            F.col("qw") * F.log(F.lit(1.0) + F.col("tf").cast("double"))
+        ).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", F.round("score", 6).alias("score_r"))
+    )

@@ -352,3 +352,110 @@ def geo_polygon(
         .orderBy("doc_id")
         .limit(int(k))
     )
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_expr(precision: int = 4) -> str:
+    """SQL expression text for the base32 geohash of the lattice point
+    (``ilat`` in [0,18000), ``ilon`` in [0,36000)) at ``precision``
+    characters — the SHARED-EXPRESSION-TEXT parity device: the same
+    string runs in Spark and in any ANSI-ish SQL oracle, so engine and
+    check cannot drift.
+
+    Standard geohash: 5·P bits, even global bit positions (MSB-first)
+    from longitude, odd from latitude. The cell ordinates are exact
+    integer scalings of the lattice —
+    ``lonint = floor(ilon · 2^nlon / 36000)`` (the double division is
+    deterministic IEEE in both engines; operands stay far below 2^53)
+    — and every bit is a div/mod pair on nonnegative integers."""
+    if not 1 <= precision <= 8:
+        raise ValueError("precision must be in [1, 8]")
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+
+    def bit(i: int) -> str:
+        # global bit i (0 = MSB): even -> lon, odd -> lat
+        if i % 2 == 0:
+            src, n, tot = "ilon", nlon, 36000
+            j = i // 2
+        else:
+            src, n, tot = "ilat", nlat, 18000
+            j = i // 2
+        cell = f"cast(floor(({src} * {2 ** n}) / {tot}.0) as bigint)"
+        return f"(cast(floor({cell} / {2 ** (n - 1 - j)}.0) as bigint) % 2)"
+
+    chars = []
+    for c in range(precision):
+        idx = " + ".join(
+            f"{bit(5 * c + b)} * {2 ** (4 - b)}" for b in range(5)
+        )
+        chars.append(
+            f"substring('{GEOHASH_ALPHABET}', cast(({idx}) as int) + 1, 1)"
+        )
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def geohash_grid(docs: DataFrame, precision: int = 3, size: int = 20) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: bucket docs by their geohash
+    cell at ``precision`` chars, top ``size`` cells by doc count
+    (count DESC, hash ASC). The encoder is pure integer arithmetic in
+    the scan (``geohash_expr``); one hash aggregate keyed by the cell.
+    Like geotile_grid, the cell key is the natural PARTITION key for a
+    geo-bucketed layout at scale — the geo analogue of term-bucketed
+    postings."""
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    pts = docs.select(
+        ((F.col("doc_id") * _LAT_P) % 18000).alias("ilat"),
+        ((F.col("doc_id") * _LON_P) % 36000).alias("ilon"),
+    )
+    return (
+        pts.withColumn("geohash", F.expr(geohash_expr(precision)))
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("geohash"))
+        .limit(int(size))
+    )
+
+
+def geo_line(docs: DataFrame, group_col: str = "source", size: int = 10) -> DataFrame:
+    """ES ``geo_line`` aggregation: per group, the track — points
+    joined in SORT-FIELD order (doc_id here; ES uses e.g. a timestamp)
+    — truncated at ``size`` points with the ``complete`` flag saying
+    whether anything was dropped. The line is emitted as integer
+    lattice pairs ``"ilon:ilat"`` joined with commas: coordinate text
+    never goes through float formatting, so the string is
+    engine-replayable verbatim (a WKT presentation belongs at the
+    display layer).
+
+    Scale shape: one hash aggregate collects each group's points
+    (per-group arrays are group-bounded, and ES's own geo_line caps at
+    10k points for the same reason); sort/slice/join run over the
+    collected array in codegen."""
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    pts = docs.select(
+        F.col(group_col).alias("grp"),
+        "doc_id",
+        ((F.col("doc_id") * _LAT_P) % 18000).alias("ilat"),
+        ((F.col("doc_id") * _LON_P) % 36000).alias("ilon"),
+    )
+    g = pts.groupBy("grp").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "ilon", "ilat"))).alias(
+            "pts"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+    line = (
+        f"array_join(transform(slice(pts, 1, {int(size)}), "
+        "x -> concat(cast(x.ilon as string), ':', cast(x.ilat as string))), ',')"
+    )
+    return g.select(
+        "grp",
+        "n_points",
+        (F.col("n_points") <= F.lit(int(size))).alias("complete"),
+        F.expr(line).alias("line"),
+    ).orderBy("grp")

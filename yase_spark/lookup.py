@@ -128,3 +128,43 @@ def terms_lookup(
         .orderBy(F.desc("matched_terms"), F.asc("doc_id"))
         .limit(int(k))
     )
+
+
+# ES field_caps type mapping: 'text' = analyzed (searchable, NOT
+# aggregatable — no doc_values), everything stored-and-typed is both.
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def field_caps(docs: DataFrame, text_cols: tuple[str, ...] = ("text",)) -> DataFrame:
+    """ES ``_field_caps`` API: one row per mapped field with its ES
+    type and the searchable / aggregatable capability flags, derived
+    from the DataFrame schema (the engine's mapping). String columns
+    listed in ``text_cols`` report as analyzed ``text`` (searchable,
+    not aggregatable); other strings are ``keyword`` (both); integer
+    and floating columns map to their ES numeric type (both);
+    booleans/dates pass through. Driver-side metadata — no job runs,
+    exactly like the ES endpoint."""
+    rows = []
+    for f in docs.schema.fields:
+        t = f.dataType.simpleString()
+        if t == "string":
+            if f.name in text_cols:
+                es_t, searchable, aggregatable = "text", True, False
+            else:
+                es_t, searchable, aggregatable = "keyword", True, True
+        elif t in _NUMERIC:
+            es_t = {"bigint": "long", "int": "integer", "tinyint": "byte",
+                    "smallint": "short"}.get(t, t)
+            searchable = aggregatable = True
+        elif t == "boolean":
+            es_t, searchable, aggregatable = "boolean", True, True
+        elif t == "timestamp":
+            es_t, searchable, aggregatable = "date", True, True
+        else:
+            es_t, searchable, aggregatable = t, False, False
+        rows.append((f.name, es_t, searchable, aggregatable))
+    rows.sort()
+    return docs.sparkSession.createDataFrame(
+        rows, "field string, es_type string, searchable boolean, "
+        "aggregatable boolean"
+    )

@@ -224,3 +224,29 @@ def parse_topk(s: str, k: int = 10, default_operator: str = "or") -> TopK:
     """``parse_query_string`` wrapped as a ranked request — the string
     form of ``TopK(expr, k)`` for ``IndexReader.search_topk``."""
     return TopK(parse_query_string(s, default_operator), k=k)
+
+
+def render_template(template: str, params: dict[str, object]) -> str:
+    """ES SEARCH TEMPLATE (mustache core): substitute ``{{name}}``
+    placeholders with the given params and return the query string to
+    parse. STRICT by design — a missing param raises (ES renders
+    mustache's empty string, which silently changes the query; a data
+    pipeline wants the loud version), an unused param raises (catches
+    caller typos), and a substituted VALUE may not contain braces
+    (no re-expansion, no template injection through data)."""
+    import re as _re
+
+    names = set(_re.findall(r"\{\{\s*([A-Za-z0-9_]+)\s*\}\}", template))
+    missing = names - params.keys()
+    if missing:
+        raise ValueError(f"template params missing: {sorted(missing)}")
+    unused = params.keys() - names
+    if unused:
+        raise ValueError(f"template params unused: {sorted(unused)}")
+    out = template
+    for name in names:
+        val = str(params[name])
+        if "{" in val or "}" in val:
+            raise ValueError(f"param {name!r} value may not contain braces")
+        out = _re.sub(r"\{\{\s*" + name + r"\s*\}\}", val, out)
+    return out
