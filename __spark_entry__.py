@@ -3880,6 +3880,31 @@ def _q_field_caps(spark, sf_dir):
     return field_caps(_docs(spark, sf_dir))
 
 
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_split_counts(spark, sf_dir):
+    # deterministic train/val/test assignment (h60 thresholds shared
+    # with the oracle via split_thresholds — 0.9+0.05 is not 0.95 in
+    # IEEE, so the boundary constants must be the SAME floats)
+    from yase_spark.mixing import split_counts
+
+    return split_counts(_docs(spark, sf_dir), SPLIT_FRACTIONS)
+
+
+def _q_dup_keep_best(spark, sf_dir):
+    # duplicate-cluster representative selection by quality (keep the
+    # LONGEST member — Lee et al.'s policy — instead of lowest-id):
+    # dup_groups clustering + one cluster-keyed quality window
+    from yase_spark.neardup import dup_keep_best, jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    quality = docs.select("doc_id", F.col("n_chars").cast("long").alias("q"))
+    return dup_keep_best(
+        docs.select("doc_id"), jaccard_pairs(docs, k=3, threshold=0.1), quality
+    )
+
+
 def _q_stream_rollover(spark, sf_dir):
     # the ES data-stream WRITE path driven end-to-end: two corpus file
     # waves stream through foreachBatch into rollover generations
@@ -4048,6 +4073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_line": _q_geo_line,
         "template_topk": _q_template_topk,
         "field_caps": _q_field_caps,
+        "split_counts": _q_split_counts,
+        "dup_keep_best": _q_dup_keep_best,
         "spell_popular": _q_spell_popular,
         "spell_missing": _q_spell_missing,
         "ip_range": _q_ip_range,
@@ -6577,6 +6604,36 @@ FROM g ORDER BY grp
     # search template: the rendered string IS the qs_topk query, so
     # the oracle is that entry's boolean-algebra SQL at this k
     o["template_topk"] = o["qs_topk"].replace("LIMIT 10", "LIMIT 12")
+    from yase_spark.mixing import split_thresholds
+
+    _sth = split_thresholds(SPLIT_FRACTIONS)
+    _sc = "CASE" + "".join(
+        f" WHEN h < {thr} THEN '{name}'" for name, thr in _sth
+    ) + f" ELSE '{list(SPLIT_FRACTIONS)[-1]}' END"
+    o["split_counts"] = f"""
+WITH a AS (
+  SELECT n_chars,
+         CAST(concat('0x', substr(md5(concat('split',
+           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM documents)
+SELECT {_sc} AS split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM a GROUP BY 1 ORDER BY 1
+"""
+    o["dup_keep_best"] = f"""
+WITH RECURSIVE nd AS ({_NEAR_DUP_SQL}),
+edges AS (SELECT doc_a a, doc_b b FROM nd UNION SELECT doc_b, doc_a FROM nd),
+reach(d, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.d, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+g AS (SELECT d AS doc_id, min(r) AS cluster_id FROM reach GROUP BY d)
+SELECT g.doc_id, g.cluster_id, CAST(d.n_chars AS BIGINT) AS q,
+       (row_number() OVER (PARTITION BY g.cluster_id
+          ORDER BY d.n_chars DESC, g.doc_id) = 1) AS keep
+FROM g JOIN documents d USING (doc_id)
+"""
     o["field_caps"] = """
 SELECT * FROM (VALUES
   ('doc_id',  'long',    true, true),

@@ -519,6 +519,15 @@ def main() -> None:
     geo_line(docs, group_col="source", size=10).count()
     render_template("({{a}} OR {{b}}) AND table", {"a": "window", "b": "spark"})
     field_caps(docs).count()
+    from yase_spark.mixing import split_counts
+    from yase_spark.neardup import dup_keep_best, jaccard_pairs
+
+    split_counts(docs, {"train": 0.9, "val": 0.05, "test": 0.05}).count()
+    dup_keep_best(
+        docs.select("doc_id"),
+        jaccard_pairs(docs, k=3, threshold=0.1),
+        docs.selectExpr("doc_id", "cast(n_chars as long) as q"),
+    ).count()
     timings["round5e_ops"] = time.perf_counter() - t0
 
     total = sum(timings.values())

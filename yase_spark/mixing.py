@@ -252,3 +252,64 @@ def sliced_scroll(
         .select("doc_id", *cols)
         .orderBy("doc_id")
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test SPLIT ASSIGNMENT — the first thing
+    every training-data pipeline does after curation and the thing that
+    must NEVER drift between runs: doc membership is a pure function of
+    (salt, doc_id), so adding machines, re-partitioning, or re-running
+    months later assigns every doc to the same split (and a changed
+    salt re-rolls all of them at once, deliberately).
+
+    ``fractions`` maps split name -> fraction; they must sum to 1.
+    Assignment: ``u = h60(salt, doc_id)`` against the cumulative
+    integer thresholds ``floor(cum_fraction * 2^60)`` — precomputed
+    exact constants, so any SQL engine replays membership bitwise
+    (same device as ``mix_sample``). Map-only: the split column is a
+    CASE chain in the scan; no shuffle until whatever aggregates the
+    caller adds."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    if any(f <= 0 for f in fractions.values()):
+        raise ValueError("every fraction must be positive")
+    key = _h60(f"concat('{salt}', cast(doc_id as string))")
+    case = "CASE"
+    for name, thr in split_thresholds(fractions):
+        case += f" WHEN {key} < {thr} THEN '{name}'"
+    case += f" ELSE '{list(fractions)[-1]}' END"
+    return docs.withColumn("split", F.expr(case))
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """The exact integer h60 thresholds ``split_assign`` compares
+    against, exported so SQL oracles build their CASE from the SAME
+    accumulated floats (0.9 + 0.05 is 0.9500000000000001 in IEEE —
+    recomputing "0.95" independently would drift a boundary doc)."""
+    cum, out = 0.0, []
+    for name in list(fractions)[:-1]:
+        cum += fractions[name]
+        out.append((name, int(cum * (1 << 60))))
+    return out
+
+
+def split_counts(docs: DataFrame, fractions: dict[str, float],
+                 salt: str = "split") -> DataFrame:
+    """Per-split doc and char totals — the audit readout of
+    ``split_assign`` (one hash agg on the tiny split key)."""
+    return (
+        split_assign(docs, fractions, salt)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_sum"),
+        )
+        .orderBy("split")
+    )

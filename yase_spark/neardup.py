@@ -694,3 +694,42 @@ def dedup_substrings(
             "removed_chars", F.col("n_chars") - F.length("text_clean")
         )
     )
+
+
+def dup_keep_best(
+    all_docs: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster REPRESENTATIVE SELECTION by quality — the
+    policy layer over ``dup_groups``: instead of the keep-lowest-id
+    default, each cluster keeps its best member by (quality DESC,
+    doc_id ASC). Lee et al. 2022 keep the longest member; RefinedWeb
+    keeps highest quality score — ``quality`` is a (doc_id, q) frame
+    so the policy is data, not code.
+
+    One window per cluster over CLUSTER-SIZED data (the corpus never
+    re-shuffles: dup_groups already reduced it to (doc_id, cluster_id)
+    rows), ranked by (q DESC, doc_id ASC). Output (doc_id, cluster_id,
+    q, keep) for every doc, keep true exactly once per cluster.
+
+    Docs missing from ``quality`` rank with q = NULL LAST (never beat
+    a scored member; a whole-cluster-NULL cluster falls back to lowest
+    doc_id), loudly visible in the output rather than silently
+    defaulted."""
+    from pyspark.sql import Window
+
+    groups = dup_groups(all_docs, pairs, max_iter=max_iter).select(
+        "doc_id", "cluster_id"
+    )
+    gq = groups.join(quality.select("doc_id", "q"), "doc_id", "left")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last("q"), F.asc("doc_id")
+    )
+    return gq.select(
+        "doc_id",
+        "cluster_id",
+        "q",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
