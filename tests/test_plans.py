@@ -290,3 +290,62 @@ def test_intervals_fetch_is_bucket_pruned(spark, pos_index):
     plan = _plan(q)
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
     assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:300]
+
+
+def test_mget_pushes_in_list_to_scan(spark, tmp_path):
+    """mget's only corpus touch must be the IN-list predicate reaching
+    the parquet scan (row-group pruning; a point read on a sorted
+    store) — never scan-then-driver-filter."""
+    from yase_spark.lookup import mget
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "t", "en", "s0", 10) for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = _plan(mget(docs, [3, 999999, 7]))
+    pushed = plan.split("PushedFilters")[1][:250]
+    assert "In(doc_id" in pushed, plan[:1500]
+
+
+def test_split_assign_is_map_only(spark, tmp_path):
+    """split_assign adds a CASE projection in the scan stage — zero
+    exchanges until the caller aggregates."""
+    from yase_spark.mixing import split_assign
+
+    p = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame(
+        [(i, "t", 10) for i in range(50)], "doc_id long, text string, n_chars long"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = _plan(split_assign(docs, {"a": 0.5, "b": 0.5}))
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_nested_match_no_exchange_before_topk(spark):
+    """The nested query is map-only into TakeOrderedAndProject — the
+    same-object test never leaves the row, the only 'shuffle' is the
+    top-k gather."""
+    from yase_spark.nested import nested_match
+
+    docs = spark.createDataFrame(
+        [(1, "stream spark", "en", "s0", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    plan = _plan(nested_match(docs, min_len=6, prefix="s", k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_sparse_vector_broadcasts_query_map(spark):
+    """sparse_vector's query weight map joins broadcast — the corpus
+    side never shuffles for the semi-join."""
+    from yase_spark.features import sparse_vector_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark stream", "en", "s0", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    plan = _plan(sparse_vector_topk(docs, {"spark": 2.0}, k=5))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
