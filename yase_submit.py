@@ -180,8 +180,42 @@ def main(argv=None) -> int:
                  "span_not", "qs", "sort", "stem", "decay", "random",
                  "terms_set", "boosting", "ltr", "dis_max", "pinned",
                  "bool_prefix", "rank_feature", "span_multi", "intervals",
-                 "distance_feature"],
+                 "distance_feature", "template"],
         default="topk",
+    )
+    p.add_argument(
+        "--lookup-id", type=int, default=7,
+        help="aggs --op terms_lookup: the lookup document's id",
+    )
+    p.add_argument(
+        "--slice", dest="slice_spec", default="0/4",
+        help="aggs --op slice: 'i/n' — export slice i of n",
+    )
+    p.add_argument(
+        "--vertices",
+        help="geo --op polygon: CCW convex vertices 'ilon:ilat,...' in "
+        "centi-degrees on the lattice grid",
+    )
+    p.add_argument(
+        "--precision", type=int, default=3,
+        help="geo --op geohash: geohash cell precision (chars)",
+    )
+    p.add_argument(
+        "--template",
+        help="query --kind template: query-string template with "
+        "{{name}} placeholders",
+    )
+    p.add_argument(
+        "--params",
+        help="query --kind template: JSON object of template params",
+    )
+    p.add_argument(
+        "--fractions", default='{"train": 0.9, "val": 0.05, "test": 0.05}',
+        help="aggs --op split: JSON object of split fractions (sum 1)",
+    )
+    p.add_argument(
+        "--weights", default='{"spark": 2.0, "stream": 1.5}',
+        help="aggs --op sparse_vector: JSON object of query term weights",
     )
     p.add_argument(
         "--ltr-weights", default="0,1,0.5,-0.2,0.3",
@@ -297,7 +331,10 @@ def main(argv=None) -> int:
                  "terms_error", "normalize", "filters", "missing",
                  "categorize", "moving_fn", "bucket_script", "rings",
                  "contexts", "item_sets", "ip_range", "pct_bucket",
-                 "random_sampler"],
+                 "random_sampler", "sampler", "moving_pct", "mget",
+                 "terms_lookup", "nested", "slice", "split", "keep_best",
+                 "field_caps", "sparse_vector", "geohash", "line",
+                 "polygon"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -349,7 +386,7 @@ def main(argv=None) -> int:
         help="aggs --op percentiles: comma-separated quantiles",
     )
     p.add_argument(
-        "--ids", help="aggs --op term_vectors: comma-separated doc ids",
+        "--ids", help="aggs --op term_vectors / mget: comma-separated doc ids",
     )
     p.add_argument(
         "--edges", help="geo --op rings: comma-separated ring edges in km",
@@ -971,6 +1008,22 @@ def main(argv=None) -> int:
                 {"rank": r, "doc_id": d, "score": s}
                 for r, d, s in rd.search_topk(parse_topk(args.q, args.k))
             ]
+        elif args.kind == "template":
+            # ES search template: strict {{name}} render, then the
+            # query_string lane
+            import json as _json
+
+            from yase_spark.qparse import parse_topk, render_template
+
+            if not args.template:
+                raise SystemExit("query --kind template needs --template")
+            rendered = render_template(
+                args.template, _json.loads(args.params or "{}")
+            )
+            out = [
+                {"rank": r, "doc_id": d, "score": s}
+                for r, d, s in rd.search_topk(parse_topk(rendered, args.k))
+            ]
         elif args.kind == "topk":
             if args.after:
                 sc, did = args.after.split(",")
@@ -1399,6 +1452,62 @@ def main(argv=None) -> int:
                 docs, n_shards=4, shard_size=max(2 * args.k, 2),
                 size=max(args.k, 1),
             )
+        elif args.op == "sampler":
+            from yase_spark.aggs import sampler_agg
+
+            out_df = sampler_agg(
+                docs, (args.q or "spark window hash join").split()
+            )
+        elif args.op == "moving_pct":
+            # --corpus points at an events-shaped table
+            from yase_spark.aggs import moving_percentiles
+
+            out_df = moving_percentiles(docs, hours=1, window=4)
+        elif args.op == "mget":
+            from yase_spark.lookup import mget
+
+            if not args.ids:
+                raise SystemExit("aggs --op mget needs --ids")
+            out_df = mget(docs, [int(x) for x in args.ids.split(",")])
+        elif args.op == "terms_lookup":
+            from yase_spark.lookup import terms_lookup
+
+            out_df = terms_lookup(docs, args.lookup_id, k=args.k)
+        elif args.op == "nested":
+            from yase_spark.nested import nested_match
+
+            out_df = nested_match(docs, k=args.k)
+        elif args.op == "slice":
+            from yase_spark.mixing import sliced_scroll
+
+            i, n = (int(x) for x in args.slice_spec.split("/"))
+            out_df = sliced_scroll(docs, i, n)
+        elif args.op == "split":
+            import json as _json
+
+            from yase_spark.mixing import split_counts
+
+            out_df = split_counts(docs, _json.loads(args.fractions))
+        elif args.op == "keep_best":
+            from yase_spark.neardup import dup_keep_best, jaccard_pairs
+
+            out_df = dup_keep_best(
+                docs.select("doc_id"),
+                jaccard_pairs(docs, k=3, threshold=args.threshold),
+                docs.selectExpr("doc_id", "cast(n_chars as long) as q"),
+            )
+        elif args.op == "field_caps":
+            from yase_spark.lookup import field_caps
+
+            out_df = field_caps(docs)
+        elif args.op == "sparse_vector":
+            import json as _json
+
+            from yase_spark.features import sparse_vector_topk
+
+            out_df = sparse_vector_topk(
+                docs, _json.loads(args.weights), k=args.k
+            )
         elif args.op == "random_sampler":
             from yase_spark.aggs import random_sampler_agg
 
@@ -1536,6 +1645,24 @@ def main(argv=None) -> int:
             from yase_spark.geo import geo_centroid
 
             out_df = geo_centroid(docs)
+        elif args.op == "geohash":
+            from yase_spark.geo import geohash_grid
+
+            out_df = geohash_grid(docs, precision=args.precision)
+        elif args.op == "line":
+            from yase_spark.geo import geo_line
+
+            out_df = geo_line(docs)
+        elif args.op == "polygon":
+            from yase_spark.geo import geo_polygon
+
+            if not args.vertices:
+                raise SystemExit("geo --op polygon needs --vertices")
+            verts = [
+                tuple(int(v) for v in pair.split(":"))
+                for pair in args.vertices.split(",")
+            ]
+            out_df = geo_polygon(docs, verts, k=args.k)
         else:
             raise SystemExit(
                 "geo needs --op bbox|near|within|grid|bounds|centroid"
