@@ -71,3 +71,53 @@ def test_alias_registry_roundtrip(spark, tmp_path):
     assert drop_alias(wh, "prod") is False
     assert list_aliases(wh) == {}
     assert IndexReader(spark, dst).topk("alpha3 gamma", 5) == before
+
+
+def test_filtered_alias_roundtrip_and_serving(spark, tmp_path):
+    """Filtered alias (ES multi-tenancy): the stored predicate rides
+    the registry (legacy plain-string entries still resolve), and
+    serving through it equals topk_where with the same predicate."""
+    from yase_spark.alias import alias_filter
+
+    wh = str(tmp_path / "whf")
+    root = str(tmp_path / "ixf")
+    corpus = spark.createDataFrame(
+        [("r", f"{i:03d}", "c", "java" if i % 2 else "py",
+          f"alpha{i % 7} beta gamma")
+         for i in range(60)],
+        schema=SCHEMA,
+    )
+    cfg = IndexConfig(build_groups=1, shuffle_partitions=4, ngrams=False)
+    build_index(spark, corpus, root, cfg)
+
+    set_alias(wh, "tenant", root, filter="lang = 'java'")
+    set_alias(wh, "plain", root)
+    ref = f"alias://{wh}/tenant"
+    assert resolve_alias(ref) == os.path.abspath(root)
+    assert alias_filter(ref) == "lang = 'java'"
+    assert alias_filter(f"alias://{wh}/plain") is None
+    assert alias_filter(root) is None  # identity on plain paths
+
+    rd = IndexReader(spark, root, cfg)
+    rows = rd.topk_where("beta", k=10, predicate="lang = 'java'").collect()
+    assert rows, "java slice must match"
+    # every served doc is in the slice
+    langs = {
+        r["lang"]
+        for r in rd.cat.read(spark, "docs")
+        .join(
+            spark.createDataFrame(
+                [(r["doc_id"],) for r in rows], "doc_id long"
+            ),
+            "doc_id",
+        )
+        .select("lang")
+        .collect()
+    }
+    assert langs == {"java"}
+
+    # re-point to unfiltered drops the stored filter atomically
+    set_alias(wh, "tenant", root)
+    assert alias_filter(ref) is None
+    with pytest.raises(ValueError, match="non-empty"):
+        set_alias(wh, "tenant", root, filter="   ")

@@ -49,13 +49,26 @@ def list_aliases(warehouse: str) -> dict[str, str]:
         return {}
 
 
-def set_alias(warehouse: str, name: str, index_root: str) -> dict:
+def set_alias(
+    warehouse: str, name: str, index_root: str, filter: str | None = None
+) -> dict:
     """Point ``name`` at ``index_root`` (create or ATOMIC re-point —
     the ES ``_aliases`` remove+add in one action). The target must look
     like an index (``VERSION`` under at least one table dir) so a typo
-    cannot silently blackhole a serving alias."""
+    cannot silently blackhole a serving alias.
+
+    ``filter`` makes it a FILTERED ALIAS (the ES multi-tenancy
+    device: one physical index, per-tenant views): a SQL predicate
+    over the docs-dimension columns, stored with the alias and applied
+    by every query that resolves through it (the ``topk_where`` lane —
+    the predicate prunes the hydration dimension, never the postings
+    fetch). Stored as ``{"root": ..., "filter": ...}``; unfiltered
+    aliases keep the legacy plain-string form, so old registries read
+    unchanged."""
     if "/" in name or not name:
         raise ValueError(f"bad alias name {name!r}")
+    if filter is not None and not str(filter).strip():
+        raise ValueError("filter must be a non-empty predicate or None")
     root = os.path.abspath(index_root)
     has_table = os.path.isdir(root) and any(
         os.path.exists(os.path.join(root, d, "VERSION"))
@@ -67,7 +80,7 @@ def set_alias(warehouse: str, name: str, index_root: str) -> dict:
     os.makedirs(warehouse, exist_ok=True)
     reg = list_aliases(warehouse)
     prev = reg.get(name)
-    reg[name] = root
+    reg[name] = root if filter is None else {"root": root, "filter": filter}
     tmp = _registry_path(warehouse) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(reg, f, indent=1, sort_keys=True)
@@ -104,4 +117,17 @@ def resolve_alias(ref: str) -> str:
             f"unknown alias {name!r} in {warehouse} "
             f"(registered: {sorted(reg) or 'none'})"
         )
-    return reg[name]
+    entry = reg[name]
+    return entry["root"] if isinstance(entry, dict) else entry
+
+
+def alias_filter(ref: str) -> str | None:
+    """The stored filter predicate of a filtered alias ref, or None
+    for plain paths / unfiltered aliases. Callers route a non-None
+    filter through the ``topk_where`` lane."""
+    if not ref.startswith(PREFIX):
+        return None
+    body = ref[len(PREFIX):]
+    warehouse, _sep, name = body.rpartition("/")
+    entry = list_aliases(warehouse).get(name)
+    return entry.get("filter") if isinstance(entry, dict) else None

@@ -491,15 +491,23 @@ def main(argv=None) -> int:
                    help="alias: create/atomically re-point NAME (needs "
                    "--target)")
     p.add_argument("--target", help="alias --set: index root to point at")
+    p.add_argument("--filter", dest="alias_filter_arg",
+                   help="alias --set: store a docs-dimension SQL predicate "
+                   "with the alias (filtered alias; topk through the alias "
+                   "ranks only the matching slice)")
     p.add_argument("--drop", dest="alias_drop", metavar="NAME",
                    help="alias: remove NAME (index untouched)")
     args = p.parse_args(argv)
 
     # alias indirection: any index ref may be alias://WH/NAME (plain
     # paths pass through) — the blue/green cutover surface of reindex
-    from yase_spark.alias import resolve_alias
+    from yase_spark.alias import alias_filter, resolve_alias
 
+    args.alias_filter = None
     if args.index:
+        # filtered alias: capture the stored predicate BEFORE the ref
+        # is rewritten to its root — topk routes through topk_where
+        args.alias_filter = alias_filter(args.index)
         args.index = resolve_alias(args.index)
     if getattr(args, "shards", None):
         args.shards = ",".join(
@@ -573,7 +581,8 @@ def main(argv=None) -> int:
             if not args.target:
                 raise SystemExit("alias --set needs --target")
             print(json.dumps(set_alias(args.warehouse, args.alias_set,
-                                       args.target)))
+                                       args.target,
+                                       filter=args.alias_filter_arg)))
         elif args.alias_drop:
             print(json.dumps(
                 {"dropped": drop_alias(args.warehouse, args.alias_drop)}
@@ -1025,16 +1034,27 @@ def main(argv=None) -> int:
                 for r, d, s in rd.search_topk(parse_topk(rendered, args.k))
             ]
         elif args.kind == "topk":
-            if args.after:
+            if args.alias_filter:
+                # filtered alias (ES multi-tenancy): rank only within
+                # the alias's stored docs-dimension slice
+                out = [
+                    r.asDict()
+                    for r in rd.topk_where(
+                        args.q, args.k, predicate=args.alias_filter
+                    ).collect()
+                ]
+            elif args.after:
                 sc, did = args.after.split(",")
                 rows = rd.topk_after(
                     args.q, args.k, after=(float(sc), int(did))
                 )
+                out = [{"rank": r, "doc_id": d, "score": s} for r, d, s in rows]
             elif args.cached:
                 rows = rd.topk_cached(args.q, args.k)
+                out = [{"rank": r, "doc_id": d, "score": s} for r, d, s in rows]
             else:
                 rows = rd.topk(args.q, args.k)
-            out = [{"rank": r, "doc_id": d, "score": s} for r, d, s in rows]
+                out = [{"rank": r, "doc_id": d, "score": s} for r, d, s in rows]
         elif args.kind == "bool_prefix":
             # ES match_bool_prefix: last token is a prefix clause
             rows = rd.match_bool_prefix(args.q, args.k)
