@@ -3892,6 +3892,31 @@ def _q_split_counts(spark, sf_dir):
     return split_counts(_docs(spark, sf_dir), SPLIT_FRACTIONS)
 
 
+def _q_transform_rollup(spark, sf_dir):
+    # ES continuous transform / rollup index: checkpoint 1 folds the
+    # early half (ts <= midpoint), checkpoint 2 sees the full source
+    # and rewrites ONLY the delta's buckets (partition-COW); the final
+    # table must equal a from-scratch full recompute — any watermark,
+    # invalidation, or COW defect breaks the hash
+    import tempfile
+
+    from yase_spark.transform import read_rollup, transform_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")).cast("long"),
+        F.max(F.unix_timestamp("ts")).cast("long"),
+    ).collect()[0]
+    cut = (int(lo) + int(hi)) // 2
+    dest = tempfile.mkdtemp(prefix="yase_tr_")
+    transform_rollup(
+        spark, ev.filter(F.unix_timestamp("ts") <= F.lit(cut)), dest
+    )
+    m = transform_rollup(spark, ev, dest)
+    assert m["mode"] == "incremental", m
+    return read_rollup(spark, dest)
+
+
 def _q_dup_keep_best(spark, sf_dir):
     # duplicate-cluster representative selection by quality (keep the
     # LONGEST member — Lee et al.'s policy — instead of lowest-id):
@@ -4075,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_caps": _q_field_caps,
         "split_counts": _q_split_counts,
         "dup_keep_best": _q_dup_keep_best,
+        "transform_rollup": _q_transform_rollup,
         "spell_popular": _q_spell_popular,
         "spell_missing": _q_spell_missing,
         "ip_range": _q_ip_range,
@@ -4288,6 +4314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contribution lane and the shared-expression geohash encoder
         "sparse_vector_topk",
         "geohash_grid",
+        # the continuous-transform checkpoint/COW machinery
+        "transform_rollup",
         # --- VERDICT item-3 explicit priorities ---
         "snapshot_read",
         "pit_page2",
@@ -6619,6 +6647,12 @@ WITH a AS (
 SELECT {_sc} AS split, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
 FROM a GROUP BY 1 ORDER BY 1
+"""
+    o["transform_rollup"] = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS bkt_s,
+       event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS v_sum_r
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
     o["dup_keep_best"] = f"""
 WITH RECURSIVE nd AS ({_NEAR_DUP_SQL}),
