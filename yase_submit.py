@@ -47,6 +47,7 @@ def main(argv=None) -> int:
             "info", "synonyms", "aggs", "suggest", "force-merge", "vacuum",
             "reindex", "alias", "export", "restore", "rank-eval", "bpe",
             "rollover", "geo", "sort-index", "stems", "replicate",
+            "transform",
         ],
     )
     p.add_argument(
@@ -513,6 +514,26 @@ def main(argv=None) -> int:
         args.shards = ",".join(
             resolve_alias(s) for s in args.shards.split(",")
         )
+
+    if args.cmd == "transform":
+        # continuous rollup checkpoint: fold --corpus (events-shaped)
+        # past the stored watermark into the --out destination table;
+        # prints the run metrics then the maintained table
+        from yase_spark.config import IndexConfig as _IC  # noqa: F401
+        from yase_spark.transform import read_rollup, transform_rollup
+
+        spark = _spark(args)
+        spark.sparkContext.setLogLevel("WARN")
+        ev = spark.read.parquet(args.corpus)
+        if not args.out:
+            raise SystemExit("transform needs --out (destination root)")
+        metrics = transform_rollup(spark, ev, args.out)
+        print(json.dumps(metrics))
+        print(json.dumps(
+            [r.asDict() for r in read_rollup(spark, args.out).limit(20).collect()],
+            default=str,
+        ))
+        return 0
 
     if args.cmd == "rollover":
         # ILM-style bounded write generations behind a stream name:
