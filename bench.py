@@ -523,10 +523,14 @@ def main() -> None:
     from yase_spark.neardup import dup_keep_best, jaccard_pairs
 
     split_counts(docs, {"train": 0.9, "val": 0.05, "test": 0.05}).count()
+    # keep_best on a 2k-doc slice: the NEW work is the policy window
+    # (cluster-sized); the pair emission + propagation underneath are
+    # the pipeline_ops lanes already measured at full sf above
+    kb_docs = docs.filter("doc_id < 2000")
     dup_keep_best(
-        docs.select("doc_id"),
-        jaccard_pairs(docs, k=3, threshold=0.1),
-        docs.selectExpr("doc_id", "cast(n_chars as long) as q"),
+        kb_docs.select("doc_id"),
+        jaccard_pairs(kb_docs, k=3, threshold=0.1),
+        kb_docs.selectExpr("doc_id", "cast(n_chars as long) as q"),
     ).count()
     timings["round5e_ops"] = time.perf_counter() - t0
 
