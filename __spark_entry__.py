@@ -4302,19 +4302,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contexts_complete",
         "frequent_item_sets",
         "dedup_substrings",
-        # fourth-wave machinery representatives (newest code, zero
-        # driver rows): the point-read/lookup lane, the same-object
-        # nested semantics, and the windowed-percentile fold; their
-        # wave siblings (runtime/slice/polygon/sampler) spill below
+        # round-5 wave machinery heads with genuinely NEW lanes (the
+        # point-read/IN-list lane, same-object nested semantics, the
+        # windowed-percentile fold, the transform checkpoint/COW
+        # machinery); wave siblings whose machinery overlaps
+        # already-driver-checked lanes (terms_lookup/sparse_vector =
+        # the checked semi-join+contribution topology, geohash =
+        # geotile's sibling, runtime/slice/polygon/sampler/split/
+        # keep_best) spill below so the VERDICT item-3 names keep
+        # their window slots
         "mget_docs",
-        "terms_lookup_topk",
         "nested_topk",
         "moving_percentiles_agg",
-        # fifth-wave machinery representatives: the sparse-vector
-        # contribution lane and the shared-expression geohash encoder
-        "sparse_vector_topk",
-        "geohash_grid",
-        # the continuous-transform checkpoint/COW machinery
         "transform_rollup",
         # --- VERDICT item-3 explicit priorities ---
         "snapshot_read",
