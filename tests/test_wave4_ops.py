@@ -277,3 +277,40 @@ def test_sampler_agg_bruteforce(docs):
         sampler_agg(docs, [], n_shards=2)
     with pytest.raises(ValueError):
         sampler_agg(docs, ["x"], n_shards=0)
+
+
+def test_moving_percentiles_randomized_sweep(spark):
+    """30 random (seeded) series vs numpy's linear-interpolation
+    percentile over every trailing window — the quantile_cont lerp
+    must agree everywhere, not just on the hand case."""
+    import random
+
+    from yase_spark.aggs import moving_percentiles
+
+    rng = random.Random(7)
+    t0 = datetime.datetime(2024, 2, 1)
+    for trial in range(30):
+        n_h = rng.randint(2, 8)
+        counts = [rng.randint(0, 6) for _ in range(n_h)]
+        if not any(counts):
+            counts[0] = 1
+        rows = []
+        for h, c in enumerate(counts):
+            for j in range(c):
+                rows.append((t0 + datetime.timedelta(hours=h, minutes=j), "k"))
+        # drop leading/trailing zero-count hours: the dense axis starts
+        # at the first OBSERVED bucket
+        lo = next(i for i, c in enumerate(counts) if c)
+        hi = max(i for i, c in enumerate(counts) if c)
+        series = counts[lo : hi + 1]
+        w = rng.randint(1, 5)
+        ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        out = moving_percentiles(ev, hours=1, window=w, percents=(0.25, 0.5, 0.9))
+        got = out.collect()
+        assert [r["n"] for r in got] == series, (trial, counts)
+        for idx, r in enumerate(got):
+            win = series[max(0, idx - w + 1) : idx + 1]
+            for p, col in ((25, "p25_r"), (50, "p50_r"), (90, "p90_r")):
+                assert r[col] == pytest.approx(
+                    np.percentile(win, p, method="linear"), abs=1e-6
+                ), (trial, idx, p, win)
