@@ -6903,7 +6903,8 @@ top AS (SELECT doc_id, score_r,
 inner_h AS (SELECT top.rank, top.doc_id, top.score_r, csc.chunk_id,
                    round(csc.cscore, 6) AS cscore_r,
                    row_number() OVER (PARTITION BY top.doc_id
-                                      ORDER BY csc.cscore DESC, csc.chunk_id) AS crank
+                                      ORDER BY round(csc.cscore, 6) DESC,
+                                               csc.chunk_id) AS crank
             FROM top JOIN csc USING (doc_id))
 SELECT rank, doc_id, score_r, crank, chunk_id, cscore_r
 FROM inner_h WHERE crank <= 3

@@ -156,8 +156,14 @@ def has_child_inner_hits(
     )
     pw = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
     ranked = parents.withColumn("rank", F.row_number().over(pw))
+    # rank children on the ROUNDED score: two children can tie at the
+    # contract's 6dp display precision while their unrounded sums
+    # differ at ulp level WITH OPPOSITE SIGN across engines (different
+    # summation order) — ranking on the rounded value makes the
+    # chunk_id tie-break decide, identically everywhere (caught by the
+    # sf0.001 preflight straddle; sf0.01 happened not to tie)
     cw = Window.partitionBy("doc_id").orderBy(
-        F.desc("cscore"), F.asc("chunk_id")
+        F.desc(F.round("cscore", 6)), F.asc("chunk_id")
     )
     return (
         cs.join(F.broadcast(ranked), "doc_id")
