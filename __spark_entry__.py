@@ -1561,6 +1561,21 @@ def _q_ann_hnsw_topk(spark, sf_dir):
     )
 
 
+def _q_maxsim_topk(spark, sf_dir):
+    # ColBERT-style late-interaction MaxSim retrieval over a
+    # multi-vector layout (contiguous blocks of 5 token vectors per
+    # doc); the ranking key is an exact BIGINT micro-unit sum, so the
+    # oracle replays it bit-identically (no float-sum summation-order
+    # hazard). Brute-force numpy parity + plan shape are pytest-gated
+    # in tests/test_maxsim.py.
+    from yase_spark.similarity import maxsim_topk
+
+    return maxsim_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        vecs_per_doc=5, n_queries=4, k=10,
+    )
+
+
 def _q_ann_pq_topk(spark, sf_dir):
     # Product quantization with a SATURATED codebook (ks >= n): every
     # subvector is its own centroid, Lloyd is a fixed point of the
@@ -4107,6 +4122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_bucket": _q_percentiles_bucket,
         "fields_chain": _q_fields_chain,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
+        "maxsim_topk": _q_maxsim_topk,
         "fields_combined": _q_fields_combined,
         "matrix_stats": _q_matrix_stats,
         "string_stats": _q_string_stats,
@@ -4288,6 +4304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_within",
         "span_containing",
         "ann_hnsw_topk",
+        "maxsim_topk",
         # machinery representatives of the round-5 second wave: one
         # intervals config (leaf enumeration + combination + candidate
         # algebra all fire), the new lane/fold/gap-fill shapes, the two
@@ -5440,6 +5457,31 @@ WHERE g.doc_id = g.cluster_id AND q.quality_r >= 0.45
         # connected-by-construction graph) == full-probe IVF == brute
         # force; pruned recall is pytest-gated (tests/test_hnsw.py)
         "ann_hnsw_topk": _ANN_SQL,
+        # ColBERT MaxSim late-interaction retrieval: per-(query-token,
+        # doc) max cosine rounded to 6dp, lifted to BIGINT micro-units,
+        # summed per doc — the integer sum replays bit-identically in
+        # any engine (no float-summation-order hazard by construction)
+        "maxsim_topk": """
+WITH d AS (SELECT CAST(vec_id // 5 AS BIGINT) AS doc_id, vec_id, embedding
+           FROM embeddings),
+qt AS (SELECT doc_id AS query_id, vec_id AS qtok, embedding AS qe
+       FROM d WHERE doc_id < 4),
+pc AS (SELECT qt.query_id, qt.qtok, d.doc_id,
+              max(round(list_cosine_similarity(
+                    qt.qe::DOUBLE[], d.embedding::DOUBLE[]), 6)) AS m
+       FROM qt JOIN d ON d.doc_id != qt.query_id
+       GROUP BY 1, 2, 3),
+sc AS (SELECT query_id, doc_id,
+              CAST(sum(CAST(round(m * 1e6) AS BIGINT)) AS BIGINT)
+                AS score_u6
+       FROM pc GROUP BY 1, 2)
+SELECT query_id, rank, doc_id, score_u6 FROM (
+  SELECT query_id, doc_id, score_u6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_u6 DESC, doc_id) AS rank
+  FROM sc)
+WHERE rank <= 10
+""",
         # saturated-codebook PQ (lossless reconstruction) + exact
         # re-rank == brute force; see tests/test_pq.py for the
         # compressed regime

@@ -385,6 +385,11 @@ def main() -> None:
     rd.span_within("zone", ["copy", "lock"], slop=4)
     rd.span_containing(["copy", "lock"], "zone", slop=4)
     assert hnsw_ann_topk(emb, n_queries=8, k=10, n_centroids=16).count() > 0
+    from yase_spark.similarity import maxsim_topk
+
+    extras["maxsim_rows"] = maxsim_topk(
+        emb, vecs_per_doc=5, n_queries=4, k=10
+    ).count()
     matrix_stats(docs, "a", "b", expr_a="n_chars % 97",
                  expr_b="(doc_id * 7 + n_chars) % 89").count()
     string_stats(docs, "text").count()

@@ -604,6 +604,86 @@ def lsh_ann_topk(
     return _ranked(joined, k)
 
 
+def maxsim_topk(
+    emb: DataFrame,
+    vecs_per_doc: int = 5,
+    n_queries: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): documents and queries are BAGS of token vectors and
+
+        score(q, d) = sum over query tokens of
+                      max over d's tokens of cos(query_token, doc_token)
+
+    — the MaxSim operator. This is the serving shape of every
+    multi-vector retriever (ColBERT/ColBERTv2/PLAID, and ES 8.x
+    ``rank_vectors``/late-interaction scoring): richer than single-dense
+    kNN because each query token independently finds its best-matching
+    doc token, but unlike cross-encoders it stays a pure dot-product
+    plan an engine can execute.
+
+    Multi-vector fixture: the flat ``embeddings`` table is grouped into
+    documents in contiguous blocks of ``vecs_per_doc`` (doc_id =
+    vec_id DIV v) — the layout a real multi-vector store uses (a doc's
+    token vectors co-located, which at 100 TB makes per-doc max a
+    partition-local fold). The first ``n_queries`` DOCS act as queries
+    (each contributes its ``v`` token vectors); a query's own doc is
+    excluded from its candidates.
+
+    Scale shape: the query bag is request-sized (n_queries * v rows)
+    and broadcast, so the doc-token table is read ONCE map-side with no
+    shuffle of vectors; the only shuffles carry (query_id, qtok, doc_id,
+    max) partial rows — two chained hash aggs with map-side combine,
+    both keyed by bounded-cardinality keys (n_q * n_docs), then a
+    per-query top-k window over n_docs rows. With an IVF layout the
+    candidate read prunes to the probed lists per query token (the
+    PLAID pipeline) — composition with ivf_assign is the documented
+    scale path, not a different operator.
+
+    Cross-engine exactness: each per-(query-token, doc) max cosine is
+    rounded to 6 dp and lifted to INTEGER micro-units BEFORE the
+    per-doc sum, so the ranking key is a BIGINT sum — exact and
+    summation-order-independent, immune to the float-sum ulp-straddle
+    hazard ROUND_NOTES documents for float-scored ranked lanes
+    (addition of longs is associative; partitioning cannot move the
+    result). Output: (query_id, rank, doc_id, score_u6) with score_u6
+    the MaxSim score in 1e-6 units."""
+    if vecs_per_doc < 1 or n_queries < 1 or k < 1:
+        raise ValueError("vecs_per_doc, n_queries and k must be >= 1")
+    d = emb.select(
+        F.expr(f"CAST(vec_id DIV {int(vecs_per_doc)} AS BIGINT)").alias(
+            "doc_id"
+        ),
+        "vec_id",
+        "embedding",
+    )
+    qt = d.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("vec_id").alias("qtok"),
+        F.col("embedding").alias("qe"),
+    )
+    pairs = d.join(F.broadcast(qt)).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    per_tok = (
+        pairs.withColumn("c_r", F.round(F.expr(_COS_SQL), 6))
+        .groupBy("query_id", "qtok", "doc_id")
+        .agg(F.max("c_r").alias("m"))
+    )
+    per_doc = per_tok.groupBy("query_id", "doc_id").agg(
+        F.sum(F.round(F.col("m") * 1e6, 0).cast("long")).alias("score_u6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_u6"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_u6")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.45,

@@ -134,7 +134,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--method",
         choices=["exact", "lsh", "simhash", "semantic", "ivf", "pq",
-                 "ivfpq", "sq", "hnsw", "substrings"],
+                 "ivfpq", "sq", "hnsw", "maxsim", "substrings"],
         default="lsh",
         help="neardup/ann variant (ivf/pq/ivfpq are ann-only; semantic "
         "= SemDeDup over an embeddings-shaped --corpus)",
@@ -1908,6 +1908,7 @@ def main(argv=None) -> int:
             cosine_topk,
             ivf_ann_topk,
             lsh_ann_topk,
+            maxsim_topk,
             sq_ann_topk,
         )
 
@@ -1932,6 +1933,9 @@ def main(argv=None) -> int:
                     e, k=k, n_centroids=16, nprobe=8, ef=12
                 ),
                 "exact": cosine_topk,
+                # ColBERT MaxSim late interaction over the contiguous
+                # multi-vector layout (5 token vectors per doc)
+                "maxsim": lambda e, k: maxsim_topk(e, vecs_per_doc=5, k=k),
             }[args.method]
             out = fn(emb, k=args.k)
         if args.out:
