@@ -6899,16 +6899,18 @@ cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
 tot AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM cdl),
 csc AS (
   SELECT ctf.doc_id, ctf.chunk_id,
-         sum(ln(1.0 + (tot.n - cdf.df + 0.5) / (cdf.df + 0.5))
-             * (ctf.tf * {K1 + 1.0}) / (ctf.tf + {K1} * (1.0 - {B} + {B} * (cdl.dl / tot.avgdl)))
-         ) AS cscore
+         CAST(sum(CAST(round(
+           (ln(1.0 + (tot.n - cdf.df + 0.5) / (cdf.df + 0.5))
+            * (ctf.tf * {K1 + 1.0}) / (ctf.tf + {K1} * (1.0 - {B} + {B} * (cdl.dl / tot.avgdl)))
+           ) * 1e6) AS BIGINT)) AS BIGINT) AS cscore_u6
   FROM ctf JOIN cdf USING (term) JOIN cdl USING (doc_id, chunk_id) CROSS JOIN tot
   GROUP BY 1, 2),
-par AS (SELECT doc_id, count(*) AS n_matched, round(sum(cscore), 6) AS score_r
+par AS (SELECT doc_id, count(*) AS n_matched,
+               CAST(sum(cscore_u6) AS BIGINT) AS score_u6
         FROM csc GROUP BY 1),
-top AS (SELECT * FROM par ORDER BY score_r DESC, doc_id LIMIT 10)
-SELECT row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank,
-       doc_id, n_matched, score_r
+top AS (SELECT * FROM par ORDER BY score_u6 DESC, doc_id LIMIT 10)
+SELECT row_number() OVER (ORDER BY score_u6 DESC, doc_id) AS rank,
+       doc_id, n_matched, round(score_u6 / 1e6, 6) AS score_r
 FROM top
 """
     o["has_parent_children"] = f"""
@@ -6933,22 +6935,24 @@ cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
 tot AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM cdl),
 csc AS (
   SELECT ctf.doc_id, ctf.chunk_id,
-         sum(ln(1.0 + (tot.n - cdf.df + 0.5) / (cdf.df + 0.5))
-             * (ctf.tf * {K1 + 1.0}) / (ctf.tf + {K1} * (1.0 - {B} + {B} * (cdl.dl / tot.avgdl)))
-         ) AS cscore
+         CAST(sum(CAST(round(
+           (ln(1.0 + (tot.n - cdf.df + 0.5) / (cdf.df + 0.5))
+            * (ctf.tf * {K1 + 1.0}) / (ctf.tf + {K1} * (1.0 - {B} + {B} * (cdl.dl / tot.avgdl)))
+           ) * 1e6) AS BIGINT)) AS BIGINT) AS cscore_u6
   FROM ctf JOIN cdf USING (term) JOIN cdl USING (doc_id, chunk_id) CROSS JOIN tot
   GROUP BY 1, 2),
-par AS (SELECT doc_id, round(max(cscore), 6) AS score_r FROM csc GROUP BY 1),
-top AS (SELECT doc_id, score_r,
-               row_number() OVER (ORDER BY score_r DESC, doc_id) AS rank
-        FROM par ORDER BY score_r DESC, doc_id LIMIT 10),
-inner_h AS (SELECT top.rank, top.doc_id, top.score_r, csc.chunk_id,
-                   round(csc.cscore, 6) AS cscore_r,
+par AS (SELECT doc_id, max(cscore_u6) AS score_u6 FROM csc GROUP BY 1),
+top AS (SELECT doc_id, score_u6,
+               row_number() OVER (ORDER BY score_u6 DESC, doc_id) AS rank
+        FROM par ORDER BY score_u6 DESC, doc_id LIMIT 10),
+inner_h AS (SELECT top.rank, top.doc_id, top.score_u6, csc.chunk_id,
+                   csc.cscore_u6,
                    row_number() OVER (PARTITION BY top.doc_id
-                                      ORDER BY round(csc.cscore, 6) DESC,
+                                      ORDER BY csc.cscore_u6 DESC,
                                                csc.chunk_id) AS crank
             FROM top JOIN csc USING (doc_id))
-SELECT rank, doc_id, score_r, crank, chunk_id, cscore_r
+SELECT rank, doc_id, round(score_u6 / 1e6, 6) AS score_r,
+       crank, chunk_id, round(cscore_u6 / 1e6, 6) AS cscore_r
 FROM inner_h WHERE crank <= 3
 """
     # mixing: domain token stats, temperature weights, the budgeted

@@ -63,7 +63,7 @@ def _py_child_scores(terms):
     avgdl = sum(len(toks) for _, _, toks in chunks) / n
     scores = {}
     for doc_id, cid, toks in chunks:
-        s = 0.0
+        s = 0  # exact BIGINT micro-units, like the engine
         hit = False
         for t in terms:
             tf = toks.count(t)
@@ -71,9 +71,10 @@ def _py_child_scores(terms):
                 continue
             hit = True
             idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
-            s += idf * (tf * (K1 + 1.0)) / (
+            c = idf * (tf * (K1 + 1.0)) / (
                 tf + K1 * (1.0 - B + B * (len(toks) / avgdl))
             )
+            s += int(math.floor(c * 1e6 + 0.5))  # HALF_UP like F.round
         if hit:
             scores[(doc_id, cid)] = s
     return scores
@@ -89,15 +90,18 @@ def _py_has_child(terms, k, mode, min_children=1):
         "sum": sum,
         "min": min,
         "avg": lambda v: sum(v) / len(v),
-        "none": lambda v: 1.0,
+        "none": lambda v: 1_000_000.0,
     }[mode]
     rows = [
-        (d, len(v), round(agg(v), 6))
+        (d, len(v), agg(v))
         for d, v in per.items()
         if len(v) >= min_children
     ]
     rows.sort(key=lambda r: (-r[2], r[0]))
-    return [(i + 1, d, nm, sc) for i, (d, nm, sc) in enumerate(rows[:k])]
+    return [
+        (i + 1, d, nm, round(u6 / 1e6, 6))
+        for i, (d, nm, u6) in enumerate(rows[:k])
+    ]
 
 
 TERMS = ["alpha", "epsilon"]
@@ -137,14 +141,16 @@ def _py_inner_hits(terms, k, m):
     for (doc_id, cid), s in cs.items():
         per.setdefault(doc_id, []).append((cid, s))
     parents = sorted(
-        ((d, round(max(s for _, s in v), 6)) for d, v in per.items()),
+        ((d, max(s for _, s in v)) for d, v in per.items()),
         key=lambda r: (-r[1], r[0]),
     )[:k]
     out = []
-    for rank, (d, score) in enumerate(parents, start=1):
+    for rank, (d, u6) in enumerate(parents, start=1):
         kids_sorted = sorted(per[d], key=lambda cs_: (-cs_[1], cs_[0]))[:m]
         for crank, (cid, s) in enumerate(kids_sorted, start=1):
-            out.append((rank, d, score, crank, cid, round(s, 6)))
+            out.append(
+                (rank, d, round(u6 / 1e6, 6), crank, cid, round(s / 1e6, 6))
+            )
     return sorted(out)
 
 

@@ -24,8 +24,16 @@ block-joins. Two queries:
   parent scan and the small filtered side broadcasts.
 
 Determinism: integer counts everywhere, fixed contribution expression,
-(score DESC, parent ASC) and (parent ASC, child ASC) orderings; scores
-round at the contract boundary like every other ranked surface.
+(score DESC, parent ASC) and (parent ASC, child ASC) orderings. The
+per-child score is carried as an exact BIGINT in 1e-6 units (each
+per-term contribution — itself a deterministic scalar expression —
+is rounded to 6 dp and lifted to integer micro-units BEFORE any sum),
+so every ranking/aggregation key is integer math: invariant under
+partitioning, partial-aggregate merge order, and engine (the
+float-sum ulp-straddle class that bit has_child_inner at sf0.001 in
+round 5 is closed by construction, same device as
+similarity.maxsim_topk). Display scores divide back to doubles only
+at the contract boundary.
 """
 
 from __future__ import annotations
@@ -40,13 +48,15 @@ SCORE_MODES = ("max", "sum", "avg", "min", "none")
 def _child_scores(
     children: DataFrame, terms: list[str], k1: float, b: float
 ) -> DataFrame:
-    """(doc_id, chunk_id, cscore): BM25 score of every child matching
-    >= 1 query term, under child-corpus statistics. One explode pass
-    feeds tf, dl, df, and the two scalar totals; the per-child score is
-    a sum of per-term contributions (fixed expression, analyzer order
-    irrelevant here because the sum is over a grouped aggregate of
-    exact integers — float add order is Spark-fixed by the sort below
-    only at the final rounding boundary)."""
+    """(doc_id, chunk_id, cscore_u6): BM25 score of every child
+    matching >= 1 query term, under child-corpus statistics, in exact
+    integer micro-units. One explode pass feeds tf, dl, df, and the two
+    scalar totals. Each per-term contribution is a deterministic scalar
+    expression over exact integers (tf/df/dl) and the two deterministic
+    totals; it is rounded to 6 dp and cast to BIGINT micro-units BEFORE
+    the per-child sum, so the sum is integer addition — associative,
+    hence invariant under partial-agg merge order and identical in any
+    replaying engine."""
     toks = children.select(
         "doc_id", "chunk_id",
         F.explode(F.split(F.lower("chunk_text"), SPLIT)).alias("term"),
@@ -71,9 +81,9 @@ def _child_scores(
         tf.join(F.broadcast(dfs), "term")
         .join(dl, ["doc_id", "chunk_id"])
         .crossJoin(F.broadcast(totals))
-        .withColumn("c", contrib)
+        .withColumn("c_u6", F.round(contrib * 1e6, 0).cast("long"))
         .groupBy("doc_id", "chunk_id")
-        .agg(F.sum("c").alias("cscore"))
+        .agg(F.sum("c_u6").alias("cscore_u6"))
     )
 
 
@@ -97,25 +107,30 @@ def has_child_topk(
     if not terms or k <= 0:
         raise ValueError("has_child_topk needs query terms and k > 0")
     cs = _child_scores(children, terms, k1, b)
+    # exact integer keys for max/sum/min; avg divides the exact sum by
+    # the exact count once (deterministic); none is ES's unscored 1.0
     agg = {
-        "max": F.max("cscore"),
-        "sum": F.sum("cscore"),
-        "avg": F.avg("cscore"),
-        "min": F.min("cscore"),
-        "none": F.lit(1.0),
+        "max": F.max("cscore_u6"),
+        "sum": F.sum("cscore_u6"),
+        "avg": F.avg("cscore_u6"),
+        "min": F.min("cscore_u6"),
+        "none": F.lit(1_000_000.0),
     }[score_mode]
     parents = (
         cs.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_matched"),
-            F.round(agg, 6).alias("score_r"),
+            agg.alias("score_u6"),
         )
         .filter(F.col("n_matched") >= min_children)
     )
-    top = parents.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    top = parents.orderBy(F.desc("score_u6"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_u6"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "doc_id", "n_matched", "score_r"
+        "rank",
+        "doc_id",
+        "n_matched",
+        F.round(F.col("score_u6") / 1e6, 6).alias("score_r"),
     )
 
 
@@ -142,28 +157,26 @@ def has_child_inner_hits(
         raise ValueError("m must be positive")
     cs = _child_scores(children, terms, k1, b).persist()
     agg = {
-        "max": F.max("cscore"),
-        "sum": F.sum("cscore"),
-        "avg": F.avg("cscore"),
-        "min": F.min("cscore"),
-        "none": F.lit(1.0),
+        "max": F.max("cscore_u6"),
+        "sum": F.sum("cscore_u6"),
+        "avg": F.avg("cscore_u6"),
+        "min": F.min("cscore_u6"),
+        "none": F.lit(1_000_000.0),
     }[score_mode]
     parents = (
         cs.groupBy("doc_id")
-        .agg(F.round(agg, 6).alias("score_r"))
-        .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .agg(agg.alias("score_u6"))
+        .orderBy(F.desc("score_u6"), F.asc("doc_id"))
         .limit(k)
     )
-    pw = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    pw = Window.orderBy(F.desc("score_u6"), F.asc("doc_id"))
     ranked = parents.withColumn("rank", F.row_number().over(pw))
-    # rank children on the ROUNDED score: two children can tie at the
-    # contract's 6dp display precision while their unrounded sums
-    # differ at ulp level WITH OPPOSITE SIGN across engines (different
-    # summation order) — ranking on the rounded value makes the
-    # chunk_id tie-break decide, identically everywhere (caught by the
-    # sf0.001 preflight straddle; sf0.01 happened not to tie)
+    # children rank on the exact BIGINT micro-unit score (round 5 hit
+    # a 6dp display tie whose unrounded float sums straddled at ulp
+    # level with opposite sign across engines — with integer keys a
+    # tie is a true tie and chunk_id decides, identically everywhere)
     cw = Window.partitionBy("doc_id").orderBy(
-        F.desc(F.round("cscore", 6)), F.asc("chunk_id")
+        F.desc("cscore_u6"), F.asc("chunk_id")
     )
     return (
         cs.join(F.broadcast(ranked), "doc_id")
@@ -172,10 +185,10 @@ def has_child_inner_hits(
         .select(
             "rank",
             "doc_id",
-            "score_r",
+            F.round(F.col("score_u6") / 1e6, 6).alias("score_r"),
             "crank",
             "chunk_id",
-            F.round("cscore", 6).alias("cscore_r"),
+            F.round(F.col("cscore_u6") / 1e6, 6).alias("cscore_r"),
         )
     )
 
