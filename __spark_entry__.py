@@ -6640,11 +6640,12 @@ qw AS ({_svw}),
 tf AS (SELECT t.doc_id, t.term, qw.qw, count(*) AS tf
        FROM t JOIN qw USING (term) GROUP BY 1, 2, 3),
 sc AS (SELECT doc_id,
-              sum(qw * ln(1.0 + CAST(tf AS DOUBLE))) AS score
+              CAST(sum(CAST(round(qw * ln(1.0 + CAST(tf AS DOUBLE)) * 1e6)
+                            AS BIGINT)) AS BIGINT) AS score_u6
        FROM tf GROUP BY 1)
-SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
-       doc_id, round(score, 6) AS score_r
-FROM sc ORDER BY score DESC, doc_id LIMIT 15
+SELECT row_number() OVER (ORDER BY score_u6 DESC, doc_id) AS rank,
+       doc_id, round(score_u6 / 1e6, 6) AS score_r
+FROM sc ORDER BY score_u6 DESC, doc_id LIMIT 15
 """
     from yase_spark.geo import geohash_expr as _ghx
 

@@ -42,19 +42,20 @@ def test_sparse_vector_matches_bruteforce(docs):
     want = {}
     for i, t, *_ in DOCS:
         toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
-        s = sum(
-            qw * math.log(1 + toks.count(term))
+        # exact BIGINT micro-unit replay (HALF_UP like F.round)
+        s_u6 = sum(
+            int(math.floor(qw * math.log(1 + toks.count(term)) * 1e6 + 0.5))
             for term, qw in w.items()
             if term in toks
         )
-        if s > 0:
-            want[i] = s
+        if s_u6 > 0:
+            want[i] = round(s_u6 / 1e6, 6)
     ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
     assert [(r["rank"], r["doc_id"]) for r in out] == [
         (j + 1, i) for j, (i, _) in enumerate(ranked)
     ]
     for r in out:
-        assert r["score_r"] == pytest.approx(want[r["doc_id"]], abs=1e-6)
+        assert r["score_r"] == want[r["doc_id"]]
     with pytest.raises(ValueError):
         sparse_vector_topk(docs, {})
 

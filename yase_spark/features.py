@@ -120,15 +120,30 @@ def sparse_vector_topk(
         .groupBy("doc_id", "term", "qw")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # exact BIGINT ranking key: each per-term product (a deterministic
+    # scalar over an exact integer tf) is rounded to 6dp and lifted to
+    # integer micro-units BEFORE the per-doc sum — integer addition is
+    # associative, so the ranking is invariant under partial-agg merge
+    # order and engine (same device as similarity.maxsim_topk; the
+    # float-sum ulp-straddle class cannot occur here)
     scored = tf.groupBy("doc_id").agg(
         F.sum(
-            F.col("qw") * F.log(F.lit(1.0) + F.col("tf").cast("double"))
-        ).alias("score")
+            F.round(
+                F.col("qw")
+                * F.log(F.lit(1.0) + F.col("tf").cast("double"))
+                * 1e6,
+                0,
+            ).cast("long")
+        ).alias("score_u6")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.orderBy(F.desc("score_u6"), F.asc("doc_id"))
     return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        scored.orderBy(F.desc("score_u6"), F.asc("doc_id"))
         .limit(int(k))
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .select("rank", "doc_id", F.round("score", 6).alias("score_r"))
+        .select(
+            "rank",
+            "doc_id",
+            F.round(F.col("score_u6") / 1e6, 6).alias("score_r"),
+        )
     )
