@@ -1576,6 +1576,29 @@ def _q_maxsim_topk(spark, sf_dir):
     )
 
 
+def _q_hard_negatives(spark, sf_dir):
+    # contrastive hard-negative mining: top-k most-similar candidates
+    # per query with the near-duplicate band (sim_r >= hi) excluded —
+    # band-pass selection on the 6dp-rounded similarity. hi = 0.35
+    # sits below several queries' top sims at this SF, so both the
+    # excluded-band and unaffected branches are exercised.
+    from yase_spark.similarity import hard_negatives
+
+    return hard_negatives(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_queries=8, k=10, hi=0.35,
+    )
+
+
+def _q_ppl_buckets(spark, sf_dir):
+    # CCNet head/middle/tail per-language perplexity terciles (rank-
+    # based, histogram-CDF rank reconstruction — no per-language doc
+    # window), over the add-1 unigram LM the unigram_ppl entry checks
+    from yase_spark.textstats import ppl_buckets
+
+    return ppl_buckets(_docs(spark, sf_dir))
+
+
 def _q_ann_pq_topk(spark, sf_dir):
     # Product quantization with a SATURATED codebook (ks >= n): every
     # subvector is its own centroid, Lloyd is a fixed point of the
@@ -4123,6 +4146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fields_chain": _q_fields_chain,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         "maxsim_topk": _q_maxsim_topk,
+        "hard_negatives": _q_hard_negatives,
+        "ppl_buckets": _q_ppl_buckets,
         "fields_combined": _q_fields_combined,
         "matrix_stats": _q_matrix_stats,
         "string_stats": _q_string_stats,
@@ -4305,6 +4330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_containing",
         "ann_hnsw_topk",
         "maxsim_topk",
+        "hard_negatives",
+        "ppl_buckets",
         # machinery representatives of the round-5 second wave: one
         # intervals config (leaf enumeration + combination + candidate
         # algebra all fire), the new lane/fold/gap-fill shapes, the two
@@ -4628,6 +4655,30 @@ lp AS (SELECT t.doc_id, ln((c.c + 1.0)) - ln(tot.tt + 1.0 * tot.v) AS lp
        FROM t JOIN c USING (term) CROSS JOIN tot)
 SELECT doc_id, count(*) AS dl, round(exp(-avg(lp)), 5) AS ppl_r
 FROM lp GROUP BY 1
+""",
+        # CCNet head/middle/tail terciles: the unigram_ppl chain plus a
+        # per-language rank (rounded-ppl ASC, doc_id ASC) and integer
+        # cut points ceil(n/3) / ceil(2n/3)
+        "ppl_buckets": f"""
+{_T_SQL},
+c AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+tot AS (SELECT sum(c) AS tt, count(*) AS v FROM c),
+lp AS (SELECT t.doc_id, ln((c.c + 1.0)) - ln(tot.tt + 1.0 * tot.v) AS lp
+       FROM t JOIN c USING (term) CROSS JOIN tot),
+p AS (SELECT doc_id, count(*) AS dl, round(exp(-avg(lp)), 5) AS ppl_r
+      FROM lp GROUP BY 1),
+j AS (SELECT p.doc_id, d.lang, p.dl, p.ppl_r
+      FROM p JOIN documents d USING (doc_id)),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY ppl_r, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM j)
+SELECT doc_id, lang, dl, ppl_r,
+       CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+            WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
 """,
         "bigram_ppl": """
 WITH arr AS (SELECT doc_id,
@@ -5480,6 +5531,20 @@ SELECT query_id, rank, doc_id, score_u6 FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score_u6 DESC, doc_id) AS rank
   FROM sc)
+WHERE rank <= 10
+""",
+        # hard-negative mining: the brute-force ANN ranking with the
+        # near-duplicate band (sim_r >= hi) filtered out BEFORE the
+        # per-query top-k — band membership tests the rounded sim
+        "hard_negatives": """
+WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 8),
+sc AS (SELECT q.query_id, e.vec_id,
+              round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) sim_r
+       FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+SELECT query_id, vec_id, sim_r, rank FROM (
+  SELECT query_id, vec_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, vec_id) rank
+  FROM sc WHERE sim_r < 0.35)
 WHERE rank <= 10
 """,
         # saturated-codebook PQ (lossless reconstruction) + exact

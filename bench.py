@@ -390,6 +390,15 @@ def main() -> None:
     extras["maxsim_rows"] = maxsim_topk(
         emb, vecs_per_doc=5, n_queries=4, k=10
     ).count()
+    from yase_spark.similarity import hard_negatives
+    from yase_spark.textstats import ppl_buckets
+
+    extras["hard_negative_rows"] = hard_negatives(
+        emb, n_queries=4, k=10, hi=0.35
+    ).count()
+    extras["ppl_head_docs"] = (
+        ppl_buckets(docs).filter(F.col("bucket") == "head").count()
+    )
     matrix_stats(docs, "a", "b", expr_a="n_chars % 97",
                  expr_b="(doc_id * 7 + n_chars) % 89").count()
     string_stats(docs, "text").count()

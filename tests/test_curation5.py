@@ -1,0 +1,180 @@
+"""Final-wave LLM-pipeline operator gates: contrastive hard-negative
+mining (similarity.hard_negatives) and CCNet perplexity terciles
+(textstats.ppl_buckets).
+
+Both have full driver oracles; these tests gate the semantics the
+oracle replays plus what it can't see: numpy/pure-Python parity from
+scratch, the band filter actually excluding near-duplicates, tercile
+balance and ordering, and partitioning stability.
+"""
+
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yase_spark.similarity import cosine_topk, hard_negatives
+from yase_spark.textstats import ppl_buckets
+
+SF_EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(SF_EMB)
+
+
+def _numpy_band(pdf, n_queries, k, hi):
+    vecs = np.array(
+        pdf.sort_values("vec_id")["embedding"].tolist(), dtype=np.float64
+    )
+    ids = pdf.sort_values("vec_id")["vec_id"].to_numpy()
+    norms = np.linalg.norm(vecs, axis=1)
+    out = {}
+    for q in range(n_queries):
+        sims = np.round(vecs @ vecs[q] / (norms * norms[q]), 6)
+        cand = [
+            (float(s), int(i))
+            for s, i in zip(sims, ids)
+            if i != q and s < hi
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        out[q] = [(i, s) for s, i in cand[:k]]
+    return out
+
+
+def test_hard_negatives_matches_numpy(spark, emb):
+    hi = 0.3  # below several top sims at sf0.001 — the band must bite
+    got = hard_negatives(emb, n_queries=6, k=10, hi=hi).collect()
+    want = _numpy_band(emb.toPandas(), 6, 10, hi)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(want)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [(r.vec_id, r.sim_r) for r in rows] == want[q]
+        assert all(r.sim_r < hi for r in rows)
+
+
+def test_band_actually_excludes(spark, emb):
+    """With hi below some queries' top sims, the selection must differ
+    from the unfiltered ANN ranking for at least one query — otherwise
+    the threshold is dead on this fixture."""
+    hi = 0.3
+    plain = {
+        (r.query_id, r.rank): r.vec_id
+        for r in cosine_topk(emb, n_queries=6, k=10).collect()
+        if r.query_id < 6
+    }
+    band = {
+        (r.query_id, r.rank): r.vec_id
+        for r in hard_negatives(emb, n_queries=6, k=10, hi=hi).collect()
+    }
+    assert plain != band
+    # and with a never-binding threshold the two are identical
+    loose = {
+        (r.query_id, r.rank): r.vec_id
+        for r in hard_negatives(emb, n_queries=6, k=10, hi=1.0).collect()
+    }
+    assert loose == plain
+
+
+def test_hard_negatives_validation(emb):
+    for kw in [dict(hi=0.0), dict(hi=1.5), dict(n_queries=0), dict(k=0)]:
+        with pytest.raises(ValueError):
+            hard_negatives(emb, **kw)
+
+
+# ------------------------------------------------------- ppl_buckets
+
+PB_DOCS = [
+    # two languages, 7 + 5 docs, repeated vocab so the unigram LM has
+    # real mass differences; doc 107 shares doc 101's text (a ppl tie)
+    (101, "en", "alpha beta gamma alpha"),
+    (102, "en", "alpha alpha alpha alpha alpha"),
+    (103, "en", "zeta eta theta"),
+    (104, "en", "beta gamma beta gamma"),
+    (105, "en", "alpha zeta alpha beta"),
+    (106, "en", "eta eta eta alpha"),
+    (107, "en", "alpha beta gamma alpha"),
+    (201, "de", "rot blau gruen"),
+    (202, "de", "rot rot rot"),
+    (203, "de", "blau gruen gelb rot"),
+    (204, "de", "gelb gelb"),
+    (205, "de", "rot blau rot blau"),
+]
+
+
+@pytest.fixture(scope="module")
+def pb_docs(spark):
+    return spark.createDataFrame(
+        PB_DOCS, "doc_id long, lang string, text string"
+    ).persist()
+
+
+def _py_ppl_buckets():
+    toks = {
+        d: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        for d, _lang, txt in PB_DOCS
+    }
+    counts = {}
+    for ts in toks.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    tt, v = sum(counts.values()), len(counts)
+    denom = math.log(tt + 1.0 * v)
+    rows = []
+    for d, lang, _txt in PB_DOCS:
+        lps = [math.log(counts[t] + 1.0) - denom for t in toks[d]]
+        ppl = round(math.exp(-(sum(lps) / len(lps))), 5)
+        rows.append((d, lang, len(lps), ppl))
+    out = {}
+    for lang in {r[1] for r in rows}:
+        grp = sorted(
+            (r for r in rows if r[1] == lang), key=lambda r: (r[3], r[0])
+        )
+        n = len(grp)
+        head, mid = (n + 2) // 3, (2 * n + 2) // 3
+        for rn, (d, lg, dl, ppl) in enumerate(grp, start=1):
+            b = "head" if rn <= head else ("middle" if rn <= mid else "tail")
+            out[d] = (lg, dl, ppl, b)
+    return out
+
+
+def test_ppl_buckets_matches_python_replay(spark, pb_docs):
+    got = ppl_buckets(pb_docs).collect()
+    want = _py_ppl_buckets()
+    assert len(got) == len(want)
+    for r in got:
+        lg, dl, ppl, b = want[r.doc_id]
+        assert (r.lang, r.dl, r.bucket) == (lg, dl, b)
+        assert r.ppl_r == pytest.approx(ppl, abs=2e-5)
+
+
+def test_ppl_buckets_tercile_shape(spark, pb_docs):
+    rows = ppl_buckets(pb_docs).collect()
+    for lang in {"en", "de"}:
+        grp = [r for r in rows if r.lang == lang]
+        n = len(grp)
+        sizes = {
+            b: sum(1 for r in grp if r.bucket == b)
+            for b in ("head", "middle", "tail")
+        }
+        assert sum(sizes.values()) == n
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # ordering: every head ppl <= every middle ppl <= every tail ppl
+        hd = [r.ppl_r for r in grp if r.bucket == "head"]
+        md = [r.ppl_r for r in grp if r.bucket == "middle"]
+        tl = [r.ppl_r for r in grp if r.bucket == "tail"]
+        assert max(hd) <= min(md) and max(md) <= min(tl)
+
+
+def test_ppl_buckets_partitioning_stable(spark, pb_docs):
+    base = sorted(map(tuple, ppl_buckets(pb_docs).collect()))
+    shuf = sorted(
+        map(tuple, ppl_buckets(pb_docs.repartition(7, "doc_id")).collect())
+    )
+    assert base == shuf

@@ -684,6 +684,57 @@ def maxsim_topk(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    hi: float = 0.95,
+    predicate: str | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining — the band-pass similarity
+    selection embedding-training pipelines run (DPR, Karpukhin et al.
+    2020; SimCSE-style contrastive fine-tuning): for each query vector,
+    the top-``k`` MOST similar candidates whose similarity is still
+    BELOW ``hi`` — negatives must be hard (high cosine, near the
+    decision boundary) but must not be positives or near-duplicates
+    (``sim_r >= hi`` is the same near-dup band SemDeDup prunes, so the
+    two operators compose: dedup removes the band, this mines just
+    under it).
+
+    The threshold applies to the 6-dp-rounded similarity (the engine's
+    cross-engine-stable comparison key throughout the ANN lanes), so
+    band membership is replayable. ``predicate`` optionally pre-filters
+    candidates (same filter-then-search contract as
+    :func:`cosine_topk_where`). Scale shape: identical to
+    :func:`cosine_topk` — broadcast query side, map-side scoring, the
+    band filter fuses into the scan stage before the per-query top-k
+    window; with an IVF layout the candidate read prunes to probed
+    lists first. Output (query_id, rank, vec_id, sim_r)."""
+    if not (0.0 < hi <= 1.0):
+        raise ValueError("hi must be in (0, 1]")
+    if n_queries < 1 or k < 1:
+        raise ValueError("n_queries and k must be >= 1")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb if predicate is None else emb.filter(F.expr(predicate))
+    joined = (
+        cand.select("vec_id", "embedding")
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim_r", F.round(F.expr(_COS_SQL), 6))
+        .filter(F.col("sim_r") < hi)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_r"), F.asc("vec_id")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim_r")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.45,

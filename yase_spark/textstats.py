@@ -298,6 +298,67 @@ def bigram_perplexity(docs: DataFrame, fit_docs: DataFrame | None = None,
     )
 
 
+def ppl_buckets(
+    docs: DataFrame, alpha: float = 1.0, split: str = "[^a-z0-9]+"
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020 §4.3): within each language, documents are ordered by LM
+    perplexity and split into head / middle / tail TERCILES by document
+    count — head is the most fluent third (kept for training), tail the
+    least (dropped or down-weighted). Rank-based terciles, not value
+    thresholds, so the assignment is exactly replayable.
+
+    Ordering key: (5-dp-rounded ppl ASC, doc_id ASC) — the rounded
+    value is the cross-engine-stable comparison key (same device as the
+    ANN lanes' ``sim_r``); cut points head = ceil(n/3), middle =
+    ceil(2n/3) in integer math.
+
+    Scale shape — NO per-language window over the document table (a
+    window partitioned by ``lang`` would funnel each language's entire
+    corpus through one task): the global rank is reconstructed from a
+    per-(lang, ppl_r) HISTOGRAM. (1) one map-side-combinable count agg
+    per (lang, ppl_r); (2) a cumulative sum + per-lang totals over that
+    histogram (bounded by distinct rounded ppl values, NOT by docs);
+    (3) the only doc-level window is row_number within (lang, ppl_r) —
+    high-cardinality partition key, tie-group-sized partitions, no
+    skew funnel. rank = cum_before_group + rank_in_group. Output
+    (doc_id, lang, dl, ppl_r, bucket)."""
+    from pyspark.sql import Window
+
+    ppl = unigram_perplexity(docs, alpha=alpha, split=split)
+    j = (
+        ppl.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "dl", F.round("ppl", 5).alias("ppl_r"))
+    )
+    hist = j.groupBy("lang", "ppl_r").agg(F.count("*").alias("c"))
+    hw = (
+        Window.partitionBy("lang")
+        .orderBy("ppl_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(hw))
+    totals = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    gw = Window.partitionBy("lang", "ppl_r").orderBy("doc_id")
+    ranked = (
+        j.withColumn("rn_in_group", F.row_number().over(gw))
+        .join(cum, ["lang", "ppl_r"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn("rn", F.col("cum") - F.col("c") + F.col("rn_in_group"))
+    )
+    head_cut = F.expr("CAST((n + 2) DIV 3 AS BIGINT)")
+    mid_cut = F.expr("CAST((2 * n + 2) DIV 3 AS BIGINT)")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "dl",
+        "ppl_r",
+        F.when(F.col("rn") <= head_cut, F.lit("head"))
+        .when(F.col("rn") <= mid_cut, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def repetition_stats(docs: DataFrame, n_top: int = 2, n_dup: int = 5) -> DataFrame:
     """Gopher-style within-document repetition metrics (Rae et al. 2021
     §A1.1; the rules RefinedWeb/Dolma re-implement) — the signals that

@@ -134,7 +134,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "--method",
         choices=["exact", "lsh", "simhash", "semantic", "ivf", "pq",
-                 "ivfpq", "sq", "hnsw", "maxsim", "substrings"],
+                 "ivfpq", "sq", "hnsw", "maxsim", "negatives",
+                 "substrings"],
         default="lsh",
         help="neardup/ann variant (ivf/pq/ivfpq are ann-only; semantic "
         "= SemDeDup over an embeddings-shaped --corpus)",
@@ -335,7 +336,7 @@ def main(argv=None) -> int:
                  "random_sampler", "sampler", "moving_pct", "mget",
                  "terms_lookup", "nested", "slice", "split", "keep_best",
                  "field_caps", "sparse_vector", "geohash", "line",
-                 "polygon"],
+                 "polygon", "ppl_buckets"],
         help="aggs/suggest/geo: which aggregation / suggest / geo surface",
     )
     p.add_argument(
@@ -1327,6 +1328,11 @@ def main(argv=None) -> int:
             # trusted fit slice (default: fit on the whole corpus)
             fit = docs.filter(args.predicate) if args.predicate else None
             out_df = bigram_perplexity(docs, fit_docs=fit)
+        elif args.op == "ppl_buckets":
+            # CCNet head/middle/tail per-language perplexity terciles
+            from yase_spark.textstats import ppl_buckets
+
+            out_df = ppl_buckets(docs)
         elif args.op == "term_vectors":
             if not args.ids:
                 raise SystemExit("aggs --op term_vectors needs --ids")
@@ -1907,6 +1913,7 @@ def main(argv=None) -> int:
         from yase_spark.similarity import (
             cosine_topk,
             ivf_ann_topk,
+            hard_negatives,
             lsh_ann_topk,
             maxsim_topk,
             sq_ann_topk,
@@ -1936,6 +1943,12 @@ def main(argv=None) -> int:
                 # ColBERT MaxSim late interaction over the contiguous
                 # multi-vector layout (5 token vectors per doc)
                 "maxsim": lambda e, k: maxsim_topk(e, vecs_per_doc=5, k=k),
+                # contrastive hard-negative mining; --threshold is the
+                # near-duplicate exclusion bound hi (default 0.1 is the
+                # neardup default — pass e.g. 0.95 for embedding bands)
+                "negatives": lambda e, k: hard_negatives(
+                    e, k=k, hi=args.threshold
+                ),
             }[args.method]
             out = fn(emb, k=args.k)
         if args.out:
