@@ -293,6 +293,45 @@ def test_span_multi_empty_expansion(spark, pos_index):
     assert rd.span_multi_near("prefix", "zzzq", ["json"]).size == 0
 
 
+def test_span_multi_fuzzy_matches_brute_force(spark, pos_index, doc_texts):
+    """span_multi over a FUZZY rewrite (SURVEY's last span-family
+    residual): the levenshtein<=1 dictionary expansion becomes a
+    span_or clause, same as the prefix rewrite. Brute force replays
+    positions over the engine's own (separately gated) expansion set."""
+    from yase_spark.tokenize import analyze_phrase
+    from tests.test_positions import parts_stream
+
+    root, cfg = pos_index
+    rd = IndexReader(spark, root, cfg)
+    seed, other, slop = None, "json", 2
+    for cand in ["sync", "list", "hash", "page", "node"]:
+        alts = [
+            t for t in rd.expand_terms("fuzzy", cand, max_edits=1)
+            if len(analyze_phrase(t)) == 1
+        ]
+        if len(alts) >= 2:
+            seed = cand
+            break
+    assert seed is not None, "no fuzzy multi-term rewrite in this vocab"
+    eng = rd.span_multi_near(
+        "fuzzy", seed, [other], slop=slop, max_edits=1
+    ).tolist()
+
+    hits = []
+    limit = 1 + slop
+    aset = set(alts)
+    for d, text in doc_texts.items():
+        pos = {}
+        for i, t in enumerate(parts_stream(text)):
+            pos.setdefault(t, []).append(i)
+        a = [p for t in aset if t in pos for p in pos[t]]
+        b = pos.get(other, [])
+        if any(abs(pa - pb) <= limit for pa in a for pb in b):
+            hits.append(d)
+    assert eng == sorted(hits)
+    assert len(eng) > 0
+
+
 def test_terms_sharded_error_bounds_brute(spark):
     """Engine == a from-scratch replay of the ES merged-shard
     semantics, on data engineered so truncation actually bites."""
