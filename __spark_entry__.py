@@ -1576,6 +1576,19 @@ def _q_maxsim_topk(spark, sf_dir):
     )
 
 
+def _q_maxsim_ivf_topk(spark, sf_dir):
+    # PLAID-style IVF-pruned MaxSim, saturated (nprobe = n_centroids):
+    # every list probed == brute-force MaxSim, so the exact oracle
+    # validates train/assign/probe/candidate-join; pruned recall and
+    # candidate-pruning telemetry are pytest-gated (tests/test_maxsim.py)
+    from yase_spark.similarity import maxsim_ivf_topk
+
+    return maxsim_ivf_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        vecs_per_doc=5, n_queries=4, k=10, n_centroids=16,
+    )
+
+
 def _q_hard_negatives(spark, sf_dir):
     # contrastive hard-negative mining: top-k most-similar candidates
     # per query with the near-duplicate band (sim_r >= hi) excluded —
@@ -4146,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fields_chain": _q_fields_chain,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         "maxsim_topk": _q_maxsim_topk,
+        "maxsim_ivf_topk": _q_maxsim_ivf_topk,
         "hard_negatives": _q_hard_negatives,
         "ppl_buckets": _q_ppl_buckets,
         "fields_combined": _q_fields_combined,
@@ -4330,6 +4344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_containing",
         "ann_hnsw_topk",
         "maxsim_topk",
+        "maxsim_ivf_topk",
         "hard_negatives",
         "ppl_buckets",
         # machinery representatives of the round-5 second wave: one
@@ -6191,6 +6206,12 @@ def _auto_hist_iv_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     o = _oracle_sql_base()
+    # saturated IVF-pruned MaxSim (nprobe = n_centroids probes every
+    # list, the candidate set is every document) == brute-force MaxSim
+    # — the same saturation device as ann_ivf_topk/ann_hnsw_topk, so
+    # the exact oracle checks train/assign/probe/candidate-join end to
+    # end; pruned recall is pytest-gated (tests/test_maxsim.py)
+    o["maxsim_ivf_topk"] = o["maxsim_topk"]
     # --- round-4 sixth block ---
     _h60_win = (
         f"CAST(concat('0x', substr(md5(substr(text, i.i, {DUP_SPAN_K})), 1, 15)) "

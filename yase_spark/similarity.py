@@ -666,6 +666,14 @@ def maxsim_topk(
     pairs = d.join(F.broadcast(qt)).filter(
         F.col("doc_id") != F.col("query_id")
     )
+    return _maxsim_rank(pairs, k)
+
+
+def _maxsim_rank(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared MaxSim scoring tail: (doc_id, vec_id, embedding) x
+    (query_id, qtok, qe) pair rows -> per-(query-token, doc) max of the
+    6dp-rounded cosine -> exact BIGINT micro-unit per-doc sum ->
+    per-query top-k."""
     per_tok = (
         pairs.withColumn("c_r", F.round(F.expr(_COS_SQL), 6))
         .groupBy("query_id", "qtok", "doc_id")
@@ -682,6 +690,89 @@ def maxsim_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score_u6")
     )
+
+
+def maxsim_ivf_topk(
+    emb: DataFrame,
+    vecs_per_doc: int = 5,
+    n_queries: int = 4,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int | None = None,
+    iters: int = 5,
+) -> DataFrame:
+    """IVF-pruned MaxSim — the PLAID serving pipeline (Santhanam et al.
+    2022) done relationally: doc TOKEN vectors are bucketed by the IVF
+    coarse quantizer, each QUERY token probes its ``nprobe`` nearest
+    lists, and only documents with at least one token in a probed list
+    are exactly MaxSim-scored. At 100 TB the token table is written
+    ``partitionBy(cid)`` so the candidate read prunes at the parquet
+    scan (same layout contract as ``ivf_write``); candidate-doc
+    discovery touches only the (vec_id, cid) assignment — m bytes/row,
+    never the vectors.
+
+    Saturation device (the driver-oracle configuration): ``nprobe`` of
+    ``None`` (or >= n_centroids) probes every list, making the
+    candidate set every document — provably identical to
+    :func:`maxsim_topk`, so the exact brute-force oracle checks the
+    train / assign / probe / candidate-join machinery end to end.
+    Pruned recall and the candidate-pruning telemetry are pytest-gated
+    (tests/test_maxsim.py). Output (query_id, rank, doc_id, score_u6),
+    identical schema to :func:`maxsim_topk`."""
+    import numpy as np
+
+    if vecs_per_doc < 1 or n_queries < 1 or k < 1:
+        raise ValueError("vecs_per_doc, n_queries and k must be >= 1")
+    if nprobe is None:
+        nprobe = n_centroids
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    spark = emb.sparkSession
+    C = train_ivf_centroids(emb, n_centroids=n_centroids, iters=iters)
+    d = emb.select(
+        F.expr(f"CAST(vec_id DIV {int(vecs_per_doc)} AS BIGINT)").alias(
+            "doc_id"
+        ),
+        "vec_id",
+        "embedding",
+    )
+    # query bag: request-sized by definition (n_queries * v rows)
+    qrows = bounded_collect(
+        d.filter(F.col("doc_id") < n_queries),
+        n_queries * vecs_per_doc,
+        "maxsim_ivf query bag",
+    )
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    sims = Qn @ C.T
+    nb = min(int(nprobe), C.shape[0])
+    probes = {
+        (int(r["doc_id"]), int(c))
+        for r, srow in zip(qrows, sims)
+        for c in np.argsort(-srow, kind="stable")[:nb]
+    }
+    probe_df = spark.createDataFrame(
+        sorted(probes), "query_id long, cid int"
+    )
+    # candidate docs: >= 1 token in a probed list of that query — the
+    # join touches only (vec_id, cid) scalar rows, never vectors
+    assigned = ivf_assign(emb, C).withColumn(
+        "doc_id",
+        F.expr(f"CAST(vec_id DIV {int(vecs_per_doc)} AS BIGINT)"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probe_df), "cid")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    qt = d.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("vec_id").alias("qtok"),
+        F.col("embedding").alias("qe"),
+    )
+    pairs = d.join(cand, "doc_id").join(F.broadcast(qt), "query_id")
+    return _maxsim_rank(pairs, k)
 
 
 def hard_negatives(

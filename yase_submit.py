@@ -134,8 +134,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "--method",
         choices=["exact", "lsh", "simhash", "semantic", "ivf", "pq",
-                 "ivfpq", "sq", "hnsw", "maxsim", "negatives",
-                 "substrings"],
+                 "ivfpq", "sq", "hnsw", "maxsim", "maxsim_ivf",
+                 "negatives", "substrings"],
         default="lsh",
         help="neardup/ann variant (ivf/pq/ivfpq are ann-only; semantic "
         "= SemDeDup over an embeddings-shaped --corpus)",
@@ -1915,6 +1915,7 @@ def main(argv=None) -> int:
             ivf_ann_topk,
             hard_negatives,
             lsh_ann_topk,
+            maxsim_ivf_topk,
             maxsim_topk,
             sq_ann_topk,
         )
@@ -1943,6 +1944,11 @@ def main(argv=None) -> int:
                 # ColBERT MaxSim late interaction over the contiguous
                 # multi-vector layout (5 token vectors per doc)
                 "maxsim": lambda e, k: maxsim_topk(e, vecs_per_doc=5, k=k),
+                # PLAID-style pruned serving shape (half the lists);
+                # the saturated oracle shape is the driver-contract row
+                "maxsim_ivf": lambda e, k: maxsim_ivf_topk(
+                    e, vecs_per_doc=5, k=k, n_centroids=16, nprobe=8
+                ),
                 # contrastive hard-negative mining; --threshold is the
                 # near-duplicate exclusion bound hi (default 0.1 is the
                 # neardup default — pass e.g. 0.95 for embedding bands)
