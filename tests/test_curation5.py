@@ -172,6 +172,47 @@ def test_ppl_buckets_tercile_shape(spark, pb_docs):
         assert max(hd) <= min(md) and max(md) <= min(tl)
 
 
+def test_ppl_buckets_tiny_languages(spark):
+    """Degenerate language sizes: n=1 -> head; n=2 -> head+middle
+    (ceil(1/3)=1, ceil(2/3)=1 / ceil(2·2/3)=2 — nothing lands in tail
+    until n=3, matching the rank-cut definition)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "xx", "solo doc words here"),
+            (2, "yy", "first doc of two"),
+            (3, "yy", "second doc of two two two"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.doc_id: r.bucket for r in ppl_buckets(docs).collect()}
+    assert got[1] == "head"
+    assert sorted(got[d] for d in (2, 3)) == ["head", "middle"]
+
+
+def test_hard_negatives_with_predicate(spark, emb):
+    """Filter-then-search composes with the band: candidates must
+    satisfy BOTH the metadata predicate and the band bound."""
+    rows = hard_negatives(
+        emb, n_queries=4, k=10, hi=0.3, predicate="vec_id % 2 = 0"
+    ).collect()
+    assert rows, "predicate+band returned nothing"
+    assert all(r.vec_id % 2 == 0 and r.sim_r < 0.3 for r in rows)
+    # and it equals filtering the numpy replay the same way (replay
+    # with unbounded k, THEN apply the predicate, THEN truncate — the
+    # filter-then-search order)
+    want = _numpy_band(emb.toPandas(), 4, 10**6, 0.3)
+    want = {
+        q: [(i, s) for i, s in v if i % 2 == 0][:10]
+        for q, v in want.items()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [(r.vec_id, r.sim_r) for r in rs] == want[q]
+
+
 def test_ppl_buckets_partitioning_stable(spark, pb_docs):
     base = sorted(map(tuple, ppl_buckets(pb_docs).collect()))
     shuf = sorted(
