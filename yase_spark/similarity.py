@@ -25,17 +25,40 @@ _COS_SQL = (
 )
 
 
-def _ranked(joined: DataFrame, k: int) -> DataFrame:
+def _ranked(joined: DataFrame, k: int, hi: float | None = None) -> DataFrame:
     # rank on the 6-dp-rounded similarity (absorbs cross-engine ulp
-    # differences in the float fold), tie-broken by vec_id
+    # differences in the float fold), tie-broken by vec_id; ``hi``
+    # (hard_negatives' band bound) filters sim_r >= hi candidates out
+    # BEFORE the ranking window
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim_r"), F.asc("vec_id")
     )
+    scored = joined.withColumn("sim_r", F.round(F.expr(_COS_SQL), 6))
+    if hi is not None:
+        scored = scored.filter(F.col("sim_r") < hi)
     return (
-        joined.withColumn("sim_r", F.round(F.expr(_COS_SQL), 6))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "sim_r")
+    )
+
+
+def _query_join(
+    emb: DataFrame, n_queries: int, predicate: str | None = None
+) -> DataFrame:
+    """The filter-then-search candidate frame every exact lane shares:
+    first ``n_queries`` vectors broadcast as queries against the
+    (optionally predicate-filtered) candidate table, self excluded.
+    Queries come from the UNFILTERED table — a query needn't satisfy
+    its own filter."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb if predicate is None else emb.filter(F.expr(predicate))
+    return (
+        cand.select("vec_id", "embedding")
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
     )
 
 
@@ -56,14 +79,7 @@ def cosine_topk(
     predicates — and the predicate pushes into the candidate Parquet
     scan (row-group pruning). Composes with the IVF/PQ lanes the same
     way — filter the codes/list scan before ADC."""
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    cand = emb if predicate is None else emb.filter(F.expr(predicate))
-    joined = cand.select("vec_id", "embedding").join(F.broadcast(q)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    return _ranked(joined, k)
+    return _ranked(_query_join(emb, n_queries, predicate), k)
 
 
 def cosine_topk_where(
@@ -651,22 +667,34 @@ def maxsim_topk(
     the MaxSim score in 1e-6 units."""
     if vecs_per_doc < 1 or n_queries < 1 or k < 1:
         raise ValueError("vecs_per_doc, n_queries and k must be >= 1")
+    d, qt = _token_blocks(emb, vecs_per_doc, n_queries)
+    pairs = d.join(F.broadcast(qt)).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    return _maxsim_rank(pairs, k)
+
+
+def _doc_of(vecs_per_doc: int):
+    """The multi-vector layout contract: contiguous vec_id blocks of
+    ``vecs_per_doc`` form a document (doc_id = vec_id DIV v)."""
+    return F.expr(f"CAST(vec_id DIV {int(vecs_per_doc)} AS BIGINT)")
+
+
+def _token_blocks(
+    emb: DataFrame, vecs_per_doc: int, n_queries: int
+) -> tuple[DataFrame, DataFrame]:
+    """The MaxSim lanes' shared frames under the ``_doc_of`` layout:
+    the first ``n_queries`` docs' token vectors form the query bag.
+    Returns (doc tokens, query tokens)."""
     d = emb.select(
-        F.expr(f"CAST(vec_id DIV {int(vecs_per_doc)} AS BIGINT)").alias(
-            "doc_id"
-        ),
-        "vec_id",
-        "embedding",
+        _doc_of(vecs_per_doc).alias("doc_id"), "vec_id", "embedding"
     )
     qt = d.filter(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("query_id"),
         F.col("vec_id").alias("qtok"),
         F.col("embedding").alias("qe"),
     )
-    pairs = d.join(F.broadcast(qt)).filter(
-        F.col("doc_id") != F.col("query_id")
-    )
-    return _maxsim_rank(pairs, k)
+    return d, qt
 
 
 def _maxsim_rank(pairs: DataFrame, k: int) -> DataFrame:
@@ -729,13 +757,7 @@ def maxsim_ivf_topk(
         raise ValueError("nprobe must be >= 1")
     spark = emb.sparkSession
     C = train_ivf_centroids(emb, n_centroids=n_centroids, iters=iters)
-    d = emb.select(
-        F.expr(f"CAST(vec_id DIV {int(vecs_per_doc)} AS BIGINT)").alias(
-            "doc_id"
-        ),
-        "vec_id",
-        "embedding",
-    )
+    d, qt = _token_blocks(emb, vecs_per_doc, n_queries)
     # query bag: request-sized by definition (n_queries * v rows)
     qrows = bounded_collect(
         d.filter(F.col("doc_id") < n_queries),
@@ -757,19 +779,13 @@ def maxsim_ivf_topk(
     # candidate docs: >= 1 token in a probed list of that query — the
     # join touches only (vec_id, cid) scalar rows, never vectors
     assigned = ivf_assign(emb, C).withColumn(
-        "doc_id",
-        F.expr(f"CAST(vec_id DIV {int(vecs_per_doc)} AS BIGINT)"),
+        "doc_id", _doc_of(vecs_per_doc)
     )
     cand = (
         assigned.join(F.broadcast(probe_df), "cid")
         .filter(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id")
         .distinct()
-    )
-    qt = d.filter(F.col("doc_id") < n_queries).select(
-        F.col("doc_id").alias("query_id"),
-        F.col("vec_id").alias("qtok"),
-        F.col("embedding").alias("qe"),
     )
     pairs = d.join(cand, "doc_id").join(F.broadcast(qt), "query_id")
     return _maxsim_rank(pairs, k)
@@ -805,25 +821,7 @@ def hard_negatives(
         raise ValueError("hi must be in (0, 1]")
     if n_queries < 1 or k < 1:
         raise ValueError("n_queries and k must be >= 1")
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    cand = emb if predicate is None else emb.filter(F.expr(predicate))
-    joined = (
-        cand.select("vec_id", "embedding")
-        .join(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim_r", F.round(F.expr(_COS_SQL), 6))
-        .filter(F.col("sim_r") < hi)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim_r"), F.asc("vec_id")
-    )
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "sim_r")
-    )
+    return _ranked(_query_join(emb, n_queries, predicate), k, hi=hi)
 
 
 def semantic_dedup(

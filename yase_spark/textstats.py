@@ -326,9 +326,18 @@ def ppl_buckets(
     from pyspark.sql import Window
 
     ppl = unigram_perplexity(docs, alpha=alpha, split=split)
+    # persist the scored frame: the histogram branch and the doc-level
+    # join both consume ppl_r, and WITHOUT pinning one materialization
+    # each branch would re-execute the avg(lp) aggregation — whose
+    # reduce-side merge order is shuffle-arrival-dependent — so a doc
+    # within an ulp of a 5dp rounding boundary could carry DIFFERENT
+    # ppl_r values into the two branches and vanish from the inner
+    # join (the same ulp-straddle class the integer-key lanes close).
+    # At 100 TB this pin is a staged/checkpointed table, same contract.
     j = (
         ppl.join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "dl", F.round("ppl", 5).alias("ppl_r"))
+        .persist()
     )
     hist = j.groupBy("lang", "ppl_r").agg(F.count("*").alias("c"))
     hw = (

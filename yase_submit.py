@@ -137,10 +137,16 @@ def main(argv=None) -> int:
                  "ivfpq", "sq", "hnsw", "maxsim", "maxsim_ivf",
                  "negatives", "substrings"],
         default="lsh",
-        help="neardup/ann variant (ivf/pq/ivfpq are ann-only; semantic "
-        "= SemDeDup over an embeddings-shaped --corpus)",
+        help="neardup/ann variant (ivf/pq/ivfpq/sq/hnsw/maxsim/"
+        "maxsim_ivf/negatives are ann-only; semantic = SemDeDup over "
+        "an embeddings-shaped --corpus)",
     )
     p.add_argument("--threshold", type=float, default=0.1)
+    p.add_argument(
+        "--hi", type=float, default=0.95,
+        help="ann --method negatives: near-duplicate exclusion bound "
+        "(candidates with sim_r >= hi are not negatives)",
+    )
     p.add_argument(
         "--format", choices=["parquet", "jsonl", "csv"], default=None,
         help="corpus format for build/positions/trigrams/grep "
@@ -1893,8 +1899,13 @@ def main(argv=None) -> int:
             out = jaccard_pairs(docs, threshold=args.threshold)
         elif args.method == "lsh":
             out = minhash_lsh_pairs(docs, threshold=args.threshold)
-        else:
+        elif args.method == "simhash":
             out = simhash_pairs(docs)
+        else:
+            raise SystemExit(
+                f"--method {args.method} is ann-only; neardup methods: "
+                "exact | lsh | simhash | semantic | substrings"
+            )
         if args.cluster:
             # pairs -> duplicate groups with the keep-lowest policy
             out = dup_groups(
@@ -1921,7 +1932,16 @@ def main(argv=None) -> int:
         )
 
         emb = spark.read.parquet(args.corpus)
-        if args.predicate:
+        if args.predicate and args.method == "negatives":
+            # filter-then-search composes with the band natively
+            out = hard_negatives(
+                emb, k=args.k, hi=args.hi, predicate=args.predicate
+            )
+        elif args.predicate and args.method in ("maxsim", "maxsim_ivf"):
+            raise SystemExit(
+                "--predicate is not supported for the MaxSim methods"
+            )
+        elif args.predicate:
             # metadata-filtered exact ANN (filter-then-search)
             from yase_spark.similarity import cosine_topk_where
 
@@ -1949,12 +1969,11 @@ def main(argv=None) -> int:
                 "maxsim_ivf": lambda e, k: maxsim_ivf_topk(
                     e, vecs_per_doc=5, k=k, n_centroids=16, nprobe=8
                 ),
-                # contrastive hard-negative mining; --threshold is the
-                # near-duplicate exclusion bound hi (default 0.1 is the
-                # neardup default — pass e.g. 0.95 for embedding bands)
-                "negatives": lambda e, k: hard_negatives(
-                    e, k=k, hi=args.threshold
-                ),
+                # contrastive hard-negative mining; --hi is the
+                # near-duplicate exclusion bound (its own flag, NOT
+                # --threshold: the neardup default 0.1 would mine the
+                # easiest negatives instead of the hardest)
+                "negatives": lambda e, k: hard_negatives(e, k=k, hi=args.hi),
             }[args.method]
             out = fn(emb, k=args.k)
         if args.out:
