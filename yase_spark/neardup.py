@@ -52,7 +52,10 @@ def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs via array
-    intersection on the shingle sets (JVM).
+    intersection on the HASHED shingle sets (JVM; ``sh`` carries
+    (doc_id, sh: array<bigint>) — 8 bytes per member through the join
+    instead of the shingle string, intersection counts unchanged iff
+    collision-free, same class as jaccard_pairs).
 
     The pair is exploded to (pair, doc) rows and joined with the shingle
     table ONCE; the two sides are then reassembled by a (doc_a, doc_b)
@@ -182,32 +185,43 @@ def _bucket_pairs(
 def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFrame:
     """EXACT near-dup pairs: k-shingle Jaccard >= threshold.
 
-    Inverted-index join on the shingle (pairs only where sets overlap),
-    then count-based Jaccard. Exact and oracle-checkable; the scale
-    limitation (hot shingles) is what minhash_lsh_pairs addresses.
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Inverted-index grouping on the shingle (pairs only where sets
+    overlap), then count-based Jaccard. Exact and oracle-checkable; the
+    scale limitation (hot shingles) is what minhash_lsh_pairs
+    addresses. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Shape (guide §2.3/§2.4): the per-doc shingle-set size rides each
+    exploded row, so ONE evaluation of the shingle subtree feeds the
+    whole operator — the r5 self-join + two size-lookup joins evaluated
+    the regex shingling three times (once per broadcast build). The
+    exploded/shuffled key is the shingle's xxhash64 (8 bytes), never
+    the shingle string (~20+ bytes + per-row string materialization:
+    hashing before the explode measured 4x on the explode alone and
+    4x on the pair expansion; intersection counts are unchanged iff
+    collision-free — shingles are distinct per doc, so hashes are too).
+    In-bucket pair expansion is exactness-preserving
+    (``over_cap="chunk"`` like SimHash); pair multiplicity equals the
+    intersection count.
     """
-    sh = doc_shingles(docs, k)
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    inter = (
-        ex.alias("a")
-        .join(ex.alias("b"), "s")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
+    sized = doc_shingles(docs, k).select(
+        "doc_id",
+        F.size("sh").alias("n"),
+        F.explode(F.expr("transform(sh, s -> xxhash64(s))")).alias("s"),
+    )
+    cand = _bucket_pairs(
+        sized.select("s", F.struct("doc_id", "n").alias("dn")),
+        ["s"],
+        "dn",
+        over_cap="chunk",
     )
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
+        cand.groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
+        .agg(F.count("*").alias("inter"))
         .withColumn(
             "jaccard",
             F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter")),
@@ -316,7 +330,10 @@ def minhash_lsh_pairs(
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
-    return _verify_pairs(cand, doc_shingles(docs, k), threshold)
+    sh_hashed = doc_shingles(docs, k).select(
+        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("sh")
+    )
+    return _verify_pairs(cand, sh_hashed, threshold)
 
 
 # --------------------------------------------------------------- dup groups
@@ -341,18 +358,30 @@ def dup_groups(
        round, giving the familiar ~log(diameter) convergence on the
        clique-ish components near-dup graphs produce.
 
-    Iterations are bounded by ``max_iter`` with a convergence check (one
-    LIMIT-1 existence probe per round); non-convergence raises instead
-    of returning partial clusters. ``localCheckpoint`` truncates the
+    Iterations are bounded by ``max_iter`` with a convergence check
+    (an Observation riding the checkpoint materialization — zero extra
+    action per round); non-convergence raises instead of returning
+    partial clusters. ``localCheckpoint`` truncates the
     lineage each round so the plan stays O(1) deep. At adversarial
     diameters (10^12-row path graphs) the drop-in upgrade is
     alternating large-star/small-star; near-dup components are dense,
     so min-label + jumping is the right default.
     """
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    # both orientations from ONE evaluation of the pairs subtree: a
+    # union of two selects over an unpersisted upstream (the r5 shape)
+    # executes that upstream once PER BRANCH — for a lazily-passed
+    # jaccard/minhash pairs frame that doubled the whole candidate
+    # pipeline (measured: the bench's dup_keep_best spent ~6 s
+    # re-deriving its pair set a second time). One explode emits (a, b)
+    # and (b, a) per pair in a single pass.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b").persist()
     # propagate over the PAIR-TOUCHED nodes only: a doc in no pair can
     # never change label, so iterating the full corpus through every
     # round (the round-3 version) did corpus-sized joins per iteration —
@@ -363,40 +392,47 @@ def dup_groups(
     labels = nodes.select(
         F.col("doc_id"), F.col("doc_id").alias("lbl")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["a"] == labels["doc_id"])
             .groupBy(edges["b"].alias("doc_id"))
             .agg(F.min("lbl").alias("nl"))
         )
+        # the OLD label rides the stepped frame (o_lbl), so the change
+        # flag needs no third self-join against the previous labels —
+        # one join fewer per iteration than the r5 shape
         stepped = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("lbl").alias("o_lbl"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
             )
         )
         jump_map = stepped.select(
             F.col("doc_id").alias("j_doc"), F.col("lbl").alias("j_lbl")
         )
-        # the convergence flag rides the SAME materialization as the new
-        # labels (doc_id is its own initial label, so old label == doc_id
-        # comparison needs no extra join): one localCheckpoint action per
-        # iteration, then a cheap scan of the checkpointed data for the
-        # existence probe
-        old = labels.select(
-            F.col("doc_id").alias("o_doc"), F.col("lbl").alias("o_lbl")
-        )
+        # the convergence count rides the SAME job as the checkpoint
+        # materialization (Observation — accumulator-backed, zero extra
+        # action): one Spark action per iteration total, vs the r5
+        # shape's checkpoint + existence-probe pair
+        obs = Observation(f"dup-groups-iter-{it}")
         staged = (
             stepped.join(jump_map, stepped["lbl"] == jump_map["j_doc"], "left")
-            .select("doc_id", F.coalesce("j_lbl", "lbl").alias("lbl"))
-            .join(old, F.col("doc_id") == F.col("o_doc"))
             .select(
-                "doc_id", "lbl", (F.col("lbl") != F.col("o_lbl")).alias("chg")
+                "doc_id",
+                F.coalesce("j_lbl", "lbl").alias("lbl"),
+                "o_lbl",
+            )
+            .observe(
+                obs,
+                F.sum((F.col("lbl") != F.col("o_lbl")).cast("long")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = staged.filter(F.col("chg")).limit(1).count()
+        changed = int(obs.get["chg"] or 0)
         labels = staged.select("doc_id", "lbl")
         if changed == 0:
             break
@@ -512,18 +548,23 @@ def dup_spans(
     ``dup_char_frac = dup_chars / n_chars``.
 
     Scale shape: ONE corpus pass explodes window starts (sequence with
-    ``stride``), the shuffle key is the 60-bit md5 of the window (8
-    bytes — the window text itself never shuffles), one hash aggregate
-    counts occurrences, one join brings dup flags back, and coverage is
-    a per-doc distinct count. Cost is O(chars/stride) rows — the same
+    ``stride``), the shuffle key is the 64-bit xxhash64 of the window
+    (8 bytes — the window text itself never shuffles), the duplicate
+    flag is one count(*) window over h on the SAME shuffled pass (no
+    second explode, no aggregate-then-join-back: the r5 shape evaluated
+    the window explode+hash subtree twice because the dup-key side was
+    broadcast, not exchange-shared — measured 15.8 s -> 2.3 s at sf0.1,
+    guide §2.4), and coverage is a per-doc fold. The hash is internal
+    only (the oracle recomputes duplication from the raw text with its
+    own hash; both are exact iff collision-free, and 10M windows
+    collide a 64-bit space with P ~ 3e-6 — same accepted class as the
+    previous 60-bit key). Cost is O(chars/stride) rows — the same
     asymptotics as the paper's suffix array, expressed relationally.
     ``stride=s`` is the documented 100-TB knob (winnowing-style
     subsampling): every duplicated span of length >= k + s - 1 still
     contains an aligned window on both sides of the copy only when the
     copies are phase-aligned, so s > 1 trades exactness of the >= k
     guarantee for an exact >= k + s - 1 one at 1/s the rows."""
-    from .curation import _h60
-
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("__t"),
@@ -541,19 +582,16 @@ def dup_spans(
         .select(
             "doc_id",
             "pos",
-            F.expr(_h60(f"substring(__t, pos, {k})")).alias("h"),
+            F.xxhash64(F.expr(f"substring(__t, pos, {k})")).alias("h"),
         )
     )
-    dup_keys = (
-        wins.groupBy("h")
-        .agg(F.count("*").alias("occ"))
+    wh = Window.partitionBy("h")
+    dup_wins = (
+        wins.withColumn("occ", F.count("*").over(wh))
         .filter(F.col("occ") >= 2)
-        .select("h")
+        .select("doc_id", "pos")
     )
-    dup_wins = wins.join(dup_keys, "h").select("doc_id", "pos")
-    # n_windows is closed-form — never pay a scan for it (and the two
-    # remaining consumers of the window frame both shuffle by h, so
-    # Catalyst reuses one exchange for the count and the join-back)
+    # n_windows is closed-form — never pay a scan for it
     n_wins_expr = F.when(
         F.col("n_chars") >= k,
         F.expr(f"(n_chars - {k}) div {stride}") + 1,
@@ -619,18 +657,20 @@ def dedup_substrings(
     windows (overlaps counted once).
 
     Scale shape: the dup_spans machinery verbatim — window explode with
-    the 60-bit md5 shuffle key (window text never shuffles), one hash
-    aggregate electing the keeper occurrence per duplicated hash
-    (struct-min, deterministic), the join-back flags cut positions, and
-    the REMOVAL is a single per-doc fold over the sorted cut starts
+    the 64-bit xxhash64 shuffle key (window text never shuffles; hash
+    internal only, exact iff collision-free — see dup_spans), the
+    keeper occurrence per duplicated hash elected by a struct-min
+    window over h ON THE SAME shuffled pass (deterministic; no second
+    explode, no aggregate-then-broadcast-join — guide §2.4, same
+    measured 2x-pass removal as dup_spans), the occ/keeper filter flags
+    cut positions, and the REMOVAL is a single per-doc fold over the
+    sorted cut starts
     (``aggregate`` with a (text, cursor) struct accumulator: emit the
     uncovered gap before each cut, advance the cursor past it) — no
     per-character explode, no interval pre-merge (the cursor max
     handles overlaps), whole-stage codegen. stride is pinned to 1:
     removal needs every window position (subsampled detection cannot
     say WHICH chars to cut)."""
-    from .curation import _h60
-
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("__t"),
@@ -648,23 +688,19 @@ def dedup_substrings(
         .select(
             "doc_id",
             "pos",
-            F.expr(_h60(f"substring(__t, pos, {k})")).alias("h"),
+            F.xxhash64(F.expr(f"substring(__t, pos, {k})")).alias("h"),
         )
     )
-    keepers = (
-        wins.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("occ"),
-            F.min(F.struct("doc_id", "pos")).alias("keep"),
-        )
-        .filter(F.col("occ") >= 2)
-        .select("h", "keep.doc_id", "keep.pos")
-        .withColumnsRenamed({"doc_id": "k_doc", "pos": "k_pos"})
-    )
+    wh = Window.partitionBy("h")
     cuts = (
-        wins.join(keepers, "h")
+        wins.withColumn("occ", F.count("*").over(wh))
+        .withColumn("keep", F.min(F.struct("doc_id", "pos")).over(wh))
         .filter(
-            ~((F.col("doc_id") == F.col("k_doc")) & (F.col("pos") == F.col("k_pos")))
+            (F.col("occ") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("keep.doc_id"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
         )
         .select("doc_id", "pos")
     )
