@@ -76,35 +76,46 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
 
     Both sides tokenize identically (lowercased ``[a-z0-9_]+`` runs),
     so a benchmark doc that also appears verbatim in the corpus always
-    flags itself. Join key is the 60-bit gram hash, not the gram
-    string — the broadcast table and the shuffle-free probe stay
-    narrow no matter how long the grams are.
+    flags itself. Join key is the 64-bit xxhash64 of the gram, not the
+    gram string — the broadcast table and the shuffle-free probe stay
+    narrow no matter how long the grams are (internal only: the oracle
+    joins on the raw gram, counts agree iff collision-free — grams are
+    distinct per doc, so hashes are too).
+
+    ONE corpus tokenize pass (guide §2.4): n_grams and n_hits come from
+    the same per-doc aggregate over the exploded grams (the broadcast
+    bench join marks hits), instead of the r5 shape's second full
+    regex+gram evaluation for the n_grams side; only zero-gram docs
+    re-enter via a column-pruned id scan.
     """
     w = f"regexp_extract_all(lower(text), '{WORD_RE}', 0)"
     doc_grams = (
         docs.select("doc_id", F.expr(w).alias("w"))
         .select("doc_id", F.explode(F.expr(_grams_expr(n))).alias("g"))
-        .select("doc_id", F.expr(_h60("g")).alias("h"))
+        .select("doc_id", F.xxhash64("g").alias("h"))
     )
     bench_grams = (
         bench.select(F.expr(w).alias("w"))
         .select(F.explode(F.expr(_grams_expr(n))).alias("g"))
-        .select(F.expr(_h60("g")).alias("h"))
+        .select(F.xxhash64("g").alias("h"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "h")
+    agg = (
+        doc_grams.join(F.broadcast(bench_grams), "h", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(
+            # cast pins the historical size()-typed schema (int)
+            F.count("*").cast("int").alias("n_grams"),
+            F.count("hit").alias("n_hits"),
+        )
     )
-    base = docs.select(
-        "doc_id", F.expr(w).alias("w")
-    ).select("doc_id", F.expr(f"size({_grams_expr(n)})").alias("n_grams"))
     return (
-        base.join(F.broadcast(hits), "doc_id", "left")
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
-            "n_grams",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
@@ -352,8 +363,10 @@ def line_dedup(
     ``removed_chars`` — the audit columns a curation pipeline logs.
 
     Scale shape: one corpus pass explodes lines with their positions;
-    the global frequency shuffle is keyed by the 60-bit md5 of the line
-    (8 bytes/line — line text never rides the frequency shuffle);
+    the global frequency shuffle is keyed by the line's xxhash64
+    (8 bytes/line — line text never rides the frequency shuffle; the
+    hash is internal only — the oracle groups by the raw line — and
+    ~2x cheaper per row than the previous md5-derived key);
     ``countDistinct(doc_id)`` is the standard two-phase expand; the
     reassembly is one doc_id-keyed aggregation whose per-doc state is
     the doc's own line list (bounded by doc size — the same bound as
@@ -362,7 +375,7 @@ def line_dedup(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
     )
-    keyed = lines.withColumn("h", F.expr(_h60("line")))
+    keyed = lines.withColumn("h", F.xxhash64("line"))
     boiler = (
         keyed.filter(F.length(F.trim("line")) > 0)
         .groupBy("h")

@@ -186,10 +186,13 @@ def importance_weights(
             F.expr(f"filter(split(lower(text), '{SPLIT}'), x -> x <> '')")
         ).alias("term"),
     )
+    # one materialization (vocab-sized, localCheckpoint: blocks are
+    # context-cleaned on GC) feeds the scalar collect AND the ratio
+    # join — unpinned, the corpus tokenize+aggregate ran twice
     counts = toks.groupBy("term").agg(
         F.count("*").alias("c_raw"),
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("c_t"),
-    )
+    ).localCheckpoint(eager=True)
     tot = counts.agg(
         F.sum("c_raw").alias("t_raw"),
         F.sum("c_t").alias("t_t"),

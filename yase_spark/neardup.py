@@ -129,32 +129,39 @@ def _bucket_pairs(
         .agg(F.sort_array(F.collect_list(payload)).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    tri = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct(x as a, y as b))))"
-    )
-    small = (
-        agg.filter(F.size("ds") <= F.lit(max_bucket))
-        .select(F.explode(F.expr(tri)).alias("p"))
-        .select("p.a", "p.b")
-    )
     if over_cap == "drop":
-        return small
-    # chunked expansion of over-full buckets. C is sized so a chunk-pair
-    # row stays task-cheap (C² <= ~4.2M pairs) while shuffle volume is
-    # 2·M²/C members per degenerate bucket; chunks come pre-sorted from
-    # sort_array, so for ci < cj every xs element < every ys element and
-    # a < b needs no filter.
+        tri = (
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x as a, y as b))))"
+        )
+        return (
+            agg.filter(F.size("ds") <= F.lit(max_bucket))
+            .select(F.explode(F.expr(tri)).alias("p"))
+            .select("p.a", "p.b")
+        )
+    # chunk mode: EVERY bucket goes through the chunked expansion — a
+    # bucket of <= C members is exactly one diagonal chunk-pair whose
+    # expansion is the triangular product, so one code path covers both
+    # regimes. (The r5 shape unioned a small-bucket triangular branch
+    # with a big-bucket chunked branch; the two branches re-evaluated
+    # the whole upstream aggregate — for SimHash that meant computing
+    # every 60-bit simhash twice. guide §2.4.) C is sized so a
+    # chunk-pair row stays task-cheap (C² <= ~4.2M pairs) while shuffle
+    # volume is 2·M²/C members per degenerate bucket; chunks come
+    # pre-sorted from sort_array, so for ci < cj every xs element <
+    # every ys element and a < b needs no filter. Diagonal rows carry
+    # an empty ys (xs self-pairs) so the repartition shuffle moves each
+    # member once, not twice.
     C = min(max_bucket, 2048)
     chunked = (
-        agg.filter(F.size("ds") > F.lit(max_bucket))
-        .select(
+        agg.select(
             F.explode(
                 F.expr(
                     f"flatten(transform(sequence(0, int(ceil(size(ds) / {C}.0)) - 1), "
                     f"i -> transform(sequence(i, int(ceil(size(ds) / {C}.0)) - 1), "
                     f"j -> struct(slice(ds, i * {C} + 1, {C}) as xs, "
-                    f"slice(ds, j * {C} + 1, {C}) as ys, i = j as same))))"
+                    f"CASE WHEN i = j THEN array() ELSE slice(ds, j * {C} + 1, {C}) END as ys, "
+                    f"i = j as same))))"
                 )
             ).alias("cp")
         )
@@ -162,7 +169,7 @@ def _bucket_pairs(
             int(rows.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
         )
     )
-    big = chunked.select(
+    return chunked.select(
         F.explode(
             F.when(
                 F.col("cp.same"),
@@ -179,7 +186,6 @@ def _bucket_pairs(
             )
         ).alias("p")
     ).select("p.a", "p.b")
-    return small.unionByName(big)
 
 
 def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFrame:

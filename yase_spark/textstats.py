@@ -189,7 +189,16 @@ def unigram_perplexity(docs: DataFrame, alpha: float = 1.0,
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), split)).alias("term")
     ).filter(F.col("term") != "")
-    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    # materialize the vocabulary-sized counts once (localCheckpoint —
+    # blocks are context-cleaned when the frame is GC'd, unlike a
+    # CacheManager persist): the scalar collect AND the term-keyed join
+    # both consume it, and unpinned each would re-run the corpus
+    # tokenize+aggregate (guide §5 cache-when-reused)
+    counts = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     tot = counts.agg(
         F.sum("c").alias("t_total"), F.count("*").alias("v")
     ).collect()[0]
@@ -263,8 +272,13 @@ def bigram_perplexity(docs: DataFrame, fit_docs: DataFrame | None = None,
     cb = _adjacent_pairs(fit_arr).groupBy("t1", "t2").agg(
         F.count("*").alias("cb")
     )
-    cu = fit_arr.select(F.explode("a").alias("term")).groupBy("term").agg(
-        F.count("*").alias("cu")
+    # one materialization (vocab-sized) feeds the scalar, c1 and c2 —
+    # unpinned, the fit-corpus tokenize+aggregate ran three times
+    cu = (
+        fit_arr.select(F.explode("a").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cu"))
+        .localCheckpoint(eager=True)
     )
     t_total = float(cu.agg(F.sum("cu").alias("t")).collect()[0]["t"] or 0)
     if t_total <= 0:
@@ -326,18 +340,23 @@ def ppl_buckets(
     from pyspark.sql import Window
 
     ppl = unigram_perplexity(docs, alpha=alpha, split=split)
-    # persist the scored frame: the histogram branch and the doc-level
+    # pin the scored frame: the histogram branch and the doc-level
     # join both consume ppl_r, and WITHOUT pinning one materialization
     # each branch would re-execute the avg(lp) aggregation — whose
     # reduce-side merge order is shuffle-arrival-dependent — so a doc
     # within an ulp of a 5dp rounding boundary could carry DIFFERENT
     # ppl_r values into the two branches and vanish from the inner
     # join (the same ulp-straddle class the integer-key lanes close).
-    # At 100 TB this pin is a staged/checkpointed table, same contract.
+    # localCheckpoint (not persist): an eager materialization pins the
+    # bytes the same way, and the blocks are context-cleaned when the
+    # frame is garbage-collected — a CacheManager persist with no
+    # unpersist leaked executor cache across repeated library calls
+    # (ADVICE r5). At 100 TB this pin is a staged/checkpointed table,
+    # same contract.
     j = (
         ppl.join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "dl", F.round("ppl", 5).alias("ppl_r"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     hist = j.groupBy("lang", "ppl_r").agg(F.count("*").alias("c"))
     hw = (
