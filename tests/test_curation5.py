@@ -80,6 +80,14 @@ def test_band_actually_excludes(spark, emb):
         for r in hard_negatives(emb, n_queries=6, k=10, hi=1.0).collect()
     }
     assert loose == plain
+    # hi slightly above 1 is the TRUE band-off value (hi=1.0 still
+    # excludes rounded-1.0 pairs; none exist in this fixture): it must
+    # validate and reproduce the unfiltered ranking exactly
+    off = {
+        (r.query_id, r.rank): r.vec_id
+        for r in hard_negatives(emb, n_queries=6, k=10, hi=1.000001).collect()
+    }
+    assert off == plain
 
 
 def test_hard_negatives_validation(emb):

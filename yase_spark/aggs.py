@@ -999,20 +999,26 @@ def terms_sharded(
 
     if n_shards < 1 or shard_size < 1 or size < 1:
         raise ValueError("n_shards, shard_size and size must be >= 1")
-    toks = (
-        docs.select(
-            (F.col("doc_id") % n_shards).alias("shard"),
-            "doc_id",
-            F.explode(F.split(F.lower("text"), split)).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .distinct()
+    # per-doc distinct happens map-side (array_distinct before the
+    # explode — no corpus-wide distinct shuffle), and the ranked term
+    # table (vocab x shards — bounded) pins once: returned, the error
+    # rows AND the total each consume it, and unpinned each re-ran the
+    # corpus tokenize+aggregate
+    toks = docs.select(
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), split), lambda x: x != "")
+            )
+        ).alias("term"),
     )
     counts = toks.groupBy("shard", "term").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
-    ranked = counts.withColumn("rn", F.row_number().over(w))
+    ranked = counts.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     returned = ranked.filter(F.col("rn") <= shard_size)
     # a shard's error contribution: its shard_size-th count, or 0 when
     # it returned every term it has
@@ -1466,14 +1472,19 @@ def frequent_item_sets(
 
     Scale shape: the Apriori lattice never materializes — the bounded
     vocabulary broadcasts into the token scan, each doc reduces to its
-    sorted distinct item array (one hash agg), and k-sets are
-    ``transform``/``slice`` combination expressions over those arrays
-    (pure codegen; fan-out bounded by C(|vocab ∩ doc|, k)). Support
-    counting is one hash agg per size on set-keyed rows; the
-    closedness anti-joins run on the support-filtered RESULT frames
-    (broadcast nested loop over bucket-sized data). At 100 TB the
-    vocabulary bound is the knob — it caps per-doc fan-out
-    independent of corpus size."""
+    sorted distinct item array (one hash agg), and ALL k-set sizes are
+    one concatenated ``transform``/``slice`` combination expression
+    over those arrays (pure codegen; fan-out bounded by
+    C(|vocab ∩ doc|, k)), so support counting is ONE hash agg over
+    set-keyed rows — the r5 shape ran a separate explode+aggregate per
+    size, re-evaluating the per-doc item reduction three times. The
+    support-filtered result (bucket-sized by construction) is pinned
+    once (localCheckpoint) and the closedness anti-joins run on its
+    per-size slices (broadcast nested loop over bucket-sized data). At
+    100 TB the vocabulary bound is the knob — it caps per-doc fan-out
+    independent of corpus size. Per-doc distinct happens map-side
+    (array_distinct before the explode), never as a corpus-wide
+    distinct shuffle."""
     if not 1 <= max_size <= 3:
         raise ValueError("max_size must be in [1, 3]")
     if not 0.0 < min_support <= 1.0:
@@ -1484,8 +1495,13 @@ def frequent_item_sets(
     n_docs = docs.count()
     thresh = int(-(-min_support * n_docs // 1))  # ceil
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), split)).alias("term")
-    ).filter(F.col("term") != "").distinct()
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), split), lambda x: x != "")
+            )
+        ).alias("term"),
+    )
     vocab = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1498,38 +1514,33 @@ def frequent_item_sets(
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("term")).alias("it"))
     )
-    frames = []
-    sets1 = items.select(F.explode("it").alias("a")).select(
-        F.col("a").alias("item_set")
-    )
-    frames.append((1, sets1))
+    pieces = ["it"]
     if max_size >= 2:
-        pairs = (
+        pieces.append(
             "flatten(transform(it, (x, i) -> "
             "transform(slice(it, i + 2, size(it) - i - 1), "
             "y -> concat(x, ' ', y))))"
         )
-        frames.append(
-            (2, items.select(F.explode(F.expr(pairs)).alias("item_set")))
-        )
     if max_size >= 3:
-        triples = (
+        pieces.append(
             "flatten(transform(it, (x, i) -> "
             "flatten(transform(slice(it, i + 2, size(it) - i - 1), (y, j) -> "
             "transform(slice(it, i + j + 3, size(it) - i - j - 2), "
             "z -> concat(x, ' ', y, ' ', z))))))"
         )
-        frames.append(
-            (3, items.select(F.explode(F.expr(triples)).alias("item_set")))
-        )
+    all_sets = pieces[0] if len(pieces) == 1 else "concat(" + ", ".join(pieces) + ")"
+    freq_all = (
+        items.select(F.explode(F.expr(all_sets)).alias("item_set"))
+        .groupBy("item_set")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= thresh)
+        .localCheckpoint(eager=True)
+    )
     freq = {}
-    for size, frame in frames:
-        freq[size] = (
-            frame.groupBy("item_set")
-            .agg(F.count(F.lit(1)).alias("support"))
-            .filter(F.col("support") >= thresh)
-            .withColumn("size", F.lit(size))
-        )
+    for size in range(1, max_size + 1):
+        freq[size] = freq_all.filter(
+            F.size(F.split("item_set", " ")) == size
+        ).withColumn("size", F.lit(size))
     # closedness: drop S when a strict superset one larger has EQUAL
     # support (transitive: equal-support chains collapse to the top)
     kept = []
@@ -1823,8 +1834,11 @@ def sampler_agg(
     (_score DESC, doc_id ASC); the sub-agg reports per-lang doc count
     + mean length over the union of kept docs.
 
-    Scale shape: one token-stream semi-join against the broadcast term
-    set reduces the corpus to (doc, score) rows; the truncation is a
+    Scale shape: the per-doc score is a MAP-SIDE array_intersect of
+    the doc's distinct tokens against the request-sized term list —
+    no shuffle at all before the per-shard truncation window (the r5
+    shape shuffled the corpus's entire distinct token stream just to
+    semi-join a handful of terms out of it); the truncation is a
     window PARTITIONED BY shard over scored-match-sized data; sub-aggs
     run over <= n_shards * shard_size rows. On the real index the
     scored stream comes out of the postings fetch, same topology."""
@@ -1834,18 +1848,22 @@ def sampler_agg(
         raise ValueError("n_shards and shard_size must be >= 1")
     if not score_terms:
         raise ValueError("score_terms must be non-empty")
-    terms = docs.sparkSession.createDataFrame(
-        [(t,) for t in score_terms], "term string"
-    )
+    tarr = F.array(*[F.lit(t) for t in score_terms])
     scored = (
         docs.select(
-            "doc_id", F.explode(F.split(F.lower("text"), split)).alias("term")
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(
+                        F.filter(
+                            F.split(F.lower("text"), split), lambda x: x != ""
+                        )
+                    ),
+                    tarr,
+                )
+            ).cast("long").alias("score"),
         )
-        .filter(F.col("term") != "")
-        .distinct()
-        .join(F.broadcast(terms), "term")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("score"))
+        .filter(F.col("score") >= 1)
     )
     win = Window.partitionBy("shard").orderBy(F.desc("score"), F.asc("doc_id"))
     kept = (

@@ -41,12 +41,6 @@ def _rank_top(scored: DataFrame, order, k: int, cols: list[str]) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(*cols)
 
 
-def _tok(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), SPLIT)).alias("term")
-    ).filter(F.col("term") != "")
-
-
 def related_terms(
     docs: DataFrame,
     seed: str,
@@ -61,9 +55,20 @@ def related_terms(
     reports itself; ties rank by pmi DESC, term ASC. ``dictionary`` is
     an optional (term, df) background table (the index's published
     dictionary) that replaces the background aggregation.
+
+    Shape: per-doc distinct happens MAP-SIDE (array_distinct before the
+    explode — the r5 corpus-wide ``.distinct()`` paid a full token
+    shuffle, and its subtree was re-evaluated for the seed-doc probe
+    and the seed count on top of the pair join, three shuffles of the
+    same stream); the seed-doc set is a map-only array_contains filter.
     """
-    toks = _tok(docs).distinct()
-    seed_docs = toks.filter(F.col("term") == seed).select("doc_id")
+    warr = F.array_distinct(
+        F.filter(F.split(F.lower("text"), SPLIT), lambda t: t != "")
+    )
+    toks = docs.select("doc_id", F.explode(warr).alias("term"))
+    seed_docs = docs.select("doc_id", warr.alias("w")).filter(
+        F.array_contains("w", seed)
+    ).select("doc_id")
     pairs = (
         toks.join(seed_docs, "doc_id")
         .filter(F.col("term") != seed)

@@ -82,17 +82,27 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
     joins on the raw gram, counts agree iff collision-free — grams are
     distinct per doc, so hashes are too).
 
-    ONE corpus tokenize pass (guide §2.4): n_grams and n_hits come from
-    the same per-doc aggregate over the exploded grams (the broadcast
-    bench join marks hits), instead of the r5 shape's second full
-    regex+gram evaluation for the n_grams side; only zero-gram docs
-    re-enter via a column-pruned id scan.
+    ONE corpus tokenize pass (guide §2.4): the per-doc gram count rides
+    each exploded row (explode_outer keeps zero-gram docs, with a NULL
+    hash that can never match), the broadcast bench join marks hits,
+    and one map-side-combinable per-doc aggregate emits both columns —
+    the r5 shape ran the full regex+gram evaluation a second time just
+    for the n_grams side.
     """
     w = f"regexp_extract_all(lower(text), '{WORD_RE}', 0)"
-    doc_grams = (
+    sized = (
         docs.select("doc_id", F.expr(w).alias("w"))
-        .select("doc_id", F.explode(F.expr(_grams_expr(n))).alias("g"))
-        .select("doc_id", F.xxhash64("g").alias("h"))
+        .select("doc_id", F.expr(_grams_expr(n)).alias("gs"))
+        .select(
+            "doc_id",
+            F.size("gs").alias("n_grams"),
+            F.explode_outer("gs").alias("g"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.when(F.col("g").isNotNull(), F.xxhash64("g")).alias("h"),
+        )
     )
     bench_grams = (
         bench.select(F.expr(w).alias("w"))
@@ -101,23 +111,18 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    agg = (
-        doc_grams.join(F.broadcast(bench_grams), "h", "left")
+    return (
+        sized.join(F.broadcast(bench_grams), "h", "left")
         .groupBy("doc_id")
         .agg(
-            # cast pins the historical size()-typed schema (int)
-            F.count("*").cast("int").alias("n_grams"),
+            F.min("n_grams").alias("n_grams"),
             F.count("hit").alias("n_hits"),
         )
-    )
-    return (
-        docs.select("doc_id")
-        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
 

@@ -110,21 +110,39 @@ def terms_lookup(
     lookup doc's terms (filter context — constant score), ranked for
     output stability by ``matched_terms`` (distinct lookup terms
     present) DESC, doc_id ASC, top ``k``. The lookup doc itself is a
-    legitimate hit, as in ES."""
+    legitimate hit, as in ES.
+
+    Shape: the lookup term set is request-sized by construction
+    (<= max_terms rows), so it collects once and the per-doc match
+    count is a MAP-SIDE array_intersect against the literal list —
+    no shuffle before the TakeOrdered cap (the r5 shape shuffled the
+    corpus's whole distinct token stream to semi-join <= 16 terms)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    terms = F.broadcast(lookup_terms(docs, lookup_id, max_terms, split))
-    stream = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.lower("text"), split)).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .distinct()
+    tl = sorted(
+        r["term"]
+        for r in lookup_terms(docs, lookup_id, max_terms, split).collect()
     )
+    if not tl:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, matched_terms long"
+        )
+    tarr = F.array(*[F.lit(t) for t in tl])
     return (
-        stream.join(terms, "term")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("matched_terms"))
+        docs.select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(
+                        F.filter(
+                            F.split(F.lower("text"), split), lambda x: x != ""
+                        )
+                    ),
+                    tarr,
+                )
+            ).cast("long").alias("matched_terms"),
+        )
+        .filter(F.col("matched_terms") >= 1)
         .orderBy(F.desc("matched_terms"), F.asc("doc_id"))
         .limit(int(k))
     )

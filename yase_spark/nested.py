@@ -28,12 +28,17 @@ Determinism: integer counts everywhere, fixed contribution expression,
 per-child score is carried as an exact BIGINT in 1e-6 units (each
 per-term contribution — itself a deterministic scalar expression —
 is rounded to 6 dp and lifted to integer micro-units BEFORE any sum),
-so every ranking/aggregation key is integer math: invariant under
-partitioning, partial-aggregate merge order, and engine (the
-float-sum ulp-straddle class that bit has_child_inner at sf0.001 in
-round 5 is closed by construction, same device as
-similarity.maxsim_topk). Display scores divide back to doubles only
-at the contract boundary.
+so the max/sum/min ranking/aggregation keys are integer math:
+invariant under partitioning, partial-aggregate merge order, and
+engine (the float-sum ulp-straddle class that bit has_child_inner at
+sf0.001 in round 5 is closed by construction, same device as
+similarity.maxsim_topk). score_mode='avg' is the scoped exception:
+Spark's Average over LongType accumulates in a double buffer, so its
+exactness holds only while the per-parent micro-unit sum stays below
+2^53 (~9e9 in score units per parent — far above any real per-parent
+child fan-in, but not a by-construction guarantee like the other
+modes). Display scores divide back to doubles only at the contract
+boundary.
 """
 
 from __future__ import annotations

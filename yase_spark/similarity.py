@@ -816,9 +816,14 @@ def hard_negatives(
     :func:`cosine_topk` — broadcast query side, map-side scoring, the
     band filter fuses into the scan stage before the per-query top-k
     window; with an IVF layout the candidate read prunes to probed
-    lists first. Output (query_id, rank, vec_id, sim_r)."""
-    if not (0.0 < hi <= 1.0):
-        raise ValueError("hi must be in (0, 1]")
+    lists first. Output (query_id, rank, vec_id, sim_r).
+
+    ``hi`` may slightly exceed 1.0 (up to 1 + 1e-6): the band excludes
+    sim_r >= hi, and 6-dp-rounded similarities reach exactly 1.0, so
+    hi = 1.0 still excludes perfect matches — pass hi = 1.000001 to
+    express "no exclusion band" (ADVICE r5)."""
+    if not (0.0 < hi <= 1.000001):
+        raise ValueError("hi must be in (0, 1 + 1e-6]")
     if n_queries < 1 or k < 1:
         raise ValueError("n_queries and k must be >= 1")
     return _ranked(_query_join(emb, n_queries, predicate), k, hi=hi)
