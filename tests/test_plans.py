@@ -339,8 +339,9 @@ def test_nested_match_no_exchange_before_topk(spark):
 
 
 def test_sparse_vector_broadcasts_query_map(spark):
-    """sparse_vector's query weight map joins broadcast — the corpus
-    side never shuffles for the semi-join."""
+    """Request-sized query maps score fully MAP-SIDE (no join node at
+    all — r6); large learned-sparse expansions keep the broadcast-join
+    lane, where the corpus side never shuffles for the semi-join."""
     from yase_spark.features import sparse_vector_topk
 
     docs = spark.createDataFrame(
@@ -348,4 +349,7 @@ def test_sparse_vector_broadcasts_query_map(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     plan = _plan(sparse_vector_topk(docs, {"spark": 2.0}, k=5))
-    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    big = {f"t{i}": 1.0 for i in range(20)}
+    plan2 = _plan(sparse_vector_topk(docs, big, k=5))
+    assert "BroadcastHashJoin" in plan2, plan2[:1500]

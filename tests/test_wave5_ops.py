@@ -60,6 +60,20 @@ def test_sparse_vector_matches_bruteforce(docs):
         sparse_vector_topk(docs, {})
 
 
+def test_sparse_vector_lanes_agree(docs):
+    """The r6 map-side lane (<= 16 terms) and the broadcast-join lane
+    (> 16 terms) must produce identical rows: padding the query map
+    with absent terms (zero contribution to every doc, no eligibility
+    change) flips the lane without changing the answer."""
+    w = {"spark": 2.0, "stream": 1.5, "window": 1.0}
+    big = dict(w)
+    for i in range(15):
+        big[f"zz_absent_{i}"] = 3.0  # matches nothing in the fixture
+    small_rows = [tuple(r) for r in sparse_vector_topk(docs, w, k=10).collect()]
+    big_rows = [tuple(r) for r in sparse_vector_topk(docs, big, k=10).collect()]
+    assert small_rows == big_rows and len(small_rows) > 0
+
+
 # ----------------------------------------------------------- geohash
 
 

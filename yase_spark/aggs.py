@@ -243,9 +243,11 @@ def rare_terms(
     (df, term).
 
     Scale shape: shingling is a map-only array transform (zip_with over
-    two slices, no self-join); per-doc term distinct happens inside the
-    partial agg, then ONE shuffle keyed by term for the global df count;
-    the <= filter runs post-aggregation on term-sized data. ES itself
+    two slices, no self-join); per-doc term distinct happens MAP-SIDE
+    (array_distinct before the explode — countDistinct planned an
+    extra expand+shuffle), then ONE shuffle keyed by term for the
+    global df count; the <= filter runs post-aggregation on term-sized
+    data. ES itself
     gives up exactness here (CuckooFilter, documented false positives)
     because a coordinator node cannot hold the tail; a shuffle CAN — the
     exact flavor is both the oracle anchor and the thing the distributed
@@ -254,7 +256,7 @@ def rare_terms(
         raise ValueError("shingles must be 1 or 2")
     a = F.filter(F.split(F.lower("text"), split), lambda x: x != "")
     if shingles == 1:
-        term = F.explode(a)
+        term = F.explode(F.array_distinct(a))
     else:
         pairs = F.when(
             F.size(a) >= 2,
@@ -264,11 +266,11 @@ def rare_terms(
                 lambda x, y: F.concat_ws(" ", x, y),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        term = F.explode(pairs)
+        term = F.explode(F.array_distinct(pairs))
     df_tbl = (
-        docs.select("doc_id", term.alias("term"))
+        docs.select(term.alias("term"))
         .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     return df_tbl.filter(F.col("df") <= max_doc_count).orderBy("df", "term")
 

@@ -107,35 +107,76 @@ def sparse_vector_topk(
         raise ValueError("k must be >= 1")
     if not query_weights:
         raise ValueError("query_weights must be non-empty")
+    from functools import reduce as _reduce
+
     spark = docs.sparkSession
-    qw = spark.createDataFrame(
-        [(t, float(w)) for t, w in query_weights.items()], "term string, qw double"
-    )
-    tf = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.lower("text"), split)).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .join(F.broadcast(qw), "term")
-        .groupBy("doc_id", "term", "qw")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # exact BIGINT ranking key: each per-term product (a deterministic
-    # scalar over an exact integer tf) is rounded to 6dp and lifted to
-    # integer micro-units BEFORE the per-doc sum — integer addition is
-    # associative, so the ranking is invariant under partial-agg merge
-    # order and engine (same device as similarity.maxsim_topk; the
-    # float-sum ulp-straddle class cannot occur here)
-    scored = tf.groupBy("doc_id").agg(
-        F.sum(
+    items = sorted((t, float(w)) for t, w in query_weights.items())
+    # exact BIGINT ranking key on both lanes: each per-term product (a
+    # deterministic scalar over an exact integer tf) is rounded to 6dp
+    # and lifted to integer micro-units BEFORE the per-doc sum —
+    # integer addition is associative, so the ranking is invariant
+    # under partial-agg merge order, evaluation lane, and engine (same
+    # device as similarity.maxsim_topk; the float-sum ulp-straddle
+    # class cannot occur here). A zero tf contributes round(qw*ln(1))
+    # = 0 exactly, so summing over ALL query terms (map-side lane)
+    # equals summing over matched terms only (join lane).
+    if len(items) <= 16:
+        # request-sized query map: per-term tf is a MAP-SIDE array
+        # count over the doc's token array — no shuffle at all before
+        # the TakeOrdered cap (O(|q|·tokens) per doc; the join lane
+        # below stays the shape for large learned-sparse expansions,
+        # where one token pass + a matched-row shuffle beats |q|
+        # array scans)
+        warr = F.filter(F.split(F.lower("text"), split), lambda x: x != "")
+        base = docs.select("doc_id", warr.alias("w"))
+
+        def _eq(term):
+            # single-arg closure: a two-parameter lambda (even with a
+            # default) is treated by PySpark as an (element, index)
+            # function and would bind the index over the term
+            lit = F.lit(term)
+            return lambda x: x == lit
+
+        tfs = [F.size(F.filter(F.col("w"), _eq(t))) for t, _ in items]
+        contribs = [
             F.round(
-                F.col("qw")
-                * F.log(F.lit(1.0) + F.col("tf").cast("double"))
-                * 1e6,
-                0,
+                F.lit(qwv) * F.log(F.lit(1.0) + tf.cast("double")) * 1e6, 0
             ).cast("long")
-        ).alias("score_u6")
-    )
+            for (_, qwv), tf in zip(items, tfs)
+        ]
+        matched = _reduce(
+            lambda a, b: a + b, [(tf >= 1).cast("int") for tf in tfs]
+        )
+        scored = (
+            base.select(
+                "doc_id",
+                _reduce(lambda a, b: a + b, contribs).alias("score_u6"),
+                matched.alias("_m"),
+            )
+            .filter(F.col("_m") >= 1)
+            .select("doc_id", "score_u6")
+        )
+    else:
+        qw = spark.createDataFrame(items, "term string, qw double")
+        tf = (
+            docs.select(
+                "doc_id", F.explode(F.split(F.lower("text"), split)).alias("term")
+            )
+            .filter(F.col("term") != "")
+            .join(F.broadcast(qw), "term")
+            .groupBy("doc_id", "term", "qw")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        scored = tf.groupBy("doc_id").agg(
+            F.sum(
+                F.round(
+                    F.col("qw")
+                    * F.log(F.lit(1.0) + F.col("tf").cast("double"))
+                    * 1e6,
+                    0,
+                ).cast("long")
+            ).alias("score_u6")
+        )
     w = Window.orderBy(F.desc("score_u6"), F.asc("doc_id"))
     return (
         scored.orderBy(F.desc("score_u6"), F.asc("doc_id"))
