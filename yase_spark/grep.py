@@ -326,7 +326,8 @@ def merge_tri_runs(local: DataFrame, cfg: IndexConfig, gen_base: int) -> DataFra
         local.withColumn(
             "bucket", F.pmod(F.col("tri"), F.lit(n_buckets)).cast("int")
         )
-        .repartition(n_buckets, "bucket")
+        # AQE-coalescible: see postings.merge_segments
+        .repartition("bucket")
         .sortWithinPartitions("tri", "first_doc")
     )
     cols = ["tri", "shard", "df", "payload", "bucket"]

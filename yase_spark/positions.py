@@ -286,7 +286,8 @@ def merge_pos_runs(local: DataFrame, cfg: IndexConfig, gen_base: int) -> DataFra
             "bucket",
             F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(n_buckets)).cast("int"),
         )
-        .repartition(n_buckets, "bucket")
+        # AQE-coalescible: see postings.merge_segments
+        .repartition("bucket")
         .sortWithinPartitions("term", "first_doc")
     )
     cols = ["term", "shard", "df", "n", "payload", "block_meta", "bucket"]

@@ -339,7 +339,12 @@ def merge_segments(
             "bucket",
             F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(n_buckets)).cast("int"),
         )
-        .repartition(n_buckets, "bucket")
+        # no explicit partition count: hash-by-bucket keeps every
+        # bucket whole in one task at ANY count, so AQE may coalesce
+        # the tiny-build case (an explicit N pinned 64 near-empty
+        # Python-kernel tasks per group unit) while a 100-TB build
+        # still fans out to min(term_buckets, shuffle.partitions)
+        .repartition("bucket")
         .sortWithinPartitions("term", "run_seq", "shard")
     )
 

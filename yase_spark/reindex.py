@@ -286,7 +286,8 @@ def reindex(
     segs = (
         src.read(spark, "segments")
         .withColumn("bucket", _bucket_col(dst_cfg.term_buckets))
-        .repartition(dst_cfg.term_buckets, "bucket")
+        # AQE-coalescible: see postings.merge_segments
+        .repartition("bucket")
         .mapInPandas(
             _reblock_kernel(dst_cfg.block_size, dst_cfg.k1, dst_cfg.b),
             schema=SEGMENT_SCHEMA,
@@ -310,7 +311,7 @@ def reindex(
         pos = (
             src.read(spark, "pos_segments")
             .withColumn("bucket", _bucket_col(dst_cfg.term_buckets))
-            .repartition(dst_cfg.term_buckets, "bucket")
+            .repartition("bucket")
         )
         _copy_table(
             spark, src, dst, "pos_segments", df=pos, partition_by=["bucket"]
@@ -327,7 +328,7 @@ def reindex(
                 "bucket",
                 F.pmod(F.col("tri"), F.lit(dst_cfg.term_buckets)).cast("int"),
             )
-            .repartition(dst_cfg.term_buckets, "bucket")
+            .repartition("bucket")
         )
         _copy_table(
             spark, src, dst, "tri_segments", df=tri, partition_by=["bucket"]
