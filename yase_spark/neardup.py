@@ -50,6 +50,40 @@ def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def doc_shingle_hashes(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh: array<bigint>) — distinct k-word shingle HASHES,
+    computed by hashing the word k-tuple directly (multi-arg xxhash64)
+    with no shingle-string materialization — measured ~4x cheaper per
+    corpus pass than building "w1 w2 w3" strings and hashing those.
+    Words contain no separator characters (the WORD_RE token class),
+    so word-tuple identity == shingle-string identity, and the distinct
+    set sizes/intersections agree with :func:`doc_shingles` iff the
+    64-bit hash is collision-free on the corpus (the accepted class
+    everywhere the engine uses hashed shingles). ONLY for
+    exactness-based consumers (jaccard counting, candidate
+    verification): minhash SIGNATURES keep hashing the shingle string
+    so band keys — and therefore the realized LSH candidate sets —
+    stay bit-identical across releases.
+
+    The k-tuple rides an ``arrays_zip`` of k shifted slices and the
+    lambda touches ONLY its own variable: a lambda that indexes the
+    words array directly (``w[i]``) gets the words EXPRESSION inlined
+    into per-element evaluation when the optimizer pushes the
+    explode-inferred non-empty filter below the projection — measured
+    as the regexp tokenizer re-running per shingle element (6.8 s vs
+    0.7 s on a 2k-doc explode)."""
+    slices = ", ".join(f"slice(w, {j + 1}, size(w)-{k - 1})" for j in range(k))
+    fields = ", ".join(f"t.`{j}`" for j in range(k))
+    zips = f"transform(arrays_zip({slices}), t -> xxhash64({fields}))"
+    return doc_words(docs).select(
+        "doc_id",
+        F.when(
+            F.size("w") >= k,
+            F.array_distinct(F.expr(zips)),
+        ).otherwise(F.expr("array()").cast("array<bigint>")).alias("sh"),
+    )
+
+
 def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs via array
     intersection on the HASHED shingle sets (JVM; ``sh`` carries
@@ -209,10 +243,10 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFr
     (``over_cap="chunk"`` like SimHash); pair multiplicity equals the
     intersection count.
     """
-    sized = doc_shingles(docs, k).select(
+    sized = doc_shingle_hashes(docs, k).select(
         "doc_id",
         F.size("sh").alias("n"),
-        F.explode(F.expr("transform(sh, s -> xxhash64(s))")).alias("s"),
+        F.explode("sh").alias("s"),
     )
     cand = _bucket_pairs(
         sized.select("s", F.struct("doc_id", "n").alias("dn")),
@@ -336,10 +370,7 @@ def minhash_lsh_pairs(
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
-    sh_hashed = doc_shingles(docs, k).select(
-        "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("sh")
-    )
-    return _verify_pairs(cand, sh_hashed, threshold)
+    return _verify_pairs(cand, doc_shingle_hashes(docs, k), threshold)
 
 
 # --------------------------------------------------------------- dup groups
