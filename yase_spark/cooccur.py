@@ -112,14 +112,20 @@ def collocations(docs: DataFrame, k: int = 20, min_count: int = 3) -> DataFrame:
     """
     w = F.split(F.lower("text"), SPLIT)
     toks = docs.select(F.filter(w, lambda t: t != "").alias("w"))
+    # adjacent pairs via arrays_zip of two shifted slices — the lambda
+    # touches only its own variable (an index-the-array lambda gets the
+    # tokenizer inlined into per-element evaluation under the pushed
+    # explode filter: see neardup.doc_shingle_hashes); explode_outer
+    # keeps the inferred filter from building the gram array twice
     grams = toks.select(
-        F.explode(
+        F.explode_outer(
             F.expr(
-                "transform(sequence(1, greatest(size(w) - 1, 0)), "
-                "i -> concat(w[i-1], ' ', w[i]))"
+                "transform(arrays_zip(slice(w, 1, size(w) - 1), "
+                "slice(w, 2, size(w) - 1)), "
+                "t -> concat(t.`0`, ' ', t.`1`))"
             )
         ).alias("bigram")
-    )
+    ).filter(F.col("bigram").isNotNull())
     uni = (
         toks.select(F.explode("w").alias("term"))
         .groupBy("term")

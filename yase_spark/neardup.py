@@ -168,9 +168,13 @@ def _bucket_pairs(
             "flatten(transform(ds, (x, i) -> "
             "transform(slice(ds, i + 2, size(ds)), y -> struct(x as a, y as b))))"
         )
+        # explode_outer: the inferred non-empty pre-filter of a plain
+        # explode builds the whole pair array a second time per bucket
+        # (size(ds) >= 2 guarantees a non-empty triangle, so no NULL
+        # rows appear and no extra filter is needed)
         return (
             agg.filter(F.size("ds") <= F.lit(max_bucket))
-            .select(F.explode(F.expr(tri)).alias("p"))
+            .select(F.explode_outer(F.expr(tri)).alias("p"))
             .select("p.a", "p.b")
         )
     # chunk mode: EVERY bucket goes through the chunked expansion — a
@@ -189,7 +193,7 @@ def _bucket_pairs(
     C = min(max_bucket, 2048)
     chunked = (
         agg.select(
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     f"flatten(transform(sequence(0, int(ceil(size(ds) / {C}.0)) - 1), "
                     f"i -> transform(sequence(i, int(ceil(size(ds) / {C}.0)) - 1), "
@@ -203,8 +207,12 @@ def _bucket_pairs(
             int(rows.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
         )
     )
+    # diagonal 1-member chunks expand to an EMPTY pair array, so the
+    # outer explode emits NULL rows here — filtered on the exploded
+    # attribute (cheap), instead of a pushed pre-filter that would
+    # expand every chunk-pair twice
     return chunked.select(
-        F.explode(
+        F.explode_outer(
             F.when(
                 F.col("cp.same"),
                 F.expr(
@@ -219,7 +227,7 @@ def _bucket_pairs(
                 )
             )
         ).alias("p")
-    ).select("p.a", "p.b")
+    ).filter(F.col("p").isNotNull()).select("p.a", "p.b")
 
 
 def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFrame:
@@ -612,7 +620,10 @@ def dup_spans(
         .select(
             "doc_id",
             "__t",
-            F.explode(
+            # outer: n_chars >= k makes the sequence non-empty, and a
+            # plain explode's inferred pre-filter would materialize the
+            # position array twice per doc
+            F.explode_outer(
                 F.expr(f"sequence(1, length(__t) - {k} + 1, {stride})")
             ).alias("pos"),
         )
@@ -718,7 +729,8 @@ def dedup_substrings(
         .select(
             "doc_id",
             "__t",
-            F.explode(
+            # outer: non-empty by the n_chars >= k guard (see dup_spans)
+            F.explode_outer(
                 F.expr(f"sequence(1, length(__t) - {k} + 1)")
             ).alias("pos"),
         )

@@ -434,17 +434,29 @@ def repetition_stats(docs: DataFrame, n_top: int = 2, n_dup: int = 5) -> DataFra
 
     def grams(n: int):
         # sequence(1, 0) DESCENDS through 0 in Spark, so short docs
-        # must short-circuit to an empty array before the transform
-        return docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"case when size({words_expr}) >= {n} then "
-                    f"transform(sequence(1, size({words_expr}) - {n - 1}), "
-                    f"i -> array_join(slice({words_expr}, i, {n}), ' ')) "
-                    "else array() end"
-                )
-            ).alias("g"),
+        # must short-circuit to an empty array before the transform.
+        # The n-gram rides an arrays_zip of n shifted slices with a
+        # lambda over its own variable only: the previous
+        # index-the-words-array lambda got the tokenizer expression
+        # inlined into PER-ELEMENT evaluation once the optimizer
+        # pushed the explode-inferred non-empty filter below the
+        # projection (O(words²) per doc — see
+        # neardup.doc_shingle_hashes); explode_outer + a notNull
+        # filter keeps that inferred filter from materializing the
+        # gram array twice per row. Gram strings are unchanged
+        # (concat_ws == array_join over null-free words).
+        m = f"size(w)-{n - 1}"
+        slices = ", ".join(f"slice(w, {j + 1}, {m})" for j in range(n))
+        fields = ", ".join(f"t.`{j}`" for j in range(n))
+        ga = (
+            f"case when size(w) >= {n} then "
+            f"transform(arrays_zip({slices}), t -> concat_ws(' ', {fields})) "
+            "else array() end"
+        )
+        return (
+            docs.select("doc_id", F.expr(words_expr).alias("w"))
+            .select("doc_id", F.explode_outer(F.expr(ga)).alias("g"))
+            .filter(F.col("g").isNotNull())
         )
 
     totals = docs.select(
