@@ -806,6 +806,28 @@ def test_frequent_item_sets_brute(spark):
     assert ("a", 1, 5) in got and ("b", 1, 5) in got
 
 
+def test_frequent_item_sets_space_containing_terms(spark):
+    """Under a custom split, a TERM may itself contain a space; the
+    r6 array-keyed aggregate must keep such a 1-set distinct from a
+    genuine 2-set whose space-join collides with it (the string-keyed
+    shape merged their supports and misclassified the size)."""
+    from yase_spark.aggs import frequent_item_sets
+
+    rows = [(i, "x y,z") for i in range(4)] + [(9, "x,y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["item_set"], r["size"], r["support"])
+        for r in frequent_item_sets(
+            df, vocab_size=4, min_support=0.2, split=","
+        ).collect()
+    ]
+    # closedness folds every 1-set into its equal-support superset;
+    # the set {'x y','z'} and the set {'x','y'} survive — and the
+    # latter's rendering 'x y' must NOT have absorbed the 4-doc
+    # support of the space-containing TERM 'x y'
+    assert got == [("x y z", 2, 4), ("x y", 2, 1)]
+
+
 def test_frequent_item_sets_validation(spark):
     from yase_spark.aggs import frequent_item_sets
 

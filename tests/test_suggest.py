@@ -191,6 +191,22 @@ def test_collocations_vs_python(spark):
     assert counts.get("window table", 0) <= 1 or "window table" not in counts
 
 
+def test_collocations_survives_empty_and_one_token_docs(spark):
+    """Docs whose filtered token stream is empty or one token long must
+    not crash the slice-based bigram builder (r6 regression gate: a
+    negative slice length throws in Spark) and must contribute no
+    bigrams."""
+    docs = spark.createDataFrame(
+        [(0, "spark merge spark merge spark merge"), (1, "!!! ??? ..."),
+         (2, ""), (3, "solo"), (4, "spark merge")],
+        "doc_id bigint, text string",
+    )
+    out = collocations(docs, k=10, min_count=2).collect()
+    counts = {r["bigram"]: r["c_ab"] for r in out}
+    assert counts["spark merge"] == 4  # 3 from doc0 + 1 from doc4
+    assert all(" " in b for b in counts)
+
+
 # ------------------------------------------------------------- explain
 def test_explain_decomposes_topk(spark, sugg_ix):
     from yase_spark.config import IndexConfig

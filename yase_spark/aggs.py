@@ -20,6 +20,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def distinct_tokens(split: str):
+    """Column: a doc's DISTINCT non-empty lowercased tokens under the
+    ``split`` regex — the ONE map-side tokenizer expression the
+    term-set lanes share (terms_sharded, frequent_item_sets,
+    sampler_agg, lookup.terms_lookup, cooccur.related_terms). Keeping
+    it in one place means a tokenizer change cannot silently diverge
+    between operators."""
+    return F.array_distinct(
+        F.filter(F.split(F.lower("text"), split), lambda x: x != "")
+    )
+
+
 def composite_agg(
     docs: DataFrame,
     keys: list[str],
@@ -996,7 +1008,13 @@ def terms_sharded(
     partition/segment boundary plays the role.
 
     Output: (term, doc_count, doc_count_error_upper_bound), merged
-    count DESC / term ASC, top ``size``."""
+    count DESC / term ASC, top ``size``.
+
+    NOTE: construction is EAGER — the shard/term ranking materializes
+    (localCheckpoint) when the function is called, because three
+    downstream consumers (returned rows, per-shard error bounds, the
+    error total) would otherwise each re-run the corpus aggregate.
+    Callers composing plans speculatively pay the job up front."""
     from pyspark.sql import Window
 
     if n_shards < 1 or shard_size < 1 or size < 1:
@@ -1008,11 +1026,7 @@ def terms_sharded(
     # corpus tokenize+aggregate
     toks = docs.select(
         (F.col("doc_id") % n_shards).alias("shard"),
-        F.explode(
-            F.array_distinct(
-                F.filter(F.split(F.lower("text"), split), lambda x: x != "")
-            )
-        ).alias("term"),
+        F.explode(distinct_tokens(split)).alias("term"),
     )
     counts = toks.groupBy("shard", "term").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -1497,12 +1511,7 @@ def frequent_item_sets(
     n_docs = docs.count()
     thresh = int(-(-min_support * n_docs // 1))  # ceil
     toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(F.split(F.lower("text"), split), lambda x: x != "")
-            )
-        ).alias("term"),
+        "doc_id", F.explode(distinct_tokens(split)).alias("term")
     )
     vocab = (
         toks.groupBy("term")
@@ -1516,24 +1525,30 @@ def frequent_item_sets(
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("term")).alias("it"))
     )
-    pieces = ["it"]
+    # sets are ARRAYS end to end (group key, size, containment) — the
+    # space-joined string appears only in the OUTPUT column, so a term
+    # that itself contains a space (possible under a custom ``split``)
+    # can neither be misclassified by size nor have its support merged
+    # with a genuine larger set's
+    pieces = ["transform(it, x -> array(x))"]
     if max_size >= 2:
         pieces.append(
             "flatten(transform(it, (x, i) -> "
             "transform(slice(it, i + 2, size(it) - i - 1), "
-            "y -> concat(x, ' ', y))))"
+            "y -> array(x, y))))"
         )
     if max_size >= 3:
         pieces.append(
             "flatten(transform(it, (x, i) -> "
             "flatten(transform(slice(it, i + 2, size(it) - i - 1), (y, j) -> "
             "transform(slice(it, i + j + 3, size(it) - i - j - 2), "
-            "z -> concat(x, ' ', y, ' ', z))))))"
+            "z -> array(x, y, z))))))"
         )
     all_sets = pieces[0] if len(pieces) == 1 else "concat(" + ", ".join(pieces) + ")"
     freq_all = (
-        items.select(F.explode(F.expr(all_sets)).alias("item_set"))
-        .groupBy("item_set")
+        items.select(F.explode_outer(F.expr(all_sets)).alias("items"))
+        .filter(F.col("items").isNotNull())
+        .groupBy("items")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= thresh)
         .localCheckpoint(eager=True)
@@ -1541,7 +1556,7 @@ def frequent_item_sets(
     freq = {}
     for size in range(1, max_size + 1):
         freq[size] = freq_all.filter(
-            F.size(F.split("item_set", " ")) == size
+            F.size("items") == size
         ).withColumn("size", F.lit(size))
     # closedness: drop S when a strict superset one larger has EQUAL
     # support (transitive: equal-support chains collapse to the top)
@@ -1550,16 +1565,11 @@ def frequent_item_sets(
         cur = freq[size]
         if size + 1 in freq:
             sup = freq[size + 1].select(
-                F.col("item_set").alias("__big"),
+                F.col("items").alias("__big"),
                 F.col("support").alias("__bsup"),
             )
-            # containment over the space-joined SORTED items: every
-            # item of S appears as a token of the superset string
             cond = (
-                F.expr(
-                    "size(array_except(split(item_set, ' '), "
-                    "split(__big, ' '))) = 0"
-                )
+                F.expr("size(array_except(items, __big)) = 0")
                 & (F.col("support") == F.col("__bsup"))
             )
             cur = cur.join(F.broadcast(sup), cond, "left_anti")
@@ -1570,7 +1580,9 @@ def frequent_item_sets(
     return (
         out.filter(F.col("size") >= min_set_size)
         .select(
-            "item_set", F.col("size").cast("long").alias("size"), "support"
+            F.array_join("items", " ").alias("item_set"),
+            F.col("size").cast("long").alias("size"),
+            "support",
         )
         .orderBy(F.desc("support"), F.asc("item_set"))
     )
@@ -1850,20 +1862,16 @@ def sampler_agg(
         raise ValueError("n_shards and shard_size must be >= 1")
     if not score_terms:
         raise ValueError("score_terms must be non-empty")
-    tarr = F.array(*[F.lit(t) for t in score_terms])
+    # duplicate entries in score_terms are deduplicated (the set-
+    # intersection count — the r5 broadcast join double-counted a
+    # doc's match once per duplicate row, which was never meaningful
+    # request shape)
+    tarr = F.array(*[F.lit(t) for t in sorted(set(score_terms))])
     scored = (
         docs.select(
             "doc_id",
-            F.size(
-                F.array_intersect(
-                    F.array_distinct(
-                        F.filter(
-                            F.split(F.lower("text"), split), lambda x: x != ""
-                        )
-                    ),
-                    tarr,
-                )
-            ).cast("long").alias("score"),
+            F.size(F.array_intersect(distinct_tokens(split), tarr))
+            .cast("long").alias("score"),
         )
         .filter(F.col("score") >= 1)
     )

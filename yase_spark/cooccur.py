@@ -62,9 +62,9 @@ def related_terms(
     and the seed count on top of the pair join, three shuffles of the
     same stream); the seed-doc set is a map-only array_contains filter.
     """
-    warr = F.array_distinct(
-        F.filter(F.split(F.lower("text"), SPLIT), lambda t: t != "")
-    )
+    from .aggs import distinct_tokens
+
+    warr = distinct_tokens(SPLIT)
     toks = docs.select("doc_id", F.explode(warr).alias("term"))
     seed_docs = docs.select("doc_id", warr.alias("w")).filter(
         F.array_contains("w", seed)
@@ -117,11 +117,16 @@ def collocations(docs: DataFrame, k: int = 20, min_count: int = 3) -> DataFrame:
     # tokenizer inlined into per-element evaluation under the pushed
     # explode filter: see neardup.doc_shingle_hashes); explode_outer
     # keeps the inferred filter from building the gram array twice
+    # greatest(size-1, 0): slice() THROWS on a negative length, so
+    # empty/one-token docs must clamp to an empty slice (they emit no
+    # bigram either way — the r5 index lambda's out-of-range NULLs
+    # never survived the unigram joins)
     grams = toks.select(
         F.explode_outer(
             F.expr(
-                "transform(arrays_zip(slice(w, 1, size(w) - 1), "
-                "slice(w, 2, size(w) - 1)), "
+                "transform(arrays_zip("
+                "slice(w, 1, greatest(size(w) - 1, 0)), "
+                "slice(w, 2, greatest(size(w) - 1, 0))), "
                 "t -> concat(t.`0`, ' ', t.`1`))"
             )
         ).alias("bigram")

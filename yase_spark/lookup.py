@@ -116,7 +116,9 @@ def terms_lookup(
     (<= max_terms rows), so it collects once and the per-doc match
     count is a MAP-SIDE array_intersect against the literal list —
     no shuffle before the TakeOrdered cap (the r5 shape shuffled the
-    corpus's whole distinct token stream to semi-join <= 16 terms)."""
+    corpus's whole distinct token stream to semi-join <= 16 terms).
+    Construction is therefore EAGER: the lookup point-read runs when
+    the function is called, not at the first action on the result."""
     if k < 1:
         raise ValueError("k must be >= 1")
     tl = sorted(
@@ -127,20 +129,14 @@ def terms_lookup(
         return docs.sparkSession.createDataFrame(
             [], "doc_id long, matched_terms long"
         )
+    from .aggs import distinct_tokens
+
     tarr = F.array(*[F.lit(t) for t in tl])
     return (
         docs.select(
             "doc_id",
-            F.size(
-                F.array_intersect(
-                    F.array_distinct(
-                        F.filter(
-                            F.split(F.lower("text"), split), lambda x: x != ""
-                        )
-                    ),
-                    tarr,
-                )
-            ).cast("long").alias("matched_terms"),
+            F.size(F.array_intersect(distinct_tokens(split), tarr))
+            .cast("long").alias("matched_terms"),
         )
         .filter(F.col("matched_terms") >= 1)
         .orderBy(F.desc("matched_terms"), F.asc("doc_id"))

@@ -439,51 +439,58 @@ def dup_groups(
     ).localCheckpoint(eager=True)
     from pyspark.sql import Observation
 
-    for it in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["a"] == labels["doc_id"])
-            .groupBy(edges["b"].alias("doc_id"))
-            .agg(F.min("lbl").alias("nl"))
-        )
-        # the OLD label rides the stepped frame (o_lbl), so the change
-        # flag needs no third self-join against the previous labels —
-        # one join fewer per iteration than the r5 shape
-        stepped = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.col("lbl").alias("o_lbl"),
-                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+    try:
+        for it in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges["a"] == labels["doc_id"])
+                .groupBy(edges["b"].alias("doc_id"))
+                .agg(F.min("lbl").alias("nl"))
             )
-        )
-        jump_map = stepped.select(
-            F.col("doc_id").alias("j_doc"), F.col("lbl").alias("j_lbl")
-        )
-        # the convergence count rides the SAME job as the checkpoint
-        # materialization (Observation — accumulator-backed, zero extra
-        # action): one Spark action per iteration total, vs the r5
-        # shape's checkpoint + existence-probe pair
-        obs = Observation(f"dup-groups-iter-{it}")
-        staged = (
-            stepped.join(jump_map, stepped["lbl"] == jump_map["j_doc"], "left")
-            .select(
-                "doc_id",
-                F.coalesce("j_lbl", "lbl").alias("lbl"),
-                "o_lbl",
+            # the OLD label rides the stepped frame (o_lbl), so the change
+            # flag needs no third self-join against the previous labels —
+            # one join fewer per iteration than the r5 shape
+            stepped = (
+                labels.join(nbr_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.col("lbl").alias("o_lbl"),
+                    F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+                )
             )
-            .observe(
-                obs,
-                F.sum((F.col("lbl") != F.col("o_lbl")).cast("long")).alias("chg"),
+            jump_map = stepped.select(
+                F.col("doc_id").alias("j_doc"), F.col("lbl").alias("j_lbl")
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = int(obs.get["chg"] or 0)
-        labels = staged.select("doc_id", "lbl")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"dup_groups did not converge in {max_iter} iterations")
-    edges.unpersist()
+            # the convergence count rides the SAME job as the checkpoint
+            # materialization (Observation — accumulator-backed, zero extra
+            # action): one Spark action per iteration total, vs the r5
+            # shape's checkpoint + existence-probe pair
+            obs = Observation(f"dup-groups-iter-{it}")
+            staged = (
+                stepped.join(jump_map, stepped["lbl"] == jump_map["j_doc"], "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("j_lbl", "lbl").alias("lbl"),
+                    "o_lbl",
+                )
+                .observe(
+                    obs,
+                    F.sum((F.col("lbl") != F.col("o_lbl")).cast("long")).alias("chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = int(obs.get["chg"] or 0)
+            labels = staged.select("doc_id", "lbl")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dup_groups did not converge in {max_iter} iterations"
+            )
+    finally:
+        # release the pinned edge cache on EVERY exit path — the
+        # non-convergence raise otherwise leaked it for the session
+        # (the same leaked-persist class as the r5 ppl_buckets advice)
+        edges.unpersist()
     clustered = labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),
